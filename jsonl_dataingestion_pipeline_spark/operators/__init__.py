@@ -1,0 +1,1 @@
+"""DataFrame-level operators (SURVEY.md §2.4-§2.6 + scale extensions)."""

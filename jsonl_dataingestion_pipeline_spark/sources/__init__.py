@@ -1,0 +1,9 @@
+"""Scans and sinks (SURVEY.md §2.1)."""
+
+from .csv import (  # noqa: F401
+    HeaderValidationError,
+    normalize_headers,
+    read_shipment_csv,
+    validate_headers,
+)
+from .jsonl import read_documents, write_documents  # noqa: F401

@@ -1,0 +1,134 @@
+"""Unit tests for the column kernels (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.functions import (
+    clean_string,
+    coerce_boolean,
+    ensure_str_id,
+    extract_consignee_code,
+    extract_consignee_name,
+    parse_date_dayfirst,
+    parse_multi_dates,
+    split_multi_ids,
+)
+from jsonl_dataingestion_pipeline_spark.functions.dates import (
+    fmt_display,
+    mmmyy,
+    month_group,
+    month_tag,
+)
+
+
+def one(spark, value, expr_fn, typ="string"):
+    df = spark.createDataFrame([(value,)], schema=f"v {typ}")
+    return df.select(expr_fn(F.col("v")).alias("r")).first()["r"]
+
+
+# --- F1 clean_string -------------------------------------------------------
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("  x  ", "x"),
+        ("()", ""),
+        ("nan", None),
+        ("NaN", None),
+        (None, None),
+        ("NAN", "NAN"),  # only exact 'nan'/'NaN' sentinels are nulled
+    ],
+)
+def test_clean_string(spark, raw, expected):
+    assert one(spark, raw, clean_string) == expected
+
+
+# --- F2 ensure_str_id ------------------------------------------------------
+def test_ensure_str_id_strips_quotes(spark):
+    assert one(spark, 'AB"C"123', ensure_str_id) == "ABC123"
+
+
+# --- F3 boolean coercion ---------------------------------------------------
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Y", True), ("yes", True), ("TRUE", True), ("1", True),
+        ("n", False), ("NO", False), ("false", False), ("0", False),
+        ("maybe", None), ("", None), (None, None), (" y ", True),
+    ],
+)
+def test_coerce_boolean(spark, raw, expected):
+    assert one(spark, raw, coerce_boolean) is expected
+
+
+# --- F4 day-first date parse -----------------------------------------------
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("05/01/2024", datetime.date(2024, 1, 5)),   # day-first preferred
+        ("5/1/2024", datetime.date(2024, 1, 5)),
+        ("2024-01-05", datetime.date(2024, 1, 5)),   # ISO still accepted
+        ("01/25/2024", datetime.date(2024, 1, 25)),  # month-first fallback
+        ("31-12-2023", datetime.date(2023, 12, 31)),
+        ("2024-01-05 13:45:00", datetime.date(2024, 1, 5)),
+        ("5 Jan 2024", datetime.date(2024, 1, 5)),
+        ("garbage", None),
+        ("", None),
+        (None, None),
+    ],
+)
+def test_parse_date_dayfirst(spark, raw, expected):
+    assert one(spark, raw, parse_date_dayfirst) == expected
+
+
+# --- F5 multi-date ---------------------------------------------------------
+def test_parse_multi_dates(spark):
+    got = one(spark, "01/01/2024, bad, 02/01/2024", parse_multi_dates)
+    assert got == [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)]
+    assert one(spark, "bad, worse", parse_multi_dates) is None
+    assert one(spark, None, parse_multi_dates) is None
+
+
+# --- F6 multi-ID split -----------------------------------------------------
+def test_split_multi_ids(spark):
+    assert one(spark, "PO2, PO1, PO2,", split_multi_ids) == ["PO1", "PO2"]
+    assert one(spark, None, split_multi_ids) == []
+    assert one(spark, " ,  , ", split_multi_ids) == []
+
+
+# --- F7/F8 consignee -------------------------------------------------------
+@pytest.mark.parametrize(
+    "raw,name,code",
+    [
+        ("ACME GLOBAL (0001234567)", "ACME GLOBAL", "001234567"),
+        ("ACME", "ACME", None),  # no parens: name=whole, code=last9 'ACME'
+        ("A (X) B (YYY123456789)", "A (X) B", "123456789"),
+        ("", None, None),
+        (None, None, None),
+        ("() ", None, None),  # paren pair with blank inside -> code null
+    ],
+)
+def test_consignee_extraction(spark, raw, name, code):
+    got_name = one(spark, raw, extract_consignee_name)
+    got_code = one(spark, raw, extract_consignee_code)
+    if raw == "ACME":
+        assert got_code == "ACME"  # last-9-of-whole fallback
+    else:
+        assert got_code == code
+    if raw == "() ":
+        # reference: rsplit('(')[0] of '()' -> '' -> None
+        assert got_name is None
+    else:
+        assert got_name == name
+
+
+# --- F10/F12 formats -------------------------------------------------------
+def test_date_formats(spark):
+    d = datetime.date(2026, 1, 5)
+    assert one(spark, d, fmt_display, typ="date") == "05-Jan-26"
+    assert one(spark, d, month_group, typ="date") == "2026-01"
+    assert one(spark, d, month_tag, typ="date") == "jan_26"
+    assert one(spark, d, mmmyy, typ="date") == "jan26"
