@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": <sf>}
+
+Timing excludes SparkSession/JVM startup (one warmup action runs first)
+and measures full query execution to a driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family, weighted toward the heavy ones.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_region_revenue",
+    "q05_latest_order_per_customer",
+    "q08_windowed_event_agg",
+    "q10_sessionize",
+    "q12_delay_classify",
+    "q17_text_summaries",
+    "q20_quality_score",
+    "q22_fingerprint",
+    "q24_minhash_signature",
+    "q25_ngram_jaccard_pairs",
+    "q26_minhash_lsh_pairs",
+    "q28_cosine_topk",
+    "q30_doc_pipeline",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entrymod
+    from jsonl_dataingestion_pipeline_spark import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + parquet footer reads
+    spark.range(1000).count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

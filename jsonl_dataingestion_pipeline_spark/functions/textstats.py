@@ -1,0 +1,175 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Language-ID (stopword voting), quality scoring, token counting, and
+document fingerprinting — all native Column expressions so they run
+JVM-side over arbitrarily large corpora, and all arithmetic is
+deterministic/cross-engine (md5-based hashing, explicit rounding) so the
+same computation can be replayed by an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def trunc_round(c: Column, scale: int) -> Column:
+    """Deterministic cross-engine rounding: floor(x·10^s)/10^s.
+
+    ``round()`` half-up disagrees between engines when a value sits on a
+    decimal boundary after FP noise; floor of the identical IEEE product
+    is bit-stable everywhere.
+    """
+    f = float(10**scale)
+    return F.floor(c * F.lit(f)) / F.lit(f)
+
+
+def tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    return F.split(F.trim(_col(c).cast("string")), r"\s+")
+
+
+def token_count(c: ColumnOrName) -> Column:
+    t = _col(c)
+    return F.when(
+        F.length(F.trim(t.cast("string"))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(t))).cast("int")
+
+
+def char_count(c: ColumnOrName) -> Column:
+    return F.length(_col(c).cast("string")).cast("int")
+
+
+def avg_token_length(c: ColumnOrName, scale: int = 4) -> Column:
+    """Mean token length, rounded (deterministic across engines)."""
+    toks = tokens(c)
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), scale)
+
+
+def stopword_hits(c: ColumnOrName, stopwords: Sequence[str]) -> Column:
+    """Number of tokens (with repetition) that are stopwords."""
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(tokens(c), lambda t: F.array_contains(stops, F.lower(t)))
+    ).cast("int")
+
+
+def stopword_ratio(
+    c: ColumnOrName, stopwords: Sequence[str], scale: int = 4
+) -> Column:
+    return F.round(
+        stopword_hits(c, stopwords)
+        / F.greatest(token_count(c), F.lit(1)).cast("double"),
+        scale,
+    )
+
+
+def punct_ratio(c: ColumnOrName, scale: int = 4) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    t = _col(c).cast("string")
+    puncts = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    return F.round(
+        puncts / F.greatest(F.length(t), F.lit(1)).cast("double"), scale
+    )
+
+
+# A small, fixed English stopword list used by the default quality score.
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from",
+)
+
+
+def quality_score(
+    c: ColumnOrName,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+    scale: int = 4,
+) -> Column:
+    """Composite [0,1] quality heuristic (length / stopword / repetition).
+
+    Mirrors the common C4/Gopher-style filters: reasonable length, some
+    stopword mass (fluent prose), low single-token domination. Fully
+    expression-based and oracle-replayable; weights are fixed.
+    """
+    n = token_count(c).cast("double")
+    length_component = F.least(n / F.lit(64.0), F.lit(1.0))
+    stop_component = F.least(
+        stopword_ratio(c, stopwords, scale=8) * 4.0, F.lit(1.0)
+    )
+    distinct_component = F.size(F.array_distinct(tokens(c))) / F.greatest(
+        n, F.lit(1.0)
+    )
+    return trunc_round(
+        0.4 * length_component + 0.3 * stop_component + 0.3 * distinct_component,
+        scale,
+    )
+
+
+# Stopword votes per language for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: Mapping[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "es": ("el", "la", "los", "las", "y", "es", "en", "que", "de", "por"),
+    "fr": ("le", "la", "les", "et", "est", "en", "que", "des", "une", "pour"),
+}
+
+
+def lang_id(c: ColumnOrName, default: str = "und") -> Column:
+    """Stopword-voting language ID: argmax of per-language hit counts.
+
+    Deterministic tie-break: higher count wins, then lexicographically
+    smaller language code. Zero hits -> ``default``.
+    """
+    scored = sorted(LANG_STOPWORDS.items())  # lexicographic = tiebreak order
+    hit_cols = [(lang, stopword_hits(c, words)) for lang, words in scored]
+    best = None
+    best_lang = F.lit(default)
+    for lang, hits in hit_cols:
+        if best is None:
+            best = hits
+            best_lang = F.when(hits > 0, F.lit(lang)).otherwise(F.lit(default))
+        else:
+            cond = hits > best
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best = F.when(cond, hits).otherwise(best)
+    return best_lang
+
+
+def shingles(c: ColumnOrName, k: int = 3) -> Column:
+    """Word k-gram shingles of the token stream -> array<string>.
+
+    Uses 1-based positions with ``try_element_at`` padding so short
+    documents still produce one shingle.
+    """
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.coalesce(F.try_element_at(toks, i + j), F.lit("")) for j in range(k)],
+        ),
+    )
+
+
+def fingerprint(c: ColumnOrName, k: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5(shingle).
+
+    A winnowing-style content signature — stable under reordering of
+    documents, cheap (no shuffle), and identical in any engine with md5.
+    """
+    return F.array_min(F.transform(shingles(c, k), lambda s: F.md5(s)))

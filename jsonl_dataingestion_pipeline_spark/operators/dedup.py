@@ -1,0 +1,325 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Four families, each with a different cost/recall point:
+
+- exact_dedup      — hash-groupBy on canonicalized content (one shuffle).
+- minhash_lsh_pairs— MinHash signatures computed *per row with zero
+                     shuffle* (array expressions over shingles), then LSH
+                     banding -> candidate pairs -> exact Jaccard verify.
+- ngram_jaccard_pairs — similarity join on sampled shingles (exact
+                     verification, deterministic md5-based sampling).
+- simhash          — 64-bit SimHash fingerprint via an Arrow-vectorized
+                     pandas_udf (bit-twiddling that Column exprs can't
+                     express efficiently); near-dup = small Hamming
+                     distance within LSH bit-band buckets.
+
+All hashing is md5-based so every step can be replayed by the DuckDB
+oracle at test scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.textstats import shingles as _shingles
+from ..functions.textstats import tokens as _tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def content_key(c: Column) -> Column:
+    """Canonical content hash: md5 of whitespace-collapsed lowercase text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one representative per identical (canonicalized) content.
+
+    Representative = min/max id (deterministic). Implemented as an
+    aggregation rather than a window: the partial (map-side) min shrinks
+    data before the single shuffle, which matters at scale.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    reps = (
+        df.select(content_key(F.col(text_col)).alias("__ck"), F.col(id_col))
+        .groupBy("__ck")
+        .agg(agg.alias(id_col))
+    )
+    return df.join(reps, on=id_col, how="leftsemi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-content-hash stats: representative id + multiplicity (>1 only)."""
+    return (
+        df.select(content_key(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    text: Column, *, num_perm: int = 32, shingle_k: int = 3
+) -> Column:
+    """MinHash signature as array<string> of length ``num_perm``.
+
+    Permutation *i* is simulated by min over md5(i || ':' || shingle)
+    (lexicographic min of hex strings). Computed entirely inside a row
+    projection — no explode, no shuffle; cost O(num_perm × shingles).
+    """
+    sh = F.array_distinct(_shingles(text, shingle_k))
+    # One nested transform (a loop in codegen) rather than num_perm inlined
+    # copies of the md5-min expression — the inlined form overflows the
+    # 64KB codegen method limit and silently falls back to ~20x slower
+    # interpreted evaluation.
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.transform(
+        seeds,
+        lambda seed: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(F.concat(seed.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact Jaccard verification.
+
+    Plan shape (scale-reviewed):
+      1. one narrow projection: signature + distinct shingle set per doc
+      2. explode ``bands`` band-keys per doc (md5 of the band's slice)
+      3. self-join on (band, key)  -> candidate pairs (the only wide op;
+         AQE handles skewed buckets)
+      4. exact Jaccard on the pre-computed shingle arrays, filter, dedup.
+
+    Returns (id_l, id_r, jaccard) with id_l < id_r, jaccard rounded to 6.
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).cache()  # shingle sets reused for signatures AND the verify join
+
+    # Signatures via explode + 32 codegen'd min-aggregates. The obvious
+    # alternative — nested transform() lambdas per row — runs interpreted
+    # (higher-order functions never enter whole-stage codegen) and is
+    # ~100x slower; the explode/agg shape also gets map-side partial
+    # aggregation, so the shuffle carries one row per doc.
+    exploded = base.select("__id", F.explode("__sh").alias("s"))
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"__m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = exploded.groupBy("__id").agg(*sig_cols)
+
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col("__id"), F.posexplode(band_keys).alias("band", "key"))
+
+    left = banded.select(
+        F.col("band"), F.col("key"), F.col("__id").alias("id_l")
+    )
+    right = banded.select(
+        F.col("band"), F.col("key"), F.col("__id").alias("id_r")
+    )
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+    sh = base.select(F.col("__id"), F.col("__sh"))
+    joined = (
+        cand.join(sh.withColumnsRenamed({"__id": "id_l", "__sh": "sh_l"}), on="id_l")
+        .join(sh.withColumnsRenamed({"__id": "id_r", "__sh": "sh_r"}), on="id_r")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
+    union = F.size(F.array_union(F.col("sh_l"), F.col("sh_r")))
+    jac = F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 6)
+    return (
+        joined.select("id_l", "id_r", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard similarity join (exact, sampled candidate generation)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    sample_hex_prefix: str = "0",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing a *sampled* shingle.
+
+    Deterministic sampling: a shingle is a candidate generator iff
+    md5(shingle) starts with ``sample_hex_prefix`` (1/16 of shingles per
+    hex char). Pairs sharing any sampled shingle get exact verification.
+    Recall trades off with join fan-out via the prefix length — at 100 TB
+    use 2-3 hex chars; candidate generation stays one equi-join on a
+    pruned, deduplicated (shingle_hash, id) relation.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).cache()  # consumed 3x (sampling + both sides of the verify join)
+    sampled = base.select(
+        "__id",
+        F.explode(
+            F.filter(
+                F.transform(F.col("__sh"), lambda s: F.md5(s)),
+                lambda h: h.startswith(sample_hex_prefix),
+            )
+        ).alias("shash"),
+    ).dropDuplicates(["__id", "shash"])
+
+    cand = (
+        sampled.alias("a")
+        .join(sampled.alias("b"), on="shash")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+    sh = base.select(F.col("__id"), F.col("__sh"))
+    joined = (
+        cand.join(sh.withColumnsRenamed({"__id": "id_l", "__sh": "sh_l"}), on="id_l")
+        .join(sh.withColumnsRenamed({"__id": "id_r", "__sh": "sh_r"}), on="id_r")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
+    union = F.size(F.array_union(F.col("sh_l"), F.col("sh_r")))
+    jac = F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 6)
+    return joined.select("id_l", "id_r", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow-vectorized pandas_udf — justified Python escape hatch)
+# ---------------------------------------------------------------------------
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        acc = [0] * 64
+        toks = str(t).split()
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        # store as signed 64-bit
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="object")
+
+
+simhash_udf = F.pandas_udf(_simhash_batch, LongType())
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document (md5 token hashes, sign-majority bits).
+
+    Bit-parallel accumulation over variable-length token streams is the
+    one dedup kernel that genuinely doesn't map to Column expressions;
+    Arrow batching keeps the Python boundary amortized.
+    """
+    return df.withColumn(out_col, simhash_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by bit-bands.
+
+    Pigeonhole: two hashes within ``max_hamming`` (< 64/band_bits) share at
+    least one exact band of ``band_bits`` bits -> candidate join per band.
+    """
+    n_bands = 64 // band_bits
+    h = with_simhash(df.select(F.col(id_col).alias("__id"), F.col(text_col)), text_col)
+    mask = (1 << band_bits) - 1
+    bands = h.select(
+        "__id",
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    left = bands.select("band", "key", F.col("__id").alias("id_l"), F.col("simhash").alias("h_l"))
+    right = bands.select("band", "key", F.col("__id").alias("id_r"), F.col("simhash").alias("h_r"))
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    ham = F.bit_count(F.col("h_l").bitwiseXOR(F.col("h_r")))
+    return cand.select("id_l", "id_r", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

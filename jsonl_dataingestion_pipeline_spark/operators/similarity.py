@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  one narrow pass over the corpus, per-query top-k via window. The
+  baseline and the verifier for the approximate path.
+- ``ivf_topk`` — IVF-style approximate search: partition the corpus into
+  Voronoi cells around centroids, probe only ``nprobe`` cells per query.
+  At 100 TB the corpus side stays fully distributed and is pruned by the
+  cell assignment (a join key), turning a full scan into a partition-
+  pruned lookup.
+
+Dot products use ``zip_with`` + ``aggregate`` (JVM-side); similarity is
+rounded so results replay identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column, scale: int = 6) -> Column:
+    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), scale)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` is broadcast (it is small by construction); the corpus is
+    scanned once with no shuffle except the final per-query top-k, whose
+    input has already been cut to candidates. Self-matches are excluded.
+    Returns (query_id, neighbor_id, sim), deterministic tiebreak on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    Centroids are broadcast; assignment is an argmax computed with one
+    ``min_by``-style aggregation — no window, no extra shuffle beyond the
+    groupBy on the (already distributed) vector id.
+    """
+    cts = centroids.select(
+        F.col(centroid_id).alias("__cell"), F.col(vec_col).alias("__ctv")
+    )
+    scored = corpus.crossJoin(F.broadcast(cts)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cell"),
+        cosine(F.col(vec_col), F.col("__ctv"), scale=9).alias("__sim"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cell"), F.col(vec_col).alias("v")),
+                F.struct(F.col("__sim"), (-F.col("__cell")).alias("tb")),
+            ).alias("best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("best.__cell").alias(centroid_id),
+            F.col("best.v").alias(vec_col),
+        )
+    )
+    return best
+
+
+def make_centroids(
+    corpus: DataFrame,
+    n: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed: the n corpus vectors with smallest ids.
+
+    (A k-means refinement loop can replace this without changing the
+    search path; seeding deterministically keeps the oracle replayable.)
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select((F.col("__rn") - 1).alias("cell_id"), F.col(vec_col))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Approximate top-k: search only the ``nprobe`` nearest cells.
+
+    Returns the same shape as :func:`cosine_topk`. Recall < 1 by design;
+    at scale the cell assignment is precomputed/bucketed once and reused
+    across query batches.
+    """
+    if centroids is None:
+        centroids = make_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    # nprobe nearest cells per query (tiny: queries × centroids, broadcast)
+    cts = centroids.select(F.col("cell_id"), F.col(vec_col).alias("__ctv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qcells = (
+        q.crossJoin(F.broadcast(cts))
+        .select(
+            "query_id",
+            "__qv",
+            "cell_id",
+            cosine(F.col("__qv"), F.col("__ctv"), scale=9).alias("__sim"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__sim").desc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "__qv", "cell_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(qcells), on="cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col(vec_col)).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,0 +1,115 @@
+"""Streaming ingestion (SURVEY.md §7.1 M6).
+
+The reference's "poll for the latest CSV" loop (`src/ingestor.py:35-65`)
+becomes a Structured Streaming file source: new files in the input
+directory are discovered incrementally, pushed through the *same* batch
+transform via ``foreachBatch``, and appended to the partitioned JSONL
+target exactly-once per micro-batch.
+
+Also provides watermarked event aggregation (tumbling windows + late-data
+handling) over an events stream — the streaming-native operator surface.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.shipment import AsOf, build_documents, transform_shipments
+from ..schema import raw_csv_schema, COLUMN_MAPPING
+
+
+def stream_shipment_csv(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    as_of: AsOf = None,
+    trigger_available_now: bool = True,
+):
+    """Incremental CSV -> documents -> JSONL stream.
+
+    File-source streaming requires a fixed schema, so the strict header
+    contract is applied positionally (the batch reader's per-file header
+    check runs in strict batch mode instead).
+    """
+    raw = (
+        spark.readStream.schema(raw_csv_schema())
+        .option("header", True)
+        .csv(input_dir)
+    )
+    canonical = raw.toDF(*[dst for _, dst in COLUMN_MAPPING])
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = build_documents(transform_shipments(batch_df, as_of=as_of))
+        (
+            docs.write.mode("append")
+            .partitionBy("source_group")
+            .json(output_dir)
+        )
+
+    writer = (
+        canonical.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a (possibly streaming)
+    events frame: late rows beyond the watermark are dropped, state is
+    bounded — the canonical scale-safe streaming agg."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation (gap-based) per user.
+
+    Uses Spark's native ``session_window`` — state-store backed in
+    streaming mode, plain aggregation in batch mode.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,184 @@
+"""Tests for dedup / similarity / text-analysis operators on the driver's
+sf0.001 testdata plus small synthetic frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+from jsonl_dataingestion_pipeline_spark.operators import similarity
+from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+    content_key,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_simhash,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# --- text stats ------------------------------------------------------------
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("",), (None,), ("  a  b  ",)], "text string"
+    )
+    rows = df.select(
+        ts.token_count("text").alias("n"),
+        ts.quality_score("text").alias("q"),
+    ).collect()
+    assert [r["n"] for r in rows] == [4, 0, None, 2]
+    q = rows[0]["q"]
+    assert q is not None and 0.0 <= q <= 1.0
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),   # en
+            ("der hund und die katze ist da",), # de
+            ("el perro y la casa es aqui",),    # es
+            ("xyzzy qwerty",),                  # no votes
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(ts.lang_id("text")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_fingerprint_stability(spark, docs):
+    fp1 = docs.select("doc_id", ts.fingerprint("text").alias("fp"))
+    fp2 = docs.orderBy(F.rand(7)).select("doc_id", ts.fingerprint("text").alias("fp"))
+    assert {
+        (r["doc_id"], r["fp"]) for r in fp1.collect()
+    } == {(r["doc_id"], r["fp"]) for r in fp2.collect()}
+
+
+# --- exact dedup -----------------------------------------------------------
+def test_exact_dedup_whitespace_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    kept = exact_dedup(df, "text", "id")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
+# --- minhash / lsh ---------------------------------------------------------
+def test_minhash_similar_docs_share_signature_entries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "a b c d e f g h i j k l m n o p q"),  # near dup
+            (3, "z y x w v u t s r q p o n m l k"),
+        ],
+        "id long, text string",
+    )
+    sigs = df.select(
+        "id", minhash_signature(F.col("text"), num_perm=16).alias("sig")
+    ).collect()
+    by_id = {r["id"]: r["sig"] for r in sigs}
+    shared_12 = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    shared_13 = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert shared_12 > shared_13
+
+    pairs = minhash_lsh_pairs(
+        df, "text", "id", num_perm=16, bands=8, threshold=0.5
+    ).collect()
+    assert {(p["id_l"], p["id_r"]) for p in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
+        "id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(
+        df, "text", "id", sample_hex_prefix="", threshold=0.99
+    ).collect()
+    assert {(p["id_l"], p["id_r"], p["jaccard"]) for p in pairs} == {(1, 2, 1.0)}
+
+
+# --- simhash ---------------------------------------------------------------
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),
+            (3, "completely unrelated content about spark query engines here"),
+        ],
+        "id long, text string",
+    )
+    h = {r["id"]: r["simhash"] for r in with_simhash(df, "text").collect()}
+    assert h == {r["id"]: r["simhash"] for r in with_simhash(df, "text").collect()}
+    ham12 = bin(h[1] ^ h[2]).count("1")
+    ham13 = bin(h[1] ^ h[3]).count("1")
+    assert ham12 < ham13
+    pairs = simhash_near_pairs(df, "text", "id", max_hamming=ham12, band_bits=16)
+    assert (1, 2) in {(p["id_l"], p["id_r"]) for p in pairs.collect()}
+
+
+# --- similarity search -----------------------------------------------------
+def test_cosine_topk_self_similarity_excluded(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 2)
+    top = similarity.cosine_topk(embeddings, q, k=3).collect()
+    assert len(top) == 6
+    for r in top:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["sim"] <= 1.0
+    # rank 1 has max sim per query
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(embeddings, q, k=3).collect()
+    approx = similarity.ivf_topk(
+        embeddings, q, n_cells=8, nprobe=4, k=3
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # approximate search with half the cells probed should recover >= 1/3
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.33, f"recall too low: {recall}"
+
+
+# --- multimodal plumbing ---------------------------------------------------
+def test_multimodal_feature_stub(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        media_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, (b"payload-one", "image/png", 4, 4, None)),
+         (2, (b"payload-two", "audio/wav", None, None, 1200))],
+        "id long, media struct<data:binary,mime:string,width:int,height:int,duration_ms:int>",
+    )
+    feats = extract_features(df).collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(df).collect()
+    assert [r["features"] for r in feats] == [r["features"] for r in feats2]
+    stats = {r["id"]: r["media_bytes"] for r in media_stats(df).collect()}
+    assert stats == {1: 11, 2: 11}

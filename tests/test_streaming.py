@@ -1,0 +1,77 @@
+"""Structured Streaming variant tests (availableNow trigger, file source)."""
+
+from __future__ import annotations
+
+import csv
+import json
+
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.schema import SOURCE_HEADERS
+from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+    stream_shipment_csv,
+    windowed_event_counts,
+)
+
+
+def test_stream_shipment_csv_incremental(tmp_path, spark):
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    indir.mkdir()
+
+    def write_csv(name: str, job_no: str):
+        row = {h: "" for h in SOURCE_HEADERS}
+        row["Job No."] = job_no
+        row["ETD LP"] = "05/01/2024"
+        with (indir / name).open("w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(SOURCE_HEADERS))
+            w.writeheader()
+            w.writerow(row)
+
+    write_csv("batch1.csv", "J1")
+    q = stream_shipment_csv(
+        spark, str(indir), str(outdir), str(ckpt), as_of="2024-06-01"
+    )
+    q.awaitTermination(120)
+
+    docs = [
+        json.loads(line)
+        for p in outdir.rglob("*.json")
+        for line in p.read_text().splitlines()
+    ]
+    assert {d["document_id"] for d in docs} == {"J1"}
+
+    # second file arrives -> only the increment is processed
+    write_csv("batch2.csv", "J2")
+    q2 = stream_shipment_csv(
+        spark, str(indir), str(outdir), str(ckpt), as_of="2024-06-01"
+    )
+    q2.awaitTermination(120)
+    docs = [
+        json.loads(line)
+        for p in outdir.rglob("*.json")
+        for line in p.read_text().splitlines()
+    ]
+    assert sorted(d["document_id"] for d in docs) == ["J1", "J2"]
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    e = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:05:00", 1.0),
+            ("a", "2024-01-01 10:55:00", 2.0),
+            ("a", "2024-01-01 11:05:00", 4.0),
+            ("b", "2024-01-01 10:10:00", 8.0),
+        ],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(e).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "a"): (2, 3.0),
+        ("2024-01-01 11:00:00", "a"): (1, 4.0),
+        ("2024-01-01 10:00:00", "b"): (1, 8.0),
+    }
