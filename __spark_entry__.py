@@ -1167,6 +1167,185 @@ _ORACLE_DEDUP_SIM["q30_doc_pipeline"] = _QUALITY_SQL + """
 """
 
 
+def q32_cleaning_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 — sentinel nulling, boolean coercion, day-first date chain,
+    exercised on deterministically dirtied strings."""
+    from jsonl_dataingestion_pipeline_spark.functions.cleaning import (
+        clean_string,
+        coerce_boolean,
+        ensure_str_id,
+    )
+    from jsonl_dataingestion_pipeline_spark.functions.dates import (
+        parse_date_dayfirst,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw_str = (
+        F.when(k % 5 == 0, F.lit("  nan "))
+        .when(k % 5 == 1, F.lit("()"))
+        .when(k % 5 == 2, F.concat(F.lit('  "ID-'), k.cast("string"), F.lit('" ')))
+        .when(k % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ok-"), k.cast("string")))
+    )
+    raw_bool = (
+        F.when(k % 7 == 0, F.lit(" y "))
+        .when(k % 7 == 1, F.lit("NO"))
+        .when(k % 7 == 2, F.lit("TRUE"))
+        .when(k % 7 == 3, F.lit("0"))
+        .when(k % 7 == 4, F.lit("maybe"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    d = F.col("o_orderdate").cast("date")
+    raw_date = (
+        F.when(k % 4 == 0, F.date_format(d, "d/M/yyyy"))
+        .when(k % 4 == 1, F.date_format(d, "yyyy-MM-dd"))
+        .when(k % 4 == 2, F.date_format(d, "d-MMM-yyyy"))
+        .otherwise(F.lit("garbage"))
+    )
+    return o.select(
+        k.alias("orderkey"),
+        ensure_str_id(clean_string(raw_str)).alias("cleaned"),
+        coerce_boolean(raw_bool).alias("flag"),
+        parse_date_dayfirst(raw_date).alias("parsed_date"),
+    )
+
+
+def q33_multi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — multi-valued cell split + trim + dedup + sort."""
+    from jsonl_dataingestion_pipeline_spark.functions.arrays import split_multi_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    cell = F.array_join(F.slice(toks, 1, 8), " ,")  # 'w1 ,w2 ,...' w/ spaces
+    ids = split_multi_ids(cell)
+    return d.select(
+        F.col("doc_id"),
+        F.array_join(ids, "|").alias("canon_ids"),
+        F.size(ids).cast("int").alias("n_ids"),
+    )
+
+
+def q34_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family) over the star join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup(F.col("n_name").alias("nation"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
+            "revenue",
+        )
+    )
+
+
+def q35_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregates per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+_ORACLE_DEDUP_SIM["q32_cleaning_kernels"] = """
+    WITH raw AS (
+        SELECT o_orderkey AS orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN '  nan '
+                    WHEN o_orderkey % 5 = 1 THEN '()'
+                    WHEN o_orderkey % 5 = 2 THEN '  "ID-' || CAST(o_orderkey AS VARCHAR) || '" '
+                    WHEN o_orderkey % 5 = 3 THEN NULL
+                    ELSE 'ok-' || CAST(o_orderkey AS VARCHAR) END AS raw_str,
+               CASE WHEN o_orderkey % 7 = 0 THEN ' y '
+                    WHEN o_orderkey % 7 = 1 THEN 'NO'
+                    WHEN o_orderkey % 7 = 2 THEN 'TRUE'
+                    WHEN o_orderkey % 7 = 3 THEN '0'
+                    WHEN o_orderkey % 7 = 4 THEN 'maybe'
+                    ELSE NULL END AS raw_bool,
+               CASE WHEN o_orderkey % 4 = 0 THEN strftime(CAST(o_orderdate AS DATE), '%-d/%-m/%Y')
+                    WHEN o_orderkey % 4 = 1 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                    WHEN o_orderkey % 4 = 2 THEN strftime(CAST(o_orderdate AS DATE), '%-d-%b-%Y')
+                    ELSE 'garbage' END AS raw_date
+        FROM orders
+    ), cleaned AS (
+        SELECT orderkey,
+               CASE WHEN TRIM(raw_str) = '()' THEN ''
+                    WHEN TRIM(raw_str) IN ('nan', 'NaN') THEN NULL
+                    ELSE TRIM(raw_str) END AS c1,
+               raw_bool, raw_date
+        FROM raw
+    )
+    SELECT orderkey,
+           replace(c1, '"', '') AS cleaned,
+           CASE WHEN upper(TRIM(raw_bool)) IN ('Y','YES','TRUE','1') THEN TRUE
+                WHEN upper(TRIM(raw_bool)) IN ('N','NO','FALSE','0') THEN FALSE
+           END AS flag,
+           CAST(COALESCE(
+               try_strptime(TRIM(raw_date), '%d/%m/%Y'),
+               try_strptime(TRIM(raw_date), '%Y-%m-%d'),
+               try_strptime(TRIM(raw_date), '%d-%b-%Y')
+           ) AS DATE) AS parsed_date
+    FROM cleaned
+"""
+
+_ORACLE_DEDUP_SIM["q33_multi_split"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               array_to_string(({_TOKS_SQL})[1:8], ' ,') AS cell
+        FROM documents
+    ), ids AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   list_transform(string_split(COALESCE(cell, ''), ','), x -> TRIM(x)),
+                   x -> x <> ''))) AS arr
+        FROM base
+    )
+    SELECT doc_id, array_to_string(arr, '|') AS canon_ids,
+           CAST(len(arr) AS INT) AS n_ids
+    FROM ids
+"""
+
+_ORACLE_DEDUP_SIM["q34_rollup_revenue"] = """
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           COALESCE(o.o_orderstatus, 'ALL') AS status,
+           ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderstatus)
+"""
+
+_ORACLE_DEDUP_SIM["q35_distinct_aggs"] = """
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+_DEDUP_SIM_QUERIES.update(
+    {
+        "q32_cleaning_kernels": q32_cleaning_kernels,
+        "q33_multi_split": q33_multi_split,
+        "q34_rollup_revenue": q34_rollup_revenue,
+        "q35_distinct_aggs": q35_distinct_aggs,
+    }
+)
+
+
 def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship doc-ingestion pipeline: clean -> stats -> dedup-rank -> doc."""
     from jsonl_dataingestion_pipeline_spark.functions import textstats as ts

@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the scale properties we rely on.
+
+These assert the *shape* of the plan, not timings — pushdown reaching the
+parquet scan, dimensions broadcasting instead of shuffling, and window
+top-k applying the group-limit optimization before the exchange.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree block only (details section repeats node names)."""
+    return plan.split("\n\n")[0]
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    plan = _formatted(spark, em.q01_pricing_summary(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # partial agg before the single exchange
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_q03_dimensions_broadcast(spark):
+    plan = _formatted(spark, em.q03_region_revenue(spark, SF))
+    assert _tree(plan).count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q05_window_group_limit(spark):
+    plan = _formatted(spark, em.q05_latest_order_per_customer(spark, SF))
+    assert "WindowGroupLimit" in plan  # top-1 applied before the shuffle
+
+
+def test_shipment_transform_is_shuffle_free(spark, shipment_df_factory):
+    from jsonl_dataingestion_pipeline_spark.plans.shipment import transform_shipments
+
+    df = transform_shipments(shipment_df_factory([{}]), as_of="2024-06-01")
+    plan = _formatted(spark, df)
+    assert "Exchange" not in plan  # clean -> derive -> narrative: one stage
