@@ -1336,12 +1336,174 @@ _ORACLE_DEDUP_SIM["q35_distinct_aggs"] = """
     FROM lineitem GROUP BY l_returnflag
 """
 
+def q36_critical_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — per-leg critical-dates digest on the synthesized frame."""
+    from jsonl_dataingestion_pipeline_spark.operators.derivations import (
+        optimal_ata_dp,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.summaries import (
+        critical_dates_summary,
+    )
+
+    s = _pseudo_shipment(spark, sf_dir)
+    ok = F.col("orderkey")
+    as_of = F.lit(AS_OF).cast("date")
+    por = F.concat(F.lit("P"), (ok % 3).cast("string"))
+    lp = F.concat(F.lit("L"), (ok % 4).cast("string"))
+    flp = F.when(ok % 4 == 0, lp).otherwise(
+        F.concat(F.lit("F"), (ok % 5).cast("string"))
+    )
+    dp = F.concat(F.lit("D"), (ok % 2).cast("string"))
+    cy = F.when(ok % 3 == 0, F.concat(F.lit("CY"), (ok % 5).cast("string")))
+    fdest = F.concat(F.lit("FD"), (ok % 6).cast("string"))
+    return s.select(
+        "orderkey",
+        critical_dates_summary(
+            place_of_receipt=por,
+            load_port=lp,
+            final_load_port=flp,
+            discharge_port=dp,
+            last_cy_lcn=cy,
+            final_destination=fdest,
+            etd_lp=F.col("etd_lp"),
+            atd_lp=F.col("atd_lp"),
+            ata_flp=F.col("ata_flp"),
+            atd_flp=F.col("atd_flp"),
+            optimal_ata_dp=optimal_ata_dp(
+                F.col("ata_dp"), F.col("derived_ata_dp"), as_of
+            ),
+            out_gate_from_dp=F.col("out_gate_cy"),
+            arrived_last_cy=F.col("arrived_cy"),
+            delivery=F.col("delivery"),
+            empty_return=F.col("empty_return"),
+        ).alias("critical_dates"),
+    )
+
+
+def q37_doc_fallback_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9/D10 — document id and content fallback chains (blank-skipping)."""
+    from jsonl_dataingestion_pipeline_spark.functions.cleaning import nonblank
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    carr = F.when(k % 4 != 0, F.concat(F.lit("U"), k.cast("string")))
+    job = F.when(k % 8 < 2, F.concat(F.lit("J"), k.cast("string")))
+    cont = F.when(k % 16 < 4, F.concat(F.lit("C"), k.cast("string")))
+    cc = F.when(k % 3 == 0, F.lit("  ")).otherwise(
+        F.concat(F.lit("content "), k.cast("string"))
+    )
+    ms = F.when(k % 5 != 0, F.concat(F.lit("ms "), k.cast("string")))
+    return o.select(
+        k.alias("orderkey"),
+        F.coalesce(nonblank(carr), nonblank(job), nonblank(cont)).alias("document_id"),
+        F.coalesce(nonblank(cc), nonblank(ms), F.lit("")).alias("content"),
+    )
+
+
+def q38_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine similarity >= 0.5 on a 100-vector subset."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return cosine_pairs_exact(e, threshold=0.3)
+
+
+def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-hash LSH (rows-only:
+    candidate generation is approximate; the exact twin is q38)."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.3, n_planes=16, bands=4)
+
+
+_ORACLE_DEDUP_SIM["q36_critical_dates"] = _PSEUDO_SQL + """
+    , ports AS (
+        SELECT *,
+               'P' || CAST(orderkey % 3 AS VARCHAR) AS por,
+               'L' || CAST(orderkey % 4 AS VARCHAR) AS lp,
+               CASE WHEN orderkey % 4 = 0 THEN 'L' || CAST(orderkey % 4 AS VARCHAR)
+                    ELSE 'F' || CAST(orderkey % 5 AS VARCHAR) END AS flp,
+               'D' || CAST(orderkey % 2 AS VARCHAR) AS dp,
+               CASE WHEN orderkey % 3 = 0 THEN 'CY' || CAST(orderkey % 5 AS VARCHAR) END AS cy,
+               'FD' || CAST(orderkey % 6 AS VARCHAR) AS fdest
+        FROM ship2
+    ), legs AS (
+        SELECT orderkey, por, lp, flp, dp, cy, fdest,
+               concat_ws(', ',
+                   CASE WHEN etd_lp IS NOT NULL THEN 'ETD ' || strftime(etd_lp, '%d-%b-%y') END,
+                   CASE WHEN atd_lp IS NOT NULL THEN 'ATD ' || strftime(atd_lp, '%d-%b-%y') END) AS d1,
+               concat_ws(', ',
+                   CASE WHEN ata_flp IS NOT NULL THEN 'ATA ' || strftime(ata_flp, '%d-%b-%y') END,
+                   CASE WHEN atd_flp IS NOT NULL THEN 'ATD ' || strftime(atd_flp, '%d-%b-%y') END) AS d2,
+               opt_ata,
+               concat_ws(', ',
+                   CASE WHEN out_gate_cy IS NOT NULL THEN 'OUT_GATE_DP ' || strftime(out_gate_cy, '%d-%b-%y') END,
+                   CASE WHEN arrived_cy IS NOT NULL THEN 'ARR_LAST_CY ' || strftime(arrived_cy, '%d-%b-%y') END) AS d4,
+               concat_ws(', ',
+                   CASE WHEN delivery IS NOT NULL THEN 'DELIVERY ' || strftime(delivery, '%d-%b-%y') END,
+                   CASE WHEN empty_return IS NOT NULL THEN 'EMPTY_RET ' || strftime(empty_return, '%d-%b-%y') END) AS d5
+        FROM ports
+    )
+    SELECT orderkey,
+           concat_ws(' || ',
+               CASE WHEN d1 <> '' THEN 'Leg 1 (POR → Load Port): ' || COALESCE(por, 'POR')
+                    || ' → ' || COALESCE(lp, 'LOAD') || ' | ' || d1 END,
+               CASE WHEN flp IS NOT NULL AND flp <> COALESCE(lp, '') AND d2 <> ''
+                    THEN 'Leg 2 (Load → TS): ' || COALESCE(lp, 'LOAD') || ' → ' || flp || ' | ' || d2 END,
+               CASE WHEN opt_ata IS NOT NULL
+                    THEN 'Leg 3 (Ocean to DP): ' || COALESCE(flp, lp, 'LOAD') || ' → '
+                         || COALESCE(dp, 'DP') || ' | ATA_DP ' || strftime(opt_ata, '%d-%b-%y') END,
+               CASE WHEN cy IS NOT NULL AND d4 <> ''
+                    THEN 'Leg 4 (DP → Last CY): ' || COALESCE(dp, 'DP') || ' → ' || cy || ' | ' || d4 END,
+               CASE WHEN d5 <> ''
+                    THEN 'Leg 5 (Last CY → Final): ' || COALESCE(cy, dp, 'DP') || ' → '
+                         || COALESCE(fdest, 'FINAL') || ' | ' || d5 END
+           ) AS critical_dates
+    FROM legs
+"""
+
+_ORACLE_DEDUP_SIM["q37_doc_fallback_chains"] = """
+    WITH raw AS (
+        SELECT o_orderkey AS orderkey,
+               CASE WHEN o_orderkey % 4 <> 0 THEN 'U' || CAST(o_orderkey AS VARCHAR) END AS carr,
+               CASE WHEN o_orderkey % 8 < 2 THEN 'J' || CAST(o_orderkey AS VARCHAR) END AS job,
+               CASE WHEN o_orderkey % 16 < 4 THEN 'C' || CAST(o_orderkey AS VARCHAR) END AS cont,
+               CASE WHEN o_orderkey % 3 = 0 THEN '  '
+                    ELSE 'content ' || CAST(o_orderkey AS VARCHAR) END AS cc,
+               CASE WHEN o_orderkey % 5 <> 0 THEN 'ms ' || CAST(o_orderkey AS VARCHAR) END AS ms
+        FROM orders
+    )
+    SELECT orderkey,
+           COALESCE(NULLIF(TRIM(carr), ''), NULLIF(TRIM(job), ''), NULLIF(TRIM(cont), '')) AS document_id,
+           COALESCE(NULLIF(TRIM(cc), ''), NULLIF(TRIM(ms), ''), '') AS content
+    FROM raw
+"""
+
+_ORACLE_DEDUP_SIM["q38_cosine_pairs_exact"] = """
+    SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+           ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id < b.vec_id
+      AND ROUND(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+"""
+
 _DEDUP_SIM_QUERIES.update(
     {
         "q32_cleaning_kernels": q32_cleaning_kernels,
         "q33_multi_split": q33_multi_split,
         "q34_rollup_revenue": q34_rollup_revenue,
         "q35_distinct_aggs": q35_distinct_aggs,
+        "q36_critical_dates": q36_critical_dates,
+        "q37_doc_fallback_chains": q37_doc_fallback_chains,
+        "q38_cosine_pairs_exact": q38_cosine_pairs_exact,
+        "q39_embedding_neardup": q39_embedding_neardup,
     }
 )
 

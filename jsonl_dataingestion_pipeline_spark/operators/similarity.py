@@ -144,6 +144,105 @@ def make_centroids(
     )
 
 
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (md5-seeded) for sign-hash bucketing."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-hash LSH.
+
+    Each vector gets an ``n_planes``-bit signature (sign of dot with fixed
+    ±1 hyperplanes); signatures are cut into ``bands`` band-keys; vectors
+    sharing a band key become candidates and are verified with exact
+    cosine >= threshold. Fully distributed: signature is a narrow
+    projection, the only wide ops are the band self-join and final dedup.
+    Returns (id_l, id_r, sim) with id_l < id_r.
+    """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    planes = random_hyperplanes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    assert bits_per_band * bands == n_planes
+
+    def bit(plane: list[float]) -> Column:
+        d = dot(F.col("__v"), F.array(*[F.lit(x) for x in plane]))
+        return F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit(p) for p in planes])
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__sig", sig)
+
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.substring(F.col("__sig"), b * bits_per_band + 1, bits_per_band),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("__id", "__v", F.explode(band_keys).alias("key")).cache()
+
+    left = banded.select(
+        F.col("key"), F.col("__id").alias("id_l"), F.col("__v").alias("v_l")
+    )
+    right = banded.select(
+        F.col("key"), F.col("__id").alias("id_r"), F.col("__v").alias("v_r")
+    )
+    cand = (
+        left.join(right, on="key")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", "v_l", "v_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    sim = cosine(F.col("v_l"), F.col("v_r"))
+    return cand.select("id_l", "id_r", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (upper triangle).
+
+    O(n²) — the verification baseline for :func:`embedding_neardup_pairs`;
+    restrict the corpus before calling at scale.
+    """
+    a = corpus.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
+    b = corpus.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
+    pairs = a.crossJoin(b).filter(F.col("id_l") < F.col("id_r"))
+    sim = cosine(F.col("v_l"), F.col("v_r"))
+    return pairs.select("id_l", "id_r", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

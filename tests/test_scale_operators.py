@@ -162,6 +162,19 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     assert recall >= 0.33, f"recall too low: {recall}"
 
 
+def test_embedding_neardup_recall(spark, embeddings):
+    exact = similarity.cosine_pairs_exact(embeddings, threshold=0.3).collect()
+    approx = similarity.embedding_neardup_pairs(
+        embeddings, threshold=0.3, n_planes=16, bands=4
+    ).collect()
+    exact_set = {(r["id_l"], r["id_r"]) for r in exact}
+    approx_set = {(r["id_l"], r["id_r"]) for r in approx}
+    assert approx_set <= exact_set  # verified pairs are never false positives
+    if exact_set:
+        recall = len(approx_set) / len(exact_set)
+        assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
 # --- multimodal plumbing ---------------------------------------------------
 def test_multimodal_feature_stub(spark):
     from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
