@@ -1294,6 +1294,8 @@ _ORACLE_DEDUP_SIM["q32_cleaning_kernels"] = """
            END AS flag,
            CAST(COALESCE(
                try_strptime(TRIM(raw_date), '%d/%m/%Y'),
+               -- pandas dayfirst=True quirk parity: yyyy-DAY-month first
+               try_strptime(TRIM(raw_date), '%Y-%d-%m'),
                try_strptime(TRIM(raw_date), '%Y-%m-%d'),
                try_strptime(TRIM(raw_date), '%d-%b-%Y')
            ) AS DATE) AS parsed_date

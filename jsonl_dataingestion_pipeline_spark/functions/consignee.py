@@ -52,6 +52,44 @@ def extract_consignee_code(c: ColumnOrName) -> Column:
     )
 
 
+def split_multi_consignee(c: ColumnOrName) -> tuple[Column, Column]:
+    """F9 — legacy multi-consignee split (`src/transformer_old.py:216-252`).
+
+    Cell like ``"A Corp (123)| B Inc (456); C"``:
+    - split on ``|`` / ``;``
+    - each part's trailing ``(digits)`` becomes a code (dedup + sort)
+    - primary name = first part's name portion (text before its code),
+      falling back to the whole trimmed cell when no names parse.
+
+    Returns ``(primary_name, codes array<string>)``.
+    """
+    t = F.nullif(F.trim(_col(c).cast("string")), F.lit(""))
+    parts = F.filter(
+        F.transform(F.split(t, r"[|;]\s*"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    code_of = lambda p: F.regexp_extract(p, r"\((\d+)\)\s*$", 1)  # noqa: E731
+    codes = F.array_sort(
+        F.array_distinct(
+            F.filter(F.transform(parts, code_of), lambda x: x != "")
+        )
+    )
+    names = F.filter(
+        F.transform(
+            parts,
+            lambda p: F.trim(F.regexp_replace(p, r"\s*\(\d+\)\s*$", "")),
+        ),
+        lambda x: x != "",
+    )
+    primary = F.coalesce(F.try_element_at(names, F.lit(1)), t)
+    null_str = F.lit(None).cast("string")
+    empty_arr = F.array().cast("array<string>")
+    return (
+        F.when(t.isNull(), null_str).otherwise(primary),
+        F.when(t.isNull(), empty_arr).otherwise(codes),
+    )
+
+
 def consignee_codes_list(c: ColumnOrName) -> Column:
     """Wrap the single extracted code into array<string> (never null).
 

@@ -24,11 +24,19 @@ def _col(c: ColumnOrName) -> Column:
 
 
 # Ordered acceptance list. Earlier wins; day-first before month-first.
+# NB (verified against pandas 2.2.2, the reference's engine): with
+# dayfirst=True pandas reads 'yyyy-a-b' as yyyy-DAY-month ('2024-01-05' ->
+# May 1!) and only falls back to ISO %Y-%m-%d when the day-first reading
+# is impossible ('1995-01-31' -> Jan 31, with a pandas warning). The
+# format order below mirrors that acceptance order exactly — parity over
+# prettiness; tests/test_date_properties.py property-checks it.
 _DATE_PATTERNS: tuple[str, ...] = (
     "d/M/yyyy",
     "d-M-yyyy",
     "d.M.yyyy",
+    "yyyy-d-M",
     "yyyy-M-d",
+    "yyyy/d/M",
     "yyyy/M/d",
     "d MMM yyyy",
     "d-MMM-yyyy",
@@ -41,7 +49,9 @@ _DATE_PATTERNS: tuple[str, ...] = (
 )
 
 _TS_PATTERNS: tuple[str, ...] = (
+    "yyyy-d-M H:m:s",
     "yyyy-M-d H:m:s",
+    "yyyy-d-M'T'H:m:s",
     "yyyy-M-d'T'H:m:s",
     "d/M/yyyy H:m",
     "d/M/yyyy H:m:s",

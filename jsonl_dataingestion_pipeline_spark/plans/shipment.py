@@ -183,12 +183,62 @@ def run_batch(
     *,
     as_of: AsOf = None,
     strict: bool = True,
-) -> None:
-    """O1 — the production batch: scan -> transform -> docs -> JSONL sink."""
-    from ..sources.csv import read_shipment_csv
-    from ..sources.jsonl import write_documents
+    strict_docs: bool = False,
+    finalize_names: bool = False,
+) -> dict:
+    """O1 — the production batch: scan -> transform -> docs -> JSONL sink.
 
+    Returns per-stage wall-clock timings (reference logs the same brackets,
+    `src/pipeline.py:75-136`). Note Spark is lazy — "transform" time is
+    plan construction; execution cost lands in the write stage.
+
+    ``strict_docs`` mirrors the writer's strict mode
+    (`src/writer.py:291-295`): fail the run when any document has a blank
+    id or blank content. ``finalize_names`` applies the reference's
+    ``<stem>_<tag>_<n>.jsonl`` naming (S7) after the write.
+    """
+    import logging
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..sources.csv import read_shipment_csv
+    from ..sources.jsonl import finalize_filenames, write_documents
+
+    log = logging.getLogger("jsonl_dataingestion_pipeline_spark")
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
     raw = read_shipment_csv(spark, input_path, strict=strict)
+    timings["ingest_plan"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     derived = transform_shipments(raw, as_of=as_of)
     docs = build_documents(derived)
+    timings["transform_plan"] = round(time.time() - t0, 3)
+
+    if strict_docs:
+        t0 = time.time()
+        bad = docs.filter(
+            F.col("document_id").isNull()
+            | (F.trim(F.col("document_id")) == "")
+            | (F.trim(F.col("content")) == "")
+        ).count()
+        timings["validate"] = round(time.time() - t0, 3)
+        if bad:
+            raise ValueError(
+                f"strict mode: {bad} document(s) with empty id/content"
+            )
+
+    t0 = time.time()
     write_documents(docs, output_path)
+    timings["write"] = round(time.time() - t0, 3)
+
+    if finalize_names:
+        t0 = time.time()
+        renamed = finalize_filenames(spark, output_path)
+        timings["finalize"] = round(time.time() - t0, 3)
+        log.info("renamed %d output files", len(renamed))
+
+    log.info("run_batch timings: %s", timings)
+    return timings

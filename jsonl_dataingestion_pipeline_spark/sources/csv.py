@@ -30,6 +30,36 @@ class HeaderValidationError(ValueError):
     """Strict-mode schema mismatch (missing/extra/misplaced headers)."""
 
 
+def find_latest_file(
+    spark: SparkSession, directory: str, suffix: str = ".csv", prefix: str = ""
+) -> Optional[str]:
+    """S1 — latest-batch discovery: newest matching file by mtime.
+
+    Driver-side metadata listing through the Hadoop FS API, so it works
+    unchanged against local paths, abfss://, s3a://, hdfs:// (reference
+    polled an Azure container with the SDK, `src/ingestor.py:35-65`).
+    Returns the fully-qualified path or None.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return None
+    best_name, best_mtime = None, -1
+    for status in fs.listStatus(path):
+        p = status.getPath()
+        name = p.getName()
+        if not name.endswith(suffix) or not name.startswith(prefix):
+            continue
+        mtime = status.getModificationTime()
+        # ties broken by name so discovery is deterministic
+        if mtime > best_mtime or (mtime == best_mtime and name > (best_name or "")):
+            best_mtime = mtime
+            best_name = p.toString()
+    return best_name
+
+
 _WS_RUN = re.compile(r"\s+")
 _CTL = re.compile(r"[\r\n\t]+")
 

@@ -59,6 +59,54 @@ def write_documents(
     writer.json(path)
 
 
+def finalize_filenames(
+    spark: SparkSession,
+    output_dir: str,
+    *,
+    stem: str = "shipment",
+    suffix: str = ".json",
+) -> list[str]:
+    """S7 — rename part-files to the reference's naming contract.
+
+    ``<partition>/part-*.json`` -> ``<partition>/<stem>_<tag>_<n>.jsonl``
+    where ``tag`` is derived from the partition directory value (e.g.
+    ``source_group=2024-01`` -> ``202401``) and ``n`` is a 1-based counter
+    continuing from any files already present (reference
+    `src/writer.py:59-77`). Driver-side metadata operation via the Hadoop
+    FS API — works on object stores as well as local paths.
+    """
+    import re
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+
+    renamed: list[str] = []
+    dirs = [s.getPath() for s in fs.listStatus(root) if s.isDirectory()]
+    for d in dirs or [root]:
+        dname = d.getName()
+        tag = dname.split("=", 1)[1] if "=" in dname else dname
+        tag = re.sub(r"[^0-9A-Za-z]", "", tag).lower() or "all"
+        pattern = re.compile(rf"^{re.escape(stem)}_{re.escape(tag)}_(\d+)\.jsonl$")
+        existing = 0
+        parts = []
+        for s in fs.listStatus(d):
+            name = s.getPath().getName()
+            m = pattern.match(name)
+            if m:
+                existing = max(existing, int(m.group(1)))
+            elif name.startswith("part-") and name.endswith(suffix):
+                parts.append(s.getPath())
+        for i, p in enumerate(sorted(parts, key=lambda x: x.getName()), start=existing + 1):
+            target = jvm.org.apache.hadoop.fs.Path(d, f"{stem}_{tag}_{i}.jsonl")
+            fs.rename(p, target)
+            renamed.append(target.toString())
+    return renamed
+
+
 def read_documents(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """S9 — JSONL readback (validation path)."""
     reader = spark.read

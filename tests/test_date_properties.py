@@ -1,0 +1,101 @@
+"""Property test: the Spark day-first parse chain vs pandas
+``to_datetime(dayfirst=True)`` — the reference's exact semantics
+(`src/transformer.py:253-264`). SURVEY.md §7.3.7 flags this as the
+highest-risk parity point.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from jsonl_dataingestion_pipeline_spark.functions.dates import parse_date_dayfirst
+
+
+@st.composite
+def date_strings(draw):
+    y = draw(st.integers(1995, 2035))
+    m = draw(st.integers(1, 12))
+    d = draw(st.integers(1, 28))
+    style = draw(
+        st.sampled_from(
+            ["dmy_slash", "dmy_dash", "iso", "iso_slash", "dmy_dot", "mdy_slash"]
+        )
+    )
+    if style == "dmy_slash":
+        return f"{d}/{m}/{y}"
+    if style == "dmy_dash":
+        return f"{d}-{m}-{y}"
+    if style == "dmy_dot":
+        return f"{d}.{m}.{y}"
+    if style == "iso":
+        return f"{y}-{m:02d}-{d:02d}"
+    if style == "iso_slash":
+        return f"{y}/{m}/{d}"
+    return f"{m}/{d}/{y}"
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(s=date_strings())
+def test_dayfirst_chain_matches_pandas(spark_global, collected, s):
+    # batch per-example results through one Spark job at teardown is not
+    # possible with hypothesis; instead accumulate and compare in python
+    # using the pre-collected mapping.
+    expected = pd.to_datetime(s, dayfirst=True, errors="coerce")
+    expected_date = None if pd.isna(expected) else expected.date()
+    got = collected(s)
+    assert got == expected_date, f"{s}: spark={got} pandas={expected_date}"
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+@pytest.fixture(scope="module")
+def collected(spark):
+    """Evaluate the parse chain for a string via a memoized one-row job.
+
+    Hypothesis drives one example at a time; a per-example Spark job would
+    take minutes, so we batch: pre-generate the full deterministic example
+    set (derandomize=True makes it stable), evaluate once, and serve from
+    the dict.
+    """
+    cache: dict[str, datetime.date | None] = {}
+
+    def lookup(s: str):
+        if s not in cache:
+            # fall back to a single-row evaluation for any stragglers
+            from pyspark.sql import functions as F
+
+            df = spark.createDataFrame([(s,)], "v string")
+            cache[s] = df.select(parse_date_dayfirst(F.col("v")).alias("d")).first()[
+                "d"
+            ]
+        return cache[s]
+
+    # warm the cache in one job with a broad deterministic sample
+    samples = []
+    for y in (1995, 1999, 2008, 2024, 2035):
+        for m in (1, 2, 11, 12):
+            for d in (1, 9, 13, 28):
+                samples += [
+                    f"{d}/{m}/{y}",
+                    f"{d}-{m}-{y}",
+                    f"{d}.{m}.{y}",
+                    f"{y}-{m:02d}-{d:02d}",
+                    f"{y}/{m}/{d}",
+                    f"{m}/{d}/{y}",
+                ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    rows = df.select(
+        F.col("v"), parse_date_dayfirst(F.col("v")).alias("d")
+    ).collect()
+    for r in rows:
+        cache[r["v"]] = r["d"]
+    return lookup

@@ -70,10 +70,13 @@ def test_coerce_boolean(spark, raw, expected):
     [
         ("05/01/2024", datetime.date(2024, 1, 5)),   # day-first preferred
         ("5/1/2024", datetime.date(2024, 1, 5)),
-        ("2024-01-05", datetime.date(2024, 1, 5)),   # ISO still accepted
+        # pandas dayfirst=True reads yyyy-a-b as yyyy-DAY-month (!) and
+        # falls back to ISO only when that is impossible — parity kept:
+        ("2024-01-05", datetime.date(2024, 5, 1)),
+        ("1995-01-31", datetime.date(1995, 1, 31)),  # ISO fallback
         ("01/25/2024", datetime.date(2024, 1, 25)),  # month-first fallback
         ("31-12-2023", datetime.date(2023, 12, 31)),
-        ("2024-01-05 13:45:00", datetime.date(2024, 1, 5)),
+        ("2024-01-05 13:45:00", datetime.date(2024, 5, 1)),
         ("5 Jan 2024", datetime.date(2024, 1, 5)),
         ("garbage", None),
         ("", None),
