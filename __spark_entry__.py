@@ -1510,6 +1510,82 @@ _DEDUP_SIM_QUERIES.update(
 )
 
 
+def q40_shipment_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE shipment pipeline (clean -> D1-D7 -> T1-T7 -> D9-D11
+    docs) on a canonical frame synthesized from orders. Rows-only: the
+    narrative strings (T6/T7) are golden-tested in pytest and their
+    component operators oracle-checked by q11-q18/q36; replicating 700
+    lines of narrative assembly in SQL adds risk, not coverage."""
+    from jsonl_dataingestion_pipeline_spark.plans.shipment import (
+        build_documents,
+        transform_shipments,
+    )
+    from jsonl_dataingestion_pipeline_spark.schema import CANONICAL_COLUMNS
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+
+    def s(c):  # date -> reference-style day-first string
+        return F.date_format(c, "d/M/yyyy")
+
+    filled = {
+        "job_no": F.concat(F.lit("JOB"), k.cast("string")),
+        "carr_eqp_uid": F.when(k % 5 != 0, F.concat(F.lit("UID"), k.cast("string"))),
+        "container_number": F.concat(F.lit("CONT"), k.cast("string")),
+        "container_type": F.when(k % 2 == 0, F.lit("40HC")).otherwise(F.lit("20GP")),
+        "consignee_raw": F.concat(
+            F.lit("Consignee "), (k % 50).cast("string"),
+            F.lit(" (00"), (1000000 + k % 1000).cast("string"), F.lit(")"),
+        ),
+        "po_numbers": F.concat(
+            F.lit("PO"), (k % 7).cast("string"), F.lit(", PO"), (k % 3).cast("string")
+        ),
+        "load_port": F.concat(F.lit("PORT"), (k % 6).cast("string")),
+        "final_load_port": F.when(k % 3 == 0, F.concat(F.lit("TS"), (k % 4).cast("string"))),
+        "discharge_port": F.concat(F.lit("DP"), (k % 5).cast("string")),
+        "place_of_receipt": F.concat(F.lit("POR"), (k % 4).cast("string")),
+        "final_destination": F.concat(F.lit("FD"), (k % 8).cast("string")),
+        "first_vessel_name": F.concat(F.lit("VSL"), (k % 9).cast("string")),
+        "final_vessel_name": F.concat(F.lit("VSL"), (k % 11).cast("string")),
+        "final_carrier_name": F.concat(F.lit("CARRIER"), (k % 4).cast("string")),
+        "true_carrier_scac_name": F.concat(F.lit("CARRIER"), (k % 6).cast("string")),
+        "hot_container_flag": F.when(k % 10 == 0, F.lit("Y")).otherwise(F.lit("N")),
+        "etd_lp_date": s(d),
+        "atd_lp_date": F.when(k % 7 != 0, s(F.date_add(d, 2))),
+        "ata_flp_date": F.when(k % 3 == 0, s(F.date_add(d, 5))),
+        "atd_flp_date": F.when(k % 6 == 0, s(F.date_add(d, 6))),
+        "eta_dp_date": s(F.date_add(d, 30)),
+        "ata_dp_date": F.when(k % 2 == 0, s(F.date_add(d, 33))),
+        "eta_fd_date": s(F.date_add(d, 45)),
+        "delivery_to_consignee_date": F.when(
+            F.col("o_orderstatus") == "F", s(F.date_add(d, 50))
+        ),
+        "empty_container_return_date": F.when(
+            (F.col("o_orderstatus") == "F") & (k % 3 == 0), s(F.date_add(d, 55))
+        ),
+        "cargo_weight_kg": (k % 5000).cast("string"),
+        "seal_number": F.concat(F.lit("SEAL"), k.cast("string")),
+    }
+    canonical = o.select(
+        *[
+            (filled[c] if c in filled else F.lit(None).cast("string")).alias(c)
+            for c in CANONICAL_COLUMNS
+        ]
+    )
+    docs = build_documents(transform_shipments(canonical, as_of=AS_OF))
+    return docs.select(
+        "document_id",
+        F.col("metadata.shipment_status").alias("status"),
+        F.col("source_group"),
+        F.length("content").cast("int").alias("content_len"),
+        F.length(F.col("metadata.milestones")).cast("int").alias("milestones_len"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q40_shipment_pipeline_full"] = q40_shipment_pipeline_full
+
+
 def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship doc-ingestion pipeline: clean -> stats -> dedup-rank -> doc."""
     from jsonl_dataingestion_pipeline_spark.functions import textstats as ts

@@ -1,0 +1,100 @@
+"""Partitioning utilities for 100 TB-scale joins and writes.
+
+- :func:`salted_join` — break a skewed join key across ``n`` salted
+  sub-keys: the skewed (large) side gets a random-but-seeded salt, the
+  small side is replicated n times. Complements AQE skew-join (which
+  splits oversized partitions at runtime) for the pathological case where
+  a SINGLE key exceeds an executor.
+- :func:`write_bucketed` / co-located joins — pre-shuffle once at write
+  time so repeated joins/aggregations on the bucket key run shuffle-free.
+- :func:`repartition_for_output` — size output partitions by target bytes
+  (estimated from a sample) so sinks produce sanely-sized files.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with key salting for single-hot-key skew.
+
+    ``large`` rows get ``salt = floor(rand(seed)·n)``; ``small`` is
+    exploded to every salt value; the join key becomes (key, salt), so one
+    hot key spreads across ``n`` tasks. Result equals ``large.join(small,
+    on, how)`` for inner/left joins (small-side rows are replicated, never
+    multiplied per result row).
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = F.floor(F.rand(seed) * salt_buckets).cast("int")
+    l = large.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = l.join(s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    *,
+    num_buckets: int = 32,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table hash-bucketed on ``bucket_cols``.
+
+    Two tables bucketed identically join WITHOUT a shuffle (Spark reuses
+    the on-disk hash distribution) — the right trade for fact tables that
+    are joined on the same key repeatedly. ``sort_cols`` additionally
+    pre-sorts within buckets, removing the sort from sort-merge joins.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def repartition_for_output(
+    df: DataFrame,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 256,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Repartition so each output partition serializes to ~``target_bytes``.
+
+    Estimates bytes/row from a bounded sample (driver-side, one small
+    job), then repartitions to ceil(total/target). With ``by``, performs a
+    hash repartition on those columns instead of round-robin — use for
+    partitioned sinks so each writer task owns few partitions.
+    """
+    n = df.count()
+    if n == 0:
+        return df
+    sample = (
+        df.limit(sample_rows)
+        .select(F.octet_length(F.to_json(F.struct("*"))).alias("sz"))
+        .agg(F.avg("sz"))
+        .first()[0]
+        or 1024.0
+    )
+    parts = max(1, int(n * float(sample) // target_bytes) + 1)
+    if by:
+        return df.repartition(parts, *[F.col(c) for c in by])
+    return df.repartition(parts)
