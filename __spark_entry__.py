@@ -1586,6 +1586,23 @@ def q40_shipment_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_SIM_QUERIES["q40_shipment_pipeline_full"] = q40_shipment_pipeline_full
 
 
+def q41_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — rows-only: sketch estimates
+    are engine-specific; the exact twin is q35_distinct_aggs."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).cast("long").alias(
+            "approx_suppliers"
+        ),
+        F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias(
+            "approx_parts"
+        ),
+    )
+
+
+_DEDUP_SIM_QUERIES["q41_approx_distinct"] = q41_approx_distinct
+
+
 def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship doc-ingestion pipeline: clean -> stats -> dedup-rank -> doc."""
     from jsonl_dataingestion_pipeline_spark.functions import textstats as ts

@@ -17,17 +17,24 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def clean_string(c: ColumnOrName) -> Column:
+def clean_string(c: ColumnOrName, legacy: bool = False) -> Column:
     """F1 — trim, map whole-cell ``"()"`` to empty, ``nan``/``NaN`` to null.
 
     Mirrors `src/transformer.py:207-217` (trim + sentinel nulling). Note the
     reference keeps the empty string as ``""`` (pandas read with
     ``keep_default_na=False``); blanks are only treated as missing at the
     point of use — see :func:`nonblank`.
+
+    ``legacy=True`` applies the permissive old-transformer sentinel set
+    (`src/transformer_old.py:102-108`): also nulls ``None``/``null`` and
+    the empty string itself.
     """
     t = F.trim(_col(c).cast("string"))
     t = F.when(t == "()", F.lit("")).otherwise(t)
-    return F.when(t.isin("nan", "NaN"), F.lit(None).cast("string")).otherwise(t)
+    sentinels = (
+        ("nan", "NaN", "None", "null", "") if legacy else ("nan", "NaN")
+    )
+    return F.when(t.isin(*sentinels), F.lit(None).cast("string")).otherwise(t)
 
 
 def ensure_str_id(c: ColumnOrName) -> Column:

@@ -87,6 +87,88 @@ def extract_features(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Resize image payloads (Arrow-batched mapInPandas).
+
+    Decode/re-encode is stubbed (see module doc): the fake produces a
+    deterministic byte payload of the right conceptual shape and updates
+    the typed metadata (width/height), which is the Spark-side contract.
+    """
+    schema = df.schema
+    use_real = decode_available()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real:
+                raise NotImplementedError(
+                    "real image resize not wired — install PIL and decode here"
+                )
+            out = pdf.copy()
+            new_media = []
+            for m in out[media_col]:
+                if m is None:
+                    new_media.append(None)
+                    continue
+                d = dict(m)
+                seed = hashlib.md5(d.get("data") or b"").digest()
+                d["data"] = (seed * ((width * height) // len(seed) + 1))[
+                    : width * height // 64
+                ]
+                d["width"], d["height"] = width, height
+                new_media.append(d)
+            out[media_col] = new_media
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    every_ms: int = 1000,
+    out_col: str = "frames",
+) -> DataFrame:
+    """Sample video payloads into frame arrays (one binary per sample).
+
+    Frame extraction is stubbed; the output schema
+    (``array<binary>`` sized from duration/every_ms) and the streaming
+    batch shape are the real, tested contract.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))]
+    )
+    use_real = decode_available()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real:
+                raise NotImplementedError(
+                    "real frame sampling not wired — add a video decoder here"
+                )
+            out = pdf.copy()
+            frames = []
+            for m in out[media_col]:
+                if m is None or m.get("duration_ms") is None:
+                    frames.append([])
+                    continue
+                n = max(1, int(m["duration_ms"]) // every_ms)
+                seed = hashlib.md5(m.get("data") or b"").digest()
+                frames.append(
+                    [hashlib.md5(seed + bytes([i % 256])).digest() for i in range(n)]
+                )
+            out[out_col] = frames
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Cheap metadata pass — no decode: sizes, mime distribution."""
     m = F.col(media_col)

@@ -195,3 +195,37 @@ def test_multimodal_feature_stub(spark):
     assert [r["features"] for r in feats] == [r["features"] for r in feats2]
     stats = {r["id"]: r["media_bytes"] for r in media_stats(df).collect()}
     assert stats == {1: 11, 2: 11}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, (b"img-bytes", "image/png", 640, 480, None)),
+         (2, (b"vid-bytes", "video/mp4", None, None, 3500)),
+         (3, None)],
+        "id long, media struct<data:binary,mime:string,width:int,height:int,duration_ms:int>",
+    )
+    resized = {r["id"]: r["media"] for r in resize_images(df, width=64, height=64).collect()}
+    assert resized[1]["width"] == 64 and resized[1]["height"] == 64
+    assert resized[3] is None
+    frames = {r["id"]: r["frames"] for r in sample_frames(df, every_ms=1000).collect()}
+    assert len(frames[2]) == 3       # 3500ms at 1 fps -> 3 frames
+    assert frames[1] == []           # no duration -> no frames
+    assert len(set(frames[2])) == 3  # deterministic but distinct frames
+
+
+def test_legacy_clean_string(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.cleaning import clean_string
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("None",), ("null",), ("",), ("keep",), ("nan",)], "v string"
+    )
+    strict = [r[0] for r in df.select(clean_string(F.col("v"))).collect()]
+    legacy = [r[0] for r in df.select(clean_string(F.col("v"), legacy=True)).collect()]
+    assert strict == ["None", "null", "", "keep", None]
+    assert legacy == [None, None, None, "keep", None]
