@@ -1615,6 +1615,199 @@ def q41_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_SIM_QUERIES["q41_approx_distinct"] = q41_approx_distinct
 
 
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator; Spark has no native ASOF): each sampled
+    event gets the latest at-or-before purchase of the same user."""
+    from jsonl_dataingestion_pipeline_spark.operators.joins import asof_join
+
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_id") % 7 == 0).select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value"), 2).alias("purchase_value")
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id", "matched_ts", "purchase_value"
+    )
+
+
+def q43_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers who never placed an urgent order."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority").startswith("1"))
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+def q44_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregation keeping empty groups (zero counts)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    per_cust = big.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    cust = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    return (
+        cust.join(F.broadcast(n), cust.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_big_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+        )
+    )
+
+
+def q45_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12/Q14 style): monthly urgent share."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").startswith("1")
+        | F.col("o_orderpriority").startswith("2"),
+        F.col("o_totalprice"),
+    ).otherwise(F.lit(0.0))
+    return (
+        o.groupBy(F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.round(100.0 * F.sum(urgent) / F.sum("o_totalprice"), 4).alias(
+                "urgent_pct"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q46_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate semantics via window: parts priced above their
+    brand's average.
+
+    Exactness note: engines disagree on FP aggregation order, so a double
+    average can land an ulp apart and flip boundary comparisons. We
+    compute in integer cents and compare ``price·n > sum`` — exact
+    arithmetic, no division, bit-identical everywhere.
+    """
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("__c", cents)
+        .withColumn("brand_sum_cents", F.sum("__c").over(w))
+        .withColumn("brand_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__c") * F.col("brand_n") > F.col("brand_sum_cents"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("__c").alias("price_cents"),
+            F.col("brand_sum_cents").cast("long").alias("brand_sum_cents"),
+            F.col("brand_n").cast("long").alias("brand_n"),
+        )
+    )
+
+
+def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a broadcast bands table."""
+    from jsonl_dataingestion_pipeline_spark.operators.joins import range_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(
+        [("p0_1k", 0.0, 1000.0), ("p1k_5k", 1000.0, 5000.0),
+         ("p5k_20k", 5000.0, 20000.0), ("p20k_up", 20000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join(l, bands, value="l_extendedprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+_ORACLE_DEDUP_SIM["q42_asof_join"] = """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0
+    ), r AS (
+        SELECT user_id, ts, ROUND(CAST(value AS DOUBLE), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, r.ts AS matched_ts, r.purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+_ORACLE_DEDUP_SIM["q43_anti_join"] = """
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '1%'
+    )
+"""
+
+_ORACLE_DEDUP_SIM["q44_outer_join_agg"] = """
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_totalprice > 400000 GROUP BY o_custkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(SUM(COALESCE(p.n, 0)) AS BIGINT) AS n_big_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+_ORACLE_DEDUP_SIM["q45_conditional_agg"] = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           ROUND(CAST(100.0 * SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                                       THEN o_totalprice ELSE 0.0 END)
+                 / SUM(o_totalprice) AS DOUBLE), 4) AS urgent_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+"""
+
+_ORACLE_DEDUP_SIM["q46_above_brand_average"] = """
+    WITH w AS (
+        SELECT p_partkey, p_brand,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c,
+               CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                    OVER (PARTITION BY p_brand) AS BIGINT) AS brand_sum_cents,
+               CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT) AS brand_n
+        FROM part
+    )
+    SELECT p_partkey AS partkey, p_brand AS brand, c AS price_cents,
+           brand_sum_cents, brand_n
+    FROM w WHERE c * brand_n > brand_sum_cents
+"""
+
+_ORACLE_DEDUP_SIM["q47_range_join"] = """
+    WITH bands AS (
+        SELECT * FROM (VALUES ('p0_1k', 0.0, 1000.0), ('p1k_5k', 1000.0, 5000.0),
+                              ('p5k_20k', 5000.0, 20000.0), ('p20k_up', 20000.0, 1e18))
+               t(band, lo, hi)
+    )
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(l.l_extendedprice) AS DOUBLE), 2) AS total
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+"""
+
+_DEDUP_SIM_QUERIES.update(
+    {
+        "q42_asof_join": q42_asof_join,
+        "q43_anti_join": q43_anti_join,
+        "q44_outer_join_agg": q44_outer_join_agg,
+        "q45_conditional_agg": q45_conditional_agg,
+        "q46_above_brand_average": q46_above_brand_average,
+        "q47_range_join": q47_range_join,
+    }
+)
+
+
 def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship doc-ingestion pipeline: clean -> stats -> dedup-rank -> doc."""
     from jsonl_dataingestion_pipeline_spark.functions import textstats as ts

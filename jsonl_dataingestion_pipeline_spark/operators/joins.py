@@ -1,0 +1,112 @@
+"""Custom join operators Spark lacks natively: as-of join, range join.
+
+Both are compositions of built-in operators (SURVEY/brief guidance:
+composition first, UDF never needed here):
+
+- :func:`asof_join` — "latest right row at or before each left row's
+  timestamp, per key". Implemented with the union + running-last trick:
+  ONE hash shuffle on the key, no per-row Python, no broadcast
+  requirement, skew handled by AQE. Matches DuckDB/kdb ASOF semantics
+  (inclusive on ties; unmatched left rows null-extended).
+- :func:`range_join` — value-vs-interval join against a (small) bands
+  table; expressed as a broadcast non-equi join so the big side is never
+  shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    matched_ts_col: str = "matched_ts",
+    tolerance_seconds: Optional[int] = None,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.on <= left.on`` (within the same ``by`` key).
+
+    Plan shape: union both sides tagged, one window sorted by
+    (ts, side-tag) per key, running ``last(payload, ignorenulls)``; keep
+    left rows. The payload travels as ONE struct so a legitimately-null
+    right column can't leak an older row's value.
+    """
+    by = list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+
+    payload = F.struct(
+        F.col(on).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    u = l.unionByName(r)
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    match = F.col("__match")
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__ts").cast("long") - match.getField("__rts").cast("long")
+            <= F.lit(tolerance_seconds)
+        )
+        match = F.when(match.isNotNull() & in_tol, match)
+    out = filled.select(
+        *out_cols,
+        match.getField("__rts").alias(matched_ts_col),
+        *[match.getField(c).alias(c) for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    *,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "left",
+    inclusive: str = "[)",
+) -> DataFrame:
+    """Join each fact row to the band whose [lo, hi) interval contains
+    ``value``. Bands are broadcast (they are small by construction), so
+    the fact side streams through with no shuffle.
+    """
+    v = F.col(f"__f.{value}")
+    lo_c, hi_c = F.col(f"__b.{lo}"), F.col(f"__b.{hi}")
+    left_cmp = v >= lo_c if inclusive[0] == "[" else v > lo_c
+    right_cmp = v <= hi_c if inclusive[1] == "]" else v < hi_c
+    return (
+        facts.alias("__f")
+        .join(F.broadcast(bands.alias("__b")), left_cmp & right_cmp, how)
+        .select("__f.*", *[F.col(f"__b.{c}") for c in bands.columns])
+    )

@@ -1,0 +1,94 @@
+"""as-of join and range join operator tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.operators.joins import asof_join, range_join
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00")),
+            (1, ts("2024-01-01 12:00:00")),  # tie with right row
+            (2, ts("2024-01-01 11:00:00")),  # right row is later -> no match
+            (3, ts("2024-01-01 11:00:00")),  # key absent from right
+        ],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), "a", 1.0),
+            (1, ts("2024-01-01 12:00:00"), "b", 2.0),
+            (2, ts("2024-01-01 11:30:00"), "c", 3.0),
+        ],
+        "k long, ts timestamp, v string, x double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["matched_ts"], r["v"], r["x"])
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert out[(1, ts("2024-01-01 10:00:00"))] == (ts("2024-01-01 09:00:00"), "a", 1.0)
+    # inclusive on ties (DuckDB/kdb ASOF semantics)
+    assert out[(1, ts("2024-01-01 12:00:00"))] == (ts("2024-01-01 12:00:00"), "b", 2.0)
+    assert out[(2, ts("2024-01-01 11:00:00"))] == (None, None, None)
+    assert out[(3, ts("2024-01-01 11:00:00"))] == (None, None, None)
+
+
+def test_asof_join_null_payload_does_not_leak(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), "old"),
+            (1, ts("2024-01-01 11:00:00"), None),  # newest row has null v
+        ],
+        "k long, ts timestamp, v string",
+    )
+    r = asof_join(left, right, on="ts", by=["k"]).first()
+    # must match the 11:00 row (v=None), NOT reach back to 'old'
+    assert r["matched_ts"] == ts("2024-01-01 11:00:00")
+    assert r["v"] is None
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), "a")], "k long, ts timestamp, v string"
+    )
+    hit = asof_join(left, right, on="ts", by=["k"], tolerance_seconds=4 * 3600).first()
+    miss = asof_join(left, right, on="ts", by=["k"], tolerance_seconds=3600).first()
+    assert hit["v"] == "a"
+    assert miss["v"] is None and miss["matched_ts"] is None
+
+
+def test_range_join(spark):
+    facts = spark.createDataFrame(
+        [(1, 50.0), (2, 1000.0), (3, 4999.0), (4, 99999.0)], "id long, price double"
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 5000.0), ("high", 5000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        r["id"]: r["band"]
+        for r in range_join(facts, bands, value="price").collect()
+    }
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: "high"}  # [lo, hi)
+
+
+def test_range_join_no_shuffle_on_facts(spark):
+    facts = spark.range(0, 10000).select(F.col("id"), (F.col("id") % 100).cast("double").alias("price"))
+    bands = spark.createDataFrame(
+        [("a", 0.0, 50.0), ("b", 50.0, 200.0)], "band string, lo double, hi double"
+    )
+    joined = range_join(facts, bands, value="price")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
