@@ -1796,8 +1796,56 @@ _ORACLE_DEDUP_SIM["q47_range_join"] = """
     GROUP BY b.band
 """
 
+def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+def q49_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup (hour + day)."""
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        multi_resolution_rollup,
+    )
+
+    e = _events(spark, sf_dir)
+    return multi_resolution_rollup(e)
+
+
+_ORACLE_DEDUP_SIM["q48_cube"] = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+_ORACLE_DEDUP_SIM["q49_multires_rollup"] = """
+    SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type,
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(value) AS DOUBLE), 2)
+    FROM events GROUP BY 2, 3
+"""
+
 _DEDUP_SIM_QUERIES.update(
     {
+        "q48_cube": q48_cube,
+        "q49_multires_rollup": q49_multires_rollup,
         "q42_asof_join": q42_asof_join,
         "q43_anti_join": q43_anti_join,
         "q44_outer_join_agg": q44_outer_join_agg,

@@ -87,6 +87,40 @@ def windowed_event_counts(
     )
 
 
+def multi_resolution_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same events bucketed at
+    several time resolutions in one result (resolution column tags each).
+
+    Batch form shown here; incrementally maintainable by running the same
+    expression inside ``foreachBatch`` with an upsert sink. Each
+    resolution is one partial-agg + shuffle on (bucket, key); the union is
+    plan-parallel.
+    """
+    parts = []
+    for res in resolutions:
+        parts.append(
+            events.groupBy(
+                F.lit(res).alias("resolution"),
+                F.date_trunc(res, F.col(ts_col)).alias("bucket"),
+                F.col(key_col),
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum(value_col), 2).alias("total_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def sessionize(
     events: DataFrame,
     *,

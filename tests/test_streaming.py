@@ -56,6 +56,49 @@ def test_stream_shipment_csv_incremental(tmp_path, spark):
     assert sorted(d["document_id"] for d in docs) == ["J1", "J2"]
 
 
+def test_watermark_drops_late_rows_in_streaming(tmp_path, spark):
+    """True streaming semantics: a row older than watermark - delay is
+    dropped once the watermark has advanced past its window."""
+    indir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    schema = "event_type string, ts timestamp, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "event_type string, ts_s string, value double").select(
+            "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    collected = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(indir))
+        agg = windowed_event_counts(
+            stream, window_duration="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 advances the watermark to 23:00 (max 24:00 - 1h delay)
+    write("b1", [("a", "2024-01-01 10:05:00", 1.0), ("a", "2024-01-02 00:00:00", 1.0)])
+    run()
+    # batch 2: a row for the long-closed 10:00 window -> must be dropped
+    write("b2", [("a", "2024-01-01 10:30:00", 99.0)])
+    run()
+    totals = {
+        (str(r["window_start"]), r["event_type"]): r["total_value"] for r in collected
+    }
+    assert totals.get(("2024-01-01 10:00:00", "a")) == 1.0  # late 99.0 dropped
+
+
 def test_windowed_event_counts_batch_parity(spark):
     e = spark.createDataFrame(
         [

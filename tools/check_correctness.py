@@ -34,8 +34,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and representation noise beyond comparison tolerance
-        return round(v, 9) + 0.0
+        # EXACT comparison (bit-level, modulo -0.0): the driver's value
+        # hash may be exact, so the harness must be at least as strict.
+        return v + 0.0
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
