@@ -107,6 +107,74 @@ def finalize_filenames(
     return renamed
 
 
+def write_documents_byte_capped(
+    df: DataFrame,
+    output_dir: str,
+    *,
+    cap_bytes: int = MAX_FILE_SIZE_BYTES,
+    group_col: str = "source_group",
+    stem: str = "shipment",
+) -> None:
+    """S6 exact variant — roll output files at a hard byte cap.
+
+    The approximate ``maxRecordsPerFile`` path (:func:`write_documents`)
+    is the default; this writer reproduces the reference's exact 12 MB
+    rolling (`src/writer_old.py:39-101`): accumulate serialized lines,
+    start a new file when the next line would exceed the cap (an
+    over-cap single document still gets its own file).
+
+    Distribution: rows are hash-partitioned on ``group_col`` so each task
+    owns whole groups — group file counters need no coordination. Workers
+    write with plain ``open()``: local and shared filesystems only (an
+    object-store variant would swap in a cloud SDK client per executor).
+    """
+    import datetime as _dt
+    import json
+    import os
+    import re
+
+    os.makedirs(output_dir, exist_ok=True)
+    routed = df.repartition(F.col(group_col))
+    field_names = [f.name for f in df.schema.fields]
+
+    def _default(o):
+        if isinstance(o, (_dt.date, _dt.datetime)):
+            return o.isoformat()
+        return str(o)
+
+    def write_partition(rows) -> None:
+        handles: dict = {}  # tag -> [file_obj, bytes_written, counter]
+
+        def tag_of(val) -> str:
+            t = re.sub(r"[^0-9A-Za-z]", "", str(val)) if val is not None else "unknown"
+            return t.lower() or "unknown"
+
+        def open_next(tag):
+            state = handles.get(tag)
+            n = state[2] + 1 if state else 1
+            if state and state[0]:
+                state[0].close()
+            path = os.path.join(output_dir, f"{stem}_{tag}_{n}.jsonl")
+            f = open(path, "w", encoding="utf-8")
+            handles[tag] = [f, 0, n]
+            return handles[tag]
+
+        for row in rows:
+            d = row.asDict(recursive=True)
+            tag = tag_of(d.get(group_col))
+            line = json.dumps(d, ensure_ascii=False, default=_default) + "\n"
+            size = len(line.encode("utf-8"))
+            state = handles.get(tag) or open_next(tag)
+            if state[1] > 0 and state[1] + size > cap_bytes:
+                state = open_next(tag)
+            state[0].write(line)
+            state[1] += size
+        for f, _, _ in handles.values():
+            f.close()
+
+    routed.foreachPartition(write_partition)
+
+
 def read_documents(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """S9 — JSONL readback (validation path)."""
     reader = spark.read

@@ -74,6 +74,65 @@ def test_run_batch_strict_docs_raises(tmp_path, spark):
     assert "validate" in timings
 
 
+def test_write_documents_byte_capped(tmp_path, spark):
+    import json
+
+    from jsonl_dataingestion_pipeline_spark.sources.jsonl import (
+        write_documents_byte_capped,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", "x" * 200, "2024-01" if i < 20 else "2024-02")
+         for i in range(30)],
+        "document_id string, content string, source_group string",
+    )
+    out = tmp_path / "capped"
+    write_documents_byte_capped(df, str(out), cap_bytes=1000)
+    files = sorted(out.glob("shipment_*.jsonl"))
+    assert files, "no files written"
+    by_tag = {}
+    total = 0
+    for p in files:
+        data = p.read_bytes()
+        assert len(data) <= 1000, f"{p.name} over cap: {len(data)}"
+        lines = [json.loads(l) for l in data.decode().splitlines()]
+        total += len(lines)
+        tag = p.name.split("_")[1]
+        by_tag.setdefault(tag, 0)
+        by_tag[tag] += len(lines)
+    assert total == 30
+    assert by_tag == {"202401": 20, "202402": 10}
+    # a single over-cap document still lands in its own file
+    big = spark.createDataFrame(
+        [("huge", "y" * 5000, "2024-03")],
+        "document_id string, content string, source_group string",
+    )
+    write_documents_byte_capped(big, str(out), cap_bytes=1000)
+    huge_files = list(out.glob("shipment_202403_*.jsonl"))
+    assert len(huge_files) == 1 and huge_files[0].stat().st_size > 1000
+
+
+def test_load_config_env(monkeypatch):
+    import pytest as _pytest
+
+    from jsonl_dataingestion_pipeline_spark.config import ConfigError, load_config
+
+    with _pytest.raises(ConfigError, match="PIPELINE_INPUT_PATH"):
+        load_config({})
+    cfg = load_config(
+        {
+            "PIPELINE_INPUT_PATH": "/in",
+            "PIPELINE_OUTPUT_PATH": "/out",
+            "PIPELINE_AS_OF": "2024-06-01",
+            "PIPELINE_STRICT_HEADERS": "0",
+            "PIPELINE_SPARK_X": "y",
+        }
+    )
+    assert cfg.input_path == "/in" and not cfg.strict_headers
+    assert cfg.as_of == "2024-06-01"
+    assert cfg.extra == {"PIPELINE_SPARK_X": "y"}
+
+
 def test_split_multi_consignee(spark):
     df = spark.createDataFrame(
         [
