@@ -963,6 +963,21 @@ def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus
 
 
+def _planted_shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle sets of the planted corpus, computed once per session:
+    shingling is the dominant narrow step and q25/q26 share it verbatim."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import shingle_base
+
+    key = (id(spark), sf_dir + "#shingles")
+    if key in _PLANTED_CACHE:
+        return _PLANTED_CACHE[key]
+    base = shingle_base(
+        _planted_neardup_corpus(spark, sf_dir), "text", "id", shingle_k=3
+    )
+    _PLANTED_CACHE[key] = base
+    return base
+
+
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 MinHash permutations (md5-seeded) per document."""
     from jsonl_dataingestion_pipeline_spark.operators.dedup import minhash_signature
@@ -984,7 +999,8 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_neardup_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(
-        corpus, "text", "id", shingle_k=3, sample_hex_prefix="0", threshold=0.5
+        corpus, "text", "id", shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+        base=_planted_shingle_base(spark, sf_dir),
     )
 
 
@@ -995,7 +1011,8 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_neardup_corpus(spark, sf_dir)
     return minhash_lsh_pairs(
-        corpus, "text", "id", num_perm=32, bands=8, shingle_k=3, threshold=0.5
+        corpus, "text", "id", num_perm=32, bands=8, shingle_k=3, threshold=0.5,
+        base=_planted_shingle_base(spark, sf_dir),
     )
 
 

@@ -74,6 +74,85 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared shingle base
+# ---------------------------------------------------------------------------
+def shingle_base(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    strategy: str = "window",
+) -> DataFrame:
+    """Materialized ``(__id, __sh)`` distinct-shingle-set relation.
+
+    Both near-dup sim-joins consume this relation from multiple stages of
+    one job, so it is checkpointed eagerly (a lazy ``.cache()`` loses the
+    race when 3+ concurrent stages all compute it before the cache fills).
+    Callers running several dedup operators over the same corpus should
+    build this once and pass it to each — shingling the text is the
+    single most expensive narrow step.
+
+    Two equivalent physical strategies (identical output sets):
+
+    - ``window``: posexplode tokens -> ``lead`` window -> ``collect_set``.
+      Every expression stays in whole-stage codegen; measured ~3.5x faster
+      than the narrow form on local[32]. Costs one shuffle of the token
+      stream (the window and the groupBy share the ``__id`` partitioning,
+      so the exchange is reused).
+    - ``narrow``: per-row higher-order ``transform`` — zero shuffle, but
+      HOF lambdas always run interpreted. Prefer when the corpus is so
+      wide that shuffling the token stream dominates (very long docs on a
+      bandwidth-bound cluster).
+    """
+    if strategy == "narrow":
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+        ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # short docs (< k tokens) produce exactly one padded shingle — same
+    # semantics as functions.textstats.shingles; a fixed-k concat_ws is a
+    # single codegen'd expression, no transform() needed
+    short = df.filter(n < shingle_k).select(
+        F.col(id_col).alias("__id"),
+        F.array(
+            F.concat_ws(
+                " ",
+                *[
+                    F.coalesce(F.try_element_at(toks, F.lit(j + 1)), F.lit(""))
+                    for j in range(shingle_k)
+                ],
+            )
+        ).alias("__sh"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    expl = df.filter(n >= shingle_k).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w).alias(f"__t{j}") for j in range(1, shingle_k)
+    ]
+    grams = (
+        expl.select("__id", *leads)
+        .filter(F.col(f"__t{shingle_k - 1}").isNotNull())
+        .select(
+            "__id",
+            F.concat_ws(
+                " ", "tok", *[f"__t{j}" for j in range(1, shingle_k)]
+            ).alias("s"),
+        )
+    )
+    long_docs = grams.groupBy("__id").agg(F.collect_set("s").alias("__sh"))
+    return long_docs.unionByName(short).localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def minhash_signature(
@@ -111,6 +190,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    base: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verification.
 
@@ -126,12 +206,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
-    # Eager materialization — see the comment in ngram_jaccard_pairs; the
-    # shingle sets feed both signature aggregation and the verify join.
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).localCheckpoint(eager=True)
+    if base is None:
+        base = shingle_base(df, text_col, id_col, shingle_k=shingle_k)
 
     # Signatures via explode + 32 codegen'd min-aggregates. The obvious
     # alternative — nested transform() lambdas per row — runs interpreted
@@ -167,11 +243,15 @@ def minhash_lsh_pairs(
     right = banded.select(
         F.col("band"), F.col("key"), F.col("__id").alias("id_r")
     )
+    # Pipeline-break before the verify join — same rationale as in
+    # ngram_jaccard_pairs (a lazy candidate subplan degrades the combined
+    # join order/strategy badly).
     cand = (
         left.join(right, on=["band", "key"])
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r")
         .dropDuplicates(["id_l", "id_r"])
+        .localCheckpoint(eager=True)
     )
 
     sh = base.select(F.col("__id"), F.col("__sh"))
@@ -199,6 +279,8 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     sample_hex_prefix: str = "0",
     threshold: float = 0.5,
+    base: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a *sampled* shingle.
 
@@ -208,15 +290,15 @@ def ngram_jaccard_pairs(
     Recall trades off with join fan-out via the prefix length — at 100 TB
     use 2-3 hex chars; candidate generation stays one equi-join on a
     pruned, deduplicated (shingle_hash, id) relation.
+
+    ``max_bucket`` is the second scale knob: drop shingle buckets with more
+    than this many documents before the self-join. Ultra-common shingles
+    ("the of the") produce O(bucket²) candidates that almost never certify
+    at meaningful thresholds — true near-dups share many rarer shingles.
+    Unset by default so results stay byte-identical to the uncapped oracle.
     """
-    # Materialize the shingle sets ONCE, eagerly: the relation is consumed
-    # by 3+ concurrent stages of one job, and a lazy .cache() loses the
-    # race (every stage computes it before the cache fills). At cluster
-    # scale persist this to storage instead.
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).localCheckpoint(eager=True)
+    if base is None:
+        base = shingle_base(df, text_col, id_col, shingle_k=shingle_k)
     # Candidate generation on EXPLODED rows: md5 + prefix filter run in
     # whole-stage codegen there, vs interpreted lambda eval inside a
     # higher-order transform(). __sh is already distinct per doc, so the
@@ -226,13 +308,29 @@ def ngram_jaccard_pairs(
         .select("__id", F.md5("s").alias("shash"))
         .filter(F.col("shash").startswith(sample_hex_prefix))
     )
+    if max_bucket is not None:
+        keep = (
+            sampled.groupBy("shash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+            .select("shash")
+        )
+        # plain equi-join on the same key as the self-join below; AQE
+        # broadcasts it when the surviving bucket list is small
+        sampled = sampled.join(keep, on="shash")
 
+    # Candidates are materialized eagerly too: leaving this lazy hands the
+    # optimizer one giant (self-join ⋈ sh ⋈ sh) plan whose join
+    # order/strategy degrades badly (measured 128s vs 12s at sf0.1 on
+    # local[32]); a pipeline break with known sizes keeps the verify join
+    # a plain shuffled hash join over the real candidate count.
     cand = (
         sampled.alias("a")
         .join(sampled.alias("b"), on="shash")
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
         .dropDuplicates(["id_l", "id_r"])
+        .localCheckpoint(eager=True)
     )
 
     sh = base.select(F.col("__id"), F.col("__sh"))
