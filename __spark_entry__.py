@@ -1005,8 +1005,9 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs on the planted corpus (rows-only check:
-    banding internals are validated cross-engine by q24/q25)."""
+    """MinHash-LSH near-dup pairs on the planted corpus. Fully
+    oracle-checked: DuckDB replays signature min-hashing, banding,
+    candidate generation and exact-Jaccard verification step for step."""
     from jsonl_dataingestion_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
     corpus = _planted_neardup_corpus(spark, sf_dir)
@@ -1017,8 +1018,10 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming near-dup pairs on the planted corpus (rows-only:
-    pandas_udf bit-twiddling has no SQL twin)."""
+    """SimHash Hamming near-dup pairs on the planted corpus. The signature
+    is now a pure explode+aggregate Column expression (64 majority votes),
+    so DuckDB replays fingerprint, bit-banding and Hamming verification
+    exactly — full oracle check."""
     from jsonl_dataingestion_pipeline_spark.operators.dedup import simhash_near_pairs
 
     corpus = _planted_neardup_corpus(spark, sf_dir)
@@ -1035,8 +1038,10 @@ def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3 (16 cells, 4 probes) for the first 5 queries
-    (rows-only: approximate path; exact twin is q28)."""
+    """IVF approximate top-3 (16 cells, 4 probes) for the first 5 queries.
+    Deterministic end-to-end (md5-seeded centroids, rounded sims, stable
+    tiebreaks), so the full IVF path — seed, assign, probe, rank — is
+    oracle-checked against a DuckDB replay; q28 remains the exact twin."""
     from jsonl_dataingestion_pipeline_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1442,8 +1447,10 @@ def q38_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via sign-hash LSH (rows-only:
-    candidate generation is approximate; the exact twin is q38)."""
+    """Embedding-cosine near-dup pairs via sign-hash LSH. The ±1
+    hyperplanes are md5-seeded constants, so DuckDB replays signature,
+    banding and cosine verification exactly — full oracle check (q38
+    remains the exact all-pairs twin)."""
     from jsonl_dataingestion_pipeline_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
@@ -1616,20 +1623,221 @@ _DEDUP_SIM_QUERIES["q40_shipment_pipeline_full"] = q40_shipment_pipeline_full
 
 
 def q41_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — rows-only: sketch estimates
-    are engine-specific; the exact twin is q35_distinct_aggs."""
+    """approx_count_distinct (HyperLogLog++) checked against its exact twin
+    *inside the query*: the sketch estimate is engine-specific, so the
+    oracle-comparable output is the exact count plus a boolean asserting
+    the estimate landed within 5×rsd (10%) of it. A broken sketch flips
+    the boolean and fails the hash check."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.02).cast("long").alias(
-            "approx_suppliers"
-        ),
-        F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias(
-            "approx_parts"
-        ),
+    g = l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_suppkey").cast("long").alias("exact_suppliers"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("__as"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+    )
+    within = lambda est, exact: (
+        F.abs(est - F.col(exact)) <= F.col(exact) * 0.10
+    )
+    return g.select(
+        "returnflag",
+        "exact_suppliers",
+        "exact_parts",
+        within(F.col("__as"), "exact_suppliers").alias("suppliers_within_10pct"),
+        within(F.col("__ap"), "exact_parts").alias("parts_within_10pct"),
     )
 
 
 _DEDUP_SIM_QUERIES["q41_approx_distinct"] = q41_approx_distinct
+
+_ORACLE_DEDUP_SIM["q41_approx_distinct"] = """
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS suppliers_within_10pct,
+           TRUE AS parts_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Oracles for the LSH family: all hashing is md5-based and banding is
+# deterministic, so DuckDB replays candidate generation + verification
+# exactly (q25/q38 already prove the shingle/Jaccard and cosine kernels
+# replay; these extend the same treatment to the banded paths).
+# ---------------------------------------------------------------------------
+_ORACLE_DEDUP_SIM["q26_minhash_lsh_pairs"] = (
+    _NEARDUP_CORPUS_SQL
+    + ", expl AS (SELECT id, UNNEST(sh) AS s FROM cshingles)"
+    + ", sigs AS (SELECT id, "
+    + ", ".join(f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(32))
+    + " FROM expl GROUP BY id)"
+    + ", bandkeys AS (SELECT id, "
+    + "UNNEST(ARRAY["
+    + ", ".join(
+        "md5(concat_ws('|', " + ", ".join(f"m{b * 4 + r}" for r in range(4)) + "))"
+        for b in range(8)
+    )
+    + "]) AS key, UNNEST(ARRAY[" + ", ".join(str(b) for b in range(8)) + "]) AS band"
+    + " FROM sigs)"
+    + """
+    , cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id_l, c.id_r,
+           ROUND(len(list_intersect(sa.sh, sb.sh))
+                 / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN cshingles sa ON c.id_l = sa.id
+    JOIN cshingles sb ON c.id_r = sb.id
+    WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
+                / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) >= 0.5
+    """
+)
+
+_ORACLE_DEDUP_SIM["q27_simhash_pairs"] = (
+    _NEARDUP_CORPUS_SQL
+    + """
+    , toks2 AS (
+        SELECT id, UNNEST(list_filter(toks, t -> t <> '')) AS tok FROM ctoks
+    ), th AS (
+        SELECT id,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+        FROM toks2
+    ), votes AS (
+        SELECT id, """
+    + ", ".join(
+        f"SUM(CASE WHEN ({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS a{b}"
+        for b in range(64)
+    )
+    + " FROM th GROUP BY id)"
+    + ", sigs0 AS (SELECT id, "
+    + " + ".join(
+        f"CASE WHEN a{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(63)
+    )
+    + " + CASE WHEN a63 > 0 THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END"
+    + " AS simhash FROM votes)"
+    + """
+    , sigs AS (
+        SELECT c.id, COALESCE(s.simhash, 0) AS simhash
+        FROM corpus c LEFT JOIN sigs0 s ON c.id = s.id
+    ), ub AS (
+        SELECT id, simhash,
+               CASE WHEN simhash < 0
+                    THEN CAST(simhash AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+                    ELSE CAST(simhash AS HUGEINT) END AS u
+        FROM sigs
+    ), bands AS (
+        SELECT id, simhash, b.band,
+               CAST((u // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
+                           WHEN 2 THEN 4294967296 ELSE 281474976710656 END)::HUGEINT)
+                    % 65536 AS BIGINT) AS key
+        FROM ub, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r,
+               a.simhash AS h_l, b.simhash AS h_r
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_l, id_r, CAST(bit_count(xor(h_l, h_r)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h_l, h_r)) <= 8
+    """
+)
+
+
+def _oracle_sign_planes(dim: int = 64, n_planes: int = 16, seed: int = 42):
+    """Inline the deterministic ±1 hyperplanes (same md5 seeding as
+    operators.similarity.random_hyperplanes) as SQL literals."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_Q39_PLANES = _oracle_sign_planes()
+
+_ORACLE_DEDUP_SIM["q39_embedding_neardup"] = (
+    "WITH sigs AS (SELECT vec_id AS id, "
+    + " || ".join(
+        "(CASE WHEN "
+        + " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {_Q39_PLANES[p][d]}"
+            for d in range(64)
+        )
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for p in range(16)
+    )
+    + " AS sig FROM embeddings)"
+    + """
+    , banded AS (
+        SELECT id, CAST(b.band AS VARCHAR) || ':' || substr(sig, b.band * 4 + 1, 4) AS key
+        FROM sigs, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM banded a JOIN banded b ON a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id_l, c.id_r,
+           ROUND(list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand c
+    JOIN embeddings ea ON c.id_l = ea.vec_id
+    JOIN embeddings eb ON c.id_r = eb.vec_id
+    WHERE ROUND(list_cosine_similarity(
+              CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) >= 0.3
+    """
+)
+
+_ORACLE_DEDUP_SIM["q29_ivf_topk"] = """
+    WITH cts AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+               embedding AS ctv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+    ), cellsim AS (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(c.ctv AS DOUBLE[])), 9) AS sim
+        FROM embeddings e, cts c
+    ), assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
+            FROM cellsim
+        ) WHERE rk = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), qc AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT q.query_id, q.qv, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(c.ctv AS DOUBLE[])), 9) DESC,
+                           c.cell_id ASC) AS rk
+            FROM q, cts c
+        ) WHERE rk <= 4
+    ), scored AS (
+        SELECT qc.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   CAST(qc.qv AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS sim
+        FROM qc JOIN assigned a ON qc.cell_id = a.cell_id
+        WHERE a.vec_id <> qc.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+"""
 
 
 def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

