@@ -1548,10 +1548,13 @@ _DEDUP_SIM_QUERIES.update(
 
 def q40_shipment_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE shipment pipeline (clean -> D1-D7 -> T1-T7 -> D9-D11
-    docs) on a canonical frame synthesized from orders. Rows-only: the
-    narrative strings (T6/T7) are golden-tested in pytest and their
-    component operators oracle-checked by q11-q18/q36; replicating 700
-    lines of narrative assembly in SQL adds risk, not coverage."""
+    docs) on a canonical frame synthesized from orders. Fully
+    oracle-checked: the output carries md5 digests + lengths of the T6
+    milestones narrative and the T7 combined_content body, and the DuckDB
+    oracle rebuilds both strings byte-for-byte (every leg/section of
+    `operators/narrative.py` and `operators/content.py` restated in SQL),
+    so a single wrong character anywhere in the 700-line narrative
+    assembly fails the hash check."""
     from jsonl_dataingestion_pipeline_spark.plans.shipment import (
         build_documents,
         transform_shipments,
@@ -1616,10 +1619,302 @@ def q40_shipment_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source_group"),
         F.length("content").cast("int").alias("content_len"),
         F.length(F.col("metadata.milestones")).cast("int").alias("milestones_len"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.md5(F.col("metadata.milestones")).alias("milestones_md5"),
     )
 
 
 _DEDUP_SIM_QUERIES["q40_shipment_pipeline_full"] = q40_shipment_pipeline_full
+
+# DuckDB replay of the complete pipeline behind q40. The synthesized frame
+# fills 27 canonical columns; every other input is NULL, which statically
+# prunes the corresponding narrative/content fragments (the CASEs below
+# keep every branch whose inputs can be non-null for this frame).
+_ORACLE_DEDUP_SIM["q40_shipment_pipeline_full"] = """
+WITH base AS (
+    SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, o_orderstatus AS st
+    FROM orders
+), canon AS (
+    SELECT k,
+        'JOB' || CAST(k AS VARCHAR) AS job_no,
+        CASE WHEN k % 5 <> 0 THEN 'UID' || CAST(k AS VARCHAR) END AS carr_eqp_uid,
+        'CONT' || CAST(k AS VARCHAR) AS container_number,
+        CASE WHEN k % 2 = 0 THEN '40HC' ELSE '20GP' END AS container_type,
+        'Consignee ' || CAST(k % 50 AS VARCHAR) AS cname,
+        list_sort(list_distinct(
+            ['PO' || CAST(k % 7 AS VARCHAR), 'PO' || CAST(k % 3 AS VARCHAR)])) AS po_numbers,
+        'PORT' || CAST(k % 6 AS VARCHAR) AS lp,
+        CASE WHEN k % 3 = 0 THEN 'TS' || CAST(k % 4 AS VARCHAR) END AS flp,
+        'DP' || CAST(k % 5 AS VARCHAR) AS dp,
+        'POR' || CAST(k % 4 AS VARCHAR) AS por,
+        'FD' || CAST(k % 8 AS VARCHAR) AS fd,
+        'VSL' || CAST(k % 9 AS VARCHAR) AS fv,
+        'VSL' || CAST(k % 11 AS VARCHAR) AS lv,
+        'CARRIER' || CAST(k % 4 AS VARCHAR) AS fc,
+        'CARRIER' || CAST(k % 6 AS VARCHAR) AS tc,
+        (k % 10 = 0) AS hot,
+        d AS etd_lp,
+        CASE WHEN k % 7 <> 0 THEN d + 2 END AS atd_lp,
+        CASE WHEN k % 3 = 0 THEN d + 5 END AS ata_flp,
+        CASE WHEN k % 6 = 0 THEN d + 6 END AS atd_flp,
+        d + 30 AS eta_dp,
+        CASE WHEN k % 2 = 0 THEN d + 33 END AS opt_ata,
+        d + 45 AS opt_eta,
+        CASE WHEN st = 'F' THEN d + 50 END AS delivery,
+        CASE WHEN st = 'F' AND k % 3 = 0 THEN d + 55 END AS empty_rt,
+        CAST(k % 5000 AS VARCHAR) AS cargo_weight,
+        'SEAL' || CAST(k AS VARCHAR) AS seal_number
+    FROM base
+), derived AS (
+    SELECT *,
+        CAST(CASE WHEN opt_ata IS NULL AND eta_dp > DATE '2024-06-01' THEN 0
+                  WHEN opt_ata IS NULL THEN GREATEST(0, DATE '2024-06-01' - eta_dp)
+                  ELSE COALESCE(opt_ata - eta_dp, 0) END AS INT) AS dp_days,
+        (COALESCE(delivery, empty_rt) IS NOT NULL) AS has_real,
+        COALESCE(COALESCE(delivery, empty_rt), DATE '2024-06-01') - opt_eta AS fd_raw
+    FROM canon
+), derived2 AS (
+    SELECT *,
+        CASE WHEN dp_days > 0 THEN 'delay'
+             WHEN dp_days < 0 AND opt_ata IS NOT NULL THEN 'early'
+             ELSE 'on_time' END AS delayed_dp,
+        CAST(CASE WHEN has_real THEN fd_raw
+                  WHEN opt_eta > DATE '2024-06-01' THEN 0
+                  ELSE GREATEST(0, fd_raw) END AS INT) AS fd_days
+    FROM derived
+), derived3 AS (
+    SELECT *,
+        CASE WHEN has_real AND fd_raw > 0 THEN 'delay'
+             WHEN has_real AND fd_raw < 0 THEN 'early'
+             WHEN has_real THEN 'on_time'
+             WHEN fd_days > 0 THEN 'delay'
+             ELSE 'on_time' END AS delayed_fd,
+        CASE WHEN empty_rt IS NOT NULL THEN 'EMPTY_CONTAINER_RETURNED'
+             WHEN delivery IS NOT NULL THEN 'DELIVERED'
+             WHEN opt_ata IS NOT NULL AND opt_ata <= DATE '2024-06-01' THEN 'AT_DP'
+             WHEN atd_flp IS NOT NULL AND (opt_ata IS NULL OR opt_ata > DATE '2024-06-01')
+                  THEN 'IN_OCEAN_TRANSIT'
+             WHEN ata_flp IS NOT NULL AND atd_flp IS NULL THEN 'AT_TS'
+             WHEN atd_lp IS NULL AND etd_lp >= DATE '2024-06-01' THEN 'AT_ORIGIN'
+             ELSE 'UNKNOWN' END AS status,
+        strftime(etd_lp, '%Y-%m') AS source_group
+    FROM derived2
+), summaries AS (
+    SELECT *,
+        CASE WHEN status IN ('EMPTY_RETURNED', 'EMPTY_CONTAINER_RETURNED')
+             THEN 'EMPTY CONTAINER RETURNED' ELSE status END AS display_status,
+        concat_ws(' | ',
+            'First vessel: ' || fv,
+            CASE WHEN lv <> fv THEN 'Final vessel: ' || lv END) AS vessel_summary,
+        concat_ws(' | ',
+            'Operated by ' || fc,
+            CASE WHEN tc <> fc THEN 'True operating carrier: ' || tc END) AS carrier_summary,
+        concat_ws(' → ',
+            'Origin: ' || por,
+            'Load Port: ' || lp,
+            CASE WHEN flp IS NOT NULL AND flp <> lp THEN 'Transshipment: ' || flp END,
+            'Discharge: ' || dp,
+            'Final: ' || fd) AS port_route_summary,
+        concat_ws(' || ',
+            'Leg 1 (POR → Load Port): ' || por || ' → ' || lp || ' | '
+                || concat_ws(', ',
+                       'ETD ' || strftime(etd_lp, '%d-%b-%y'),
+                       CASE WHEN atd_lp IS NOT NULL
+                            THEN 'ATD ' || strftime(atd_lp, '%d-%b-%y') END),
+            CASE WHEN flp IS NOT NULL AND flp <> lp
+                      AND concat_ws(', ',
+                              CASE WHEN ata_flp IS NOT NULL
+                                   THEN 'ATA ' || strftime(ata_flp, '%d-%b-%y') END,
+                              CASE WHEN atd_flp IS NOT NULL
+                                   THEN 'ATD ' || strftime(atd_flp, '%d-%b-%y') END) <> ''
+                 THEN 'Leg 2 (Load → TS): ' || lp || ' → ' || flp || ' | '
+                      || concat_ws(', ',
+                             CASE WHEN ata_flp IS NOT NULL
+                                  THEN 'ATA ' || strftime(ata_flp, '%d-%b-%y') END,
+                             CASE WHEN atd_flp IS NOT NULL
+                                  THEN 'ATD ' || strftime(atd_flp, '%d-%b-%y') END) END,
+            CASE WHEN opt_ata IS NOT NULL
+                 THEN 'Leg 3 (Ocean to DP): ' || COALESCE(flp, lp) || ' → ' || dp
+                      || ' | ATA_DP ' || strftime(opt_ata, '%d-%b-%y') END,
+            CASE WHEN concat_ws(', ',
+                          CASE WHEN delivery IS NOT NULL
+                               THEN 'DELIVERY ' || strftime(delivery, '%d-%b-%y') END,
+                          CASE WHEN empty_rt IS NOT NULL
+                               THEN 'EMPTY_RET ' || strftime(empty_rt, '%d-%b-%y') END) <> ''
+                 THEN 'Leg 5 (Last CY → Final): ' || dp || ' → ' || fd || ' | '
+                      || concat_ws(', ',
+                             CASE WHEN delivery IS NOT NULL
+                                  THEN 'DELIVERY ' || strftime(delivery, '%d-%b-%y') END,
+                             CASE WHEN empty_rt IS NOT NULL
+                                  THEN 'EMPTY_RET ' || strftime(empty_rt, '%d-%b-%y') END)
+            END) AS critical_dates,
+        CASE WHEN concat_ws('; ',
+                 CASE WHEN delayed_dp = 'delay' AND dp_days > 0
+                      THEN 'Ocean / discharge-port leg is delayed versus ETA at DP by ~'
+                           || CAST(dp_days AS VARCHAR) || ' day(s).' END,
+                 CASE WHEN delayed_fd = 'delay' AND fd_days > 0
+                      THEN 'Final delivery leg is delayed versus ETA at final destination by ~'
+                           || CAST(fd_days AS VARCHAR) || ' day(s).' END) = ''
+             THEN 'Shipment is on time against configured DP / final destination ETAs.'
+             ELSE concat_ws('; ',
+                 CASE WHEN delayed_dp = 'delay' AND dp_days > 0
+                      THEN 'Ocean / discharge-port leg is delayed versus ETA at DP by ~'
+                           || CAST(dp_days AS VARCHAR) || ' day(s).' END,
+                 CASE WHEN delayed_fd = 'delay' AND fd_days > 0
+                      THEN 'Final delivery leg is delayed versus ETA at final destination by ~'
+                           || CAST(fd_days AS VARCHAR) || ' day(s).' END)
+        END AS delay_reason
+    FROM derived3
+), mile AS (
+    SELECT *,
+        concat_ws(' || ',
+            'Overall shipment status: ' || display_status,
+            -- Leg 1
+            'Leg 1 (POR → Load Port) ['
+                || CASE WHEN atd_lp IS NOT NULL THEN 'COMPLETED'
+                        WHEN etd_lp < DATE '2024-06-01' THEN 'OVERDUE'
+                        ELSE 'PLANNED' END
+                || ']: ' || por || ' → ' || lp || '; '
+                || CASE WHEN atd_lp IS NOT NULL
+                        THEN 'departed ' || lp || ' on ' || strftime(atd_lp, '%Y-%m-%d') || '.'
+                        WHEN etd_lp < DATE '2024-06-01'
+                        THEN 'ETD ' || strftime(etd_lp, '%Y-%m-%d')
+                             || ' passed; actual departure not recorded.'
+                        ELSE 'planned ETD ' || strftime(etd_lp, '%Y-%m-%d')
+                             || ' from ' || lp || '.' END,
+            -- Leg 2
+            CASE WHEN flp IS NOT NULL THEN
+                'Leg 2 (Load Port → TS) ['
+                || CASE WHEN atd_flp IS NOT NULL THEN 'COMPLETED'
+                        WHEN ata_flp IS NOT NULL THEN 'PARTIAL'
+                        ELSE 'PLANNED' END
+                || ']: ' || lp || ' → ' || flp || '; '
+                || CASE WHEN atd_flp IS NOT NULL
+                        THEN concat_ws('; ',
+                                 CASE WHEN ata_flp IS NOT NULL
+                                      THEN 'arrived TS ' || flp || ' on '
+                                           || strftime(ata_flp, '%Y-%m-%d') END,
+                                 'departed TS on ' || strftime(atd_flp, '%Y-%m-%d'))
+                        WHEN ata_flp IS NOT NULL
+                        THEN 'arrived TS ' || flp || ' on ' || strftime(ata_flp, '%Y-%m-%d')
+                             || '; TS departure not recorded.'
+                        ELSE 'TS at ' || flp
+                             || ' configured, but no arrival/departure recorded yet.' END
+            ELSE
+                'Leg 2 (Load Port → TS) [NOT_APPLICABLE]: no transshipment; direct ocean leg from '
+                || lp || ' to ' || dp || '.'
+            END,
+            -- Leg 3
+            'Leg 3 (TS/Load → DP) ['
+                || CASE WHEN opt_ata IS NOT NULL AND opt_ata <= DATE '2024-06-01' THEN 'COMPLETED'
+                        WHEN eta_dp < DATE '2024-06-01' THEN 'OVERDUE'
+                        ELSE 'IN_PROGRESS' END
+                || ']: ' || COALESCE(flp, lp) || ' → ' || dp || '; '
+                || CASE WHEN opt_ata IS NOT NULL AND opt_ata <= DATE '2024-06-01'
+                        THEN 'arrived ' || dp || ' on ' || strftime(opt_ata, '%Y-%m-%d') || ' ('
+                             || CASE WHEN delayed_dp = 'delay' AND dp_days > 0
+                                     THEN 'delayed by ~' || CAST(dp_days AS VARCHAR)
+                                          || ' day(s) vs ETA DP.'
+                                     WHEN delayed_dp = 'early' AND dp_days < 0
+                                     THEN 'early by ~' || CAST(ABS(dp_days) AS VARCHAR)
+                                          || ' day(s) vs ETA DP.'
+                                     WHEN delayed_dp = 'on_time' THEN 'on time vs ETA DP.'
+                                     ELSE 'arrival vs ETA DP not clearly classified.' END
+                             || ')'
+                        WHEN eta_dp < DATE '2024-06-01'
+                        THEN 'ETA DP ' || strftime(eta_dp, '%Y-%m-%d')
+                             || ' passed; actual arrival not recorded.'
+                        ELSE 'in ocean transit towards ' || dp || ' (ETA '
+                             || strftime(eta_dp, '%Y-%m-%d') || ').' END,
+            -- Leg 4 (no DP/rail/CY events in this frame)
+            'Leg 4 (DP → Last CY) ['
+                || CASE WHEN status IN ('IN_INLAND_TRANSIT', 'AT_LAST_CY', 'DELIVERED',
+                                        'EMPTY_RETURNED', 'EMPTY_CONTAINER_RETURNED')
+                        THEN 'UNKNOWN' ELSE 'PLANNED' END
+                || ']: ' || dp || ' → Last CY; '
+                || CASE WHEN status IN ('IN_INLAND_TRANSIT', 'AT_LAST_CY', 'DELIVERED',
+                                        'EMPTY_RETURNED', 'EMPTY_CONTAINER_RETURNED')
+                        THEN 'status suggests DP→CY movement happened, but DP/rail/CY events are missing.'
+                        ELSE 'no DP→CY movement recorded yet.' END,
+            -- Leg 5
+            'Leg 5 (Last CY → Final) ['
+                || CASE WHEN empty_rt IS NOT NULL THEN 'COMPLETED'
+                        WHEN delivery IS NOT NULL THEN 'PARTIAL'
+                        WHEN opt_eta < DATE '2024-06-01' THEN 'OVERDUE'
+                        ELSE 'PLANNED' END
+                || ']: Last CY → ' || fd || '; '
+                || concat_ws('; ',
+                       CASE WHEN delivery IS NOT NULL
+                            THEN 'delivered at ' || fd || ' on ' || strftime(delivery, '%Y-%m-%d')
+                            WHEN empty_rt IS NULL
+                            THEN 'delivery pending; ETA FD ' || strftime(opt_eta, '%Y-%m-%d') END,
+                       CASE WHEN empty_rt IS NOT NULL
+                            THEN 'empty container returned at ' || fd || ' on '
+                                 || strftime(empty_rt, '%Y-%m-%d')
+                            ELSE 'empty container return pending' END)
+                || ' ('
+                || CASE WHEN delayed_fd = 'delay' AND fd_days > 0
+                        THEN 'delayed by ~' || CAST(fd_days AS VARCHAR) || ' day(s) vs ETA FD.'
+                        WHEN delayed_fd = 'early' AND fd_days < 0
+                        THEN 'early by ~' || CAST(ABS(fd_days) AS VARCHAR) || ' day(s) vs ETA FD.'
+                        WHEN delayed_fd = 'on_time' THEN 'on time vs ETA FD.'
+                        ELSE 'completion vs ETA FD not clearly classified.' END
+                || ')'
+        ) AS milestones
+    FROM summaries
+), content AS (
+    SELECT *,
+        concat_ws(E'\n\n',
+            -- Section 1: header
+            concat_ws(' | ',
+                CASE WHEN hot THEN 'HOT CONTAINER' END,
+                'Container: ' || container_number || ' (' || container_type
+                    || ') | Consignee: ' || cname,
+                'Seal Number: ' || seal_number,
+                'Origin/Load: ' || lp || ' | Discharge: ' || dp
+                    || ' | Final Destination: ' || fd,
+                'Current shipment status: ' || display_status),
+            -- Section 2: key dates + delay snapshot
+            'Key dates: '
+                || concat_ws(' | ',
+                       'ETD LP: ' || strftime(etd_lp, '%d-%b-%y'),
+                       'ETA DP: ' || strftime(eta_dp, '%d-%b-%y'),
+                       CASE WHEN opt_ata IS NOT NULL
+                            THEN 'ATA DP (optimal): ' || strftime(opt_ata, '%d-%b-%y') END,
+                       'ETA FD (optimal): ' || strftime(opt_eta, '%d-%b-%y'))
+                || ' Delay snapshot: '
+                || 'DP delay: ' || delayed_dp || ', Δ≈' || CAST(dp_days AS VARCHAR)
+                || ' day(s) | FD delay: ' || delayed_fd || ', Δ≈'
+                || CAST(fd_days AS VARCHAR) || ' day(s)',
+            -- Section 3: route summaries
+            'Route summary: ' || port_route_summary
+                || ' Vessel summary: ' || vessel_summary
+                || ' Carrier summary: ' || carrier_summary,
+            -- Section 4: timeline (gap flag is always none_detected here)
+            'Milestones: ' || milestones
+                || ' Critical dates: ' || critical_dates
+                || ' Delay analysis: ' || delay_reason,
+            -- Section 8: cargo metrics
+            'Cargo metrics: weight ' || cargo_weight || ' kg',
+            -- Section 9: references
+            'References: PO Numbers: ' || array_to_string(po_numbers, ', ')
+                || ' | Job No: ' || job_no,
+            -- Section 10: parties & service
+            'Parties & service: Consignee: ' || cname
+                || ' | Hot container flag: '
+                || CASE WHEN hot THEN 'True' ELSE 'False' END
+        ) AS combined_content
+    FROM mile
+)
+SELECT COALESCE(carr_eqp_uid, job_no) AS document_id,
+       status,
+       source_group,
+       CAST(length(combined_content) AS INT) AS content_len,
+       CAST(length(milestones) AS INT) AS milestones_len,
+       md5(combined_content) AS content_md5,
+       md5(milestones) AS milestones_md5
+FROM content
+"""
 
 
 def q41_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
