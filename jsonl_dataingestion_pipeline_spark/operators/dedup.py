@@ -74,6 +74,23 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pipeline breaks
+# ---------------------------------------------------------------------------
+def _pipeline_break(df: DataFrame, reliable: bool) -> DataFrame:
+    """Eager materialization barrier between dedup stages.
+
+    ``localCheckpoint`` (default) stores blocks on the executors — fast,
+    but an executor loss mid-job kills the lineage and the job. On a real
+    cluster pass ``reliable=True`` to use a fault-tolerant ``checkpoint``
+    into ``spark.sparkContext.setCheckpointDir(...)`` storage (HDFS/object
+    store), which survives executor loss at the cost of one write+read.
+    """
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
 # Shared shingle base
 # ---------------------------------------------------------------------------
 def shingle_base(
@@ -83,6 +100,7 @@ def shingle_base(
     *,
     shingle_k: int = 3,
     strategy: str = "window",
+    reliable: bool = False,
 ) -> DataFrame:
     """Materialized ``(__id, __sh)`` distinct-shingle-set relation.
 
@@ -106,10 +124,13 @@ def shingle_base(
       bandwidth-bound cluster).
     """
     if strategy == "narrow":
-        return df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-        ).localCheckpoint(eager=True)
+        return _pipeline_break(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+            ),
+            reliable,
+        )
 
     from pyspark.sql import Window
 
@@ -149,7 +170,7 @@ def shingle_base(
         )
     )
     long_docs = grams.groupBy("__id").agg(F.collect_set("s").alias("__sh"))
-    return long_docs.unionByName(short).localCheckpoint(eager=True)
+    return _pipeline_break(long_docs.unionByName(short), reliable)
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +212,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     base: Optional[DataFrame] = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verification.
 
@@ -207,7 +229,9 @@ def minhash_lsh_pairs(
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
     if base is None:
-        base = shingle_base(df, text_col, id_col, shingle_k=shingle_k)
+        base = shingle_base(
+            df, text_col, id_col, shingle_k=shingle_k, reliable=reliable
+        )
 
     # Signatures via explode + 32 codegen'd min-aggregates. The obvious
     # alternative — nested transform() lambdas per row — runs interpreted
@@ -233,9 +257,10 @@ def minhash_lsh_pairs(
         ]
     )
     # consumed by both sides of the self-join -> materialize once
-    banded = sigs.select(
-        F.col("__id"), F.posexplode(band_keys).alias("band", "key")
-    ).localCheckpoint(eager=True)
+    banded = _pipeline_break(
+        sigs.select(F.col("__id"), F.posexplode(band_keys).alias("band", "key")),
+        reliable,
+    )
 
     left = banded.select(
         F.col("band"), F.col("key"), F.col("__id").alias("id_l")
@@ -246,12 +271,12 @@ def minhash_lsh_pairs(
     # Pipeline-break before the verify join — same rationale as in
     # ngram_jaccard_pairs (a lazy candidate subplan degrades the combined
     # join order/strategy badly).
-    cand = (
+    cand = _pipeline_break(
         left.join(right, on=["band", "key"])
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"])
-        .localCheckpoint(eager=True)
+        .dropDuplicates(["id_l", "id_r"]),
+        reliable,
     )
 
     sh = base.select(F.col("__id"), F.col("__sh"))
@@ -281,6 +306,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     base: Optional[DataFrame] = None,
     max_bucket: Optional[int] = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a *sampled* shingle.
 
@@ -298,7 +324,9 @@ def ngram_jaccard_pairs(
     Unset by default so results stay byte-identical to the uncapped oracle.
     """
     if base is None:
-        base = shingle_base(df, text_col, id_col, shingle_k=shingle_k)
+        base = shingle_base(
+            df, text_col, id_col, shingle_k=shingle_k, reliable=reliable
+        )
     # Candidate generation on EXPLODED rows: md5 + prefix filter run in
     # whole-stage codegen there, vs interpreted lambda eval inside a
     # higher-order transform(). __sh is already distinct per doc, so the
@@ -324,13 +352,13 @@ def ngram_jaccard_pairs(
     # order/strategy degrades badly (measured 128s vs 12s at sf0.1 on
     # local[32]); a pipeline break with known sizes keeps the verify join
     # a plain shuffled hash join over the real candidate count.
-    cand = (
+    cand = _pipeline_break(
         sampled.alias("a")
         .join(sampled.alias("b"), on="shash")
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
-        .dropDuplicates(["id_l", "id_r"])
-        .localCheckpoint(eager=True)
+        .dropDuplicates(["id_l", "id_r"]),
+        reliable,
     )
 
     sh = base.select(F.col("__id"), F.col("__sh"))

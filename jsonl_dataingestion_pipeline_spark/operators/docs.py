@@ -30,9 +30,17 @@ def normalize_documents(
     *,
     id_fallback_order: Optional[Sequence[str]] = None,
     with_doc_index_fallback: bool = True,
+    legacy_repr_consignee_code: bool = False,
 ) -> DataFrame:
     """Shape a fully derived shipment DataFrame into documents:
     ``(document_id, content, metadata struct, consignee_code, source_group)``.
+
+    ``consignee_code`` is emitted as a typed ``array<string>`` — a
+    deliberate contract change from the reference writer, which
+    serializes ``str(list)`` (a Python-repr string like
+    ``"['0001234567']"``, `src/writer.py:244-247`). Downstream consumers
+    that still parse the old repr format can set
+    ``legacy_repr_consignee_code=True`` to get that exact string form.
     """
     cols = set(df.columns)
 
@@ -61,6 +69,12 @@ def normalize_documents(
         if "consignee_codes" in cols
         else F.array().cast("array<string>")
     )
+    out_codes = codes
+    if legacy_repr_consignee_code:
+        # Python str(list) parity: ['a', 'b'] with single quotes; the
+        # metadata field keeps the typed array either way
+        joined = F.concat(F.lit("['"), F.array_join(codes, "', '"), F.lit("']"))
+        out_codes = F.when(F.size(codes) == 0, F.lit("[]")).otherwise(joined)
 
     metadata_fields = [
         F.col(f"`{c}`").alias(c)
@@ -73,7 +87,7 @@ def normalize_documents(
         F.coalesce(*id_chain).alias("document_id"),
         content.alias("content"),
         metadata.alias("metadata"),
-        codes.alias("consignee_code"),
+        out_codes.alias("consignee_code"),
         *(
             [F.col("source_group").alias("source_group")]
             if "source_group" in cols

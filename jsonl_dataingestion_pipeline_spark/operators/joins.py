@@ -35,9 +35,14 @@ def asof_join(
     ``right.on <= left.on`` (within the same ``by`` key).
 
     Plan shape: union both sides tagged, one window sorted by
-    (ts, side-tag) per key, running ``last(payload, ignorenulls)``; keep
-    left rows. The payload travels as ONE struct so a legitimately-null
-    right column can't leak an older row's value.
+    (ts, side-tag, payload) per key, running ``last(payload,
+    ignorenulls)``; keep left rows. The payload travels as ONE struct so
+    a legitimately-null right column can't leak an older row's value.
+    The payload itself is the third sort key: when several right rows
+    share the same (key, ts), the struct-wise largest one wins —
+    deterministic across runs and partitionings (plain ``last`` over a
+    (ts, side)-only ordering would pick whichever equal-ts row the sort
+    happened to place last).
     """
     by = list(by or [])
     if right_cols is None:
@@ -64,7 +69,7 @@ def asof_join(
 
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn(

@@ -174,6 +174,7 @@ def embedding_neardup_pairs(
     n_planes: int = 16,
     bands: int = 4,
     dim: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-hash LSH.
 
@@ -212,20 +213,22 @@ def embedding_neardup_pairs(
             for b in range(bands)
         ]
     )
+    from .dedup import _pipeline_break
+
     # ids-only through the wide ops: band explode, self-join, and the
     # dropDuplicates shuffle never see an embedding vector
-    banded = base.select("__id", F.explode(band_keys).alias("key")).localCheckpoint(
-        eager=True
+    banded = _pipeline_break(
+        base.select("__id", F.explode(band_keys).alias("key")), reliable
     )
 
     left = banded.select(F.col("key"), F.col("__id").alias("id_l"))
     right = banded.select(F.col("key"), F.col("__id").alias("id_r"))
-    cand = (
+    cand = _pipeline_break(
         left.join(right, on="key")
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"])
-        .localCheckpoint(eager=True)
+        .dropDuplicates(["id_l", "id_r"]),
+        reliable,
     )
 
     vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vv"))

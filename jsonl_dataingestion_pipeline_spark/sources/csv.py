@@ -136,3 +136,71 @@ def read_shipment_csv(
         else:
             projection.append(F.lit(None).cast("string").alias(dst))
     return df.select(*projection)
+
+
+def detect_encoding(
+    spark: SparkSession,
+    path: str,
+    *,
+    candidates: Sequence[str] = ("UTF-8", "iso-8859-1"),
+    probe_bytes: int = 8 << 20,
+) -> str:
+    """Pick the first candidate encoding that decodes the file's bytes.
+
+    The reference retries the whole read with ``iso-8859-1`` when UTF-8
+    raises ``UnicodeDecodeError`` (`/root/reference/src/ingestor.py:104-121`).
+    Spark's CSV reader never raises — it substitutes malformed bytes — so
+    the retry must be a driver-side pre-flight: probe up to ``probe_bytes``
+    of the file (first file when ``path`` is a directory) through the
+    Hadoop FS API (works for local / s3a:// / abfss://) and test-decode.
+    An incremental decoder tolerates a multibyte char truncated at the
+    probe boundary. The last candidate is the unconditional fallback,
+    mirroring the reference's latin-1 catch-all (iso-8859-1 maps every
+    byte, so it never fails).
+    """
+    import codecs
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    status = fs.getFileStatus(p)
+    if status.isDirectory():
+        files = sorted(
+            (s.getPath() for s in fs.listStatus(p) if not s.isDirectory()),
+            key=lambda q: q.getName(),
+        )
+        if not files:
+            return candidates[0]
+        p = files[0]
+        status = fs.getFileStatus(p)
+    n = int(min(status.getLen(), probe_bytes))
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n))
+    finally:
+        stream.close()
+    for enc in candidates[:-1]:
+        dec = codecs.getincrementaldecoder(enc)()
+        try:
+            dec.decode(data, False)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return candidates[-1]
+
+
+def read_shipment_csv_auto(
+    spark: SparkSession,
+    path: str,
+    *,
+    strict: bool = True,
+    candidates: Sequence[str] = ("UTF-8", "iso-8859-1"),
+    probe_bytes: int = 8 << 20,
+) -> DataFrame:
+    """S3 with the reference's fallback-encoding retry: probe, then read
+    once with the detected encoding."""
+    enc = detect_encoding(
+        spark, path, candidates=candidates, probe_bytes=probe_bytes
+    )
+    return read_shipment_csv(spark, path, strict=strict, encoding=enc)

@@ -65,6 +65,7 @@ def finalize_filenames(
     *,
     stem: str = "shipment",
     suffix: str = ".json",
+    fallback_tag: str = "all",
 ) -> list[str]:
     """S7 — rename part-files to the reference's naming contract.
 
@@ -72,8 +73,13 @@ def finalize_filenames(
     where ``tag`` is derived from the partition directory value (e.g.
     ``source_group=2024-01`` -> ``202401``) and ``n`` is a 1-based counter
     continuing from any files already present (reference
-    `src/writer.py:59-77`). Driver-side metadata operation via the Hadoop
-    FS API — works on object stores as well as local paths.
+    `src/writer.py:59-77`). An unpartitioned output (files directly under
+    ``output_dir``) gets ``fallback_tag`` (reference's 'all' fallback) —
+    never the output directory's own name. Also merges bucket-salted
+    files from :func:`write_documents_byte_capped` (``<stem>_<tag>_p<b>_<n>
+    .jsonl``) into the same sequential counter. Driver-side metadata
+    operation via the Hadoop FS API — works on object stores as well as
+    local paths.
     """
     import re
 
@@ -88,22 +94,51 @@ def finalize_filenames(
     dirs = [s.getPath() for s in fs.listStatus(root) if s.isDirectory()]
     for d in dirs or [root]:
         dname = d.getName()
-        tag = dname.split("=", 1)[1] if "=" in dname else dname
-        tag = re.sub(r"[^0-9A-Za-z]", "", tag).lower() or "all"
+        if "=" in dname:
+            tag = dname.split("=", 1)[1]
+            tag = re.sub(r"[^0-9A-Za-z]", "", tag).lower() or fallback_tag
+            final_tags = [tag]
+        else:
+            # root fallback: no partition value to derive a tag from
+            tag = fallback_tag
+            final_tags = None  # bucket merge discovers tags below
         pattern = re.compile(rf"^{re.escape(stem)}_{re.escape(tag)}_(\d+)\.jsonl$")
+        bucket_pat = re.compile(
+            rf"^{re.escape(stem)}_([0-9a-z]+)_p\d+_\d+\.jsonl$"
+        )
         existing = 0
         parts = []
+        bucketed: dict[str, list] = {}
         for s in fs.listStatus(d):
             name = s.getPath().getName()
             m = pattern.match(name)
+            bm = bucket_pat.match(name)
             if m:
                 existing = max(existing, int(m.group(1)))
+            elif bm:
+                bucketed.setdefault(bm.group(1), []).append(s.getPath())
             elif name.startswith("part-") and name.endswith(suffix):
                 parts.append(s.getPath())
-        for i, p in enumerate(sorted(parts, key=lambda x: x.getName()), start=existing + 1):
+        for i, p in enumerate(
+            sorted(parts, key=lambda x: x.getName()), start=existing + 1
+        ):
             target = jvm.org.apache.hadoop.fs.Path(d, f"{stem}_{tag}_{i}.jsonl")
             fs.rename(p, target)
             renamed.append(target.toString())
+        # counter-merge the bucket-salted writer output per tag
+        for btag, files in sorted(bucketed.items()):
+            bpat = re.compile(rf"^{re.escape(stem)}_{re.escape(btag)}_(\d+)\.jsonl$")
+            bexisting = 0
+            for s in fs.listStatus(d):
+                m = bpat.match(s.getPath().getName())
+                if m:
+                    bexisting = max(bexisting, int(m.group(1)))
+            for i, p in enumerate(
+                sorted(files, key=lambda x: x.getName()), start=bexisting + 1
+            ):
+                target = jvm.org.apache.hadoop.fs.Path(d, f"{stem}_{btag}_{i}.jsonl")
+                fs.rename(p, target)
+                renamed.append(target.toString())
     return renamed
 
 
@@ -114,6 +149,7 @@ def write_documents_byte_capped(
     cap_bytes: int = MAX_FILE_SIZE_BYTES,
     group_col: str = "source_group",
     stem: str = "shipment",
+    buckets_per_group: int = 1,
 ) -> None:
     """S6 exact variant — roll output files at a hard byte cap.
 
@@ -124,9 +160,16 @@ def write_documents_byte_capped(
     over-cap single document still gets its own file).
 
     Distribution: rows are hash-partitioned on ``group_col`` so each task
-    owns whole groups — group file counters need no coordination. Workers
-    write with plain ``open()``: local and shared filesystems only (an
-    object-store variant would swap in a cloud SDK client per executor).
+    owns whole groups — group file counters need no coordination. One hot
+    group then serializes on a single core; ``buckets_per_group > 1``
+    salts the routing with a deterministic row-hash bucket so a dominant
+    group spreads over that many tasks. Bucketed tasks write
+    ``<stem>_<tag>_p<bucket>_<n>.jsonl`` (collision-free without
+    coordination); run :func:`finalize_filenames` afterwards to merge
+    them into the reference's sequential ``<stem>_<tag>_<n>.jsonl``
+    counter. Workers write with plain ``open()``: local and shared
+    filesystems only (an object-store variant would swap in a cloud SDK
+    client per executor).
     """
     import datetime as _dt
     import json
@@ -134,8 +177,14 @@ def write_documents_byte_capped(
     import re
 
     os.makedirs(output_dir, exist_ok=True)
-    routed = df.repartition(F.col(group_col))
-    field_names = [f.name for f in df.schema.fields]
+    salted = buckets_per_group > 1
+    if salted:
+        bucket = F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(buckets_per_group))
+        routed = df.withColumn("__bucket", bucket).repartition(
+            F.col(group_col), F.col("__bucket")
+        )
+    else:
+        routed = df.repartition(F.col(group_col))
 
     def _default(o):
         if isinstance(o, (_dt.date, _dt.datetime)):
@@ -143,30 +192,33 @@ def write_documents_byte_capped(
         return str(o)
 
     def write_partition(rows) -> None:
-        handles: dict = {}  # tag -> [file_obj, bytes_written, counter]
+        handles: dict = {}  # (tag, bucket) -> [file_obj, bytes_written, counter]
 
         def tag_of(val) -> str:
             t = re.sub(r"[^0-9A-Za-z]", "", str(val)) if val is not None else "unknown"
             return t.lower() or "unknown"
 
-        def open_next(tag):
-            state = handles.get(tag)
+        def open_next(key):
+            tag, bkt = key
+            state = handles.get(key)
             n = state[2] + 1 if state else 1
             if state and state[0]:
                 state[0].close()
-            path = os.path.join(output_dir, f"{stem}_{tag}_{n}.jsonl")
+            mid = f"_p{bkt}" if bkt is not None else ""
+            path = os.path.join(output_dir, f"{stem}_{tag}{mid}_{n}.jsonl")
             f = open(path, "w", encoding="utf-8")
-            handles[tag] = [f, 0, n]
-            return handles[tag]
+            handles[key] = [f, 0, n]
+            return handles[key]
 
         for row in rows:
             d = row.asDict(recursive=True)
-            tag = tag_of(d.get(group_col))
+            bkt = d.pop("__bucket", None) if salted else None
+            key = (tag_of(d.get(group_col)), bkt)
             line = json.dumps(d, ensure_ascii=False, default=_default) + "\n"
             size = len(line.encode("utf-8"))
-            state = handles.get(tag) or open_next(tag)
+            state = handles.get(key) or open_next(key)
             if state[1] > 0 and state[1] + size > cap_bytes:
-                state = open_next(tag)
+                state = open_next(key)
             state[0].write(line)
             state[1] += size
         for f, _, _ in handles.values():

@@ -3,8 +3,11 @@
 The reference's "poll for the latest CSV" loop (`src/ingestor.py:35-65`)
 becomes a Structured Streaming file source: new files in the input
 directory are discovered incrementally, pushed through the *same* batch
-transform via ``foreachBatch``, and appended to the partitioned JSONL
-target exactly-once per micro-batch.
+transform via ``foreachBatch``, and written to the JSONL target. Each
+micro-batch lands in its own ``batch_id=<n>`` subdirectory with
+overwrite semantics, which makes a replayed batch (foreachBatch is
+at-least-once) rewrite the same directory instead of appending
+duplicates — effectively-once output without a transactional sink.
 
 Also provides watermarked event aggregation (tumbling windows + late-data
 handling) over an events stream — the streaming-native operator surface.
@@ -29,12 +32,23 @@ def stream_shipment_csv(
     *,
     as_of: AsOf = None,
     trigger_available_now: bool = True,
+    idempotent: bool = True,
 ):
     """Incremental CSV -> documents -> JSONL stream.
 
     File-source streaming requires a fixed schema, so the strict header
     contract is applied positionally (the batch reader's per-file header
     check runs in strict batch mode instead).
+
+    ``foreachBatch`` guarantees at-least-once delivery: after a failure or
+    restart the same batch_id can be replayed. With ``idempotent=True``
+    (default) each batch overwrites its own ``batch_id=<n>/`` subdirectory
+    under ``output_dir`` — a replay rewrites identical content in place,
+    so readers of ``output_dir`` never see duplicates (read back with a
+    recursive glob or partition discovery; ``batch_id`` surfaces as a
+    partition column). ``idempotent=False`` restores the flat
+    ``source_group=<g>/`` layout at plain-append (at-least-once)
+    semantics — duplicate documents are possible after a replay.
     """
     raw = (
         spark.readStream.schema(raw_csv_schema())
@@ -45,11 +59,18 @@ def stream_shipment_csv(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs = build_documents(transform_shipments(batch_df, as_of=as_of))
-        (
-            docs.write.mode("append")
-            .partitionBy("source_group")
-            .json(output_dir)
-        )
+        if idempotent:
+            (
+                docs.write.mode("overwrite")
+                .partitionBy("source_group")
+                .json(f"{output_dir}/batch_id={batch_id}")
+            )
+        else:
+            (
+                docs.write.mode("append")
+                .partitionBy("source_group")
+                .json(output_dir)
+            )
 
     writer = (
         canonical.writeStream.foreachBatch(process)

@@ -57,3 +57,27 @@ def test_read_shipment_csv_permissive_backfills(tmp_path, spark):
         read_shipment_csv(spark, str(p))
     df = read_shipment_csv(spark, str(p), strict=False)
     assert df.first()["empty_container_dispatch_lcn"] is None
+
+
+def test_read_shipment_csv_auto_latin1_fallback(tmp_path, spark):
+    """Reference retries with iso-8859-1 on UnicodeDecodeError
+    (src/ingestor.py:104-121); the Spark port detects the encoding in a
+    driver-side probe and reads once with the right one."""
+    from jsonl_dataingestion_pipeline_spark.sources.csv import (
+        detect_encoding,
+        read_shipment_csv_auto,
+    )
+
+    header = ",".join(f'"{h}"' for h in SOURCE_HEADERS)
+    row = ",".join(["Café"] + ["v"] * (len(SOURCE_HEADERS) - 1))
+
+    latin = tmp_path / "latin.csv"
+    latin.write_bytes((header + "\n" + row + "\n").encode("iso-8859-1"))
+    assert detect_encoding(spark, str(latin)) == "iso-8859-1"
+    df = read_shipment_csv_auto(spark, str(latin))
+    assert df.first()["job_no"] == "Café"  # no mojibake / U+FFFD
+
+    utf = tmp_path / "utf.csv"
+    utf.write_bytes((header + "\n" + row + "\n").encode("utf-8"))
+    assert detect_encoding(spark, str(utf)) == "UTF-8"
+    assert read_shipment_csv_auto(spark, str(utf)).first()["job_no"] == "Café"

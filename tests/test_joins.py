@@ -92,3 +92,18 @@ def test_range_join_no_shuffle_on_facts(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_asof_join_deterministic_tiebreak(spark):
+    """Multiple right rows at the same (key, ts): the struct-wise largest
+    payload must win, on every run and partitioning."""
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 12:00:00")], "k string, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 11:00:00", v) for v in ("b", "c", "a")],
+        "k string, ts_s string, v string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v").repartition(4)
+    for _ in range(3):
+        got = asof_join(left, right, on="ts", by=["k"]).first()
+        assert got["v"] == "c"  # max payload among the equal-ts rows

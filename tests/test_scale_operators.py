@@ -229,3 +229,19 @@ def test_legacy_clean_string(spark):
     legacy = [r[0] for r in df.select(clean_string(F.col("v"), legacy=True)).collect()]
     assert strict == ["None", "null", "", "keep", None]
     assert legacy == [None, None, None, "keep", None]
+
+
+def test_dedup_reliable_checkpoint_mode(tmp_path, spark):
+    """reliable=True routes pipeline breaks through the fault-tolerant
+    checkpoint dir; output must be identical to the local default."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(
+        [(i, f"common base text plus token{i} here for doc") for i in range(40)]
+        + [(100 + i, f"common base text plus token{i} here for doc extra") for i in range(10)],
+        "id long, text string",
+    )
+    fast = minhash_lsh_pairs(df, "text", "id", threshold=0.3)
+    reliable = minhash_lsh_pairs(df, "text", "id", threshold=0.3, reliable=True)
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, reliable.collect()))
+    assert a == b and len(a) > 0

@@ -153,3 +153,65 @@ def test_split_multi_consignee(spark):
     assert (rows[3]["n"], rows[3]["c"]) == (None, [])
     assert (rows[4]["n"], rows[4]["c"]) == (None, [])
     assert (rows[5]["n"], rows[5]["c"]) == ("Dup", ["5"])
+
+
+def test_byte_capped_writer_bucket_salt_and_merge(tmp_path, spark):
+    """One dominant group + buckets_per_group>1 -> several tasks write
+    collision-free p<bucket> files; finalize_filenames merges them into
+    the sequential naming contract with caps intact."""
+    from jsonl_dataingestion_pipeline_spark.sources.jsonl import (
+        finalize_filenames,
+        write_documents_byte_capped,
+    )
+
+    out = tmp_path / "salted"
+    df = spark.createDataFrame(
+        [(f"d{i}", "x" * 200, "2024-05") for i in range(60)],
+        "document_id string, content string, source_group string",
+    )
+    write_documents_byte_capped(
+        df, str(out), cap_bytes=1200, buckets_per_group=4
+    )
+    pre = sorted(p.name for p in out.glob("shipment_202405_p*_*.jsonl"))
+    assert len({n.split("_")[2] for n in pre}) > 1  # >1 bucket writer ran
+
+    finalize_filenames(spark, str(out))
+    files = sorted(out.glob("shipment_202405_*.jsonl"))
+    assert files and not list(out.glob("*_p*_*.jsonl"))
+    # sequential counter 1..N, caps hold, no rows lost
+    nums = sorted(int(f.stem.rsplit("_", 1)[1]) for f in files)
+    assert nums == list(range(1, len(files) + 1))
+    lines = [l for f in files for l in f.read_text().splitlines()]
+    assert len(lines) == 60
+    assert all(f.stat().st_size <= 1200 for f in files)
+
+
+def test_finalize_filenames_root_fallback_tag(tmp_path, spark):
+    """Unpartitioned output gets the 'all' tag, not the directory name."""
+    from jsonl_dataingestion_pipeline_spark.sources.jsonl import finalize_filenames
+
+    out = tmp_path / "flatout"
+    out.mkdir()
+    (out / "part-00000-abc.json").write_text('{"a":1}\n')
+    (out / "part-00001-def.json").write_text('{"a":2}\n')
+    renamed = finalize_filenames(spark, str(out))
+    names = sorted(p.rsplit("/", 1)[1] for p in renamed)
+    assert names == ["shipment_all_1.jsonl", "shipment_all_2.jsonl"]
+
+
+def test_normalize_documents_legacy_consignee_repr(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.docs import normalize_documents
+
+    df = spark.createDataFrame(
+        [("J1", "c", ["0001234567"]), ("J2", "c", [])],
+        "job_no string, combined_content string, consignee_codes array<string>",
+    )
+    legacy = {
+        r["document_id"]: r["consignee_code"]
+        for r in normalize_documents(
+            df, legacy_repr_consignee_code=True, with_doc_index_fallback=False
+        ).collect()
+    }
+    assert legacy == {"J1": "['0001234567']", "J2": "[]"}
+    typed = normalize_documents(df, with_doc_index_fallback=False).first()
+    assert typed["consignee_code"] == ["0001234567"]  # default stays typed
