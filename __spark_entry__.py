@@ -1944,6 +1944,54 @@ def q41_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_SIM_QUERIES["q41_approx_distinct"] = q41_approx_distinct
 
+def q50_workflow_gaps_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 legacy 3-code variant distribution (`src/transformer_old.py:852-864`);
+    eta_fd is nulled for every 11th order so the missing_eta_fd code fires."""
+    from jsonl_dataingestion_pipeline_spark.operators.derivations import (
+        workflow_gap_flags_legacy,
+    )
+
+    s = _pseudo_shipment(spark, sf_dir)
+    eta_fd = F.when(F.col("orderkey") % 11 != 0, F.col("eta_fd"))
+    flags = workflow_gap_flags_legacy(
+        atd_lp=F.col("atd_lp"),
+        ata_dp=F.col("ata_dp"),
+        out_gate_dp=F.col("out_gate_cy"),
+        arrived_cy=F.col("arrived_cy"),
+        delivery=F.col("delivery"),
+        empty_return=F.col("empty_return"),
+        eta_dp=F.col("eta_dp"),
+        eta_fd=eta_fd,
+    )
+    return (
+        s.select(flags.alias("gap_flags"))
+        .groupBy("gap_flags")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_DEDUP_SIM_QUERIES["q50_workflow_gaps_legacy"] = q50_workflow_gaps_legacy
+
+_ORACLE_DEDUP_SIM["q50_workflow_gaps_legacy"] = _PSEUDO_SQL + """
+    , coded AS (
+        SELECT concat_ws(', ',
+            CASE WHEN atd_lp IS NULL AND (ata_dp IS NOT NULL OR out_gate_cy IS NOT NULL)
+                 THEN 'missing_atd_lp' END,
+            CASE WHEN (eta_dp IS NOT NULL OR ata_dp IS NOT NULL)
+                      AND out_gate_cy IS NULL
+                      AND (arrived_cy IS NOT NULL OR delivery IS NOT NULL)
+                 THEN 'missing_out_gate_from_dp' END,
+            CASE WHEN (CASE WHEN orderkey % 11 <> 0 THEN eta_fd END) IS NULL
+                      AND (delivery IS NOT NULL OR empty_return IS NOT NULL)
+                 THEN 'missing_eta_fd' END) AS joined
+        FROM ship2
+    )
+    SELECT CASE WHEN joined = '' THEN 'none' ELSE joined END AS gap_flags,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM coded GROUP BY 1
+"""
+
+
 _ORACLE_DEDUP_SIM["q41_approx_distinct"] = """
     SELECT l_returnflag AS returnflag,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,

@@ -173,6 +173,45 @@ def workflow_gap_flag(delivery: Column, empty_return: Column) -> Column:
     ).otherwise(F.lit("none_detected"))
 
 
+def workflow_gap_flags_legacy(
+    *,
+    atd_lp: Column,
+    ata_dp: Column,
+    out_gate_dp: Column,
+    arrived_cy: Column,
+    delivery: Column,
+    empty_return: Column,
+    eta_dp: Column,
+    eta_fd: Column,
+) -> Column:
+    """D7 legacy variant — the old transformer's 3-code gap list
+    (`src/transformer_old.py:852-864`):
+
+    - ``missing_atd_lp``: arrived/out-gated at DP but origin departure
+      never recorded
+    - ``missing_out_gate_from_dp``: DP ETA/ATA exists and downstream
+      (last-CY arrival or delivery) happened, yet no DP out-gate
+    - ``missing_eta_fd``: completed (delivered / empty-returned) with no
+      final-destination ETA ever configured
+
+    Joined with ``", "``; ``"none"`` when no gap fires.
+    """
+    g1 = atd_lp.isNull() & (ata_dp.isNotNull() | out_gate_dp.isNotNull())
+    g2 = (
+        (eta_dp.isNotNull() | ata_dp.isNotNull())
+        & out_gate_dp.isNull()
+        & (arrived_cy.isNotNull() | delivery.isNotNull())
+    )
+    g3 = eta_fd.isNull() & (delivery.isNotNull() | empty_return.isNotNull())
+    joined = F.concat_ws(
+        ", ",
+        F.when(g1, F.lit("missing_atd_lp")),
+        F.when(g2, F.lit("missing_out_gate_from_dp")),
+        F.when(g3, F.lit("missing_eta_fd")),
+    )
+    return F.when(joined == "", F.lit("none")).otherwise(joined)
+
+
 # ---------------------------------------------------------------------------
 # D8 — deterministic key dedup
 # ---------------------------------------------------------------------------

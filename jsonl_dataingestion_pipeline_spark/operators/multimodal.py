@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The decode/feature kernels are the only pieces that need media libraries
-(not available in this container) — they are STUBBED behind
-``decode_available()`` with a deterministic fake so the Spark-side
-plumbing (schema, Arrow batch shape, mapInPandas partitioning) is real
-and tested. Swapping the fake for PIL/torchaudio is a one-function change.
+PNG and PCM-WAV payloads get REAL decode / feature / resize kernels —
+pure stdlib ``zlib``/``wave`` + numpy, no media libraries needed (see
+``functions/media.py``). Formats whose codecs genuinely require
+native libraries (JPEG, video) fall back to a deterministic md5-seeded
+fake, clearly marked, so the Spark-side plumbing (schema, Arrow batch
+shape, mapInPandas streaming partitioning) is exercised for every mime
+type and swapping in PIL/ffmpeg later is a per-format one-function change.
 
 Schema convention:
     media: struct<data: binary, mime: string, width: int, height: int,
@@ -21,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import media as _codecs
+
 MEDIA_STRUCT = T.StructType(
     [
         T.StructField("data", T.BinaryType()),
@@ -34,25 +38,39 @@ MEDIA_STRUCT = T.StructType(
 FEATURE_DIM = 16
 
 
-def decode_available() -> bool:
-    """True when a real media decoder (PIL etc.) is importable."""
-    try:
-        import PIL  # noqa: F401
-
+def decode_available(data: bytes | None = None) -> bool:
+    """True when the payload is a format with a real stdlib decoder
+    (PNG / PCM-WAV), or — with no payload — always True since those
+    decoders ship with this package."""
+    if data is None:
         return True
-    except ImportError:
-        return False
+    return _codecs.is_png(data) or _codecs.is_wav(data)
 
 
 def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector.
-
-    md5-seeded so tests are stable. NOT a real decoder — see module doc.
-    """
+    """Deterministic stand-in for formats without a stdlib codec (JPEG,
+    video): md5-seeded so tests are stable. NOT a real decoder."""
     if data is None:
         return [0.0] * dim
     h = hashlib.md5(data).digest()
     return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
+
+
+def _features_of(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Real features for PNG (4×4 mean-pooled grayscale) and WAV
+    (16-segment RMS); md5 fake for everything else (incl. corrupt files)."""
+    if data is not None and _codecs.is_png(data):
+        try:
+            return _codecs.image_features(_codecs.decode_png(data), grid=4)[:dim]
+        except Exception:
+            return _fake_features(data, dim)
+    if data is not None and _codecs.is_wav(data):
+        try:
+            samples, _rate = _codecs.decode_wav(data)
+            return _codecs.audio_features(samples, dim=dim)
+        except Exception:
+            return _fake_features(data, dim)
+    return _fake_features(data, dim)
 
 
 def extract_features(
@@ -62,25 +80,20 @@ def extract_features(
 
     The per-partition generator shape is the real contract: batches stream
     through without materializing the partition, so binary payloads never
-    blow executor memory even with multi-MB media values.
+    blow executor memory even with multi-MB media values. PNG/WAV decode
+    for real; other formats get the documented deterministic fake.
     """
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
-    use_real = decode_available()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:
-                raise NotImplementedError(
-                    "real media decode not wired yet — install PIL and "
-                    "implement decode here"
-                )
             media = pdf[media_col]
             pdf = pdf.copy()
             pdf[out_col] = [
-                _fake_features(m["data"] if m is not None else None) for m in media
+                _features_of(m["data"] if m is not None else None) for m in media
             ]
             yield pdf
 
@@ -96,19 +109,15 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads (Arrow-batched mapInPandas).
 
-    Decode/re-encode is stubbed (see module doc): the fake produces a
-    deterministic byte payload of the right conceptual shape and updates
-    the typed metadata (width/height), which is the Spark-side contract.
+    PNG payloads are really decoded, nearest-neighbor resized, and
+    re-encoded as PNG; formats without a stdlib codec get the
+    deterministic fake payload (metadata update is the contract either
+    way).
     """
     schema = df.schema
-    use_real = decode_available()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:
-                raise NotImplementedError(
-                    "real image resize not wired — install PIL and decode here"
-                )
             out = pdf.copy()
             new_media = []
             for m in out[media_col]:
@@ -116,10 +125,22 @@ def resize_images(
                     new_media.append(None)
                     continue
                 d = dict(m)
-                seed = hashlib.md5(d.get("data") or b"").digest()
-                d["data"] = (seed * ((width * height) // len(seed) + 1))[
-                    : width * height // 64
-                ]
+                data = d.get("data")
+                resized = None
+                if data is not None and _codecs.is_png(data):
+                    try:
+                        arr = _codecs.decode_png(data)
+                        resized = _codecs.encode_png(
+                            _codecs.resize_nearest(arr, width, height)
+                        )
+                    except Exception:
+                        resized = None  # corrupt PNG -> fake payload
+                if resized is None:
+                    seed = hashlib.md5(data or b"").digest()
+                    resized = (seed * ((width * height) // len(seed) + 1))[
+                        : width * height // 64
+                    ]
+                d["data"] = resized
                 d["width"], d["height"] = width, height
                 new_media.append(d)
             out[media_col] = new_media
@@ -135,31 +156,46 @@ def sample_frames(
     every_ms: int = 1000,
     out_col: str = "frames",
 ) -> DataFrame:
-    """Sample video payloads into frame arrays (one binary per sample).
+    """Sample media payloads into per-interval chunks (one binary each).
 
-    Frame extraction is stubbed; the output schema
-    (``array<binary>`` sized from duration/every_ms) and the streaming
-    batch shape are the real, tested contract.
+    PCM-WAV payloads are really segmented: the audio is decoded, sliced
+    into ``every_ms`` windows, and each window re-encoded as a standalone
+    WAV. Video frame extraction needs a native codec, so video payloads
+    get deterministic fake frames sized from the ``duration_ms`` metadata
+    — the output schema and streaming batch shape are the tested contract
+    either way.
     """
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))]
     )
-    use_real = decode_available()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:
-                raise NotImplementedError(
-                    "real frame sampling not wired — add a video decoder here"
-                )
             out = pdf.copy()
             frames = []
             for m in out[media_col]:
-                if m is None or m.get("duration_ms") is None:
+                if m is None:
+                    frames.append([])
+                    continue
+                data = m.get("data")
+                if data is not None and _codecs.is_wav(data):
+                    try:
+                        samples, rate = _codecs.decode_wav(data)
+                        step = max(1, (rate * every_ms) // 1000)
+                        frames.append(
+                            [
+                                _codecs.encode_wav(samples[i : i + step], rate)
+                                for i in range(0, len(samples), step)
+                            ]
+                        )
+                        continue
+                    except Exception:
+                        pass  # corrupt WAV -> metadata-sized fake below
+                if m.get("duration_ms") is None:
                     frames.append([])
                     continue
                 n = max(1, int(m["duration_ms"]) // every_ms)
-                seed = hashlib.md5(m.get("data") or b"").digest()
+                seed = hashlib.md5(data or b"").digest()
                 frames.append(
                     [hashlib.md5(seed + bytes([i % 256])).digest() for i in range(n)]
                 )
