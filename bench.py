@@ -66,11 +66,12 @@ def main() -> int:
     spark.range(1000).count()
     for t in (
         "region nation customer supplier part orders lineitem "
-        "events documents embeddings".split()
+        "documents embeddings".split()
     ):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).limit(1).collect()
+    entrymod._events(spark, sf_dir).limit(1).collect()  # nanos-ts handling
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -231,6 +231,13 @@ def embedding_neardup_pairs(
         reliable,
     )
 
+    from .dedup import _cpu_floor_repartition
+
+    # CPU floor only when pairs outnumber docs (see dedup._maybe_floor_
+    # candidates); n_docs recovered from the checkpointed band relation
+    if cand.count() >= banded.count() // bands:
+        cand = _cpu_floor_repartition(cand, "id_l")
+
     vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vv"))
     joined = (
         cand.join(vecs.withColumnsRenamed({"__vid": "id_l", "__vv": "v_l"}), on="id_l")
