@@ -1992,6 +1992,106 @@ _ORACLE_DEDUP_SIM["q50_workflow_gaps_legacy"] = _PSEUDO_SQL + """
 """
 
 
+def q51_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the q25 pair graph —
+    the step that turns a pair list into an actual dedup (component id =
+    keep-representative). Oracle replays the full chain with a recursive
+    CTE (min reachable id per node)."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "id", shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+        base=_planted_shingle_base(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    return neardup_clusters(corpus, pairs, id_col="id")
+
+
+def q52_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group — the
+    distributed sort-based quantile every analytics engine needs."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+    )
+
+
+def q53_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed Bernoulli sample (reproducible across engines and
+    partitionings, unlike DataFrame.sample) -> per-status aggregate."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        deterministic_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    s = deterministic_sample(o, "o_orderkey", 1.0 / 16, seed=7)
+    return s.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q51_neardup_clusters"] = q51_neardup_clusters
+_DEDUP_SIM_QUERIES["q52_exact_percentiles"] = q52_exact_percentiles
+_DEDUP_SIM_QUERIES["q53_deterministic_sample"] = q53_deterministic_sample
+
+_ORACLE_DEDUP_SIM["q51_neardup_clusters"] = _NEARDUP_CORPUS_SQL.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1
+) + """
+    , sampled AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h FROM cshingles)
+        WHERE h LIKE '0%'
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM sampled a JOIN sampled b ON a.shash = b.shash AND a.id < b.id
+    ), pairs AS (
+        SELECT c.id_l, c.id_r
+        FROM cand c
+        JOIN cshingles sa ON c.id_l = sa.id
+        JOIN cshingles sb ON c.id_r = sb.id
+        WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
+                    / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) >= 0.5
+    ), edges AS (
+        SELECT id_l AS a, id_r AS b FROM pairs
+        UNION
+        SELECT id_r AS a, id_l AS b FROM pairs
+    ), reach AS (
+        SELECT id, id AS comp FROM corpus
+        UNION
+        SELECT e.b AS id, r.comp
+        FROM reach r JOIN edges e ON e.a = r.id
+    ), labels AS (
+        SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+    )
+    SELECT comp AS component, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY comp HAVING COUNT(*) >= 2
+"""
+
+_ORACLE_DEDUP_SIM["q52_exact_percentiles"] = """
+    SELECT l_returnflag AS returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+_ORACLE_DEDUP_SIM["q53_deterministic_sample"] = """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE CAST('0x' || substr(md5('7:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+          < CAST(268435456 AS BIGINT)
+    GROUP BY o_orderstatus
+"""
+
+
 _ORACLE_DEDUP_SIM["q41_approx_distinct"] = """
     SELECT l_returnflag AS returnflag,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,

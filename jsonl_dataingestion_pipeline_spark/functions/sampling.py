@@ -1,0 +1,77 @@
+"""Deterministic sampling kernels for training-data curation.
+
+``DataFrame.sample()`` draws per-partition, so its output changes with
+partitioning, task retries, and engine — useless for reproducible corpus
+curation or cross-engine verification. These kernels hash a *key* column
+instead: membership is a pure function of the row's key and the seed,
+identical on any cluster layout and replayable in the DuckDB oracle
+(md5-based, like every other hash in this engine).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _bucket32(key: Column, seed: int) -> Column:
+    """Uniform uint32 from md5(seed:key) — the sampling coin."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key: ColumnOrName,
+    fraction: float,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Bernoulli sample keyed on ``key``: kept iff hash32 < fraction·2^32.
+
+    Properties the pipeline relies on:
+    - reproducible across runs, partitionings, engines;
+    - *consistent*: the same key is always in or always out, so sampling
+      two tables on a shared key yields joinable samples;
+    - nested: a 1% sample is a subset of the 10% sample (same seed).
+    Narrow filter — fully pushed into the scan stage, no shuffle.
+    """
+    threshold = int(fraction * (1 << 32))
+    return df.filter(_bucket32(_col(key), seed) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: ColumnOrName,
+    fractions: Mapping[str, float],
+    key: ColumnOrName,
+    *,
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downweight boilerplate
+    sources, keep all rare-language docs). ``fractions`` maps stratum
+    value -> keep fraction; unlisted strata get ``default_fraction``.
+    Same hash-keyed guarantees as :func:`deterministic_sample`; still a
+    narrow filter, no shuffle."""
+    h = _bucket32(_col(key), seed)
+    thresh: Column = F.lit(int(default_fraction * (1 << 32)))
+    for value, frac in sorted(fractions.items()):
+        thresh = (
+            F.when(_col(strata) == value, F.lit(int(frac * (1 << 32))))
+            .otherwise(thresh)
+        )
+    return df.filter(h < thresh)

@@ -411,6 +411,109 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_l",
+    dst_col: str = "id_r",
+    max_iter: int = 25,
+    reliable: bool = False,
+) -> DataFrame:
+    """Label each node with the minimum id reachable through the edge set.
+
+    This is what turns a near-duplicate *pair* list into an actual dedup:
+    rows sharing a component are one duplicate cluster and the component
+    label (the cluster's min id) is its canonical representative.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes. Rounds needed = graph diameter, which for
+    near-dup clusters is tiny (pairs come from a shared-signature bucket,
+    so clusters are dense). Each round is one join + one aggregation on
+    the (small) label frame, lineage-truncated per round; deterministic
+    regardless of partitioning. Raises after ``max_iter`` rounds so a
+    pathological chain fails loudly instead of looping forever.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    )
+    sym = _pipeline_break(sym.dropDuplicates(["a", "b"]), reliable)
+
+    labels = _pipeline_break(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")),
+        reliable,
+    )
+    for _ in range(max_iter):
+        # neighbor labels: edge (a,b) sends comp(a) to b
+        msgs = (
+            sym.join(labels.withColumnsRenamed({"id": "a", "comp": "c"}), on="a")
+            .select(F.col("b").alias("id"), F.col("c").alias("comp"))
+        )
+        new_labels = _pipeline_break(
+            labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp")),
+            reliable,
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnsRenamed({"comp": "old"}), on="id"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def neardup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "id",
+    reliable: bool = False,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair list:
+    (component, n_members) for every component with >= 2 members. The
+    component id doubles as the keep-representative (cluster min id)."""
+    comp = connected_components(
+        nodes, pairs, id_col=id_col, reliable=reliable
+    )
+    return (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .select(F.col("comp").alias("component"), "n_members")
+    )
+
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    reliable: bool = False,
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster representative.
+
+    Keeps exactly one row (the min id) per connected component of the
+    pair graph; rows untouched by any pair survive unchanged.
+    """
+    comp = connected_components(df, pairs, id_col=id_col, reliable=reliable)
+    keep = comp.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def _simhash_batch(texts: pd.Series) -> pd.Series:

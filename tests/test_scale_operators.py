@@ -245,3 +245,56 @@ def test_dedup_reliable_checkpoint_mode(tmp_path, spark):
     a = sorted(map(tuple, fast.collect()))
     b = sorted(map(tuple, reliable.collect()))
     assert a == b and len(a) > 0
+
+
+def test_connected_components_and_neardup_dedup(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_near_duplicates,
+        neardup_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_l long, id_r long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    clusters = {
+        r["component"]: r["n_members"]
+        for r in neardup_clusters(nodes, pairs).collect()
+    }
+    assert clusters == {0: 4, 5: 2}
+
+    kept = sorted(
+        r["id"] for r in dedup_near_duplicates(nodes, pairs, "id").collect()
+    )
+    assert kept == [0, 4, 5, 7]  # one representative per cluster + singletons
+
+
+def test_deterministic_sample_properties(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 4000).withColumn(
+        "stratum", (F.col("id") % 2 == 0).cast("string")
+    )
+    small = set(r["id"] for r in deterministic_sample(df, "id", 0.05, seed=3).collect())
+    big = set(r["id"] for r in deterministic_sample(df, "id", 0.25, seed=3).collect())
+    assert small and small < big                    # nested samples
+    assert 0.15 < len(big) / 4000 < 0.35            # roughly the asked fraction
+    # repartitioning must not change membership (unlike DataFrame.sample)
+    again = set(
+        r["id"]
+        for r in deterministic_sample(df.repartition(13), "id", 0.25, seed=3).collect()
+    )
+    assert again == big
+
+    strat = stratified_sample(
+        df, "stratum", {"true": 0.5, "false": 0.0}, "id", seed=3
+    ).collect()
+    assert strat and all(r["stratum"] == "true" for r in strat)
