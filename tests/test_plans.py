@@ -69,3 +69,15 @@ def test_shipment_transform_is_shuffle_free(spark, shipment_df_factory):
     df = transform_shipments(shipment_df_factory([{}]), as_of="2024-06-01")
     plan = _formatted(spark, df)
     assert "Exchange" not in plan  # clean -> derive -> narrative: one stage
+
+
+def test_deterministic_sample_is_narrow(spark):
+    """Hash-keyed sampling must stay a pure filter: no shuffle, fused into
+    the scan stage."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _formatted(spark, deterministic_sample(df, "o_orderkey", 0.1))
+    assert "Exchange" not in plan
