@@ -81,6 +81,35 @@ def stream_shipment_csv(
     return writer.start()
 
 
+def compact_stream_output(
+    spark: SparkSession,
+    stream_dir: str,
+    final_dir: str,
+    *,
+    finalize_names: bool = False,
+) -> int:
+    """Publish the idempotent stream layout into the reference's flat one.
+
+    Reads every ``batch_id=<n>/source_group=<g>/`` micro-batch directory
+    under ``stream_dir`` (partition discovery supplies both columns),
+    drops the ``batch_id``, and rewrites ``final_dir`` as the flat
+    ``source_group=<g>/`` layout — one atomic overwrite, so consumers of
+    ``final_dir`` never observe a half-published state. Optionally applies
+    the ``<stem>_<tag>_<n>.jsonl`` naming contract. Returns the number of
+    documents published.
+    """
+    from ..sources.jsonl import finalize_filenames, write_documents
+
+    docs = spark.read.json(stream_dir)
+    if "batch_id" in docs.columns:
+        docs = docs.drop("batch_id")
+    write_documents(docs, final_dir)
+    n = docs.count()
+    if finalize_names:
+        finalize_filenames(spark, final_dir)
+    return n
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

@@ -118,3 +118,46 @@ def test_windowed_event_counts_batch_parity(spark):
         ("2024-01-01 11:00:00", "a"): (1, 4.0),
         ("2024-01-01 10:00:00", "b"): (1, 8.0),
     }
+
+
+def test_compact_stream_output(tmp_path, spark):
+    """batch_id=N dirs -> flat source_group layout, one atomic publish."""
+    import csv as _csv
+
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        compact_stream_output,
+    )
+
+    indir, outdir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    indir.mkdir()
+
+    def write_csv(name, job_no):
+        row = {h: "" for h in SOURCE_HEADERS}
+        row["Job No."] = job_no
+        row["ETD LP"] = "05/01/2024"
+        with (indir / name).open("w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(SOURCE_HEADERS))
+            w.writeheader()
+            w.writerow(row)
+
+    write_csv("b1.csv", "J1")
+    stream_shipment_csv(
+        spark, str(indir), str(outdir), str(ckpt), as_of="2024-06-01"
+    ).awaitTermination(120)
+    write_csv("b2.csv", "J2")
+    stream_shipment_csv(
+        spark, str(indir), str(outdir), str(ckpt), as_of="2024-06-01"
+    ).awaitTermination(120)
+    assert (outdir / "batch_id=0").exists()  # idempotent layout on disk
+
+    final = tmp_path / "final"
+    n = compact_stream_output(spark, str(outdir), str(final))
+    assert n == 2
+    docs = [
+        json.loads(line)
+        for p in final.rglob("*.json")
+        for line in p.read_text().splitlines()
+    ]
+    assert sorted(d["document_id"] for d in docs) == ["J1", "J2"]
+    assert all("batch_id" not in d for d in docs)
+    assert any("source_group=" in str(p) for p in final.iterdir())
