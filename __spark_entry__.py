@@ -2036,9 +2036,46 @@ def q53_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum hash-keyed sampling (curation-style: downweight the
+    dominant stratum, keep more of the rare one)."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, "lang", {"en": 0.125, "de": 0.5}, "doc_id",
+        default_fraction=1.0, seed=11,
+    )
+    return s.groupBy(F.col("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
 _DEDUP_SIM_QUERIES["q51_neardup_clusters"] = q51_neardup_clusters
 _DEDUP_SIM_QUERIES["q52_exact_percentiles"] = q52_exact_percentiles
 _DEDUP_SIM_QUERIES["q53_deterministic_sample"] = q53_deterministic_sample
+_DEDUP_SIM_QUERIES["q54_stratified_sample"] = q54_stratified_sample
+
+_ORACLE_DEDUP_SIM["q54_stratified_sample"] = """
+    WITH hashed AS (
+        SELECT lang, doc_id,
+               CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM hashed
+    WHERE h < CASE lang WHEN 'en' THEN 536870912
+                        WHEN 'de' THEN 2147483648
+                        ELSE 4294967296 END
+    GROUP BY lang
+"""
 
 _ORACLE_DEDUP_SIM["q51_neardup_clusters"] = _NEARDUP_CORPUS_SQL.replace(
     "WITH corpus", "WITH RECURSIVE corpus", 1

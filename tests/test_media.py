@@ -156,3 +156,34 @@ def test_sample_frames_real_wav(spark):
     assert len(frames) == 4  # 3 full seconds + 0.5s remainder
     first, _ = decode_wav(bytes(frames[0]))
     assert first.shape[0] == 1000  # each chunk is a real standalone WAV
+
+
+# --- property tests (hypothesis) -------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    img = _rng_img(h, w, c, seed=seed)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(-1, 1, size=(n, ch))
+    y, r = decode_wav(encode_wav(x, rate))
+    assert r == rate and y.shape == (n, ch)
+    assert np.abs(y - x).max() < 1e-3
