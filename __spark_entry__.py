@@ -2011,8 +2011,13 @@ def q51_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q52_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous interpolation) per group — the
-    distributed sort-based quantile every analytics engine needs."""
+    """Exact percentiles (continuous interpolation) per group.
+
+    Scale note: Spark's exact ``percentile`` buffers each group's value
+    multiset in the aggregation state — fine for bounded groups like
+    these 3 flags, wrong for billions of distinct values per group. At
+    100 TB use ``approx_percentile`` (t-digest, bounded state); this
+    query exists to pin the exact semantics against the oracle."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
@@ -2054,6 +2059,70 @@ def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_doc"),
     )
 
+
+def q55_neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup: corpus -> sim-join pairs -> connected
+    components -> drop everything but each cluster's representative.
+    Output is the survivor set's summary (count + id checksums), which the
+    oracle recomputes through the same recursive-CTE replay."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        dedup_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "id", shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+        base=_planted_shingle_base(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    kept = dedup_near_duplicates(corpus, pairs, "id")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q55_neardup_dedup_survivors"] = q55_neardup_dedup_survivors
+
+_Q55_SURVIVORS_SQL = _NEARDUP_CORPUS_SQL.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1
+) + """
+    , sampled AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h FROM cshingles)
+        WHERE h LIKE '0%'
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM sampled a JOIN sampled b ON a.shash = b.shash AND a.id < b.id
+    ), pairs AS (
+        SELECT c.id_l, c.id_r
+        FROM cand c
+        JOIN cshingles sa ON c.id_l = sa.id
+        JOIN cshingles sb ON c.id_r = sb.id
+        WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
+                    / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) >= 0.5
+    ), edges AS (
+        SELECT id_l AS a, id_r AS b FROM pairs
+        UNION
+        SELECT id_r AS a, id_l AS b FROM pairs
+    ), reach AS (
+        SELECT id, id AS comp FROM corpus
+        UNION
+        SELECT e.b AS id, r.comp
+        FROM reach r JOIN edges e ON e.a = r.id
+    ), labels AS (
+        SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(id) AS BIGINT) AS sum_ids,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM labels WHERE id = comp
+"""
+
+_ORACLE_DEDUP_SIM["q55_neardup_dedup_survivors"] = _Q55_SURVIVORS_SQL
 
 _DEDUP_SIM_QUERIES["q51_neardup_clusters"] = q51_neardup_clusters
 _DEDUP_SIM_QUERIES["q52_exact_percentiles"] = q52_exact_percentiles
