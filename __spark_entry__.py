@@ -958,7 +958,13 @@ def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = d.select((F.col("doc_id") * 2).alias("id"), F.col("text"))
     cut = d.select((F.col("doc_id") * 2 + 1).alias("id"), trunc.alias("text"))
-    corpus = full.unionAll(cut).localCheckpoint(eager=True)
+    # spread across every core before the checkpoint: the parquet union
+    # arrives in a handful of input splits, and everything downstream
+    # (shingling, signatures) inherits this layout
+    n_part = spark.sparkContext.defaultParallelism
+    corpus = (
+        full.unionAll(cut).repartition(n_part, "id").localCheckpoint(eager=True)
+    )
     _PLANTED_CACHE[key] = corpus
     return corpus
 

@@ -54,13 +54,18 @@ def _update_user_stats(
 
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values("ts")
-    for ts, value in zip(rows["ts"], rows["value"]):
-        epoch = ts.timestamp()
-        if last_epoch is None or epoch - last_epoch > SESSION_GAP_SECONDS:
-            n_sessions += 1
-        last_epoch = epoch
-        n_events += 1
-        total_value += float(value)
+    if len(rows):
+        import numpy as np
+
+        epochs = np.array([t.timestamp() for t in rows["ts"]], dtype=np.float64)
+        prev = np.concatenate(
+            ([last_epoch if last_epoch is not None else -np.inf], epochs[:-1])
+        )
+        # one vectorized gap scan instead of a per-row Python loop
+        n_sessions += int((epochs - prev > SESSION_GAP_SECONDS).sum())
+        n_events += len(rows)
+        total_value += float(rows["value"].astype(float).sum())
+        last_epoch = float(epochs[-1])
 
     state.update((n_events, total_value, last_epoch, n_sessions))
     yield pd.DataFrame(
