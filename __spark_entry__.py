@@ -2133,7 +2133,137 @@ _ORACLE_DEDUP_SIM["q55_neardup_dedup_survivors"] = _Q55_SURVIVORS_SQL
 _DEDUP_SIM_QUERIES["q51_neardup_clusters"] = q51_neardup_clusters
 _DEDUP_SIM_QUERIES["q52_exact_percentiles"] = q52_exact_percentiles
 _DEDUP_SIM_QUERIES["q53_deterministic_sample"] = q53_deterministic_sample
+def q56_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery: lag (days since previous order), ntile
+    quartile, percent_rank within segment — one Window spec each, all
+    fully tiebroken for cross-engine determinism."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    d = F.col("o_orderdate").cast("date")
+    by_cust = Window.partitionBy("o_custkey").orderBy(d.asc(), F.col("o_orderkey").asc())
+    by_seg = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(d, F.lag(d, 1).over(by_cust)).alias("days_since_prev"),
+        F.ntile(4).over(by_seg).alias("price_quartile"),
+        F.round(F.percent_rank().over(by_seg), 6).alias("price_pct_rank"),
+    )
+
+
+def q57_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-priority classes spread into columns per status."""
+    o = _t(spark, sf_dir, "orders")
+    pri = F.substring(F.col("o_orderpriority"), 1, 1)
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), pri.alias("pri"),
+                 F.col("o_totalprice"))
+        .groupBy("status")
+        .pivot("pri", ["1", "2", "3", "4", "5"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({str(i): f"pri{i}" for i in range(1, 6)})
+    )
+
+
+def q58_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join must be result-identical to the plain join — the
+    oracle IS the plain join, so the salting machinery (random salt on the
+    big side, replicated small side) is proven semantics-preserving."""
+    from jsonl_dataingestion_pipeline_spark.operators.partitioning import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(o, c, on="o_custkey", salt_buckets=8)
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): totals by
+    (status, pri), by status alone, and grand total — no (pri) set."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus AS status,
+               substring(o_orderpriority, 1, 1) AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, substring(o_orderpriority, 1, 1)),
+            (o_orderstatus),
+            ()
+        )
+    """)
+
+
 _DEDUP_SIM_QUERIES["q54_stratified_sample"] = q54_stratified_sample
+_DEDUP_SIM_QUERIES["q56_window_suite"] = q56_window_suite
+_DEDUP_SIM_QUERIES["q57_pivot"] = q57_pivot
+_DEDUP_SIM_QUERIES["q58_salted_join_equivalence"] = q58_salted_join_equivalence
+_DEDUP_SIM_QUERIES["q59_grouping_sets"] = q59_grouping_sets
+
+_ORACLE_DEDUP_SIM["q56_window_suite"] = """
+    WITH j AS (
+        SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+               o.o_totalprice, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 20 = 0
+    )
+    SELECT o_orderkey AS orderkey,
+           CAST(d - LAG(d, 1) OVER (
+               PARTITION BY o_custkey ORDER BY d ASC, o_orderkey ASC) AS INT)
+               AS days_since_prev,
+           CAST(NTILE(4) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS price_pct_rank
+    FROM j
+"""
+
+_ORACLE_DEDUP_SIM["q57_pivot"] = """
+    SELECT o_orderstatus AS status,
+           ROUND(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '1'
+                          THEN o_totalprice END), 2) AS pri1,
+           ROUND(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '2'
+                          THEN o_totalprice END), 2) AS pri2,
+           ROUND(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '3'
+                          THEN o_totalprice END), 2) AS pri3,
+           ROUND(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '4'
+                          THEN o_totalprice END), 2) AS pri4,
+           ROUND(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '5'
+                          THEN o_totalprice END), 2) AS pri5
+    FROM orders GROUP BY o_orderstatus
+"""
+
+_ORACLE_DEDUP_SIM["q58_salted_join_equivalence"] = """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+"""
+
+_ORACLE_DEDUP_SIM["q59_grouping_sets"] = """
+    SELECT o_orderstatus AS status,
+           substring(o_orderpriority, 1, 1) AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (o_orderstatus, substring(o_orderpriority, 1, 1)),
+        (o_orderstatus),
+        ()
+    )
+"""
 
 _ORACLE_DEDUP_SIM["q54_stratified_sample"] = """
     WITH hashed AS (
