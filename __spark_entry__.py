@@ -2204,6 +2204,53 @@ def q59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_SIM_QUERIES["q54_stratified_sample"] = q54_stratified_sample
+def q60_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document (sampled docs),
+    deterministic tiebreak on term."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import tfidf_terms
+
+    d = _t(spark, sf_dir, "documents")
+    scored = tfidf_terms(d, "text", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.filter(F.col("doc_id") < 20)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+_DEDUP_SIM_QUERIES["q60_tfidf_top_terms"] = q60_tfidf_top_terms
+
+_ORACLE_DEDUP_SIM["q60_tfidf_top_terms"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   regexp_split_to_array(TRIM(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS nd FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        WHERE tf.doc_id < 20
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+"""
+
 _DEDUP_SIM_QUERIES["q56_window_suite"] = q56_window_suite
 _DEDUP_SIM_QUERIES["q57_pivot"] = q57_pivot
 _DEDUP_SIM_QUERIES["q58_salted_join_equivalence"] = q58_salted_join_equivalence

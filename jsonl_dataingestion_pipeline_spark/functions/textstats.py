@@ -173,3 +173,43 @@ def fingerprint(c: ColumnOrName, k: int = 3) -> Column:
     documents, cheap (no shuffle), and identical in any engine with md5.
     """
     return F.array_min(F.transform(shingles(c, k), lambda s: F.md5(s)))
+
+
+def tfidf_terms(df, text_col: str, id_col: str, *, lowercase: bool = True):
+    """Per-(doc, term) TF-IDF over a corpus — the classic relevance /
+    keyword-extraction weighting, fully relational:
+
+    1. explode whitespace tokens (optionally lowercased) -> (doc, term)
+    2. term frequency: groupBy(doc, term) count       [1 shuffle]
+    3. document frequency: groupBy(term) distinct-doc [1 shuffle, reuses
+       the (term)-keyed layout downstream for the idf join]
+    4. corpus size N via a broadcast 1-row aggregate (no driver action)
+    5. smooth idf = ln((N+1)/(df+1)) + 1, tfidf = tf·idf (rounded 6 so
+       the DuckDB oracle replays bit-for-bit past libm ulp noise).
+
+    Returns (id_col, term, tf, tfidf). Every step is a plain aggregation
+    with map-side partial combine — linear at corpus scale.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
