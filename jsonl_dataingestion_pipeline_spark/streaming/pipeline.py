@@ -171,6 +171,40 @@ def multi_resolution_rollup(
     return out
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    max_delay: str = "interval 1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (impressions ⋈ clicks shape).
+
+    Right rows match a left row with the same key when they land inside
+    ``(left_ts, left_ts + max_delay]``. Both sides carry watermarks and
+    the join condition bounds event time in both directions, so the state
+    store provably evicts: left state is held ``max_delay`` past its
+    watermark, right state until its own watermark passes — bounded
+    memory at any stream volume (the unbounded-state join Spark would
+    otherwise reject in append mode).
+
+    Works identically on batch frames (plain interval join) — that's the
+    tested parity path.
+    """
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(max_delay))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def sessionize(
     events: DataFrame,
     *,

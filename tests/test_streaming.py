@@ -161,3 +161,52 @@ def test_compact_stream_output(tmp_path, spark):
     assert sorted(d["document_id"] for d in docs) == ["J1", "J2"]
     assert all("batch_id" not in d for d in docs)
     assert any("source_group=" in str(p) for p in final.iterdir())
+
+
+def test_stream_stream_join_true_streaming(tmp_path, spark):
+    """Two file streams joined on key within (ts, ts+1h]: in-window click
+    matches, out-of-window click doesn't; state stays bounded by the
+    watermarks + two-sided time condition."""
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts")).coalesce(
+        1
+    ).write.parquet(str(ldir))
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"), (2, "2024-01-01 11:30:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts_r")).coalesce(
+        1
+    ).write.parquet(str(rdir))
+
+    ls = spark.readStream.schema("user_id long, ts timestamp").parquet(str(ldir))
+    rs = spark.readStream.schema("user_id long, ts_r timestamp").parquet(str(rdir))
+    joined = stream_stream_join(ls, rs)
+    collected = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], str(r["ts_r"])) for r in collected}
+    assert got == {(1, "2024-01-01 10:30:00")}  # user 2's click is 90min late
+
+    # batch parity: same expression on static frames
+    lb = spark.read.parquet(str(ldir))
+    rb = spark.read.parquet(str(rdir))
+    batch = {
+        (r["user_id"], str(r["ts_r"]))
+        for r in stream_stream_join(lb, rb).collect()
+    }
+    assert batch == got
