@@ -2222,6 +2222,56 @@ def q60_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking: top-5 documents for a fixed 3-term query
+    (score = sum of matching-term BM25 weights), doc_id tiebreak."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, "text", "doc_id")
+    hits = scored.filter(F.col("term").isin("the", "data", "of"))
+    ranked = (
+        hits.groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+    return ranked.select("doc_id", "bm25")
+
+
+_DEDUP_SIM_QUERIES["q61_bm25_search"] = q61_bm25_search
+
+_ORACLE_DEDUP_SIM["q61_bm25_search"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   regexp_split_to_array(TRIM(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) / COUNT(*) FROM dl) AS avgdl
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN stats
+        WHERE tf.term IN ('the', 'data', 'of')
+    )
+    SELECT doc_id, ROUND(SUM(score), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 5
+"""
+
 _DEDUP_SIM_QUERIES["q60_tfidf_top_terms"] = q60_tfidf_top_terms
 
 _ORACLE_DEDUP_SIM["q60_tfidf_top_terms"] = """

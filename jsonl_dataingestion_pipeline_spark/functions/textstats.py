@@ -213,3 +213,54 @@ def tfidf_terms(df, text_col: str, id_col: str, *, lowercase: bool = True):
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
         )
     )
+
+
+def bm25_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+):
+    """Per-(doc, term) Okapi BM25 weights — the standard retrieval scorer.
+
+    Same relational skeleton as :func:`tfidf_terms` plus per-doc length
+    normalization: doc length and corpus-average length enter as one extra
+    aggregation each (avgdl is exact — integer sum / integer count — so
+    the DuckDB oracle replays it bit-for-bit). Scores rounded to 6.
+
+    Returns (id_col, term, score).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("__avgdl"))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(dl, on=id_col)
+        .join(dfreq, on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(idf * norm, 6).alias("score"),
+        )
+    )
