@@ -135,3 +135,28 @@ def test_date_formats(spark):
     assert one(spark, d, month_group, typ="date") == "2026-01"
     assert one(spark, d, month_tag, typ="date") == "jan_26"
     assert one(spark, d, mmmyy, typ="date") == "jan26"
+
+
+def test_tfidf_and_bm25_edges(spark):
+    from pyspark.sql import functions as F
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bm25_scores,
+        tfidf_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "   "), (4, None)],
+        "id long, text string",
+    )
+    tt = {(r["id"], r["term"]): (r["tf"], r["tfidf"]) for r in tfidf_terms(df, "text", "id").collect()}
+    # blank/null docs contribute no terms but still count toward N=4
+    assert set(k[0] for k in tt) == {1, 2}
+    assert tt[(1, "apple")][0] == 2 and tt[(2, "banana")][0] == 1
+    # 'banana' appears in 2 docs -> lower idf than 'cherry' (1 doc)
+    assert tt[(2, "banana")][1] < tt[(2, "cherry")][1]
+    # rarer term also outranks common one under BM25 at equal tf
+    bm = {(r["id"], r["term"]): r["score"] for r in bm25_scores(df, "text", "id").collect()}
+    assert bm[(2, "cherry")] > bm[(2, "banana")]
+    # repeated term: tf saturation keeps score bounded vs linear tf-idf
+    assert bm[(1, "apple")] < 2 * bm[(2, "cherry")]
