@@ -2239,6 +2239,79 @@ def q61_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "bm25")
 
 
+def q62_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (EXCEPT ALL / INTERSECT ALL — duplicates counted),
+    summarized per value."""
+    l = _t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_linenumber") == 1).select("l_returnflag")
+    b = l.filter(F.col("l_linenumber") == 2).select("l_returnflag")
+    ex = (
+        a.exceptAll(b)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(inter).select("op", "returnflag", "n")
+
+
+def q63_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type battery: split -> transform -> filter -> exists ->
+    aggregate (fold) -> sort -> join, all higher-order Column functions."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    words = F.split(F.col("p_type"), " ")
+    upper = F.transform(words, lambda w: F.upper(w))
+    longw = F.filter(words, lambda w: F.length(w) > 5)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.array_join(F.array_sort(upper), "|").alias("sorted_upper"),
+        F.size(longw).cast("int").alias("n_long_words"),
+        total_chars.cast("int").alias("total_chars"),
+        F.exists(words, lambda w: w == F.lit("BRUSHED")).alias("has_brushed"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q62_set_ops_all"] = q62_set_ops_all
+_DEDUP_SIM_QUERIES["q63_array_hof_battery"] = q63_array_hof_battery
+
+_ORACLE_DEDUP_SIM["q62_set_ops_all"] = """
+    SELECT 'except_all' AS op, l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_linenumber = 1
+        EXCEPT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_linenumber = 2
+    ) GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_linenumber = 1
+        INTERSECT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_linenumber = 2
+    ) GROUP BY l_returnflag
+"""
+
+_ORACLE_DEDUP_SIM["q63_array_hof_battery"] = """
+    WITH w AS (
+        SELECT p_partkey, string_split(p_type, ' ') AS words
+        FROM part WHERE p_partkey <= 100
+    )
+    SELECT p_partkey AS partkey,
+           array_to_string(list_sort(list_transform(words, x -> upper(x))), '|')
+               AS sorted_upper,
+           CAST(len(list_filter(words, x -> length(x) > 5)) AS INT) AS n_long_words,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS INT) AS total_chars,
+           list_contains(words, 'BRUSHED') AS has_brushed
+    FROM w
+"""
+
 _DEDUP_SIM_QUERIES["q61_bm25_search"] = q61_bm25_search
 
 _ORACLE_DEDUP_SIM["q61_bm25_search"] = """
