@@ -205,6 +205,89 @@ def stream_stream_join(
     return l.join(r, cond, "inner").drop(r[key])
 
 
+def maintain_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("hour", "day"),
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained multi-resolution rollup (continuous
+    aggregate): each micro-batch only touches the (resolution, bucket)
+    partitions its events fall into.
+
+    Per batch: aggregate the batch, read ONLY the affected partitions
+    from the parquet target (partition pruning via the bucket-date join),
+    merge-aggregate old + delta, and rewrite just those partitions
+    (``partitionOverwriteMode=dynamic``). Work per batch is proportional
+    to the batch's bucket span, not the table's history — the property
+    that makes a year-long rollup maintainable at 100 TB.
+
+    The target is parquet partitioned by (resolution, bucket_date) and
+    stores UNROUNDED sums — merging rounded partials would drift
+    (sum-of-rounded ≠ round-of-sum); round at read time to match
+    :func:`multi_resolution_rollup`'s batch output.
+    """
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        parts = []
+        for res in resolutions:
+            parts.append(
+                batch_df.groupBy(
+                    F.lit(res).alias("resolution"),
+                    F.date_trunc(res, F.col(ts_col)).alias("bucket"),
+                    F.col(key_col),
+                ).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(value_col).alias("total_value"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn("bucket_date", F.to_date("bucket"))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        delta = _delta(batch_df)
+        if delta.isEmpty():
+            return
+        try:
+            existing = spark.read.parquet(target_dir)
+            touched = delta.select("resolution", "bucket_date").distinct()
+            old = existing.join(
+                F.broadcast(touched), on=["resolution", "bucket_date"]
+            )
+            merged = (
+                old.unionByName(delta)
+                .groupBy("resolution", "bucket", "bucket_date", key_col)
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        except Exception:  # first batch: nothing to merge
+            merged = delta
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("resolution", "bucket_date")
+            .parquet(target_dir)
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize(
     events: DataFrame,
     *,

@@ -210,3 +210,54 @@ def test_stream_stream_join_true_streaming(tmp_path, spark):
         for r in stream_stream_join(lb, rb).collect()
     }
     assert batch == got
+
+
+def test_maintain_rollup_incremental_equals_batch(tmp_path, spark):
+    """Two micro-batches maintained incrementally must equal the one-shot
+    batch rollup over all events; the second batch only rewrites its own
+    (resolution, bucket_date) partitions."""
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        maintain_rollup,
+        multi_resolution_rollup,
+    )
+
+    indir = tmp_path / "in"
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, "event_type string, ts_s string, value double").select(
+            "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(indir))
+        maintain_rollup(spark, stream, target, ckpt).awaitTermination(120)
+
+    b1 = [("a", "2024-01-01 10:05:00", 1.25), ("a", "2024-01-01 11:10:00", 2.5)]
+    b2 = [("a", "2024-01-01 10:40:00", 4.0), ("b", "2024-01-02 09:00:00", 8.0)]
+    write(b1)
+    run()
+    write(b2)
+    run()
+
+    maintained = {
+        (r["resolution"], str(r["bucket"]), r["event_type"]): (
+            r["n_events"], round(r["total_value"], 2)
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+    all_events = spark.createDataFrame(
+        b1 + b2, "event_type string, ts_s string, value double"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    expected = {
+        (r["resolution"], str(r["bucket"]), r["event_type"]): (
+            r["n_events"], r["total_value"]
+        )
+        for r in multi_resolution_rollup(all_events).collect()
+    }
+    assert maintained == expected
+    # day-2 bucket exists only for 'b'; hour rollup has 3 distinct buckets
+    assert ("day", "2024-01-02 00:00:00", "b") in maintained
+    assert sum(1 for k in maintained if k[0] == "hour") == 3
