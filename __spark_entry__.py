@@ -2279,6 +2279,30 @@ def q63_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract, replace, and boolean match over part names."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"(red|blue|green)").alias("has_color"),
+        F.length(F.regexp_replace(F.col("p_name"), r"[^ ]", "")).cast("int")
+        .alias("n_spaces"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q64_regex_battery"] = q64_regex_battery
+
+_ORACLE_DEDUP_SIM["q64_regex_battery"] = """
+    SELECT p_partkey AS partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '(red|blue|green)') AS has_color,
+           CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) AS INT) AS n_spaces
+    FROM part WHERE p_partkey <= 200
+"""
+
 _DEDUP_SIM_QUERIES["q62_set_ops_all"] = q62_set_ops_all
 _DEDUP_SIM_QUERIES["q63_array_hof_battery"] = q63_array_hof_battery
 
