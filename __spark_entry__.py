@@ -2983,3 +2983,420 @@ def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.quality_score(t).alias("quality"),
         content_key(t).alias("content_hash"),
     )
+
+
+# ===========================================================================
+# Corpus-curation battery (operators/curation.py, functions/redaction.py):
+# PII redaction, Gopher-style repetition, token entropy, benchmark
+# decontamination, token-budget chunk packing, snapshot diff, hopping
+# windows, approx-quantile bounds, URL parsing. Every query runs the REAL
+# package operators; every oracle replays the identical arithmetic in
+# DuckDB SQL (md5-keyed hashing, explicit rounding).
+# ===========================================================================
+def q65_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub battery: synthesize PII-bearing text from customer keys,
+    then redact + count with the codegen regex kernels
+    (`functions/redaction.py`). Zero-shuffle map over the corpus."""
+    from jsonl_dataingestion_pipeline_spark.functions import redaction as rd
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    k = F.col("c_custkey")
+    txt = F.concat(
+        F.lit("User u"), k, F.lit(" email u"), k,
+        F.lit("@mail"), (k % 10), F.lit(".example.com phone 555-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10."), (k % 256), F.lit(".0."), (k % 100),
+        F.lit(" card 4111-1111-1111-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"), F.lit(" end"),
+    )
+    d = c.select(k.alias("custkey"), txt.alias("t"))
+    return d.select(
+        F.col("custkey"),
+        rd.redact_pii("t").alias("redacted"),
+        rd.pii_count("t", "email").alias("n_email"),
+        rd.pii_count("t", "phone").alias("n_phone"),
+        rd.pii_count("t", "ssn").alias("n_ssn"),
+        rd.pii_count("t", "ipv4").alias("n_ipv4"),
+        rd.pii_count("t", "credit_card").alias("n_card"),
+    )
+
+
+def q66_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules: duplicate-line fraction (array-only,
+    zero shuffle) + top-bigram mass (relational two-level aggregate) per
+    document. Lines are synthesized 5-words-per-line; docs with
+    doc_id % 4 == 0 get their first line re-appended to plant known
+    duplicate-line mass."""
+    from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    first = F.regexp_extract(lined, r"^([^\n]*)", 1)
+    planted = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(lined, F.lit("\n"), first)
+    ).otherwise(lined)
+    base = d.select(F.col("doc_id"), planted.alias("text"))
+    dlf = base.select(
+        F.col("doc_id"), cu.dup_line_fraction("text").alias("dup_line_frac")
+    )
+    mass = cu.top_ngram_mass(base, "text", "doc_id", n=2)
+    return dlf.join(mass, "doc_id").select(
+        "doc_id", "dup_line_frac", "n_grams", "top_gram", "top_mass"
+    )
+
+
+def q67_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy (bits) — low entropy flags
+    templated/repetitive text. Explode + two-level aggregate, map-side
+    partial combine on both levels."""
+    from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return cu.token_entropy(d, "text", "doc_id", scale=4)
+
+
+def q68_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram benchmark decontamination. Benchmark side
+    (doc_id % 50 == 0) reduces to distinct 64-bit gram keys and
+    BROADCASTS; the corpus side never shuffles gram strings."""
+    from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return cu.contamination_flags(d, bench, "text", "doc_id", n=13)
+
+
+def q69_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing per source group (budget=512):
+    windowed running sum partitioned by group (no global sort), then
+    per-chunk fill stats."""
+    from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        F.col("doc_id"), F.col("source"), token_count("text").alias("wt")
+    )
+    packed = cu.pack_chunks(w, "source", "doc_id", "wt", budget=512)
+    return cu.chunk_stats(packed, "source", "wt").select(
+        "source", "chunk_id", "n_docs", "chunk_tokens"
+    )
+
+
+def q70_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version change capture: full-outer-join classify
+    (added / removed / changed / unchanged) between two synthesized
+    order snapshots, aggregated per change class."""
+    from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = o.filter(k % 10 != 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(k % 7 != 0).select(
+        "o_orderkey",
+        # +10.00 (exact in binary at these magnitudes after the parquet
+        # double is fixed) — a multiplicative bump would hit cross-engine
+        # ROUND half-up boundary disagreements.
+        (
+            F.col("o_totalprice")
+            + F.when(k % 3 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    diff = cu.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.coalesce(F.col("new_o_totalprice"), F.lit(0.0))), 2)
+        .alias("total_new_price"),
+    )
+
+
+def q71_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1 h windows every 30 min —
+    each event lands in exactly 2 windows. Native F.window; the batch
+    twin of the streaming hop."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q72_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx percentile (bounded-state sketch — the 100 TB path) checked
+    against the exact percentile INSIDE the query: emits the exact values
+    plus within-tolerance booleans the oracle recomputes/asserts, same
+    pattern as q41's HLL bound."""
+    l = _t(spark, sf_dir, "lineitem")
+    ap = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)"
+    )
+    ex50 = F.expr("percentile(l_extendedprice, 0.5D)")
+    ex90 = F.expr("percentile(l_extendedprice, 0.9D)")
+    agg = l.agg(
+        ap.alias("ap"), ex50.alias("e50"), ex90.alias("e90"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return agg.select(
+        F.col("n_rows"),
+        F.round(F.col("e50"), 4).alias("exact_p50"),
+        F.round(F.col("e90"), 4).alias("exact_p90"),
+        (
+            F.abs(F.col("ap")[0] - F.col("e50")) / F.col("e50") < 0.005
+        ).alias("p50_within_half_pct"),
+        (
+            F.abs(F.col("ap")[1] - F.col("e90")) / F.col("e90") < 0.005
+        ).alias("p90_within_half_pct"),
+    )
+
+
+def q73_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL processing: parse_url host/path/query extraction
+    plus a broadcast blocklist flag — the domain-filtering primitive of
+    a crawl-curation pipeline."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select(F.col("doc_id"), url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return u.select(
+        F.col("doc_id"),
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        host.isin("www.src0.example.com", "www.src3.example.com").alias(
+            "blocked"
+        ),
+    )
+
+
+_DEDUP_SIM_QUERIES.update(
+    {
+        "q65_pii_redaction": q65_pii_redaction,
+        "q66_repetition_battery": q66_repetition_battery,
+        "q67_token_entropy": q67_token_entropy,
+        "q68_decontamination": q68_decontamination,
+        "q69_chunk_packing": q69_chunk_packing,
+        "q70_snapshot_diff": q70_snapshot_diff,
+        "q71_hopping_window": q71_hopping_window,
+        "q72_approx_quantile_bounds": q72_approx_quantile_bounds,
+        "q73_url_battery": q73_url_battery,
+    }
+)
+
+_ORACLE_DEDUP_SIM["q65_pii_redaction"] = r"""
+    WITH t AS (
+        SELECT c_custkey AS custkey,
+               'User u' || c_custkey || ' email u' || c_custkey ||
+               '@mail' || (c_custkey % 10) || '.example.com phone 555-' ||
+               lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+               ' ssn 123-45-6789 ip 10.' || (c_custkey % 256) || '.0.' ||
+               (c_custkey % 100) || ' card 4111-1111-1111-' ||
+               lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' end'
+               AS txt
+        FROM customer WHERE c_custkey <= 300
+    )
+    SELECT custkey,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?1?[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+                   '\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,4}\b', '<CREDIT_CARD>', 'g')
+               AS redacted,
+           CAST(len(regexp_split_to_array(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_email,
+           CAST(len(regexp_split_to_array(txt, '\+?1?[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) - 1 AS INT) AS n_phone,
+           CAST(len(regexp_split_to_array(txt, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) - 1 AS INT) AS n_ssn,
+           CAST(len(regexp_split_to_array(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1 AS INT) AS n_ipv4,
+           CAST(len(regexp_split_to_array(txt, '\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,4}\b')) - 1 AS INT) AS n_card
+    FROM t
+"""
+
+_ORACLE_DEDUP_SIM["q66_repetition_battery"] = r"""
+    WITH lined AS (
+        SELECT doc_id,
+               regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS lt
+        FROM documents WHERE doc_id < 200
+    ), planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN lt || chr(10) || regexp_extract(lt, '^([^' || chr(10) || ']*)', 1)
+                    ELSE lt END AS text
+        FROM lined
+    ), lines AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                           x -> length(x) > 0) AS ls
+        FROM planted
+    ), dlf AS (
+        SELECT doc_id,
+               CASE WHEN len(ls) <= 0 THEN 0.0
+                    ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                               / CAST(len(ls) AS DOUBLE), 6) END AS dup_line_frac
+        FROM lines
+    ), tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM planted
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1 + 1),
+                      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+        FROM tk
+    ), pg AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY doc_id, gram
+    ), ranked AS (
+        SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram ASC) AS rk
+        FROM pg
+    ), tot AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams FROM pg GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.dup_line_frac, t.n_grams, r.gram AS top_gram,
+           round(CAST(r.cnt AS DOUBLE) / t.n_grams, 6) AS top_mass
+    FROM dlf d
+    JOIN ranked r ON d.doc_id = r.doc_id AND r.rk = 1
+    JOIN tot t ON d.doc_id = t.doc_id
+"""
+
+_ORACLE_DEDUP_SIM["q67_token_entropy"] = r"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE doc_id < 300
+    ), pt AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM tk GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           round((ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2.0), 4)
+               AS entropy_bits
+    FROM pt GROUP BY doc_id
+"""
+
+_ORACLE_DEDUP_SIM["q68_decontamination"] = r"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 11),
+                      i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS gram
+        FROM tk
+    ), k AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gkey
+        FROM g
+    ), b AS (
+        SELECT DISTINCT gkey FROM k WHERE doc_id % 50 = 0
+    ), h AS (
+        SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM k JOIN b USING (gkey) GROUP BY k.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
+_ORACLE_DEDUP_SIM["q69_chunk_packing"] = r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS wt
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, wt,
+               COALESCE(SUM(wt) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM w
+    )
+    SELECT source,
+           CAST(floor(before / 512) AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wt) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY source, chunk_id
+"""
+
+_ORACLE_DEDUP_SIM["q70_snapshot_diff"] = """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+    ), new AS (
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN o_orderkey % 3 = 0
+                              THEN 10.0 ELSE 0.0 END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.price THEN 'changed'
+                    ELSE 'unchanged' END AS change,
+               COALESCE(n.price, 0.0) AS new_price
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(new_price), 2) AS total_new_price
+    FROM d GROUP BY change
+"""
+
+_ORACLE_DEDUP_SIM["q71_hopping_window"] = """
+    WITH s AS (
+        SELECT ts - to_microseconds(epoch_us(ts) % 1800000000) AS s1,
+               event_type, value
+        FROM events
+    ), u AS (
+        SELECT s1 AS win_start, event_type, value FROM s
+        UNION ALL
+        SELECT s1 - INTERVAL 30 MINUTE, event_type, value FROM s
+    )
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM u GROUP BY win_start, event_type
+"""
+
+_ORACLE_DEDUP_SIM["q72_approx_quantile_bounds"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+           TRUE AS p50_within_half_pct,
+           TRUE AS p90_within_half_pct
+    FROM lineitem
+"""
+
+_ORACLE_DEDUP_SIM["q73_url_battery"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'https://www.' || source || '.example.com/docs/' || doc_id ||
+               '?lang=' || lang AS url
+        FROM documents WHERE doc_id < 250
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^https?://([^/]+)', 1)
+               IN ('www.src0.example.com', 'www.src3.example.com') AS blocked
+    FROM u
+"""

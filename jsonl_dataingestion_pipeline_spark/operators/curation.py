@@ -1,0 +1,318 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Four families that a 100 TB pretraining build needs beyond near-dup
+dedup (``operators/dedup.py``) and quality scoring
+(``functions/textstats.py``):
+
+- **Repetition analysis** (Gopher-style): duplicate-line fraction and
+  top-n-gram mass per document.  Relational formulations — explode +
+  two-level aggregate — so they scale linearly and partial-aggregate
+  map-side; no per-doc Python.
+- **Benchmark decontamination**: flag documents sharing any word-k-gram
+  with a benchmark/eval set (the GPT-3-style 13-gram rule).  The corpus
+  side never shuffles: benchmark k-grams are hashed to 64-bit keys and
+  broadcast, so contamination is a map-side semi-join + partial count.
+- **Token-budget chunk packing**: assign documents to ~budget-token
+  training chunks per group via a windowed running sum.  The window
+  partitions by group — no global sort, so it scales to arbitrarily
+  many groups (one hot group is bounded by the group's own size, which
+  is the same bound the sequential packer has by definition).
+- **Snapshot diff / SCD2-style merge classify**: full-outer-join change
+  detection between two dataset versions (added / removed / changed /
+  unchanged) — the core of incremental corpus refreshes.  Sort-merge
+  joins on the key; AQE handles skew.
+
+All arithmetic is deterministic (md5-based hashing, explicit rounding)
+so every operator here is replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jsonl_dataingestion_pipeline_spark.functions.textstats import tokens
+
+
+# ---------------------------------------------------------------------------
+# Repetition (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+def dup_line_fraction(c: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line.
+
+    ``1 - n_distinct_lines / n_lines`` over non-blank trimmed lines.
+    Pure array expressions — no explode, no shuffle; runs inside the
+    projection.  Gopher repetition rule #1 (Rae et al. 2021, table A1).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    lines = F.filter(
+        F.transform(F.split(col.cast("string"), r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - nd.cast("double") / n.cast("double"), 6)
+    )
+
+
+def word_ngrams(c: Column | str, n: int) -> Column:
+    """Word-level n-grams as ``'w1 w2 ... wn'`` strings (array<string>).
+
+    Expressed with transform-over-index so the same construction exists
+    in the oracle; empty/short docs yield an empty array.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    toks = tokens(col)
+    n_out = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would be DESCENDING [1, 0] — guard short docs.
+    return F.when(n_out < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_out),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def top_ngram_mass(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, scale: int = 6
+) -> DataFrame:
+    """Per-document fraction of tokens covered by the single most
+    frequent word-n-gram (Gopher repetition rule: high top-2-gram mass
+    means boilerplate).
+
+    Relational two-level aggregate: explode n-grams ->
+    count per (doc, gram) -> max count per doc / total grams.  Both
+    aggregations partial-combine map-side; the only shuffle key is
+    ``id_col`` (same distribution both levels, so AQE coalesces).
+
+    Returns ``id_col, n_grams, top_gram, top_mass``.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    ranked = per_gram.withColumn("rk", F.row_number().over(w))
+    totals = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_grams")
+    )
+    top = ranked.filter(F.col("rk") == 1).drop("rk")
+    return top.join(totals, id_col).select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("gram").alias("top_gram"),
+        F.round(F.col("cnt").cast("double") / F.col("n_grams"), scale).alias(
+            "top_mass"
+        ),
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str, id_col: str, scale: int = 6
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the token distribution.
+
+    Low entropy = repetitive/templated text; a standard corpus-quality
+    signal.  Same explode -> two-level-aggregate shape as
+    ``top_ngram_mass``; ln arithmetic is IEEE-deterministic and the
+    oracle replays it with the identical expression tree.
+
+    Returns ``id_col, n_tokens, entropy_bits``.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            # -sum(c·ln c)/N + ln N, in bits: defer the /N and log2
+            # conversion to one deterministic final expression.
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("_clnc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                (
+                    F.log(F.col("n_tokens").cast("double"))
+                    - F.col("_clnc") / F.col("n_tokens").cast("double")
+                )
+                / F.log(F.lit(2.0)),
+                scale,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+def _gram_key(gram: Column) -> Column:
+    """64-bit deterministic key for an n-gram (md5 prefix), so the
+    broadcast set carries 8-byte longs instead of full strings."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus documents that share >= 1 word-``n``-gram with a
+    benchmark set (GPT-3 appendix-C style decontamination, n=13).
+
+    Scale design: the *benchmark* side (eval sets — MBs, not TBs) is
+    reduced to distinct 64-bit gram keys and broadcast; the corpus side
+    explodes its grams and inner-joins map-side, then partial-counts by
+    document.  The 100 TB corpus is never shuffled and never carries
+    gram strings past the projection.
+
+    Returns ``id_col, n_hits, contaminated`` for every corpus doc
+    (docs with no hits included, n_hits = 0).
+    """
+    bench_keys = (
+        benchmark.select(
+            F.explode(word_ngrams(text_col, n)).alias("gram")
+        )
+        .select(_gram_key(F.col("gram")).alias("gkey"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).select(F.col(id_col), _gram_key(F.col("gram")).alias("gkey"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_keys), "gkey")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget chunk packing
+# ---------------------------------------------------------------------------
+def pack_chunks(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign rows to ~``budget``-weight training chunks within each
+    group, preserving ``order_col`` order (sequence packing for
+    pretraining shards: concatenate docs until the token budget fills,
+    then start the next chunk).
+
+    ``chunk_id = floor(running_sum_before / budget)`` via a window
+    partitioned by ``group_col`` — a document that crosses the boundary
+    starts... stays in the chunk its *preceding* mass put it in, which
+    is the greedy packer's behavior when overflow is allowed (the
+    common choice for pretraining, where sequences are later truncated
+    at the model's context length anyway).
+
+    No global sort: the window partitions by group, so parallelism is
+    the number of groups and one group's cost is its own size — the
+    same lower bound any sequential packer has.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return df.withColumn(
+        "chunk_id", F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
+def chunk_stats(
+    packed: DataFrame, group_col: str, weight_col: str
+) -> DataFrame:
+    """Per-(group, chunk) fill stats for a ``pack_chunks`` result."""
+    return packed.groupBy(group_col, "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(weight_col).cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / merge classify
+# ---------------------------------------------------------------------------
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key across two dataset versions:
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    any compare col differs, null-safely), ``unchanged``.
+
+    One full outer sort-merge join on the key — the canonical
+    incremental-refresh primitive (SCD2 change capture, corpus version
+    diffing).  Returns key cols + ``change`` + old/new compare values.
+    """
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *key_cols,
+        change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+
+
+def merge_upsert(
+    old: DataFrame, new: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Apply ``new`` as an upsert over ``old`` (new wins on key clash,
+    old rows without a replacement survive) — MERGE INTO semantics as a
+    plain DataFrame op: union + per-key latest-version pick, which is a
+    single hash aggregate rather than a join."""
+    o = old.withColumn("_v", F.lit(0))
+    n = new.withColumn("_v", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_v").desc())
+    return (
+        o.unionByName(n)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_v", "_rk")
+    )

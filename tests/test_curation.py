@@ -1,0 +1,167 @@
+"""Unit tests for corpus-curation operators (operators/curation.py) and
+PII redaction kernels (functions/redaction.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.functions import redaction as rd
+from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+# ---------------------------------------------------------------------------
+# Redaction
+# ---------------------------------------------------------------------------
+def test_redact_all_kinds(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a.b+c@x-y.co phone (555) 123-4567 ssn 987-65-4321 "
+                "ip 192.168.1.255 card 4111 1111 1111 1111 done",
+            )
+        ],
+    )
+    out = df.select(rd.redact_pii("text").alias("r")).head().r
+    for tag in ("<EMAIL>", "<PHONE>", "<SSN>", "<IPV4>", "<CREDIT_CARD>"):
+        assert tag in out, out
+    assert "@" not in out and "4321" not in out and "4111" not in out
+
+
+def test_pii_count_multiple_and_none(spark):
+    df = _docs(spark, [(1, "a@b.com then c@d.org"), (2, "no pii here"), (3, None)])
+    got = {
+        r.id: r.n
+        for r in df.select("id", rd.pii_count("text", "email").alias("n")).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_redact_preserves_surrounding_text(spark):
+    df = _docs(spark, [(1, "start user@example.com end")])
+    assert (
+        df.select(rd.redact_pii("text").alias("r")).head().r
+        == "start <EMAIL> end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / entropy
+# ---------------------------------------------------------------------------
+def test_dup_line_fraction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b\nc d\na b\n\n  "),  # 3 non-blank lines, 2 distinct
+            (2, "x\ny\nz"),
+            (3, ""),
+        ],
+    )
+    got = {
+        r.id: r.f
+        for r in df.select("id", cu.dup_line_fraction("text").alias("f")).collect()
+    }
+    assert abs(got[1] - (1 - 2 / 3)) < 1e-6
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "one two"), (2, "a b c d")])
+    got = {
+        r.id: r.g
+        for r in df.select("id", cu.word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_top_ngram_mass(spark):
+    # "x y" appears 3 times out of 5 bigrams
+    df = _docs(spark, [(1, "x y x y x y")])
+    row = cu.top_ngram_mass(df, "text", "id", n=2).head()
+    assert row.top_gram == "x y" and row.n_grams == 5
+    assert abs(row.top_mass - 3 / 5) < 1e-6
+
+
+def test_token_entropy_uniform_vs_constant(spark):
+    df = _docs(spark, [(1, "a a a a"), (2, "a b c d")])
+    got = {r.id: r for r in cu.token_entropy(df, "text", "id").collect()}
+    assert got[1].entropy_bits == 0.0  # all same token
+    assert abs(got[2].entropy_bits - 2.0) < 1e-6  # 4 uniform tokens
+    assert got[1].n_tokens == 4
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+def test_contamination_flags(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5"),  # contains the benchmark 4-gram twice? once
+            (2, "w2 w3 w4 w5 w6"),
+            (3, "clean doc with other words entirely"),
+        ],
+    )
+    bench = _docs(spark, [(100, "w1 w2 w3 w4 w5")])
+    got = {
+        r.id: (r.n_hits, r.contaminated)
+        for r in cu.contamination_flags(corpus, bench, "text", "id", n=4).collect()
+    }
+    assert got[1] == (2, True)  # both 4-grams of doc 1 are in the benchmark
+    assert got[2] == (1, True)  # shares "w2 w3 w4 w5"
+    assert got[3] == (0, False)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    corpus = _docs(spark, [(1, "a b c d e")])
+    bench = _docs(spark, [(2, "a b c d")])
+    plan = cu.contamination_flags(
+        corpus, bench, "text", "id", n=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Chunk packing
+# ---------------------------------------------------------------------------
+def test_pack_chunks_boundaries(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 300), ("g", 2, 300), ("g", 3, 300), ("h", 1, 700)],
+        "grp string, ord int, wt int",
+    )
+    packed = cu.pack_chunks(df, "grp", "ord", "wt", budget=512)
+    got = {(r.grp, r.ord): r.chunk_id for r in packed.collect()}
+    # g: before = 0, 300, 600 -> chunks 0, 0, 1 ; h: before = 0 -> chunk 0
+    assert got == {("g", 1): 0, ("g", 2): 0, ("g", 3): 1, ("h", 1): 0}
+    stats = {
+        (r.grp, r.chunk_id): (r.n_docs, r.chunk_tokens)
+        for r in cu.chunk_stats(packed, "grp", "wt").collect()
+    }
+    assert stats[("g", 0)] == (2, 600) and stats[("g", 1)] == (1, 300)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / merge
+# ---------------------------------------------------------------------------
+def test_snapshot_diff_classes(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "k int, v string")
+    new = spark.createDataFrame([(2, "B"), (3, None), (4, "d")], "k int, v string")
+    got = {
+        r.k: r.change
+        for r in cu.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_merge_upsert_new_wins(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    new = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    got = {r.k: r.v for r in cu.merge_upsert(old, new, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
