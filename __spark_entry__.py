@@ -3400,3 +3400,196 @@ _ORACLE_DEDUP_SIM["q73_url_battery"] = """
                IN ('www.src0.example.com', 'www.src3.example.com') AS blocked
     FROM u
 """
+
+
+# ===========================================================================
+# Time-series resampling, fuzzy entity matching, quantized similarity
+# (operators/timeseries.py, operators/fuzzy.py, similarity.py int8 path)
+# ===========================================================================
+def q74_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: hourly bucket-last downsample ->
+    per-user dense grid -> LOCF gap fill (`operators/timeseries.py`).
+    Batch form of time_bucket_gapfill + locf."""
+    from jsonl_dataingestion_pipeline_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    return resample_locf(
+        e, "user_id", "ts", "value", 3600, tiebreak_cols=("event_id",)
+    ).select(
+        "user_id", F.col("bucket"), F.round("value", 4).alias("value"),
+        "filled",
+    )
+
+
+def q75_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: blocked Levenshtein best-match of dirty name
+    variants against the clean reference (`operators/fuzzy.py`).
+    Names synthesize a nation-prefix block key; mutations (truncate /
+    append / transpose) keep distance <= 2."""
+    from jsonl_dataingestion_pipeline_spark.operators.fuzzy import (
+        blocked_match,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = F.concat(
+        F.lit("N"), F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+        F.lit("-cust-"), F.lpad(k.cast("string"), 6, "0"),
+    )
+    ref = c.filter(k <= 500).select(
+        k.alias("ref_id"), base.alias("ref_name")
+    )
+    ln = F.length(base)
+    dirty = (
+        F.when(k % 3 == 0, F.substring(base, 1, 13))  # drop last char
+        .when(k % 3 == 1, F.concat(base, F.lit("X")))  # append
+        .otherwise(  # transpose last two chars
+            F.concat(
+                F.substring(base, 1, 12),
+                F.substring(base, 14, 1),
+                F.substring(base, 13, 1),
+            )
+        )
+    )
+    probe = c.filter(k <= 400).select(
+        k.alias("probe_id"), dirty.alias("probe_name")
+    )
+    return blocked_match(
+        probe, ref, "probe_id", "probe_name", "ref_id", "ref_name",
+        max_distance=2, key_start=1, key_length=4,
+    ).select(
+        "probe_id", "probe_name", "ref_id", "distance",
+        (F.col("probe_id") == F.col("ref_id")).alias("exact_entity"),
+    )
+
+
+def q76_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization error audit: exact vs quantized cosine
+    over all pairs of a corpus slice, with a within-tolerance flag. At
+    100 TB the int8 arrays are what you scan (4x less IO); this query
+    pins the recall cost."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        cosine,
+        quantize_int8,
+        quantized_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    e = emb.select(
+        F.col("vec_id"), F.col("embedding"),
+        quantize_int8(F.col("embedding")).alias("q"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    exact = cosine(F.col("a.embedding"), F.col("b.embedding"), 6)
+    quant = quantized_cosine(F.col("a.q"), F.col("b.q"), 6)
+    return pairs.select(
+        F.col("a.vec_id").alias("id_l"),
+        F.col("b.vec_id").alias("id_r"),
+        exact.alias("exact_sim"),
+        quant.alias("quant_sim"),
+        (F.abs(exact - quant) <= 0.02).alias("within_tol"),
+    )
+
+
+_DEDUP_SIM_QUERIES.update(
+    {
+        "q74_resample_locf": q74_resample_locf,
+        "q75_fuzzy_match": q75_fuzzy_match,
+        "q76_quantized_cosine": q76_quantized_cosine,
+    }
+)
+
+_ORACLE_DEDUP_SIM["q74_resample_locf"] = """
+    WITH e AS (
+        SELECT user_id, ts, event_id, value,
+               ts - to_microseconds(epoch_us(ts) % 3600000000) AS bucket
+        FROM events WHERE user_id < 10
+    ), last AS (
+        SELECT user_id, bucket, value FROM (
+            SELECT user_id, bucket, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        ) WHERE rn = 1
+    ), span AS (
+        SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM last GROUP BY user_id
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    ), j AS (
+        SELECT g.user_id, g.bucket, l.value AS v
+        FROM grid g LEFT JOIN last l
+          ON g.user_id = l.user_id AND g.bucket = l.bucket
+    )
+    SELECT user_id, bucket,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+           v IS NULL AS filled
+    FROM j
+"""
+
+_ORACLE_DEDUP_SIM["q75_fuzzy_match"] = """
+    WITH base AS (
+        SELECT c_custkey AS k,
+               'N' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') ||
+               '-cust-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS nm
+        FROM customer
+    ), ref AS (
+        SELECT k AS ref_id, nm AS ref_name,
+               substr(upper(trim(nm)), 1, 4) AS bk
+        FROM base WHERE k <= 500
+    ), probe AS (
+        SELECT k AS probe_id,
+               CASE WHEN k % 3 = 0 THEN substr(nm, 1, 13)
+                    WHEN k % 3 = 1 THEN nm || 'X'
+                    ELSE substr(nm, 1, 12) || substr(nm, 14, 1) ||
+                         substr(nm, 13, 1) END AS probe_name
+        FROM base WHERE k <= 400
+    ), p2 AS (
+        SELECT probe_id, probe_name,
+               substr(upper(trim(probe_name)), 1, 4) AS bk
+        FROM probe
+    ), cand AS (
+        SELECT p.probe_id, p.probe_name, r.ref_id,
+               levenshtein(p.probe_name, r.ref_name) AS dist
+        FROM p2 p JOIN ref r ON p.bk = r.bk
+    ), best AS (
+        SELECT probe_id, probe_name, ref_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY dist ASC, ref_id ASC) AS rn
+        FROM cand WHERE dist <= 2
+    )
+    SELECT probe_id, probe_name, ref_id,
+           CAST(dist AS INT) AS distance,
+           probe_id = ref_id AS exact_entity
+    FROM best WHERE rn = 1
+"""
+
+_ORACLE_DEDUP_SIM["q76_quantized_cosine"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 80
+    ), q AS (
+        SELECT vec_id, v,
+           list_transform(v, x -> CAST(floor(x * 127.0 /
+               (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                     THEN 1.0
+                     ELSE list_max(list_transform(v, y -> abs(y))) END)
+               + 0.5) AS DOUBLE)) AS qv
+        FROM e
+    )
+    SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS exact_sim,
+           ROUND(list_cosine_similarity(a.qv, b.qv), 6) AS quant_sim,
+           abs(ROUND(list_cosine_similarity(a.v, b.v), 6) -
+               ROUND(list_cosine_similarity(a.qv, b.qv), 6)) <= 0.02
+               AS within_tol
+    FROM q a JOIN q b ON a.vec_id < b.vec_id
+"""

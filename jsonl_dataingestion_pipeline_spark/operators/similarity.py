@@ -376,3 +376,45 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — 4x memory/IO reduction for the 100 TB path
+# ---------------------------------------------------------------------------
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale by 127/max|x| and
+    round to integers.
+
+    Rounding is ``floor(x + 0.5)`` explicitly — Java half-up vs C
+    half-even never disagrees on the same arithmetic, so the DuckDB
+    oracle replays quantization bit-for-bit.  The result is
+    ``array<int>`` carrying values in [-127, 127]; at 100 TB this is
+    what you persist (4x smaller scans than float32, 8x than float64),
+    re-ranking survivors against full-precision vectors.
+    """
+    mx = F.aggregate(
+        F.transform(a, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    safe = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx)
+    return F.transform(
+        a,
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / safe + F.lit(0.5))
+        .cast("int"),
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Back to doubles: ``q * scale / 127`` (scale = original max|x|)."""
+    return F.transform(
+        q, lambda x: x.cast("double") * scale / F.lit(127.0)
+    )
+
+
+def quantized_cosine(qa: Column, qb: Column, scale: int = 6) -> Column:
+    """Cosine over int8-quantized vectors. Norm factors cancel the
+    per-vector scale, so this needs only the integer arrays."""
+    return F.round(
+        dot(qa, qb) / (l2_norm(qa) * l2_norm(qb)), scale
+    )

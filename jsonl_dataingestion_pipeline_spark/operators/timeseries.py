@@ -1,0 +1,115 @@
+"""Time-series resampling operators (hypertable-style continuous views).
+
+Regularize an irregular event stream onto a fixed grid: per-key bucket
+downsampling, dense grid generation, and last-observation-carried-forward
+(LOCF) gap filling.  This is the batch form of a timescale-style
+``time_bucket_gapfill`` + ``locf`` rollup.
+
+Scale design: everything partitions by the series key.
+- Bucketing is a map-side expression (no shuffle beyond the one grouped
+  aggregate).
+- The dense grid is generated per key with ``sequence`` + ``explode`` —
+  linear in output rows, no cross-key coordination, no global sort.
+- LOCF is ``last(value, ignorenulls=True)`` over a key-partitioned
+  window — Spark's WindowExec with a running frame, single pass.
+A hot key costs its own span length, the same lower bound any
+sequential gap-filler has.
+
+All bucket arithmetic is integer epoch math (``ts - epoch % step``) so
+the DuckDB oracle replays it exactly, microseconds included.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_bucket(ts: Column | str, step_seconds: int) -> Column:
+    """Floor a timestamp to a fixed grid, microsecond-exact.
+
+    ``ts - (epoch_us % step)`` — identical arithmetic exists in DuckDB
+    (``ts - to_microseconds(epoch_us(ts) % step)``), unlike
+    ``date_trunc`` which only hits whole units.
+    """
+    t = F.col(ts) if isinstance(ts, str) else ts
+    step_us = F.lit(int(step_seconds) * 1_000_000)
+    off = F.unix_micros(t) % step_us
+    return F.timestamp_micros(F.unix_micros(t) - off)
+
+
+def bucket_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Downsample: deterministic last value per (key, bucket).
+
+    "Last" = max ``ts`` then the tiebreak columns descending, picked via
+    ``row_number`` so the result is stable under any partitioning.
+    Returns ``key_col, bucket, value_col``.
+    """
+    b = time_bucket(ts_col, step_seconds).alias("bucket")
+    w = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]
+    )
+    return (
+        df.select(F.col(key_col), b, F.col(ts_col), *[F.col(c) for c in tiebreak_cols], F.col(value_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "bucket", value_col)
+    )
+
+
+def dense_grid(
+    sampled: DataFrame, key_col: str, step_seconds: int
+) -> DataFrame:
+    """Per-key dense bucket grid spanning each key's own [min, max]
+    bucket range: ``sequence`` + ``explode``, no shuffle beyond the
+    min/max aggregate."""
+    span = sampled.groupBy(key_col).agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    step = F.expr(f"interval {int(step_seconds)} seconds")
+    return span.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"), step)).alias(
+            "bucket"
+        ),
+    )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Full resample: bucket-last downsample -> dense per-key grid ->
+    left join -> LOCF fill. Returns ``key_col, bucket, value_col,
+    filled`` (filled = True where LOCF supplied the value)."""
+    sampled = bucket_last(
+        df, key_col, ts_col, value_col, step_seconds, tiebreak_cols
+    )
+    grid = dense_grid(sampled, key_col, step_seconds)
+    joined = grid.join(sampled, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled_val = F.last(value_col, ignorenulls=True).over(w)
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket"),
+        filled_val.alias(value_col),
+        F.col(value_col).isNull().alias("filled"),
+    )
