@@ -3593,3 +3593,347 @@ _ORACLE_DEDUP_SIM["q76_quantized_cosine"] = """
                AS within_tol
     FROM q a JOIN q b ON a.vec_id < b.vec_id
 """
+
+
+# ===========================================================================
+# Semi-structured JSON flattening, histograms, grouped top-k arrays
+# ===========================================================================
+def q77_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read battery: synthesize nested JSON docs, parse with
+    from_json (typed struct/array schema), flatten nested fields,
+    explode the tag array, aggregate per tag. The full semi-structured
+    ingestion path — parse -> dot-path -> explode -> agg — in native
+    expressions."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    j = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "meta": {"lang": "'), F.col("lang"),
+        F.lit('", "src": "'), F.col("source"),
+        F.lit('"}, "tags": ["a'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('", "b'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('"], "scores": ['), (F.col("doc_id") % 7).cast("string"),
+        F.lit(", "), (F.col("doc_id") % 11).cast("string"), F.lit("]}"),
+    )
+    schema = (
+        "id long, meta struct<lang: string, src: string>, "
+        "tags array<string>, scores array<int>"
+    )
+    parsed = d.select(F.from_json(j, schema).alias("doc"))
+    flat = parsed.select(
+        F.col("doc.id").alias("id"),
+        F.col("doc.meta.lang").alias("lang"),
+        F.col("doc.scores")[0].alias("score0"),
+        F.explode(F.col("doc.tags")).alias("tag"),
+    )
+    return flat.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score0").cast("long").alias("sum_score0"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+def q78_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (the profiling primitive): integer
+    bucket arithmetic replayed exactly by the oracle; single partial-agg
+    shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    lo, hi, nb = 900.0, 105000.0, 20
+    width = (hi - lo) / nb
+    x = F.col("l_extendedprice")
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("int")
+    return (
+        l.select(bucket.alias("bucket"), x.alias("price"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("price"), 2).alias("lo_price"),
+            F.round(F.max("price"), 2).alias("hi_price"),
+        )
+    )
+
+
+def q79_grouped_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k materialized as arrays: collect_list(struct) ->
+    sort_array desc -> slice k -> project fields. Complex-type
+    aggregation without a window or second shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = F.collect_list(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    )
+    top5 = F.slice(F.sort_array(pairs, asc=False), 1, 5)
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.array_join(
+            F.transform(top5, lambda s: s["k"].cast("string")), "|"
+        ).alias("top_keys"),
+        F.round(F.element_at(top5, 1)["p"], 2).alias("top1_price"),
+        F.round(
+            F.aggregate(
+                F.transform(top5, lambda s: s["p"]),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ),
+            2,
+        ).alias("top5_sum"),
+    )
+
+
+_DEDUP_SIM_QUERIES.update(
+    {
+        "q77_json_flatten": q77_json_flatten,
+        "q78_histogram": q78_histogram,
+        "q79_grouped_topk_arrays": q79_grouped_topk_arrays,
+    }
+)
+
+_ORACLE_DEDUP_SIM["q77_json_flatten"] = """
+    WITH raw AS (
+        SELECT '{"id": ' || doc_id ||
+               ', "meta": {"lang": "' || lang ||
+               '", "src": "' || source ||
+               '"}, "tags": ["a' || (doc_id % 5) ||
+               '", "b' || (doc_id % 3) ||
+               '"], "scores": [' || (doc_id % 7) || ', ' ||
+               (doc_id % 11) || ']}' AS j
+        FROM documents WHERE doc_id < 400
+    ), flat AS (
+        SELECT CAST(json_extract(j, '$.id') AS BIGINT) AS id,
+               json_extract_string(j, '$.meta.lang') AS lang,
+               CAST(json_extract(j, '$.scores') AS INT[])[1] AS score0,
+               unnest(CAST(json_extract(j, '$.tags') AS VARCHAR[])) AS tag
+        FROM raw
+    )
+    SELECT tag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score0) AS BIGINT) AS sum_score0,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM flat GROUP BY tag
+"""
+
+_ORACLE_DEDUP_SIM["q78_histogram"] = """
+    WITH b AS (
+        SELECT CAST(least(greatest(
+                   floor((l_extendedprice - 900.0) / 5205.0), 0), 19) AS INT)
+                   AS bucket,
+               l_extendedprice AS price
+        FROM lineitem
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(price), 2) AS lo_price,
+           ROUND(MAX(price), 2) AS hi_price
+    FROM b GROUP BY bucket
+"""
+
+_ORACLE_DEDUP_SIM["q79_grouped_topk_arrays"] = """
+    WITH ranked AS (
+        SELECT o_orderstatus AS status, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders
+    ), top AS (
+        SELECT status, o_orderkey, o_totalprice, rn
+        FROM ranked WHERE rn <= 5
+    )
+    SELECT status,
+           string_agg(CAST(o_orderkey AS VARCHAR), '|' ORDER BY rn) AS top_keys,
+           ROUND(MAX(CASE WHEN rn = 1 THEN o_totalprice END), 2) AS top1_price,
+           ROUND(SUM(o_totalprice), 2) AS top5_sum
+    FROM top GROUP BY status
+"""
+
+
+# ===========================================================================
+# Product-analytics battery: funnel, cohort retention, moment statistics,
+# weighted sampling
+# ===========================================================================
+def q80_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): each stage
+    must happen strictly AFTER the previous stage's first completion.
+    Three conditional min-aggregates over one grouped pass each — no
+    window over raw events, so the per-user state is three timestamps
+    regardless of event volume."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    t1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    funnel = (
+        t1.join(t2, "user_id").join(t3, "user_id")
+    )
+    return funnel.select(
+        F.lit("1_view").alias("stage"), F.col("t1").alias("t")
+    ).unionByName(
+        funnel.select(F.lit("2_click").alias("stage"), F.col("t2").alias("t"))
+    ).unionByName(
+        funnel.select(F.lit("3_purchase").alias("stage"), F.col("t3").alias("t"))
+    ).filter(F.col("t").isNotNull()).groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def q81_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct-user
+    counts at each day offset. Two grouped aggregates; the distinct is
+    per (cohort, offset, user) — partial-agg friendly."""
+    e = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def q82_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate surface: stddev/variance (sample +
+    population), correlation and covariance — the profiling statistics a
+    corpus health report needs, all single-pass partial-aggregable."""
+    e = _events(spark, sf_dir)
+    u = F.col("user_id").cast("double")
+    return e.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+        F.round(F.var_samp("value"), 4).alias("var_samp"),
+        F.round(F.var_pop("value"), 4).alias("var_pop"),
+        F.round(F.corr(F.col("value"), u), 4).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("cov_samp"),
+        F.round(F.covar_pop(F.col("value"), u), 4).alias("cov_pop"),
+    )
+
+
+def q83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis exponential
+    keys): priority = -ln(u)/w with u a md5-hash uniform — reproducible
+    across engines and partitionings, unlike rand()-based sampling.
+    Top-k by priority via global sort of a tiny projected column set."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        _bucket32,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    u = (_bucket32(F.col("o_orderkey"), seed=13) + F.lit(1.0)) / F.lit(
+        4294967297.0
+    )
+    pri = -F.log(u) / F.col("o_totalprice")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("weight"),
+            pri.alias("pri"),
+        )
+        .orderBy(F.col("pri").asc(), F.col("orderkey").asc())
+        .limit(20)
+        .select(
+            "orderkey", "weight", F.round(F.col("pri") * 1e6, 6).alias("pri_ppm")
+        )
+    )
+
+
+_DEDUP_SIM_QUERIES.update(
+    {
+        "q80_funnel": q80_funnel,
+        "q81_cohort_retention": q81_cohort_retention,
+        "q82_stats_battery": q82_stats_battery,
+        "q83_weighted_sample": q83_weighted_sample,
+    }
+)
+
+_ORACLE_DEDUP_SIM["q80_funnel"] = """
+    WITH t1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1
+                        THEN e.ts END) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2
+                        THEN e.ts END) AS t3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        GROUP BY e.user_id
+    ), f AS (
+        SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+        FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+                JOIN t3 ON t1.user_id = t3.user_id
+    ), stages AS (
+        SELECT '1_view' AS stage, t1 AS t FROM f
+        UNION ALL SELECT '2_click', t2 FROM f
+        UNION ALL SELECT '3_purchase', t3 FROM f
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM stages WHERE t IS NOT NULL GROUP BY stage
+"""
+
+_ORACLE_DEDUP_SIM["q81_cohort_retention"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first AS (
+        SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, e.d) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+"""
+
+_ORACLE_DEDUP_SIM["q82_stats_battery"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(stddev_samp(value), 4) AS sd_samp,
+           ROUND(stddev_pop(value), 4) AS sd_pop,
+           ROUND(var_samp(value), 4) AS var_samp,
+           ROUND(var_pop(value), 4) AS var_pop,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_samp,
+           ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS cov_pop
+    FROM events GROUP BY event_type
+"""
+
+_ORACLE_DEDUP_SIM["q83_weighted_sample"] = """
+    WITH h AS (
+        SELECT o_orderkey AS orderkey,
+               ROUND(o_totalprice, 2) AS weight,
+               -ln((CAST('0x' || substr(md5('13:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) + 1.0) / 4294967297.0) / o_totalprice AS pri
+        FROM orders
+    )
+    SELECT orderkey, weight, ROUND(pri * 1e6, 6) AS pri_ppm
+    FROM h ORDER BY pri ASC, orderkey ASC LIMIT 20
+"""

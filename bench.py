@@ -35,6 +35,8 @@ HEADLINE = [
     "q26_minhash_lsh_pairs",
     "q28_cosine_topk",
     "q30_doc_pipeline",
+    "q68_decontamination",
+    "q74_resample_locf",
 ]
 
 

@@ -314,3 +314,28 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication of an event stream by key.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon — bounded state, the only viable form at 100 TB/day
+    stream volume (plain ``dropDuplicates`` on a stream accumulates state
+    forever). Duplicates arriving within the watermark window are
+    removed; a duplicate arriving later than the watermark is considered
+    a new record (the at-least-once ingestion contract).
+
+    With ``within_watermark=False`` falls back to global
+    ``dropDuplicates`` (unbounded state — test/small-stream use only).
+    """
+    w = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return w.dropDuplicatesWithinWatermark(key_cols)
+    return w.dropDuplicates(key_cols)

@@ -261,3 +261,49 @@ def test_maintain_rollup_incremental_equals_batch(tmp_path, spark):
     # day-2 bucket exists only for 'b'; hour rollup has 3 distinct buckets
     assert ("day", "2024-01-02 00:00:00", "b") in maintained
     assert sum(1 for k in maintained if k[0] == "hour") == 3
+
+
+def test_dedup_stream_within_watermark(tmp_path, spark):
+    """Streaming dedup: duplicate keys within the watermark horizon are
+    dropped; output carries each key once."""
+    import json as _json
+
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        dedup_stream,
+    )
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    indir.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01T10:00:00", "v": 1},
+        {"k": "a", "ts": "2024-01-01T10:05:00", "v": 2},  # dup within wm
+        {"k": "b", "ts": "2024-01-01T10:10:00", "v": 3},
+        {"k": "b", "ts": "2024-01-01T10:11:00", "v": 4},  # dup within wm
+        {"k": "c", "ts": "2024-01-01T10:12:00", "v": 5},
+    ]
+    (indir / "part1.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    src = (
+        spark.readStream.schema("k string, ts string, v long")
+        .json(str(indir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = dedup_stream(src, ["k"], ts_col="ts", watermark="30 minutes")
+    q = (
+        deduped.writeStream.format("json")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [
+        _json.loads(line)
+        for p in outdir.rglob("*.json")
+        for line in p.read_text().splitlines()
+    ]
+    keys = sorted(r["k"] for r in out)
+    assert keys == ["a", "b", "c"]
