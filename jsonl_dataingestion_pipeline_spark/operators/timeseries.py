@@ -28,17 +28,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def time_bucket(ts: Column | str, step_seconds: int) -> Column:
+def _ntz_epoch() -> Column:
+    # built lazily: F.expr needs an active SparkContext at call time
+    return F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+
+
+def time_bucket(
+    ts: Column | str, step_seconds: int, *, ntz: bool = False
+) -> Column:
     """Floor a timestamp to a fixed grid, microsecond-exact.
 
     ``ts - (epoch_us % step)`` — identical arithmetic exists in DuckDB
     (``ts - to_microseconds(epoch_us(ts) % step)``), unlike
     ``date_trunc`` which only hits whole units.
+
+    ``ntz=True`` handles TIMESTAMP_NTZ columns (what Spark infers from
+    parquet timestamps with ``isAdjustedToUTC=false``): ``unix_micros``
+    rejects NTZ, so epoch math runs via ``timestampdiff``/``timestampadd``
+    against a naive epoch — fully timezone-independent, type-preserving.
     """
     t = F.col(ts) if isinstance(ts, str) else ts
     step_us = F.lit(int(step_seconds) * 1_000_000)
+    if ntz:
+        epoch = _ntz_epoch()
+        us = F.timestamp_diff("MICROSECOND", epoch, t)
+        return F.timestamp_add("MICROSECOND", us - us % step_us, epoch)
     off = F.unix_micros(t) % step_us
     return F.timestamp_micros(F.unix_micros(t) - off)
+
+
+def _is_ntz(df: DataFrame, ts_col: str) -> bool:
+    return dict(df.dtypes).get(ts_col) == "timestamp_ntz"
 
 
 def bucket_last(
@@ -55,7 +75,9 @@ def bucket_last(
     ``row_number`` so the result is stable under any partitioning.
     Returns ``key_col, bucket, value_col``.
     """
-    b = time_bucket(ts_col, step_seconds).alias("bucket")
+    b = time_bucket(ts_col, step_seconds, ntz=_is_ntz(df, ts_col)).alias(
+        "bucket"
+    )
     w = Window.partitionBy(key_col, "bucket").orderBy(
         F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]
     )

@@ -120,3 +120,20 @@ def test_quantized_cosine_close_to_exact(spark):
 def test_quantize_zero_vector_safe(spark):
     df = spark.createDataFrame([([0.0, 0.0],)], "v array<double>")
     assert df.select(quantize_int8(F.col("v")).alias("q")).head().q == [0, 0]
+
+
+def test_resample_locf_timestamp_ntz(spark):
+    """Regression: parquet timestamps with isAdjustedToUTC=false load as
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects — the NTZ path must
+    produce the same naive buckets, type-preserved."""
+    df = spark.createDataFrame(
+        [(1, _ts(10, 59, 59), 1, 1.0), (1, _ts(13, 0, 1), 2, 2.0)],
+        "k int, ts timestamp, eid int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = tso.resample_locf(df, "k", "ts", "v", 3600, tiebreak_cols=("eid",))
+    assert dict(out.dtypes)["bucket"] == "timestamp_ntz"
+    rows = sorted(out.collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == [_ts(10), _ts(11), _ts(12), _ts(13)]
+    assert [r.v for r in rows] == [1.0, 1.0, 1.0, 2.0]
+    assert [r.filled for r in rows] == [False, True, True, False]
