@@ -1129,12 +1129,18 @@ _ORACLE_DEDUP_SIM: dict[str, str] = {
                             COALESCE(toks[CAST(i AS INT) + 2], '')))) AS shs
             FROM base
         )
+        , hp AS (
+            SELECT doc_id, list_transform(shs, s -> struct_pack(
+                       h1 := CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647,
+                       h2 := CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647)) AS hs
+            FROM sh
+        )
         SELECT doc_id,
-               list_min(list_transform(shs, s -> md5('0:' || s))) AS mh0,
-               list_min(list_transform(shs, s -> md5('1:' || s))) AS mh1,
-               list_min(list_transform(shs, s -> md5('2:' || s))) AS mh2,
-               list_min(list_transform(shs, s -> md5('3:' || s))) AS mh3
-        FROM sh
+               list_min(list_transform(hs, p -> (p.h1 + 0 * p.h2) % 2147483647)) AS mh0,
+               list_min(list_transform(hs, p -> (p.h1 + 1 * p.h2) % 2147483647)) AS mh1,
+               list_min(list_transform(hs, p -> (p.h1 + 2 * p.h2) % 2147483647)) AS mh2,
+               list_min(list_transform(hs, p -> (p.h1 + 3 * p.h2) % 2147483647)) AS mh3
+        FROM hp
     """,
     "q25_ngram_jaccard_pairs": _NEARDUP_CORPUS_SQL
     + """
@@ -2547,9 +2553,13 @@ _ORACLE_DEDUP_SIM["q41_approx_distinct"] = """
 _ORACLE_DEDUP_SIM["q26_minhash_lsh_pairs"] = (
     _NEARDUP_CORPUS_SQL
     + ", expl AS (SELECT id, UNNEST(sh) AS s FROM cshingles)"
+    + ", hashed AS (SELECT id,"
+    + "  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h1,"
+    + "  CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647 AS h2"
+    + " FROM expl)"
     + ", sigs AS (SELECT id, "
-    + ", ".join(f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(32))
-    + " FROM expl GROUP BY id)"
+    + ", ".join(f"MIN((h1 + {i} * h2) % 2147483647) AS m{i}" for i in range(32))
+    + " FROM hashed GROUP BY id)"
     + ", bandkeys AS (SELECT id, "
     + "UNNEST(ARRAY["
     + ", ".join(

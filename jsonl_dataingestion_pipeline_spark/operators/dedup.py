@@ -210,27 +210,52 @@ def shingle_base(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+# Mersenne prime 2^31-1: the classic universal-hash modulus (Broder-style
+# MinHash, same scheme datasketch uses). h1/h2 are < 2^31 after the mod, so
+# h1 + 31*h2 stays far below 2^63 — no bigint overflow on either engine.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _minhash_h1h2(s: Column) -> tuple[Column, Column]:
+    """One md5 per shingle -> two independent 60-bit halves, reduced mod
+    the Mersenne prime. DuckDB replays via CAST('0x'||substr(md5,..)...)."""
+    hx = F.md5(s)
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % MINHASH_PRIME
+    h2 = F.conv(F.substring(hx, 16, 15), 16, 10).cast("long") % MINHASH_PRIME
+    return h1, h2
+
+
 def minhash_signature(
     text: Column, *, num_perm: int = 32, shingle_k: int = 3
 ) -> Column:
-    """MinHash signature as array<string> of length ``num_perm``.
+    """MinHash signature as array<bigint> of length ``num_perm``.
 
-    Permutation *i* is simulated by min over md5(i || ':' || shingle)
-    (lexicographic min of hex strings). Computed entirely inside a row
-    projection — no explode, no shuffle; cost O(num_perm × shingles).
+    Broder-style universal hashing: each shingle is md5-hashed ONCE into
+    two 60-bit halves (h1, h2); permutation *i* is min over
+    ``(h1 + i*h2) mod (2^31-1)``. One hash per shingle instead of
+    num_perm hashes — ~num_perm× less hashing and a fraction of the
+    generated code vs the seeded-md5-per-permutation form. Computed
+    entirely inside a row projection — no explode, no shuffle.
     """
     sh = F.array_distinct(_shingles(text, shingle_k))
-    # One nested transform (a loop in codegen) rather than num_perm inlined
-    # copies of the md5-min expression — the inlined form overflows the
-    # 64KB codegen method limit and silently falls back to ~20x slower
-    # interpreted evaluation.
+    # Hash each shingle once up front, then derive every permutation by
+    # affine arithmetic. transform() keeps codegen to a loop rather than
+    # num_perm inlined md5-min copies (which overflow the 64KB codegen
+    # method limit and fall back ~20x slower interpreted).
+    pairs = F.transform(
+        sh,
+        lambda s: F.struct(
+            _minhash_h1h2(s)[0].alias("h1"), _minhash_h1h2(s)[1].alias("h2")
+        ),
+    )
     seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
     return F.transform(
         seeds,
         lambda seed: F.array_min(
             F.transform(
-                sh,
-                lambda s: F.md5(F.concat(seed.cast("string"), F.lit(":"), s)),
+                pairs,
+                lambda p: (p["h1"] + seed.cast("long") * p["h2"])
+                % MINHASH_PRIME,
             )
         ),
     )
@@ -267,14 +292,22 @@ def minhash_lsh_pairs(
             df, text_col, id_col, shingle_k=shingle_k, reliable=reliable
         )
 
-    # Signatures via explode + 32 codegen'd min-aggregates. The obvious
-    # alternative — nested transform() lambdas per row — runs interpreted
-    # (higher-order functions never enter whole-stage codegen) and is
-    # ~100x slower; the explode/agg shape also gets map-side partial
-    # aggregation, so the shuffle carries one row per doc.
-    exploded = base.select("__id", F.explode("__sh").alias("s"))
+    # Signatures via explode + num_perm codegen'd min-aggregates. The
+    # obvious alternative — nested transform() lambdas per row — runs
+    # interpreted (higher-order functions never enter whole-stage codegen)
+    # and is ~100x slower; the explode/agg shape also gets map-side partial
+    # aggregation, so the shuffle carries one row per doc. Each shingle is
+    # md5-hashed ONCE (h1, h2) and the permutations are cheap affine
+    # transforms (h1 + i*h2) mod p — see minhash_signature.
+    s = F.col("s")
+    h1, h2 = _minhash_h1h2(s)
+    exploded = base.select("__id", F.explode("__sh").alias("s")).select(
+        "__id", h1.alias("h1"), h2.alias("h2")
+    )
     sig_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"__m{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_PRIME).alias(
+            f"__m{i}"
+        )
         for i in range(num_perm)
     ]
     sigs = exploded.groupBy("__id").agg(*sig_cols)
@@ -284,7 +317,10 @@ def minhash_lsh_pairs(
             F.md5(
                 F.concat_ws(
                     "|",
-                    *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    *[
+                        F.col(f"__m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)
