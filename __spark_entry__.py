@@ -3947,3 +3947,193 @@ _ORACLE_DEDUP_SIM["q83_weighted_sample"] = """
     SELECT orderkey, weight, ROUND(pri * 1e6, 6) AS pri_ppm
     FROM h ORDER BY pri ASC, orderkey ASC LIMIT 20
 """
+
+
+# ===========================================================================
+# q84-q87: line-level dedup, mergeable HLL rollup, Z-order layout keys,
+# temperature-balanced resampling
+# ===========================================================================
+def q84_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falcon/RefinedWeb-style cross-corpus line dedup: every occurrence
+    of a line appearing in >=2 distinct documents is removed, survivors
+    keep their order. documents.text has no newlines, so the query first
+    derives a lined corpus (8-token segments) and then runs the real
+    operator; the oracle replays chunking, counting, anti-join and
+    re-assembly. Output digests the rebuilt text with md5."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = d.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    out = dedup_lines(lined, "doc_id", "text", sep="\n", min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        F.col("n_lines"),
+        F.col("n_kept"),
+    )
+
+
+def q85_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: one DataSketches HLL per (event_type,
+    day), merged per event_type with hll_union_agg — the persisted-
+    sketch path that answers coarse distinct-counts at 100 TB without
+    rescanning raw data. The estimate is sketch-specific, so the oracle
+    row is the exact distinct count plus a boolean asserting the merged
+    estimate landed within 5% (q41 pattern)."""
+    from jsonl_dataingestion_pipeline_spark.functions.sketches import hll_rollup
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    r = hll_rollup(e, ["event_type"], ["day"], "user_id", lg_k=12)
+    return r.select(
+        "event_type",
+        F.col("exact").cast("long").alias("exact_users"),
+        (F.abs(F.col("estimate") - F.col("exact"))
+         <= F.col("exact") * 0.05).alias("within_5pct"),
+    )
+
+
+def q86_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over orders bucketized on
+    (custkey, order-day): bit-interleaving in pure Column arithmetic.
+    Aggregating per coarse key-prefix cell proves the locality property
+    the file layout relies on; the oracle replays the interleave
+    bit-for-bit."""
+    from jsonl_dataingestion_pipeline_spark.operators.partitioning import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).cast("long")
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        % 1024
+    ).cast("long")
+    zk = zorder_key([x, y], bits=10)
+    return (
+        o.select(zk.alias("zkey"), F.col("o_custkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 12).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+            F.sum("o_custkey").cast("long").alias("sum_custkey"),
+        )
+    )
+
+
+def q87_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced resampling (alpha=0.5) of documents across
+    languages — the multilingual-LM corpus-mixing rule: rare languages
+    keep a larger share than their raw frequency. Deterministic hash
+    coin, rates rounded to 6 decimals; the oracle replays counts, rates
+    and membership exactly."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        d, "lang", "doc_id", alpha=0.5, target_n=300, seed=7
+    )
+    return kept.groupBy("lang").agg(
+        F.round(F.max("keep_rate"), 6).alias("keep_rate"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q84_line_dedup"] = q84_line_dedup
+_DEDUP_SIM_QUERIES["q85_hll_rollup"] = q85_hll_rollup
+_DEDUP_SIM_QUERIES["q86_zorder_cells"] = q86_zorder_cells
+_DEDUP_SIM_QUERIES["q87_temperature_sample"] = q87_temperature_sample
+
+_ORACLE_DEDUP_SIM["q84_line_dedup"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), lined AS (
+        SELECT doc_id, list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                   i -> array_to_string(toks[CAST(i AS INT) * 8 + 1 : CAST(i AS INT) * 8 + 8], ' ')
+               ) AS lines
+        FROM base
+    ), expl AS (
+        SELECT doc_id, UNNEST(lines) AS line,
+               UNNEST(generate_series(0, len(lines) - 1)) AS pos,
+               len(lines) AS n_lines
+        FROM lined
+    ), dup AS (
+        SELECT line FROM expl GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+        SELECT e.* FROM expl e WHERE e.line NOT IN (SELECT line FROM dup)
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           md5(COALESCE(r.text, '')) AS digest,
+           CAST(len(l.lines) AS BIGINT) AS n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+"""
+
+_ORACLE_DEDUP_SIM["q85_hll_rollup"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+"""
+
+_ZORDER_TERMS_SQL = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(10)
+)
+_ORACLE_DEDUP_SIM["q86_zorder_cells"] = f"""
+    WITH b AS (
+        SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y,
+               o_custkey
+        FROM orders
+    ), z AS (
+        SELECT {_ZORDER_TERMS_SQL} AS zkey, o_custkey FROM b
+    )
+    SELECT zkey >> 12 AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(zkey) AS min_zkey,
+           MAX(zkey) AS max_zkey,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM z GROUP BY cell
+"""
+
+_ORACLE_DEDUP_SIM["q87_temperature_sample"] = """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY lang
+    ), z AS (
+        SELECT SUM(POWER(c, 0.5)) AS z FROM counts
+    ), rates AS (
+        SELECT lang, ROUND(LEAST(1.0, 300.0 * POWER(c, 0.5) / z.z / c), 6) AS keep_rate
+        FROM counts, z
+    ), kept AS (
+        SELECT d.lang, r.keep_rate, d.doc_id
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 < r.keep_rate
+    )
+    SELECT lang, ROUND(MAX(keep_rate), 6) AS keep_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM kept GROUP BY lang
+"""

@@ -75,3 +75,51 @@ def stratified_sample(
             .otherwise(thresh)
         )
     return df.filter(h < thresh)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group: ColumnOrName,
+    key: ColumnOrName,
+    *,
+    alpha: float = 0.5,
+    target_n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-balanced downsampling across groups (languages,
+    domains): group g gets target share ``c_g^alpha / sum(c^alpha)`` of
+    ``target_n`` rows — alpha < 1 flattens the distribution toward rare
+    groups, the multilingual-LM resampling rule.
+
+    Keep rates are computed from one tiny per-group count aggregate
+    (broadcast back), membership is the same hash coin as
+    :func:`deterministic_sample` — reproducible on any layout. Rates are
+    capped at 1 (downsample-only) and rounded to 6 decimals so the
+    float boundary is engine-independent. Adds a ``keep_rate`` column.
+    """
+    g = _col(group)
+    counts = df.groupBy(g.alias("__g")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__c"), F.lit(alpha))).alias("__z")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col("__g"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_n))
+                * F.pow(F.col("__c"), F.lit(alpha))
+                / F.col("__z")
+                / F.col("__c"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    h = _bucket32(_col(key), seed).cast("double") / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), g == F.col("__g"))
+        .filter(h < F.col("keep_rate"))
+        .drop("__g")
+    )

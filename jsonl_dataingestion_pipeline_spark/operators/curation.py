@@ -316,3 +316,71 @@ def merge_upsert(
         .filter(F.col("_rk") == 1)
         .drop("_v", "_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line-level exact dedup (Falcon/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every occurrence of a line that appears in >= ``min_docs``
+    distinct documents (boilerplate: headers, nav bars, cookie banners),
+    preserving the order of surviving lines.
+
+    Relational plan (scales linearly; RefinedWeb runs this on multi-TB
+    crawls):
+      1. ``posexplode(split(text))`` — narrow, no shuffle;
+      2. one count-distinct-docs aggregate per line (map-side partial);
+      3. anti-join lines against the duplicate set — the dup set is tiny
+         relative to the corpus (only lines crossing the threshold), so
+         AQE turns this into a broadcast anti-join;
+      4. re-assemble per doc: ``collect_list(struct(pos, line))`` +
+         ``array_sort`` — one doc-keyed shuffle, order restored exactly.
+
+    Returns (id, text, n_lines, n_kept) with ``text`` rebuilt from the
+    surviving lines (empty string when everything was boilerplate).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep)).alias("__n"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    dup = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(dup, "__line", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.max("__n").alias("__n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    # docs whose every line was boilerplate drop out of `kept` — restore
+    # them with an empty body so the output covers the full corpus
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

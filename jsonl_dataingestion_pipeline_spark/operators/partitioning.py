@@ -98,3 +98,51 @@ def repartition_for_output(
     if by:
         return df.repartition(parts, *[F.col(c) for c in by])
     return df.repartition(parts)
+
+
+def zorder_key(cols: Sequence[Column], *, bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave ``bits`` low bits of each
+    column. Rows close in EVERY dimension get close keys, so range-
+    partitioning + sorting on this key co-locates multidimensional
+    neighborhoods — parquet row-group min/max stats then prune scans on
+    ANY of the interleaved dimensions, not just the leading sort column
+    (the Delta/Iceberg OPTIMIZE ZORDER layout trick, done with plain
+    Column arithmetic).
+
+    Inputs must be non-negative integers already bucketized to
+    ``2^bits`` (caller picks the resolution). Pure shift/mask/sum tree —
+    whole-stage codegen, replayable in any SQL engine.
+    """
+    n = len(cols)
+    key: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            key = key + F.shiftleft(
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * n + ci,
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """Write parquet laid out by Z-order: range-partition on the Morton
+    key (one skew-aware sampled shuffle), sort within each partition,
+    drop the key. Each output file then covers a tight hyper-rectangle
+    of the key space — selective filters on any ``cols`` dimension skip
+    most files via footer stats."""
+    zk = zorder_key([F.col(c) for c in cols], bits=bits)
+    (
+        df.withColumn("__zk", zk)
+        .repartitionByRange(num_files, "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,155 @@
+"""Unit tests for line dedup, temperature sampling, Z-order layout and
+HLL sketch rollups (q84-q87 operator kernels)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+    temperature_sample,
+)
+from jsonl_dataingestion_pipeline_spark.functions.sketches import hll_rollup
+from jsonl_dataingestion_pipeline_spark.operators.curation import dedup_lines
+from jsonl_dataingestion_pipeline_spark.operators.partitioning import (
+    write_zordered,
+    zorder_key,
+)
+
+
+# --- line dedup ------------------------------------------------------------
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "unique a\nunique b"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in dedup_lines(df, "id", "text").collect()}
+    assert out[1].text == "real content one"
+    assert out[2].text == "real content two"
+    assert out[3].text == "unique a\nunique b"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 1)
+    assert (out[3].n_lines, out[3].n_kept) == (2, 2)
+
+
+def test_dedup_lines_all_boilerplate_doc_survives_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "same\nsame2"), (2, "same\nsame2"), (3, "keep me")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in dedup_lines(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}  # fully-deduped docs still present
+    assert out[1].text == "" and out[1].n_kept == 0
+    assert out[3].text == "keep me"
+
+
+def test_dedup_lines_order_restored_across_removals(spark):
+    df = spark.createDataFrame(
+        [(1, "dup\na\ndup\nb\ndup\nc"), (2, "dup")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in dedup_lines(df, "id", "text").collect()}
+    assert out[1].text == "a\nb\nc"
+
+
+# --- temperature sampling --------------------------------------------------
+def test_temperature_sample_flattens_distribution(spark):
+    rows = [(i, "common") for i in range(900)] + [
+        (1000 + i, "rare") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = temperature_sample(
+        df, "g", "id", alpha=0.5, target_n=200, seed=3
+    )
+    rates = {
+        r.g: r.keep_rate
+        for r in kept.select("g", "keep_rate").distinct().collect()
+    }
+    # alpha=0.5 target shares: common 3/4, rare 1/4 of 200
+    # -> rate(common)=150/900, rate(rare)=50/100: rare keeps 3x the rate
+    assert rates["rare"] > rates["common"] * 2.5
+    # deterministic: second run identical
+    a = sorted(r.id for r in kept.collect())
+    b = sorted(
+        r.id
+        for r in temperature_sample(
+            df, "g", "id", alpha=0.5, target_n=200, seed=3
+        ).collect()
+    )
+    assert a == b
+    # kept counts land near the temperature targets
+    n = {r.g: r.n for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert 100 < n["common"] < 200 and 25 < n["rare"] < 75
+
+
+def test_temperature_sample_alpha_one_is_proportional(spark):
+    rows = [(i, "a") for i in range(800)] + [(1000 + i, "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = temperature_sample(df, "g", "id", alpha=1.0, target_n=500, seed=1)
+    rates = {
+        r.g: r.keep_rate
+        for r in kept.select("g", "keep_rate").distinct().collect()
+    }
+    # alpha=1 keeps raw proportions: both groups get the same rate
+    assert abs(rates["a"] - rates["b"]) < 1e-9
+
+
+# --- z-order ---------------------------------------------------------------
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    # x=0b11 -> even bit positions 0,2 ; y=0b01 -> odd bit position 1
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).first()["z"]
+    assert got == 0b0111  # 1 + 2 + 4
+
+
+def test_zorder_key_locality(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    z = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    )
+    rows = sorted(z.collect(), key=lambda r: r.z)
+    # Morton order: any 4 consecutive keys span a 2x2 box, so x and y
+    # of neighbors in key order differ by <= 3 within a quad
+    quad = rows[:4]
+    assert max(r.x for r in quad) - min(r.x for r in quad) <= 1
+    assert max(r.y for r in quad) - min(r.y for r in quad) <= 1
+
+
+def test_write_zordered_prunes_files(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(x, y, x * 100 + y) for x in range(64) for y in range(64)],
+        "x long, y long, payload long",
+    )
+    path = os.path.join(str(tmp_path), "zo")
+    write_zordered(df, path, ["x", "y"], bits=6, num_files=16)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= 8
+    back = spark.read.parquet(path)
+    assert back.count() == 64 * 64
+    # a point filter on x alone touches only files whose x-range covers
+    # it: with a z-ordered layout that's a strict subset of all files
+    hit = {
+        os.path.basename(f)
+        for f in files
+        if spark.read.parquet(f).filter(F.col("x") == 5).limit(1).count()
+    }
+    assert len(hit) < len(files)
+
+
+# --- HLL rollup ------------------------------------------------------------
+def test_hll_rollup_merged_estimate_matches_exact(spark):
+    rows = [(g, i % 7, i * 13 % 5000) for g in ("a", "b") for i in range(8000)]
+    df = spark.createDataFrame(rows, "g string, shard int, uid long")
+    out = hll_rollup(df, ["g"], ["shard"], "uid", lg_k=12).collect()
+    assert len(out) == 2
+    for r in out:
+        assert abs(r.estimate - r.exact) <= 0.05 * r.exact
