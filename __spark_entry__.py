@@ -4137,3 +4137,75 @@ _ORACLE_DEDUP_SIM["q87_temperature_sample"] = """
            CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM kept GROUP BY lang
 """
+
+
+def q88_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass long-form column profile of lineitem (null rate, distinct
+    count, min/max per column) — the pre-flight scan before shaping a
+    big job. Every metric rides one aggregation pass."""
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        profile_columns,
+    )
+
+    l = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        l, ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag"]
+    )
+
+
+def q89_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_suppkey: per-key counts ->
+    one-row summary (max/p50/p99/top-share/skew-ratio). The number you
+    read before choosing plain shuffle vs AQE skew-join vs salting."""
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        key_skew_report,
+    )
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+_DEDUP_SIM_QUERIES["q88_profile_columns"] = q88_profile_columns
+_DEDUP_SIM_QUERIES["q89_key_skew_report"] = q89_key_skew_report
+
+_ORACLE_DEDUP_SIM["q88_profile_columns"] = """
+    WITH w AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS nu1,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS mn1, CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+               CAST(COUNT(CASE WHEN l_suppkey IS NULL THEN 1 END) AS BIGINT) AS nu2,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd2,
+               CAST(MIN(l_suppkey) AS VARCHAR) AS mn2, CAST(MAX(l_suppkey) AS VARCHAR) AS mx2,
+               CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS nu3,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd3,
+               CAST(MIN(l_quantity) AS VARCHAR) AS mn3, CAST(MAX(l_quantity) AS VARCHAR) AS mx3,
+               CAST(COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS BIGINT) AS nu4,
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd4,
+               CAST(MIN(l_returnflag) AS VARCHAR) AS mn4, CAST(MAX(l_returnflag) AS VARCHAR) AS mx4
+        FROM lineitem
+    )
+    SELECT 'l_orderkey' AS column, n AS n_rows, nu1 AS n_null,
+           ROUND(nu1 / CAST(n AS DOUBLE), 6) AS null_rate, nd1 AS n_distinct,
+           mn1 AS min_repr, mx1 AS max_repr FROM w
+    UNION ALL
+    SELECT 'l_suppkey', n, nu2, ROUND(nu2 / CAST(n AS DOUBLE), 6), nd2, mn2, mx2 FROM w
+    UNION ALL
+    SELECT 'l_quantity', n, nu3, ROUND(nu3 / CAST(n AS DOUBLE), 6), nd3, mn3, mx3 FROM w
+    UNION ALL
+    SELECT 'l_returnflag', n, nu4, ROUND(nu4 / CAST(n AS DOUBLE), 6), nd4, mn4, mx4 FROM w
+"""
+
+_ORACLE_DEDUP_SIM["q89_key_skew_report"] = """
+    WITH per AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS rows,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_count,
+           CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_count,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+           ROUND(MAX(c) / (SUM(c) / CAST(COUNT(*) AS DOUBLE)), 6) AS skew_ratio
+    FROM per
+"""

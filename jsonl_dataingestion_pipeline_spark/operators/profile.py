@@ -1,0 +1,80 @@
+"""Dataset profiling operators: the pre-flight checks for a 100 TB job.
+
+- :func:`profile_columns` — one-pass per-column profile (null rate,
+  distinct count, min/max) emitted long-form, one row per column. All
+  aggregates ride a single scan with map-side partials — profiling a
+  petabyte costs one pass, not one pass per column.
+- :func:`key_skew_report` — per-key frequency skew diagnosis for a
+  prospective join/groupBy key: top-key share, p50/p99/max counts and
+  the max/mean ratio. This is the number you look at before deciding
+  between a plain shuffle join, AQE skew handling, or an explicit salt
+  (``partitioning.salted_join``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Long-form column profile: (column, n_rows, n_null, null_rate,
+    n_distinct, min_repr, max_repr), one row per profiled column.
+
+    Single aggregation over one scan: every metric for every column is
+    computed in the same partial-agg pass, then the wide result row is
+    unpivoted with a stack/union of literal-named structs (driver-side
+    metadata only — no second data pass). min/max are emitted as strings
+    so heterogeneous column types share one output schema.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_rate"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_repr"),
+            F.col(f"__max_{c}").alias("max_repr"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Single-row skew report for a join/groupBy key.
+
+    Two-level aggregate: per-key counts (one shuffle on the key), then a
+    global summary (tiny). Returns n_keys, rows, max_count, p50_count,
+    p99_count, top_share (heaviest key's fraction of all rows) and
+    skew_ratio (max/mean) — skew_ratio >> 1 with a large max_count is
+    the signature of a key that needs salting or AQE skew-join.
+    """
+    per_key = df.groupBy(F.col(key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__c").cast("long").alias("rows"),
+        F.max("__c").cast("long").alias("max_count"),
+        F.expr("percentile(__c, 0.5)").cast("double").alias("p50_count"),
+        F.expr("percentile(__c, 0.99)").cast("double").alias("p99_count"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_share"),
+        F.round(
+            F.max("__c") / (F.sum("__c") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )
