@@ -81,3 +81,33 @@ def test_deterministic_sample_is_narrow(spark):
     df = spark.read.parquet(f"{SF}/orders.parquet")
     plan = _formatted(spark, deterministic_sample(df, "o_orderkey", 0.1))
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_scan(spark, tmp_path):
+    """At 100 TB the fact table is date-partitioned; a join against a
+    filtered dim must prune fact partitions at RUNTIME (DPP), not scan
+    everything. Assert the partitioned scan carries a dynamic-pruning
+    partition filter when joined through a selective dim."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    fact_path = os.path.join(str(tmp_path), "fact")
+    (
+        spark.range(10000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 50).alias("day"),
+            (F.col("id") % 7).alias("v"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(50).select(
+        F.col("id").alias("day"), (F.col("id") % 5).alias("grp")
+    )
+    q = fact.join(dim.filter(F.col("grp") == 0), "day").groupBy("day").count()
+    plan = _formatted(spark, q)
+    assert "dynamicpruning" in plan.lower(), plan
