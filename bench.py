@@ -37,6 +37,10 @@ HEADLINE = [
     "q30_doc_pipeline",
     "q68_decontamination",
     "q74_resample_locf",
+    "q84_line_dedup",
+    "q85_hll_rollup",
+    "q86_zorder_cells",
+    "q88_profile_columns",
 ]
 
 
@@ -76,6 +80,17 @@ def main() -> int:
     entrymod._events(spark, sf_dir).limit(1).collect()  # nanos-ts handling
 
     qs = entrymod.queries()
+    # Codegen/JIT warmup: run each headline query once at the smallest SF
+    # so timings below measure data-proportional execution, not one-time
+    # whole-stage-codegen compilation (irrelevant at cluster scale, but
+    # 1-2s of noise per query at bench scale).
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_sf).count()
+            except Exception:
+                pass
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

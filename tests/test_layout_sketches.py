@@ -153,3 +153,33 @@ def test_hll_rollup_merged_estimate_matches_exact(spark):
     assert len(out) == 2
     for r in out:
         assert abs(r.estimate - r.exact) <= 0.05 * r.exact
+
+
+# --- property tests --------------------------------------------------------
+def test_dedup_lines_identity_when_no_duplicates(spark):
+    """Property: with all-unique lines, dedup is the identity (text
+    roundtrips exactly, n_kept == n_lines)."""
+    rows = [(i, "\n".join(f"doc{i} line{j}" for j in range(1 + i % 5)))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = dedup_lines(df, "id", "text")
+    orig = {r.id: r.text for r in df.collect()}
+    for r in out.collect():
+        assert r.text == orig[r.id]
+        assert r.n_kept == r.n_lines
+
+
+def test_zorder_key_roundtrip_deinterleave(spark):
+    """Property: de-interleaving the Morton key recovers the inputs."""
+    import random
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=10).alias("z")
+    ).collect()
+    for r in rows:
+        x = sum(((r.z >> (2 * b)) & 1) << b for b in range(10))
+        y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(10))
+        assert (x, y) == (r.x, r.y)
