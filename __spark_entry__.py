@@ -4209,3 +4209,166 @@ _ORACLE_DEDUP_SIM["q89_key_skew_report"] = """
            ROUND(MAX(c) / (SUM(c) / CAST(COUNT(*) AS DOUBLE)), 6) AS skew_ratio
     FROM per
 """
+
+
+def q90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP for the training-data side: the full five-stage corpus
+    curation pipeline (exact dedup -> quality filter -> line dedup ->
+    near-dup dedup -> temperature resampling) with per-stage doc counts
+    and id checksums. The oracle replays every stage — including the
+    recursive connected-components labeling — in one SQL statement."""
+    from jsonl_dataingestion_pipeline_spark.plans.corpus import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    _, stats = curate_corpus(
+        d,
+        quality_min=0.5,
+        line_tokens=8,
+        line_min_docs=2,
+        shingle_k=3,
+        jaccard_threshold=0.5,
+        sample_hex_prefix="0",
+        alpha=0.5,
+        target_n=300,
+        seed=7,
+    )
+    return stats
+
+
+_DEDUP_SIM_QUERIES["q90_corpus_pipeline"] = q90_corpus_pipeline
+
+_ORACLE_DEDUP_SIM["q90_corpus_pipeline"] = """
+    WITH RECURSIVE
+    s0 AS (SELECT doc_id, lang, text FROM documents),
+    keyed AS (
+        SELECT doc_id, lang, text,
+               md5(lower(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS ck
+        FROM s0
+    ),
+    s1 AS (
+        SELECT k.doc_id, k.lang, k.text
+        FROM keyed k
+        JOIN (SELECT ck, MIN(doc_id) AS mid FROM keyed GROUP BY ck) m
+          ON k.ck = m.ck AND k.doc_id = m.mid
+    ),
+    qstats AS (
+        SELECT doc_id, lang, text,
+               CAST(len(toks) AS INT) AS n_tokens,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'that','for','on','with','as','at','by','from'], lower(t)))) AS stop_hits,
+               len(list_distinct(toks)) AS n_distinct
+        FROM (SELECT doc_id, lang, text,
+                     regexp_split_to_array(TRIM(text), '\\s+') AS toks
+              FROM s1) t
+    ),
+    s2 AS (
+        SELECT doc_id, lang, text FROM qstats
+        WHERE FLOOR((
+                  0.4 * LEAST(n_tokens / 64.0, 1.0)
+                + 0.3 * LEAST(ROUND(stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 8) * 4.0, 1.0)
+                + 0.3 * (n_distinct / GREATEST(CAST(n_tokens AS DOUBLE), 1.0))
+              ) * 10000.0) / 10000.0 >= 0.5
+    ),
+    lined AS (
+        SELECT doc_id, lang, list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                   i -> array_to_string(toks[CAST(i AS INT) * 8 + 1 : CAST(i AS INT) * 8 + 8], ' ')
+               ) AS lines
+        FROM (SELECT doc_id, lang, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+              FROM s2) t
+    ),
+    lexpl AS (
+        SELECT doc_id, lang, UNNEST(lines) AS line,
+               UNNEST(generate_series(0, len(lines) - 1)) AS pos
+        FROM lined
+    ),
+    ldup AS (
+        SELECT line FROM lexpl GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    lkept AS (
+        SELECT * FROM lexpl WHERE line NOT IN (SELECT line FROM ldup)
+    ),
+    s3 AS (
+        SELECT doc_id, lang,
+               string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM lkept GROUP BY doc_id, lang
+    ),
+    ctoks AS (
+        SELECT doc_id AS id, lang,
+               regexp_split_to_array(TRIM(text), '\\s+') AS toks
+        FROM s3
+    ),
+    cshingles AS (
+        SELECT id, lang, list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(toks) - 2, 1)),
+                   i -> concat_ws(' ',
+                        COALESCE(toks[CAST(i AS INT)], ''),
+                        COALESCE(toks[CAST(i AS INT) + 1], ''),
+                        COALESCE(toks[CAST(i AS INT) + 2], '')))) AS sh
+        FROM ctoks
+    ),
+    sampled AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h FROM cshingles)
+        WHERE h LIKE '0%'
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM sampled a JOIN sampled b ON a.shash = b.shash AND a.id < b.id
+    ),
+    pairs AS (
+        SELECT c.id_l, c.id_r
+        FROM cand c
+        JOIN cshingles sa ON c.id_l = sa.id
+        JOIN cshingles sb ON c.id_r = sb.id
+        WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
+                    / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_l AS a, id_r AS b FROM pairs
+        UNION
+        SELECT id_r AS a, id_l AS b FROM pairs
+    ),
+    reach AS (
+        SELECT id, id AS comp FROM ctoks
+        UNION
+        SELECT e.b AS id, r.comp
+        FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    labels AS (
+        SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+    ),
+    s4 AS (
+        SELECT c.id AS doc_id, c.lang
+        FROM ctoks c JOIN labels l ON c.id = l.id
+        WHERE l.id = l.comp
+    ),
+    counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c FROM s4 GROUP BY lang
+    ),
+    zz AS (SELECT SUM(POWER(c, 0.5)) AS z FROM counts),
+    rates AS (
+        SELECT lang, ROUND(LEAST(1.0, 300.0 * POWER(c, 0.5) / zz.z / c), 6) AS keep_rate
+        FROM counts, zz
+    ),
+    s5 AS (
+        SELECT s4.doc_id, s4.lang
+        FROM s4 JOIN rates r ON s4.lang = r.lang
+        WHERE CAST('0x' || substr(md5('7:' || CAST(s4.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 < r.keep_rate
+    )
+    SELECT CAST(0 AS INT) AS stage, 'input' AS stage_name,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM s0
+    UNION ALL
+    SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 2, 'quality_filter', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'line_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 4, 'neardup_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM s4
+    UNION ALL
+    SELECT 5, 'temperature_sample', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM s5
+"""
