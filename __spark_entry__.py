@@ -314,8 +314,10 @@ _ORACLE_RELATIONAL: dict[str, str] = {
 # Entry + registry (extended in sections appended below)
 # ===========================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the document ingestion pipeline over sf0.001 documents."""
-    return q30_doc_pipeline(spark, "/root/testdata/sf0.001")
+    """Flagship: the five-stage corpus curation pipeline (exact dedup ->
+    quality -> line dedup -> near-dup dedup -> temperature resampling)
+    over sf0.001 documents, returning the per-stage funnel."""
+    return q90_corpus_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
