@@ -43,7 +43,9 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col(f"__null_{c}").alias("n_null"),
-            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_rate"),
+            F.round(
+                F.try_divide(F.col(f"__null_{c}"), F.col("__n")), 6
+            ).alias("null_rate"),
             F.col(f"__nd_{c}").alias("n_distinct"),
             F.col(f"__min_{c}").alias("min_repr"),
             F.col(f"__max_{c}").alias("max_repr"),

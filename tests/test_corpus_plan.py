@@ -71,3 +71,18 @@ def test_curate_corpus_reliable_mode_identical(spark, tmp_path):
         r.doc_id for r in rel_final.collect()
     )
     assert fast_stats.collect() == rel_stats.collect()
+
+
+def test_curate_corpus_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, lang string, text string")
+    final, stats = curate_corpus(df, target_n=10)
+    assert final.count() == 0
+    st = {r.stage_name: r.n_docs for r in stats.collect()}
+    assert st == {
+        "input": 0,
+        "exact_dedup": 0,
+        "quality_filter": 0,
+        "line_dedup": 0,
+        "neardup_dedup": 0,
+        "temperature_sample": 0,
+    }

@@ -30,3 +30,16 @@ def test_key_skew_report_flags_hot_key(spark):
     # mean count = 100/11 -> skew ratio ~9.9
     assert 9 < r.skew_ratio < 10
     assert r.p50_count == 1.0
+
+
+def test_profile_columns_empty_frame(spark):
+    df = spark.createDataFrame([], "k long, s string")
+    out = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 0 and out["k"].n_distinct == 0
+    assert out["k"].min_repr is None
+
+
+def test_key_skew_report_uniform_keys(spark):
+    df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    r = key_skew_report(df, "k").first()
+    assert r.skew_ratio == 1.0 and r.top_share == 0.01
