@@ -75,8 +75,14 @@ def key_skew_report(df: DataFrame, key: str) -> DataFrame:
         F.max("__c").cast("long").alias("max_count"),
         F.expr("percentile(__c, 0.5)").cast("double").alias("p50_count"),
         F.expr("percentile(__c, 0.99)").cast("double").alias("p99_count"),
-        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_share"),
+        F.round(F.try_divide(F.max("__c"), F.sum("__c")), 6).alias(
+            "top_share"
+        ),
         F.round(
-            F.max("__c") / (F.sum("__c") / F.count(F.lit(1))), 6
+            F.try_divide(
+                F.max("__c"),
+                F.try_divide(F.sum("__c"), F.count(F.lit(1))),
+            ),
+            6,
         ).alias("skew_ratio"),
     )

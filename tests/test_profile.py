@@ -43,3 +43,9 @@ def test_key_skew_report_uniform_keys(spark):
     df = spark.createDataFrame([(k,) for k in range(100)], "k long")
     r = key_skew_report(df, "k").first()
     assert r.skew_ratio == 1.0 and r.top_share == 0.01
+
+
+def test_key_skew_report_empty_frame(spark):
+    df = spark.createDataFrame([], "k long")
+    r = key_skew_report(df, "k").first()
+    assert r.n_keys == 0 and r.top_share is None
