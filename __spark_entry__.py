@@ -4374,3 +4374,133 @@ _ORACLE_DEDUP_SIM["q90_corpus_pipeline"] = """
     UNION ALL
     SELECT 5, 'temperature_sample', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT) FROM s5
 """
+
+
+def q91_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    per foreign-key relation via left-anti joins (the data-quality
+    pre-flight before trusting any join's completeness)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(name, child, fk, parent, pk):
+        return child.select(F.col(fk)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        ).crossJoin(
+            child.join(parent, child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+
+    return (
+        audit("lineitem->orders", l, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+
+
+def q92_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the doc_id%3==0 slice plays the
+    incoming batch, the rest the curated base corpus. Incoming docs that
+    exactly match (normalized md5) or near-dup (sampled-shingle Jaccard
+    >= 0.5) ANY base doc are dropped; the base is never self-joined.
+    Output summarizes the surviving batch."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    kept = incremental_dedup(
+        incoming, base, "text", "doc_id",
+        shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+    )
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q91_referential_audit"] = q91_referential_audit
+_DEDUP_SIM_QUERIES["q92_incremental_dedup"] = q92_incremental_dedup
+
+_ORACLE_DEDUP_SIM["q91_referential_audit"] = """
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+"""
+
+_ORACLE_DEDUP_SIM["q92_incremental_dedup"] = """
+    WITH inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), bse AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), bkeys AS (
+        SELECT DISTINCT md5(lower(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS ck
+        FROM bse
+    ), ekept AS (
+        SELECT i.doc_id, i.text FROM inc i
+        WHERE md5(lower(regexp_replace(TRIM(i.text), '\\s+', ' ', 'g'))) NOT IN
+              (SELECT ck FROM bkeys)
+    ), shi AS (
+        SELECT doc_id AS id, list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(toks) - 2, 1)),
+                   i -> concat_ws(' ',
+                        COALESCE(toks[CAST(i AS INT)], ''),
+                        COALESCE(toks[CAST(i AS INT) + 1], ''),
+                        COALESCE(toks[CAST(i AS INT) + 2], '')))) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks FROM ekept) t
+    ), shb AS (
+        SELECT doc_id AS id, list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(toks) - 2, 1)),
+                   i -> concat_ws(' ',
+                        COALESCE(toks[CAST(i AS INT)], ''),
+                        COALESCE(toks[CAST(i AS INT) + 1], ''),
+                        COALESCE(toks[CAST(i AS INT) + 2], '')))) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks FROM bse) t
+    ), si AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h FROM shi)
+        WHERE h LIKE '0%'
+    ), sb AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h FROM shb)
+        WHERE h LIKE '0%'
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_i, b.id AS id_b
+        FROM si a JOIN sb b ON a.shash = b.shash
+    ), dup AS (
+        SELECT DISTINCT c.id_i
+        FROM cand c
+        JOIN shi sa ON c.id_i = sa.id
+        JOIN shb sbb ON c.id_b = sbb.id
+        WHERE ROUND(len(list_intersect(sa.sh, sbb.sh))
+                    / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sbb.sh))), 1) AS DOUBLE), 6) >= 0.5
+    ), kept AS (
+        SELECT e.doc_id FROM ekept e
+        WHERE e.doc_id NOT IN (SELECT id_i FROM dup)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM kept
+"""

@@ -713,3 +713,85 @@ def simhash_near_pairs(
     return cand.select("id_l", "id_r", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+def incremental_dedup(
+    incoming: DataFrame,
+    base: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    sample_hex_prefix: str = "0",
+    threshold: float = 0.5,
+    reliable: bool = False,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-curated BASE corpus —
+    the production ingestion mode at scale: the base is never re-deduped,
+    only the (much smaller) delta is checked against it.
+
+    Two passes, both incoming-sized:
+      1. exact: normalized-content md5 anti-join against the base's key
+        set (a narrow projection of the base — at 100 TB this key set is
+        a fraction of corpus bytes, and the anti-join shuffles keys, not
+        documents);
+      2. near-dup: sampled-shingle candidates BETWEEN incoming and base
+        (equi-join on the shingle hash, never a self-join of the base),
+        exact-Jaccard verification, then anti-join the certified
+        near-dup incoming ids away.
+
+    Returns the surviving incoming rows (schema preserved).
+    """
+    norm_key = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    )
+    base_keys = base.select(norm_key.alias("__ck")).distinct()
+    exact_kept = _pipeline_break(
+        incoming.withColumn("__ck", norm_key)
+        .join(base_keys, "__ck", "left_anti")
+        .drop("__ck"),
+        reliable,
+    )
+
+    bi = shingle_base(
+        exact_kept, text_col, id_col, shingle_k=shingle_k, reliable=reliable
+    )
+    bb = shingle_base(
+        base, text_col, id_col, shingle_k=shingle_k, reliable=reliable
+    )
+
+    def _sampled(b: DataFrame, out_id: str) -> DataFrame:
+        s = b.select(
+            F.col("__id").alias(out_id), F.explode("__sh").alias("s")
+        ).select(out_id, F.md5("s").alias("shash"))
+        if sample_hex_prefix:
+            s = s.filter(F.col("shash").startswith(sample_hex_prefix))
+        return s.dropDuplicates([out_id, "shash"])
+
+    cand = _pipeline_break(
+        _sampled(bi, "id_i")
+        .join(_sampled(bb, "id_b"), "shash")
+        .select("id_i", "id_b")
+        .dropDuplicates(["id_i", "id_b"]),
+        reliable,
+    )
+    joined = (
+        cand.join(
+            bi.withColumnsRenamed({"__id": "id_i", "__sh": "sh_i"}), "id_i"
+        )
+        .join(
+            bb.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_i"), F.col("sh_b")))
+    jac = inter / F.greatest(union, F.lit(1)).cast("double")
+    dup_ids = (
+        joined.filter(F.round(jac, 6) >= threshold)
+        .select(F.col("id_i").alias(id_col))
+        .distinct()
+    )
+    return exact_kept.join(dup_ids, id_col, "left_anti")

@@ -319,3 +319,42 @@ def test_refine_centroids_improves_or_holds_recall(spark, embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # refined cells must stay a usable index
+
+
+def test_incremental_dedup_exact_near_and_novel(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "m n o p q r s t u v w x")],
+        "id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j k l"),        # exact dup of base 1
+            (11, "a b c d e f g h i j k l extra"),  # near-dup of base 1
+            (12, "completely novel words only here never seen before now"),
+        ],
+        "id long, text string",
+    )
+    kept = incremental_dedup(
+        incoming, base, "text", "id",
+        sample_hex_prefix="", threshold=0.5,
+    )
+    assert sorted(r.id for r in kept.collect()) == [12]
+    # base is untouched: survivors keep the incoming schema
+    assert kept.columns == ["id", "text"]
+
+
+def test_incremental_dedup_empty_base_keeps_all(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = spark.createDataFrame([], "id long, text string")
+    incoming = spark.createDataFrame(
+        [(1, "x y z"), (2, "p q r")], "id long, text string"
+    )
+    kept = incremental_dedup(incoming, base, "text", "id", sample_hex_prefix="")
+    assert sorted(r.id for r in kept.collect()) == [1, 2]
