@@ -339,3 +339,56 @@ def dedup_stream(
     if within_watermark:
         return w.dropDuplicatesWithinWatermark(key_cols)
     return w.dropDuplicates(key_cols)
+
+
+def ingest_stream_incremental_dedup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    base_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    sample_hex_prefix: str = "0",
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus ingestion with batch-vs-base dedup.
+
+    Each micro-batch is deduplicated against the curated base corpus at
+    ``base_path`` (parquet) via :func:`operators.dedup.incremental_dedup`
+    — exact normalized-key anti-join plus cross-corpus near-dup
+    verification, never self-joining the base — then appended to
+    ``output_dir`` in its own idempotent ``batch_id=<n>`` partition.
+
+    At 100 TB the base sits in object storage; each batch's cost is
+    proportional to the batch (keys and sampled shingles of the base are
+    the only base-side relations shuffled). In-stream duplicate arrivals
+    should additionally be guarded with :func:`dedup_stream`
+    (dropDuplicatesWithinWatermark) upstream of this sink.
+    """
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = spark.read.parquet(base_path)
+        kept = incremental_dedup(
+            batch_df,
+            base,
+            text_col,
+            id_col,
+            threshold=threshold,
+            sample_hex_prefix=sample_hex_prefix,
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

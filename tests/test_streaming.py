@@ -307,3 +307,45 @@ def test_dedup_stream_within_watermark(tmp_path, spark):
     ]
     keys = sorted(r["k"] for r in out)
     assert keys == ["a", "b", "c"]
+
+
+def test_ingest_stream_incremental_dedup(spark, tmp_path):
+    """Streaming ingestion drops exact and near dups of the static base,
+    keeps novel docs, and lands idempotent batch_id partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        ingest_stream_incremental_dedup,
+    )
+
+    base_path = os.path.join(str(tmp_path), "base")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "m n o p q r s t u v w x")],
+        "doc_id long, text string",
+    ).write.parquet(base_path)
+
+    in_dir = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j k l"),        # exact dup -> dropped
+            (11, "a b c d e f g h i j k l extra"),  # near dup -> dropped
+            (12, "totally novel content here with distinct words only"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.json(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(in_dir)
+    out_dir = os.path.join(str(tmp_path), "out")
+    q = ingest_stream_incremental_dedup(
+        spark,
+        stream,
+        base_path,
+        out_dir,
+        os.path.join(str(tmp_path), "ckpt"),
+        sample_hex_prefix="",
+    )
+    q.awaitTermination(120)
+    back = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+    assert [r.doc_id for r in back.select("doc_id").collect()] == [12]
