@@ -4504,3 +4504,40 @@ _ORACLE_DEDUP_SIM["q92_incremental_dedup"] = """
            CAST(MAX(doc_id) AS BIGINT) AS max_id
     FROM kept
 """
+
+
+def q93_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4):
+    parse_json the event props once, extract typed paths with
+    variant_get, aggregate — the open-schema path that avoids both
+    rigid from_json schemas and per-query string re-parsing. The oracle
+    replays extraction with DuckDB's JSON path functions."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q93_variant_json"] = q93_variant_json
+
+_ORACLE_DEDUP_SIM["q93_variant_json"] = """
+    WITH v AS (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM v GROUP BY event_type
+"""

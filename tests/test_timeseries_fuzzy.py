@@ -137,3 +137,26 @@ def test_resample_locf_timestamp_ntz(spark):
     assert [r.bucket for r in rows] == [_ts(10), _ts(11), _ts(12), _ts(13)]
     assert [r.v for r in rows] == [1.0, 1.0, 1.0, 2.0]
     assert [r.filled for r in rows] == [False, True, True, False]
+
+
+def test_time_bucket_ntz_ltz_equivalence(spark):
+    """Property: in a UTC session, the NTZ path and the LTZ path floor
+    every timestamp to the same wall-clock bucket (300 fuzzed cases)."""
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (
+            dt.datetime(2024, 1, 1)
+            + dt.timedelta(seconds=rng.randrange(0, 365 * 86400), microseconds=rng.randrange(0, 1000000)),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "t timestamp")
+    both = df.select(
+        tso.time_bucket("t", 900).alias("ltz"),
+        tso.time_bucket(
+            F.col("t").cast("timestamp_ntz"), 900, ntz=True
+        ).cast("timestamp").alias("ntz"),
+    )
+    assert both.filter(F.col("ltz") != F.col("ntz")).count() == 0
