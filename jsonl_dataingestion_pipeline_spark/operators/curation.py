@@ -359,7 +359,6 @@ def dedup_lines(
     )
     kept = lines.join(dup, "__line", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
-        F.max("__n").alias("__n"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
