@@ -4541,3 +4541,63 @@ _ORACLE_DEDUP_SIM["q93_variant_json"] = """
            CAST(MAX(k) AS INT) AS max_k
     FROM v GROUP BY event_type
 """
+
+
+def q94_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-source quota: each source keeps at most 15 docs,
+    chosen by the deterministic hash coin (reproducible on any cluster
+    layout). WindowGroupLimit keeps the per-group top-k partial."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        quota_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = quota_sample(d, "source", "doc_id", max_per_group=15, seed=5)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+def q95_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via bitmap aggregates: per-bucket
+    bitmaps OR-merged per group, counted — the persisted-bitmap path for
+    exact distincts at scale (contrast q85's approximate HLL). Being
+    exact, the oracle checks equality with COUNT(DISTINCT), not a bound."""
+    l = _t(spark, sf_dir, "lineitem")
+    fine = l.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("l_partkey"))
+        ).alias("bm")
+    )
+    return fine.groupBy("returnflag").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("distinct_parts")
+    )
+
+
+_DEDUP_SIM_QUERIES["q94_quota_sample"] = q94_quota_sample
+_DEDUP_SIM_QUERIES["q95_bitmap_distinct"] = q95_bitmap_distinct
+
+_ORACLE_DEDUP_SIM["q94_quota_sample"] = """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+                            doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rk <= 15 GROUP BY source
+"""
+
+_ORACLE_DEDUP_SIM["q95_bitmap_distinct"] = """
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+"""

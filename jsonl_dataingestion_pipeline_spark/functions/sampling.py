@@ -123,3 +123,36 @@ def temperature_sample(
         .filter(h < F.col("keep_rate"))
         .drop("__g")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group: ColumnOrName,
+    key: ColumnOrName,
+    *,
+    max_per_group: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap each group's contribution at ``max_per_group`` rows (the
+    C4-style per-host/per-domain quota that stops one boilerplate-heavy
+    source from dominating the corpus).
+
+    Which rows survive an over-quota group is decided by the
+    deterministic hash coin (then key, as the total tiebreak), so the
+    selection is reproducible on any layout and replayable in SQL. One
+    window over the group — Spark compiles the rank+filter to a
+    per-partition partial top-k (WindowGroupLimit) before the shuffle,
+    so an over-quota group never materializes more than necessary.
+    """
+    from pyspark.sql.window import Window
+
+    g = _col(group)
+    k = _col(key)
+    w = Window.partitionBy(g).orderBy(
+        _bucket32(k, seed).asc(), k.asc()
+    )
+    return (
+        df.withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= max_per_group)
+        .drop("__qrk")
+    )

@@ -183,3 +183,27 @@ def test_zorder_key_roundtrip_deinterleave(spark):
         x = sum(((r.z >> (2 * b)) & 1) << b for b in range(10))
         y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(10))
         assert (x, y) == (r.x, r.y)
+
+
+# --- quota sampling --------------------------------------------------------
+def test_quota_sample_caps_groups_deterministically(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        quota_sample,
+    )
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = quota_sample(df, "g", "id", max_per_group=10, seed=2)
+    n = {r.g: r.n for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert n == {"big": 10, "small": 3}  # under-quota groups untouched
+    a = sorted(r.id for r in kept.collect())
+    b = sorted(
+        r.id
+        for r in quota_sample(df, "g", "id", max_per_group=10, seed=2).collect()
+    )
+    assert a == b  # deterministic
+    c = sorted(
+        r.id
+        for r in quota_sample(df, "g", "id", max_per_group=10, seed=3).collect()
+    )
+    assert a != c  # seed-sensitive
