@@ -4601,3 +4601,54 @@ _ORACLE_DEDUP_SIM["q95_bitmap_distinct"] = """
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q96_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode: gap-based sessions as a
+    groupBy key, no manual lag/cumsum — the same operator the streaming
+    path uses, proving batch/stream session parity. Emits per-session
+    bounds; the oracle replays the gap semantics with window functions
+    (session end = last event + gap)."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 40).select(
+        "user_id", "ts", "value"
+    )
+    s = e.groupBy(
+        F.col("user_id"), F.session_window(F.col("ts"), "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return s.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_DEDUP_SIM_QUERIES["q96_session_window_native"] = q96_session_window_native
+
+_ORACLE_DEDUP_SIM["q96_session_window_native"] = """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 40
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+"""
