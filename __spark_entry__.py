@@ -4652,3 +4652,47 @@ _ORACLE_DEDUP_SIM["q96_session_window_native"] = """
            ROUND(SUM(value), 4) AS sum_value
     FROM sessions GROUP BY user_id, session_id
 """
+
+
+def q97_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation: per user, a sorted event_type -> count MAP
+    column (two-level aggregate, map built with map_from_entries over a
+    sorted entry list so the map value is deterministic cross-engine)."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("__m"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    # round-trip THROUGH the map type; emit sorted entries as the
+    # cross-engine-comparable representation (DuckDB MAPs surface as
+    # key/value column dicts, not k->v mappings)
+    entries = F.sort_array(F.map_entries(F.col("__m")))
+    return m.select(
+        "user_id",
+        F.transform(
+            entries,
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+        ).alias("type_counts"),
+        "n_events",
+    )
+
+
+_DEDUP_SIM_QUERIES["q97_event_type_map"] = q97_event_type_map
+
+_ORACLE_DEDUP_SIM["q97_event_type_map"] = """
+    WITH per AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE user_id < 50
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           array_agg(event_type || ':' || CAST(n AS VARCHAR)
+                     ORDER BY event_type) AS type_counts,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM per GROUP BY user_id
+"""
