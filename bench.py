@@ -79,7 +79,7 @@ def main() -> int:
             spark.read.parquet(p).limit(1).collect()
     entrymod._events(spark, sf_dir).limit(1).collect()  # nanos-ts handling
 
-    qs = entrymod.queries()
+    qs = entrymod.queries_full()
     # Codegen/JIT warmup: run each headline query once at the smallest SF
     # so timings below measure data-proportional execution, not one-time
     # whole-stage-codegen compilation (irrelevant at cluster scale, but
