@@ -95,8 +95,16 @@ def temperature_sample(
     (broadcast back), membership is the same hash coin as
     :func:`deterministic_sample` — reproducible on any layout. Rates are
     capped at 1 (downsample-only) and rounded to 6 decimals so the
-    float boundary is engine-independent. Adds a ``keep_rate`` column.
+    float boundary is engine-independent. Adds a ``keep_rate`` column
+    (``df`` must not already have one — that would be a silent
+    collision, so it raises); a NULL group value is a group of its own
+    (null-safe join), not silently dropped.
     """
+    if "keep_rate" in df.columns:
+        raise ValueError(
+            "temperature_sample adds a 'keep_rate' column; input already "
+            "has one — rename it first"
+        )
     g = _col(group)
     counts = df.groupBy(g.alias("__g")).agg(
         F.count(F.lit(1)).cast("double").alias("__c")
@@ -119,7 +127,7 @@ def temperature_sample(
     )
     h = _bucket32(_col(key), seed).cast("double") / F.lit(4294967296.0)
     return (
-        df.join(F.broadcast(rates), g == F.col("__g"))
+        df.join(F.broadcast(rates), g.eqNullSafe(F.col("__g")))
         .filter(h < F.col("keep_rate"))
         .drop("__g")
     )

@@ -345,11 +345,21 @@ def dedup_lines(
 
     Returns (id, text, n_lines, n_kept) with ``text`` rebuilt from the
     surviving lines (empty string when everything was boilerplate).
+
+    ``sep`` is treated as a LITERAL separator on both the split and the
+    re-join side: the split pattern is ``\\Q..\\E``-quoted (Java
+    ``Pattern.quote``), so regex-meaningful separators like ``'.'`` or
+    ``'|'`` round-trip correctly.
     """
+    # Pattern.quote(sep): literal \Q..\E quoting, with any embedded \E
+    # closed, escaped, and re-opened.
+    sep_pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.col(text_col), sep)).alias("__n"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.size(F.split(F.col(text_col), sep_pat)).alias("__n"),
+        F.posexplode(
+            F.split(F.col(text_col), sep_pat)
+        ).alias("__pos", "__line"),
     )
     dup = (
         lines.groupBy("__line")

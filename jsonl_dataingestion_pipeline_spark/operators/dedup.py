@@ -19,6 +19,7 @@ oracle at test scale.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import pandas as pd
@@ -215,6 +216,59 @@ def shingle_base(
 # h1 + 31*h2 stays far below 2^63 — no bigint overflow on either engine.
 MINHASH_PRIME = 2_147_483_647
 
+_LOG = logging.getLogger(__name__)
+
+# Default hot-bucket cap for candidate generation (ngram_jaccard_pairs,
+# minhash_lsh_pairs). One degenerate bucket — a boilerplate shingle or an
+# LSH band key shared by millions of near-identical docs — generates
+# O(bucket²) candidate pairs; at 100 TB that single bucket is the whole
+# job. Capping is the standard production trade (the dropped pairs are
+# overwhelmingly within boilerplate clusters that exact-dedup already
+# catches), but it must never be silent: every capped call logs the
+# dropped bucket/pair counts. Pass ``max_bucket=None`` for the exact,
+# uncapped semantics (what the DuckDB oracles replay — identical output
+# whenever no bucket exceeds the cap, which holds at every test SF).
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_hot_buckets(
+    exploded: DataFrame,
+    keys: Sequence[str],
+    max_bucket: int,
+    reliable: bool,
+    op_name: str,
+) -> DataFrame:
+    """Drop candidate buckets larger than ``max_bucket`` (and useless
+    singletons), logging how much was dropped — the 'no silent caps'
+    rule. The bucket histogram is materialized once (pipeline break) so
+    the keep-join and the logged counters share one aggregation; its
+    size is bounded by the distinct bucket-key count, not the corpus."""
+    hist = _pipeline_break(
+        exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")),
+        reliable,
+    )
+    stats = (
+        hist.filter(F.col("__n") > max_bucket)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("pairs"),
+        )
+        .first()
+    )
+    if stats["buckets"]:
+        _LOG.warning(
+            "%s: max_bucket=%d dropped %d hot bucket(s) (~%d candidate "
+            "pairs); pass max_bucket=None for exact uncapped semantics",
+            op_name,
+            max_bucket,
+            stats["buckets"],
+            int(stats["pairs"] or 0),
+        )
+    keep = hist.filter(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
+    ).select(*keys)
+    return exploded.join(keep, on=list(keys))
+
 
 def _minhash_h1h2(s: Column) -> tuple[Column, Column]:
     """One md5 per shingle -> two independent 60-bit halves, reduced mod
@@ -242,12 +296,11 @@ def minhash_signature(
     # affine arithmetic. transform() keeps codegen to a loop rather than
     # num_perm inlined md5-min copies (which overflow the 64KB codegen
     # method limit and fall back ~20x slower interpreted).
-    pairs = F.transform(
-        sh,
-        lambda s: F.struct(
-            _minhash_h1h2(s)[0].alias("h1"), _minhash_h1h2(s)[1].alias("h2")
-        ),
-    )
+    def _pair(s: Column) -> Column:
+        h1, h2 = _minhash_h1h2(s)
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+    pairs = F.transform(sh, _pair)
     seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
     return F.transform(
         seeds,
@@ -271,6 +324,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     base: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
     reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verification.
@@ -281,6 +335,14 @@ def minhash_lsh_pairs(
       3. self-join on (band, key)  -> candidate pairs (the only wide op;
          AQE handles skewed buckets)
       4. exact Jaccard on the pre-computed shingle arrays, filter, dedup.
+
+    ``max_bucket`` caps the (band, key) bucket size before the self-join
+    (default :data:`DEFAULT_MAX_BUCKET`): one band bucket holding a
+    million boilerplate near-clones is O(bucket²) candidates — the
+    degenerate case that goes quadratic at 100 TB. Dropped bucket/pair
+    counts are logged, never silent; ``None`` restores exact uncapped
+    semantics (identical output whenever no bucket exceeds the cap,
+    which is what the DuckDB oracle replays).
 
     Returns (id_l, id_r, jaccard) with id_l < id_r, jaccard rounded to 6.
     """
@@ -331,6 +393,10 @@ def minhash_lsh_pairs(
         sigs.select(F.col("__id"), F.posexplode(band_keys).alias("band", "key")),
         reliable,
     )
+    if max_bucket is not None:
+        banded = _cap_hot_buckets(
+            banded, ["band", "key"], max_bucket, reliable, "minhash_lsh_pairs"
+        )
 
     left = banded.select(
         F.col("band"), F.col("key"), F.col("__id").alias("id_l")
@@ -376,7 +442,7 @@ def ngram_jaccard_pairs(
     sample_hex_prefix: str = "0",
     threshold: float = 0.5,
     base: Optional[DataFrame] = None,
-    max_bucket: Optional[int] = None,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
     reliable: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a *sampled* shingle.
@@ -392,6 +458,10 @@ def ngram_jaccard_pairs(
     than this many documents before the self-join. Ultra-common shingles
     ("the of the") produce O(bucket²) candidates that almost never certify
     at meaningful thresholds — true near-dups share many rarer shingles.
+    Defaults to :data:`DEFAULT_MAX_BUCKET` (capped-by-default; dropped
+    bucket/pair counts are logged — never silent). Pass ``None`` for the
+    exact uncapped semantics the DuckDB oracle replays; output is
+    identical whenever no bucket exceeds the cap.
     Unset by default so results stay byte-identical to the uncapped oracle.
     """
     if base is None:
@@ -408,15 +478,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("shash").startswith(sample_hex_prefix))
     )
     if max_bucket is not None:
-        keep = (
-            sampled.groupBy("shash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-            .select("shash")
+        sampled = _cap_hot_buckets(
+            sampled, ["shash"], max_bucket, reliable, "ngram_jaccard_pairs"
         )
-        # plain equi-join on the same key as the self-join below; AQE
-        # broadcasts it when the surviving bucket list is small
-        sampled = sampled.join(keep, on="shash")
 
     # Candidates are materialized eagerly too: leaving this lazy hands the
     # optimizer one giant (self-join ⋈ sh ⋈ sh) plan whose join

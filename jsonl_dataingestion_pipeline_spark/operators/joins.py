@@ -43,6 +43,16 @@ def asof_join(
     deterministic across runs and partitionings (plain ``last`` over a
     (ts, side)-only ordering would pick whichever equal-ts row the sort
     happened to place last).
+
+    Keyless form (``by=[]`` / ``by=None``): a window over zero partition
+    columns would collapse to ONE partition (a global sort on a single
+    executor — the thing that cannot work at 100 TB), so the keyless
+    path instead range-partitions the union on the timestamp, runs the
+    same running-last per range partition, and stitches partitions with
+    a broadcast prefix-carry (each partition inherits the latest payload
+    from all earlier ranges; ties can't split because range partitioning
+    maps equal timestamps to one partition). Cost: one range shuffle +
+    one tiny carry frame — fully parallel.
     """
     by = list(by or [])
     if right_cols is None:
@@ -67,14 +77,51 @@ def asof_join(
     )
     u = l.unionByName(r)
 
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
+    order = [
+        F.col("__ts").asc(),
+        F.col("__side").asc(),
+        F.col("__payload").asc(),
+    ]
+    if by:
+        w = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
+    else:
+        # Keyless: parallel global running-last (see docstring).
+        spark = u.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        ranged = u.repartitionByRange(nparts, F.col("__ts")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        wp = (
+            Window.partitionBy("__pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = ranged.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(wp)
+        )
+        # Latest payload per partition = struct-wise max (leading field is
+        # __rts, and nulls are skipped) -> prefix-carry over the tiny
+        # one-row-per-partition frame, broadcast back.
+        pmax = ranged.groupBy("__pid").agg(F.max("__payload").alias("__pmax"))
+        wcarry = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = pmax.select(
+            "__pid",
+            F.last("__pmax", ignorenulls=True).over(wcarry).alias("__carry"),
+        )
+        filled = (
+            local.join(F.broadcast(carry), on="__pid", how="left")
+            .withColumn("__match", F.coalesce("__match", "__carry"))
+            .filter(F.col("__side") == 1)
+        )
 
     out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
     match = F.col("__match")

@@ -112,8 +112,20 @@ def zorder_key(cols: Sequence[Column], *, bits: int = 16) -> Column:
     Inputs must be non-negative integers already bucketized to
     ``2^bits`` (caller picks the resolution). Pure shift/mask/sum tree —
     whole-stage codegen, replayable in any SQL engine.
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a signed long;
+    beyond that the interleave would set the sign bit (negative keys
+    that break range-partition ordering), so it raises instead. With
+    the default ``bits=16`` that means at most 3 dimensions — pass a
+    smaller ``bits`` for 4+.
     """
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * n} exceeds the 63 "
+            f"value bits of a signed long; lower bits (e.g. "
+            f"bits={63 // n}) for {n} dimensions"
+        )
     key: Column = F.lit(0).cast("long")
     for b in range(bits):
         for ci, c in enumerate(cols):

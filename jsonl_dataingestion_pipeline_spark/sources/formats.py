@@ -32,9 +32,15 @@ _EXT_TO_FORMAT = {
 }
 
 
-def sniff_format(path: str) -> str:
+def sniff_format(path: str, spark: Optional[SparkSession] = None) -> str:
     """Format from the file/dir extension; directories of part-files
-    (a Spark output dir) are sniffed from their first data file."""
+    (a Spark output dir) are sniffed from their first data file.
+
+    Extensionless directories on object storage (``s3a://``,
+    ``abfss://``, ``hdfs://`` …) are probed through the Hadoop
+    FileSystem API when ``spark`` is passed; without a session only the
+    local filesystem can be listed, so remote callers must either pass
+    ``spark`` or give ``format`` explicitly to :func:`read_table`."""
     ext = os.path.splitext(path.rstrip("/"))[1].lower()
     if ext in _EXT_TO_FORMAT:
         return _EXT_TO_FORMAT[ext]
@@ -45,6 +51,20 @@ def sniff_format(path: str) -> str:
             sub = os.path.splitext(name)[1].lower()
             if sub in _EXT_TO_FORMAT:
                 return _EXT_TO_FORMAT[sub]
+    elif spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory():
+            names = sorted(
+                st.getPath().getName() for st in fs.listStatus(jpath)
+            )
+            for name in names:
+                if name.startswith(("_", ".")):
+                    continue
+                sub = os.path.splitext(name)[1].lower()
+                if sub in _EXT_TO_FORMAT:
+                    return _EXT_TO_FORMAT[sub]
     raise ValueError(f"cannot sniff table format from path: {path!r}")
 
 
@@ -60,7 +80,7 @@ def read_table(
     (CSV: header on; JSON: one object per line). Passing ``schema``
     skips inference — ALWAYS do this for JSON/CSV at scale (schema
     inference is an extra full scan of the data)."""
-    fmt = format or sniff_format(path)
+    fmt = format or sniff_format(path, spark)
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; expected {FORMATS}")
     reader = spark.read

@@ -165,3 +165,18 @@ def test_merge_upsert_new_wins(spark):
     new = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
     got = {r.k: r.v for r in cu.merge_upsert(old, new, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_dedup_lines_literal_regex_separator(spark):
+    """sep is literal on both split and join sides ('.', '|', ...)."""
+    df = spark.createDataFrame(
+        [(1, "keep me.shared line.unique one"),
+         (2, "shared line.other text")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in cu.dedup_lines(df, "doc_id", "text", sep=".").collect()
+    }
+    assert got[1] == "keep me.unique one"
+    assert got[2] == "other text"

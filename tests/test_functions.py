@@ -160,3 +160,24 @@ def test_tfidf_and_bm25_edges(spark):
     assert bm[(2, "cherry")] > bm[(2, "banana")]
     # repeated term: tf saturation keeps score bounded vs linear tf-idf
     assert bm[(1, "apple")] < 2 * bm[(2, "cherry")]
+
+
+def test_temperature_sample_null_group_and_collision(spark):
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else f"g{i % 3}") for i in range(80)],
+        "id long, grp string",
+    )
+    out = temperature_sample(df, "grp", "id", target_n=60, alpha=0.5)
+    # NULL group is a stratum of its own, not silently dropped
+    assert out.filter(F.col("grp").isNull()).count() > 0
+    assert "keep_rate" in out.columns
+    with pytest.raises(ValueError, match="keep_rate"):
+        temperature_sample(
+            df.withColumn("keep_rate", F.lit(1.0)), "grp", "id", target_n=60
+        )

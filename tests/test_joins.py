@@ -107,3 +107,51 @@ def test_asof_join_deterministic_tiebreak(spark):
     for _ in range(3):
         got = asof_join(left, right, on="ts", by=["k"]).first()
         assert got["v"] == "c"  # max payload among the equal-ts rows
+
+
+def test_asof_join_keyless_matches_keyed(spark):
+    """by=[] must produce the same matches as a constant-key keyed run
+    (the keyless path is range-partitioned, not a global window)."""
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, ts("2024-01-01 00:00:00") + datetime.timedelta(minutes=rng.randrange(5000)))
+         for i in range(300)],
+        "lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, ts("2024-01-01 00:00:00") + datetime.timedelta(minutes=rng.randrange(5000)), float(i))
+         for i in range(200)],
+        "rid long, ts timestamp, v double",
+    )
+    keyless = asof_join(left, right, on="ts", by=[], right_cols=["v"])
+    keyed = asof_join(
+        left.withColumn("__k", F.lit(1)),
+        right.withColumn("__k", F.lit(1)),
+        on="ts",
+        by=["__k"],
+        right_cols=["v"],
+    ).drop("__k")
+    a = {(r["lid"]): (r["matched_ts"], r["v"]) for r in keyless.collect()}
+    b = {(r["lid"]): (r["matched_ts"], r["v"]) for r in keyed.collect()}
+    assert a == b and len(a) == 300
+
+
+def test_asof_join_keyless_plan_is_range_partitioned(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 1.0)], "rid long, ts timestamp, v double"
+    )
+    plan = asof_join(left, right, on="ts", by=[], right_cols=["v"])._jdf.queryExecution().executedPlan().toString()
+    # the big data path shuffles by timestamp RANGE, never to one partition
+    assert "rangepartitioning(__ts" in plan
+
+
+def test_asof_join_keyed_plan_has_no_single_partition_exchange(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 1.0)], "k long, ts timestamp, v double"
+    )
+    plan = asof_join(left, right, on="ts", by=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

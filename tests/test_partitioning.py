@@ -64,3 +64,14 @@ def test_repartition_for_output(spark):
     out = repartition_for_output(df, target_bytes=20_000)
     assert out.rdd.getNumPartitions() >= 5
     assert out.count() == 1000
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.partitioning import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([F.col(c) for c in ("a", "b", "c", "d")], bits=16)
+    # 4 dims fit at bits=15 (60 bits)
+    zorder_key([F.col(c) for c in ("a", "b", "c", "d")], bits=15)

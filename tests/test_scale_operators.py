@@ -358,3 +358,44 @@ def test_incremental_dedup_empty_base_keeps_all(spark):
     )
     kept = incremental_dedup(incoming, base, "text", "id", sample_hex_prefix="")
     assert sorted(r.id for r in kept.collect()) == [1, 2]
+
+
+def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
+    """A planted degenerate bucket (many near-identical docs sharing
+    every shingle) is dropped by the default-on max_bucket cap; a cap
+    above the bucket size leaves the result byte-identical to the
+    uncapped run."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base_text + f" tail{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.3, max_bucket=10
+    ).count()
+    uncapped = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.3, max_bucket=None
+    ).count()
+    high_cap = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.3, max_bucket=1000
+    ).count()
+    assert uncapped > 0
+    assert high_cap == uncapped  # cap above bucket size: identical output
+    assert capped == 0  # 40-doc hot buckets dropped -> bounded candidates
+
+    lsh_capped = minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.3, max_bucket=10
+    ).count()
+    lsh_uncapped = minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.3, max_bucket=None
+    ).count()
+    lsh_high = minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.3, max_bucket=1000
+    ).count()
+    assert lsh_uncapped > 0
+    assert lsh_high == lsh_uncapped
+    assert lsh_capped == 0
