@@ -35,6 +35,7 @@ HEADLINE = [
     "q26_minhash_lsh_pairs",
     "q28_cosine_topk",
     "q30_doc_pipeline",
+    "q40_shipment_pipeline_full",
     "q68_decontamination",
     "q74_resample_locf",
     "q84_line_dedup",

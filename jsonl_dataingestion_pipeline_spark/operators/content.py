@@ -43,8 +43,25 @@ def _fmt_for_text(c: Column, dtype: T.DataType) -> Column:
     return nonblank(c.cast("string"))
 
 
+_CONTENT_CACHE: dict = {}
+
+
 def combined_content(df: DataFrame, *, content_col: str = "combined_content") -> DataFrame:
-    """Append the combined_content column to a fully derived DataFrame."""
+    """Append the combined_content column to a fully derived DataFrame.
+
+    The T7 expression is a ~400-node Column tree; building it costs
+    thousands of py4j round-trips (~3 s of driver time per call, data-
+    independent). The tree depends only on the input schema, and Column
+    expressions are immutable and reusable across DataFrames, so it is
+    memoized per (Spark application, schema) — resubmitting the pipeline
+    pays the construction cost once per driver process."""
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        tuple((f.name, str(f.dataType)) for f in df.schema.fields),
+    )
+    cached = _CONTENT_CACHE.get(cache_key)
+    if cached is not None:
+        return df.withColumn(content_col, cached)
     dtypes = dict(df.schema.fields and [(f.name, f.dataType) for f in df.schema.fields])
 
     def v(name: str) -> Column:
@@ -422,6 +439,6 @@ def combined_content(df: DataFrame, *, content_col: str = "combined_content") ->
         F.coalesce(container_number, F.lit("UNKNOWN")),
         F.lit("."),
     )
-    return df.withColumn(
-        content_col, F.when(body == "", fallback).otherwise(body)
-    )
+    col = F.when(body == "", fallback).otherwise(body)
+    _CONTENT_CACHE[cache_key] = col
+    return df.withColumn(content_col, col)

@@ -414,6 +414,21 @@ def milestones(df_cols: dict[str, Column], as_of: Column) -> Column:
     return F.concat_ws(" || ", header, leg1, leg2, leg3, leg4, leg5)
 
 
+_MILESTONES_CACHE: dict = {}
+
+
 def with_milestones(df: DataFrame, as_of: Column) -> DataFrame:
-    cols = {name: F.col(f"`{name}`") for name in df.columns}
-    return df.withColumn("milestones", milestones(cols, as_of))
+    # The T6 narrative is a ~300-node Column tree; construction is pure
+    # py4j chatter determined by (schema, as_of expression), so the tree
+    # is memoized per Spark application — see content.combined_content.
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        tuple(df.columns),
+        str(as_of),
+    )
+    col = _MILESTONES_CACHE.get(cache_key)
+    if col is None:
+        cols = {name: F.col(f"`{name}`") for name in df.columns}
+        col = milestones(cols, as_of)
+        _MILESTONES_CACHE[cache_key] = col
+    return df.withColumn("milestones", col)

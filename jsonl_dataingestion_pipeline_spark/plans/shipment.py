@@ -51,6 +51,9 @@ def _as_of_col(as_of: AsOf) -> Column:
     return F.lit(str(as_of)).cast("date")
 
 
+_CLEAN_PROJECTION_CACHE: dict = {}
+
+
 def clean_columns(df: DataFrame) -> DataFrame:
     """F1-F6 typing pass over the canonical all-string frame.
 
@@ -58,7 +61,19 @@ def clean_columns(df: DataFrame) -> DataFrame:
     `src/transformer.py:200-205` (strings -> IDs -> booleans -> dates) with
     the list-producing multi-ID split (F6) adopted from the legacy
     transformer per SURVEY.md §7.3.2.
+
+    The ~100 cleaning expressions are a pure function of the column list,
+    so the projection is memoized per (Spark application, columns) —
+    building it is ~2.5 s of py4j round-trips otherwise (driver-side,
+    data-independent; see operators/content.py for the same pattern).
     """
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        tuple(df.columns),
+    )
+    cached = _CLEAN_PROJECTION_CACHE.get(cache_key)
+    if cached is not None:
+        return df.select(*cached)
     multi_dates = set(MULTI_VALUED_DATE_COLS)
     multi_ids = set(MULTI_VALUED_ID_COLS)
     booleans = set(BOOLEAN_COLUMNS)
@@ -81,6 +96,7 @@ def clean_columns(df: DataFrame) -> DataFrame:
         else:
             expr = clean_string(c)
         projection.append(expr.alias(name))
+    _CLEAN_PROJECTION_CACHE[cache_key] = projection
     return df.select(*projection)
 
 
