@@ -1,10 +1,11 @@
-"""Pure-stdlib media codecs: PNG (zlib) and PCM WAV (wave).
+"""Pure-stdlib media codecs: PNG (zlib), PCM WAV (wave), baseline JPEG.
 
 The container has no PIL/torchaudio, but PNG and PCM-WAV need nothing
-beyond stdlib ``zlib``/``wave`` plus numpy, so these two formats get REAL
-decode/encode kernels and the multimodal operators stop being stubs for
-them (JPEG/video stay honestly stubbed — their codecs can't be
-reimplemented responsibly here).
+beyond stdlib ``zlib``/``wave`` plus numpy, and baseline JPEG is a
+self-contained Huffman+IDCT pipeline (see ``functions/jpeg.py``), so
+these three formats get REAL decode/encode kernels and the multimodal
+operators stop being stubs for them (video stays honestly stubbed — a
+video codec can't be reimplemented responsibly here).
 
 Scope: PNG bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha,
 RGBA), non-interlaced — the overwhelmingly common case and everything our
@@ -23,6 +24,8 @@ import wave
 import zlib
 
 import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg, is_jpeg  # noqa: F401  (facade re-export)
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-PNG and PCM-WAV payloads get REAL decode / feature / resize kernels —
-pure stdlib ``zlib``/``wave`` + numpy, no media libraries needed (see
-``functions/media.py``). Formats whose codecs genuinely require
-native libraries (JPEG, video) fall back to a deterministic md5-seeded
-fake, clearly marked, so the Spark-side plumbing (schema, Arrow batch
-shape, mapInPandas streaming partitioning) is exercised for every mime
-type and swapping in PIL/ffmpeg later is a per-format one-function change.
+PNG, PCM-WAV, and baseline JPEG payloads get REAL decode / feature /
+resize kernels — pure stdlib + numpy, no media libraries needed (see
+``functions/media.py`` and ``functions/jpeg.py``). Only video, whose
+codecs genuinely require native libraries, falls back to a
+deterministic md5-seeded fake, clearly marked, so the Spark-side
+plumbing (schema, Arrow batch shape, mapInPandas streaming
+partitioning) is exercised for every mime type and swapping in ffmpeg
+later is a per-format one-function change.
 
 Schema convention:
     media: struct<data: binary, mime: string, width: int, height: int,
@@ -39,17 +40,17 @@ FEATURE_DIM = 16
 
 
 def decode_available(data: bytes | None = None) -> bool:
-    """True when the payload is a format with a real stdlib decoder
-    (PNG / PCM-WAV), or — with no payload — always True since those
-    decoders ship with this package."""
+    """True when the payload is a format with a real pure-stdlib decoder
+    (PNG / PCM-WAV / baseline JPEG), or — with no payload — always True
+    since those decoders ship with this package."""
     if data is None:
         return True
-    return _codecs.is_png(data) or _codecs.is_wav(data)
+    return _codecs.is_png(data) or _codecs.is_wav(data) or _codecs.is_jpeg(data)
 
 
 def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for formats without a stdlib codec (JPEG,
-    video): md5-seeded so tests are stable. NOT a real decoder."""
+    """Deterministic stand-in for formats without a stdlib codec
+    (video): md5-seeded so tests are stable. NOT a real decoder."""
     if data is None:
         return [0.0] * dim
     h = hashlib.md5(data).digest()
@@ -57,11 +58,16 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def _features_of(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
-    """Real features for PNG (4×4 mean-pooled grayscale) and WAV
+    """Real features for PNG/JPEG (4×4 mean-pooled grayscale) and WAV
     (16-segment RMS); md5 fake for everything else (incl. corrupt files)."""
-    if data is not None and _codecs.is_png(data):
+    if data is not None and (_codecs.is_png(data) or _codecs.is_jpeg(data)):
         try:
-            return _codecs.image_features(_codecs.decode_png(data), grid=4)[:dim]
+            arr = (
+                _codecs.decode_png(data)
+                if _codecs.is_png(data)
+                else _codecs.decode_jpeg(data)
+            )
+            return _codecs.image_features(arr, grid=4)[:dim]
         except Exception:
             return _fake_features(data, dim)
     if data is not None and _codecs.is_wav(data):
@@ -109,10 +115,10 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads (Arrow-batched mapInPandas).
 
-    PNG payloads are really decoded, nearest-neighbor resized, and
-    re-encoded as PNG; formats without a stdlib codec get the
-    deterministic fake payload (metadata update is the contract either
-    way).
+    PNG and baseline-JPEG payloads are really decoded, nearest-neighbor
+    resized, and re-encoded in their own format; formats without a
+    stdlib codec get the deterministic fake payload (metadata update is
+    the contract either way).
     """
     schema = df.schema
 
@@ -135,6 +141,14 @@ def resize_images(
                         )
                     except Exception:
                         resized = None  # corrupt PNG -> fake payload
+                elif data is not None and _codecs.is_jpeg(data):
+                    try:
+                        arr = _codecs.decode_jpeg(data)
+                        resized = _codecs.encode_jpeg(
+                            _codecs.resize_nearest(arr, width, height)
+                        )
+                    except Exception:
+                        resized = None  # corrupt/progressive JPEG -> fake
                 if resized is None:
                     seed = hashlib.md5(data or b"").digest()
                     resized = (seed * ((width * height) // len(seed) + 1))[
