@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Near-linearity harness for the shuffle-heavy dedup/similarity family.
+
+    python tools/scale_bench.py [--scales 1,2,5,10] [--base /root/testdata/sf0.1]
+
+Builds k-times-scaled copies of the sf0.1 ``documents``/``embeddings``
+tables under ``/tmp/jdip_scale/x{k}/`` with STRUCTURE-PRESERVING
+perturbations, then runs the heavy queries (q25 ngram-Jaccard, q26
+MinHash-LSH, q39 embedding LSH, q84 line dedup, q90 corpus pipeline) at
+each scale and prints one JSON line of wall seconds + output rows per
+scale. The point is to catch quadratic drift that per-SF oracles can't
+see: with the constructions below the TRUE result size is linear in k by
+construction, so superlinear wall/rows growth is an implementation bug.
+
+Scaling constructions (why the truth is linear):
+
+- documents, replica r of k: every word gets a replica-specific suffix
+  (``w -> w~r``) and doc_id is offset by r * 10**7.  Word-suffixing is a
+  BIJECTION on shingles and on 8-token lines within a replica, so every
+  intra-replica Jaccard similarity, shingle-bucket size, and duplicate-
+  line count is EXACTLY the original corpus's; across replicas every
+  token differs, so replicas share zero shingles/lines and produce zero
+  cross-replica candidates.  Bucket sizes therefore do not grow with k —
+  only the number of distinct buckets does — and the true pair/survivor
+  count at scale k is k * (x1 count), modulo only the md5-sampled
+  candidate-generation noise (the 1/16 shingle sample and the minhash
+  permutations re-randomize per replica, so marginal pairs can flip;
+  expect linearity within a couple of percent, not bit-exactness).
+  Replica 0 is perturbed too (suffix ``~0``) so all replicas are
+  symmetric.  (An earlier interleave-a-token-between-words construction
+  was abandoned: the injected token became a degenerate hot shingle —
+  ``tok w tok`` appears in every doc — exploding candidates, which the
+  default max_bucket cap duly logged and dropped.)
+
+- embeddings, replica r of k: the 2000 base vectors are first paired
+  with planted near-dup twins (v' = v + 0.15*|v|*u, u random unit; cos
+  ~0.989), then a fixed seeded orthogonal rotation Q_r (QR of a
+  Gaussian) is applied to the whole replica.  Rotations preserve every
+  intra-replica cosine exactly, so each replica contains exactly 2000
+  pairs above the 0.9 verify threshold (the table's natural max cosine
+  is 0.60 — far below); cross-replica cosines collapse to
+  ~N(0, 1/sqrt(64)), putting 0.9 at 7.2 sigma — stray cross-replica
+  accepts are impossible in practice.  True pairs are therefore
+  k * 2000 exactly; observed rows differ only by sign-LSH recall
+  (~0.95 at 8-bit bands for cos 0.989).  Band bits follow log2(k)
+  (bits = 4 + ceil(log2 k), n_planes = 4*bits) — the SCALING.md rule
+  that keeps random band collisions, and hence the candidate set,
+  linear as the corpus grows.
+
+Run time is dominated by q90 at x10 (five-stage pipeline over 50k docs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALE_ROOT = "/tmp/jdip_scale"
+ID_OFFSET = 10**7
+
+
+def _perturb_texts(texts, tag: str):
+    return [
+        (" ".join(w + tag for w in t.split()) if t else t)
+        for t in texts
+    ]
+
+
+def build_scaled(base_dir: str, k: int) -> str:
+    """Materialize the x{k} documents/embeddings tables; idempotent."""
+    import duckdb
+
+    out_dir = os.path.join(SCALE_ROOT, f"x{k}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = duckdb.sql(
+        f"SELECT * FROM '{base_dir}/documents.parquet' ORDER BY doc_id"
+    ).arrow().to_pandas()
+    embs = duckdb.sql(
+        f"SELECT * FROM '{base_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).arrow().to_pandas()
+    dim = len(embs["embedding"].iloc[0])
+
+    doc_parts = []
+    for r in range(k):
+        rep = docs.copy()
+        rep["doc_id"] = rep["doc_id"] + r * ID_OFFSET
+        rep["text"] = _perturb_texts(rep["text"].tolist(), f"~{r}")
+        rep["n_chars"] = rep["text"].str.len()
+        doc_parts.append(rep)
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(doc_parts, ignore_index=True), preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    # plant near-dup twins once (same geometry in every replica), then
+    # rotate per replica
+    mat = np.stack(embs["embedding"].to_numpy()).astype(np.float64)
+    rng_j = np.random.RandomState(500)
+    noise = rng_j.standard_normal(mat.shape)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twins = mat + 0.15 * np.linalg.norm(mat, axis=1, keepdims=True) * noise
+    base_ids = embs["vec_id"].to_numpy()
+    paired = np.concatenate([mat, twins])
+    paired_ids = np.concatenate([base_ids * 2, base_ids * 2 + 1])
+    paired_labels = np.concatenate([embs["label"].to_numpy()] * 2)
+
+    emb_parts = []
+    for r in range(k):
+        rng = np.random.RandomState(1000 + r)
+        q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+        rot = (paired @ q.T).astype(np.float32)
+        emb_parts.append(
+            pd.DataFrame(
+                {
+                    "vec_id": paired_ids + r * ID_OFFSET,
+                    "embedding": list(rot),
+                    "label": paired_labels,
+                }
+            )
+        )
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(emb_parts, ignore_index=True), preserve_index=False),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+    # the heavy queries only touch documents/embeddings; link the rest so
+    # the sf_dir contract (all ten tables present) still holds
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base_dir, f"{t}.parquet"), dst)
+    open(marker, "w").write("ok")
+    return out_dir
+
+
+def run_queries(spark, sf_dir: str, k: int) -> dict:
+    """Run the heavy family once at sf_dir; return {query: {sec, rows}}."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    bits = 4 + max(0, math.ceil(math.log2(k)))
+
+    def q39_scaled(spark, sf_dir):
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_neardup_pairs(
+            e, threshold=0.9, n_planes=4 * bits, bands=4
+        )
+
+    runs = {
+        "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
+        "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
+        "q39_embedding_neardup_planted": q39_scaled,
+        "q84_line_dedup": entry.q84_line_dedup,
+        "q90_corpus_pipeline": entry.q90_corpus_pipeline,
+    }
+    out = {}
+    for name, fn in runs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if name == "q90_corpus_pipeline":
+            rows = {r["stage"]: r["n_docs"] for r in df.collect()}
+            n = len(rows)
+            out[name] = {"sec": round(time.time() - t0, 2), "rows": n, "stages": rows}
+        else:
+            n = df.count()
+            out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        print(f"#   x{k} {name}: rows={n} in {out[name]['sec']}s", flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,5,10")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from jsonl_dataingestion_pipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # JVM warmup outside the timings
+
+    results = {}
+    for k in scales:
+        sf_dir = build_scaled(args.base, k)
+        print(f"# scale x{k}: {sf_dir}", flush=True)
+        results[f"x{k}"] = run_queries(spark, sf_dir, k)
+
+    # linearity report: rows and sec relative to x1
+    report = {"scales": scales, "results": results, "linearity": {}}
+    base = results.get("x1", {})
+    for q in base:
+        rows1 = base[q]["rows"]
+        sec1 = base[q]["sec"]
+        report["linearity"][q] = {
+            f"x{k}": {
+                "rows_ratio": round(results[f"x{k}"][q]["rows"] / max(rows1, 1), 3),
+                "sec_ratio": round(results[f"x{k}"][q]["sec"] / max(sec1, 1e-9), 2),
+            }
+            for k in scales
+        }
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
