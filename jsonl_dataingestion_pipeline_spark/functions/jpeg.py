@@ -295,6 +295,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(scan_comps) != len(comps):
         raise NotImplementedError("non-interleaved multi-scan JPEG not supported")
 
+    # MJPEG convention: DHT may be omitted, implying the Annex-K tables
+    # (table id 0 = luma, 1 = chroma)
+    for key, bits, vals in (
+        ((0, 0), DC_LUMA_BITS, DC_LUMA_VALS),
+        ((1, 0), AC_LUMA_BITS, AC_LUMA_VALS),
+        ((0, 1), DC_CHROMA_BITS, DC_CHROMA_VALS),
+        ((1, 1), AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        huff.setdefault(key, _decode_table(bits, vals))
+
     # split entropy-coded data at restart markers, undo byte stuffing
     segments: list[bytes] = []
     cur = bytearray()

@@ -25,6 +25,12 @@ import zlib
 
 import numpy as np
 
+from .avi import (  # noqa: F401  (facade re-export)
+    decode_avi,
+    decode_avi_frames,
+    encode_avi_mjpeg,
+    is_avi,
+)
 from .jpeg import decode_jpeg, encode_jpeg, is_jpeg  # noqa: F401  (facade re-export)
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-PNG, PCM-WAV, and baseline JPEG payloads get REAL decode / feature /
-resize kernels — pure stdlib + numpy, no media libraries needed (see
-``functions/media.py`` and ``functions/jpeg.py``). Only video, whose
-codecs genuinely require native libraries, falls back to a
-deterministic md5-seeded fake, clearly marked, so the Spark-side
-plumbing (schema, Arrow batch shape, mapInPandas streaming
+PNG, PCM-WAV, baseline JPEG, and MJPEG-AVI video payloads get REAL
+decode / feature / resize / frame-sample kernels — pure stdlib + numpy,
+no media libraries needed (see ``functions/media.py``,
+``functions/jpeg.py``, ``functions/avi.py``). Only inter-frame video
+codecs (H.264 & friends), which genuinely require native libraries,
+fall back to a deterministic md5-seeded fake, clearly marked, so the
+Spark-side plumbing (schema, Arrow batch shape, mapInPandas streaming
 partitioning) is exercised for every mime type and swapping in ffmpeg
 later is a per-format one-function change.
 
@@ -41,16 +42,22 @@ FEATURE_DIM = 16
 
 def decode_available(data: bytes | None = None) -> bool:
     """True when the payload is a format with a real pure-stdlib decoder
-    (PNG / PCM-WAV / baseline JPEG), or — with no payload — always True
-    since those decoders ship with this package."""
+    (PNG / PCM-WAV / baseline JPEG / MJPEG-AVI), or — with no payload —
+    always True since those decoders ship with this package."""
     if data is None:
         return True
-    return _codecs.is_png(data) or _codecs.is_wav(data) or _codecs.is_jpeg(data)
+    return (
+        _codecs.is_png(data)
+        or _codecs.is_wav(data)
+        or _codecs.is_jpeg(data)
+        or _codecs.is_avi(data)
+    )
 
 
 def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for formats without a stdlib codec
-    (video): md5-seeded so tests are stable. NOT a real decoder."""
+    (inter-frame video): md5-seeded so tests are stable. NOT a real
+    decoder."""
     if data is None:
         return [0.0] * dim
     h = hashlib.md5(data).digest()
@@ -58,8 +65,16 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def _features_of(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
-    """Real features for PNG/JPEG (4×4 mean-pooled grayscale) and WAV
-    (16-segment RMS); md5 fake for everything else (incl. corrupt files)."""
+    """Real features for PNG/JPEG (4×4 mean-pooled grayscale), WAV
+    (16-segment RMS), and MJPEG-AVI (middle-frame image features); md5
+    fake for everything else (incl. corrupt files)."""
+    if data is not None and _codecs.is_avi(data):
+        try:
+            jpegs, _fps, _w, _h = _codecs.decode_avi(data)
+            mid = _codecs.decode_jpeg(jpegs[len(jpegs) // 2])
+            return _codecs.image_features(mid, grid=4)[:dim]
+        except Exception:
+            return _fake_features(data, dim)
     if data is not None and (_codecs.is_png(data) or _codecs.is_jpeg(data)):
         try:
             arr = (
@@ -174,10 +189,12 @@ def sample_frames(
 
     PCM-WAV payloads are really segmented: the audio is decoded, sliced
     into ``every_ms`` windows, and each window re-encoded as a standalone
-    WAV. Video frame extraction needs a native codec, so video payloads
-    get deterministic fake frames sized from the ``duration_ms`` metadata
-    — the output schema and streaming batch shape are the tested contract
-    either way.
+    WAV. MJPEG-AVI payloads are really sampled: the frame nearest each
+    ``every_ms`` boundary is returned as its standalone JPEG bytes (no
+    re-encode — MJPEG frames are independent JPEGs). Other video codecs
+    need a native library, so those payloads get deterministic fake
+    frames sized from the ``duration_ms`` metadata — the output schema
+    and streaming batch shape are the tested contract either way.
     """
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))]
@@ -192,6 +209,19 @@ def sample_frames(
                     frames.append([])
                     continue
                 data = m.get("data")
+                if data is not None and _codecs.is_avi(data):
+                    try:
+                        jpegs, fps, _w, _h = _codecs.decode_avi(data)
+                        if jpegs and fps > 0:
+                            dur_ms = len(jpegs) / fps * 1000.0
+                            picks = [
+                                min(int(round(t * fps / 1000.0)), len(jpegs) - 1)
+                                for t in range(0, max(int(dur_ms), 1), every_ms)
+                            ]
+                            frames.append([jpegs[i] for i in picks])
+                            continue
+                    except Exception:
+                        pass  # corrupt AVI -> metadata-sized fake below
                 if data is not None and _codecs.is_wav(data):
                     try:
                         samples, rate = _codecs.decode_wav(data)
