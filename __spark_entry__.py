@@ -5111,3 +5111,187 @@ _ORACLE_DEDUP_SIM["q99_rollup_parity"] = """
 
 _STANDALONE.append("q98_stream_join_parity")
 _STANDALONE.append("q99_rollup_parity")
+
+
+# ===========================================================================
+# Round 3: semantic-curation battery — SemDeDup over embeddings, the
+# CCNet-style unigram log-prob quality proxy, and Lee-et-al substring
+# (word-gram) duplicated-span detection. One driver-facing union entry
+# (q100_semantic_curation) keeps the registry at the 50-entry gate.
+# ===========================================================================
+def q100_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: sign-LSH
+    cosine pairs (same construction the q39 oracle replays) -> connected
+    components -> keep each cluster's min-id representative. Output is
+    the per-label survivor census so the component->metadata join is
+    hash-checked too."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(e, threshold=0.3, n_planes=16, bands=4)
+    tot = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    surv = kept.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+        F.sum("vec_id").cast("long").alias("sum_survivor_ids"),
+    )
+    return tot.join(surv, "label", "left").select(
+        "label",
+        "n_vecs",
+        F.coalesce("n_survivors", F.lit(0)).cast("long").alias("n_survivors"),
+        F.coalesce("sum_survivor_ids", F.lit(0))
+        .cast("long")
+        .alias("sum_survivor_ids"),
+    )
+
+
+def q101_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean -log2 unigram probability under the corpus's
+    own add-1-smoothed LM (CCNet-style perplexity proxy)."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        unigram_logprob,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "text", "doc_id")
+
+
+def q102_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-6-gram ExactSubstr duplicated spans (Lee et al. 2022) over
+    the documents table: positions of corpus-duplicated grams merged
+    into maximal per-doc spans."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        duplicated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, "text", "doc_id", n=6)
+
+
+_DEDUP_SIM_QUERIES["q100_semantic_dedup"] = q100_semantic_dedup
+_DEDUP_SIM_QUERIES["q101_unigram_logprob"] = q101_unigram_logprob
+_DEDUP_SIM_QUERIES["q102_duplicated_spans"] = q102_duplicated_spans
+
+_ORACLE_DEDUP_SIM["q100_semantic_dedup"] = (
+    "WITH RECURSIVE pairs AS (SELECT id_l, id_r FROM (\n"
+    + _ORACLE_DEDUP_SIM["q39_embedding_neardup"]
+    + """
+    )), nodes AS (
+        SELECT vec_id AS id, label FROM embeddings
+    ), edges AS (
+        SELECT id_l AS a, id_r AS b FROM pairs
+        UNION
+        SELECT id_r AS a, id_l AS b FROM pairs
+    ), reach AS (
+        SELECT id, id AS comp FROM nodes
+        UNION
+        SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+    ), comp AS (
+        SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+    ), surv AS (
+        SELECT n.label, CAST(COUNT(*) AS BIGINT) AS n_survivors,
+               CAST(SUM(c.id) AS BIGINT) AS sum_survivor_ids
+        FROM comp c JOIN nodes n ON c.id = n.id
+        WHERE c.id = c.comp GROUP BY n.label
+    ), tot AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM nodes GROUP BY label
+    )
+    SELECT t.label, t.n_vecs,
+           CAST(COALESCE(s.n_survivors, 0) AS BIGINT) AS n_survivors,
+           CAST(COALESCE(s.sum_survivor_ids, 0) AS BIGINT) AS sum_survivor_ids
+    FROM tot t LEFT JOIN surv s ON t.label = s.label
+    """
+)
+
+_ORACLE_DEDUP_SIM["q101_unigram_logprob"] = r"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tk WHERE term <> '' GROUP BY doc_id, term
+    ), cc AS (
+        SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+    ), st AS (
+        SELECT SUM(cnt) AS total, CAST(COUNT(*) AS DOUBLE) AS vocab FROM cc
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf.tf * (-log2((cc.cnt + 1.0) / (st.total + 1.0 * st.vocab))))
+                 / SUM(tf.tf), 4) AS mean_nll
+    FROM tf JOIN cc USING (term), st
+    GROUP BY tf.doc_id
+"""
+
+_ORACLE_DEDUP_SIM["q102_duplicated_spans"] = r"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - 4)) - 1 AS pos,
+               unnest(list_transform(range(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 5), ' '))) AS gram
+        FROM tk
+    ), k AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gkey
+        FROM g
+    ), hot AS (
+        SELECT gkey FROM k GROUP BY gkey HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT doc_id, pos FROM k SEMI JOIN hot USING (gkey)
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+                    THEN 0 ELSE 1 END AS new_span
+        FROM hits
+    ), spans AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked
+    ), per_span AS (
+        SELECT doc_id, span_id, MAX(pos) - MIN(pos) + 6 AS span_tokens
+        FROM spans GROUP BY doc_id, span_id
+    ), per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        FROM per_span GROUP BY doc_id
+    ), base AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / GREATEST(b.n_tokens, 1), 6) AS dup_fraction
+    FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+"""
+
+_ORACLE_SHAPES["q100_semantic_dedup"] = (
+    ("label", "INTEGER"), ("n_vecs", "BIGINT"),
+    ("n_survivors", "BIGINT"), ("sum_survivor_ids", "BIGINT"),
+)
+_ORACLE_SHAPES["q101_unigram_logprob"] = (
+    ("doc_id", "BIGINT"), ("n_tokens", "BIGINT"), ("mean_nll", "DOUBLE"),
+)
+_ORACLE_SHAPES["q102_duplicated_spans"] = (
+    ("doc_id", "BIGINT"), ("n_tokens", "BIGINT"), ("n_spans", "BIGINT"),
+    ("dup_tokens", "BIGINT"), ("dup_fraction", "DOUBLE"),
+)
+
+_UNION_MERGES["q100_semantic_curation"] = [
+    ("semdedup", "q100_semantic_dedup"),
+    ("logprob", "q101_unigram_logprob"),
+    ("dupspans", "q102_duplicated_spans"),
+]

@@ -73,7 +73,7 @@ def main() -> int:
     spark.range(1000).count()
     for t in (
         "region nation customer supplier part orders lineitem "
-        "documents embeddings".split()
+        "events documents embeddings".split()
     ):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

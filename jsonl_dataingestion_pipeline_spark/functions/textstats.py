@@ -264,3 +264,62 @@ def bm25_scores(
             F.round(idf * norm, 6).alias("score"),
         )
     )
+
+
+def unigram_logprob(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+    scale: int = 4,
+):
+    """Per-document mean negative log2 probability under the corpus's
+    own add-``alpha``-smoothed unigram LM — the CCNet-style perplexity
+    proxy (Wenzek et al. 2020): fluent/common text scores low,
+    gibberish and rare-token soup scores high. A cheap, fully
+    relational stand-in for an external LM quality filter.
+
+    Plan: one exploded-token pass -> per-(doc, term) counts [1 shuffle
+    on (doc, term), partial map-side] -> corpus term counts derived
+    from those by re-aggregating on term [1 shuffle] -> (total, vocab)
+    as a broadcast 1-row aggregate -> score join on term. The corpus is
+    linear-scanned once; nothing is collected driver-side, so the same
+    plan runs at 100 TB (the term dictionary shuffle is Zipf-bounded).
+
+    Returns (id_col, n_tokens, mean_nll) with
+    ``mean_nll = -mean(log2((cnt(term)+alpha) / (N + alpha*V)))``.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    corpus_counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    stats = corpus_counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vocab"),
+    )
+    nll = -F.log2(
+        (F.col("cnt") + F.lit(alpha))
+        / (F.col("__total") + F.lit(alpha) * F.col("__vocab"))
+    )
+    return (
+        tf.join(corpus_counts, on="term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * nll) / F.sum("tf"), scale).alias(
+                "mean_nll"
+            ),
+        )
+    )

@@ -34,7 +34,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from jsonl_dataingestion_pipeline_spark.functions.textstats import tokens
+from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+    token_count,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -391,5 +394,88 @@ def dedup_lines(
             F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
             F.col("n_lines"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Substring-level exact-duplicate detection at word granularity
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — the ExactSubstr criterion,
+    word n-grams standing in for the suffix-array byte spans): find
+    word ``n``-grams occurring >= ``min_count`` times corpus-wide, mark
+    every position where one occurs, and merge overlapping/adjacent
+    hits into maximal duplicated spans per document.
+
+    Relational plan (no suffix array, no driver state):
+      1. ``posexplode(word_ngrams)`` — narrow;
+      2. gram frequency on the 64-bit md5 gram key (8-byte longs
+         through the shuffle, partial map-side combine);
+      3. semi-join positions against the hot-gram set (tiny relative to
+         the corpus -> AQE broadcast);
+      4. per-doc island merge: two windows over ``id_col`` (bounded by
+         doc length, never corpus-wide). Two fixed-length-``n`` hits
+         starting <= ``n`` apart union into one contiguous interval, so
+         span coverage is ``max(pos) - min(pos) + n`` exactly.
+
+    Returns ``(id_col, n_tokens, n_spans, dup_tokens, dup_fraction)``
+    for every document (zero spans included).
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_ngrams(text_col, n)).alias("__pos", "__gram"),
+    ).select("__id", "__pos", _gram_key(F.col("__gram")).alias("__g"))
+    hot = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__g")
+    )
+    hits = grams.join(hot, "__g", "leftsemi")
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    marked = hits.withColumn(
+        "__new",
+        F.when(
+            F.col("__pos") - F.lag("__pos").over(w) <= n, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    spans = marked.withColumn(
+        "__span",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_span = spans.groupBy("__id", "__span").agg(
+        (F.max("__pos") - F.min("__pos") + F.lit(n)).alias("__tok")
+    )
+    per_doc = per_span.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("__tok").cast("long").alias("dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                scale,
+            ).alias("dup_fraction"),
         )
     )

@@ -294,6 +294,45 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    reliable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): rows whose embeddings are cosine-near-duplicates
+    form one semantic cluster; keep a single representative (the cluster
+    min id) and drop the rest.
+
+    Composition of already-scale-reviewed parts, nothing new shuffles:
+    sign-hash LSH candidate pairs (:func:`embedding_neardup_pairs` —
+    ids-only through the band join, linear for log-scaled band bits),
+    iterative min-id connected components, and a left-semi survivor
+    join. No all-pairs stage anywhere, so the plan survives a 100x
+    corpus scale-up; recall follows the LSH band parameters (raise
+    ``n_planes``/``bands`` with log2(n) per SCALING.md).
+
+    Returns the surviving subset of ``corpus`` with its original schema.
+    """
+    from .dedup import dedup_near_duplicates
+
+    pairs = embedding_neardup_pairs(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        bands=bands,
+        reliable=reliable,
+    )
+    return dedup_near_duplicates(corpus, pairs, id_col, reliable=reliable)
+
+
 def cosine_pairs_exact(
     corpus: DataFrame,
     *,

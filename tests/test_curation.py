@@ -180,3 +180,85 @@ def test_dedup_lines_literal_regex_separator(spark):
     }
     assert got[1] == "keep me.unique one"
     assert got[2] == "other text"
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicated spans (Lee et al. 2022 ExactSubstr, word-gram)
+# ---------------------------------------------------------------------------
+def test_duplicated_spans_basic(spark):
+    # doc 1 and 2 share a 6-word run; doc 3 is clean.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = _docs(
+        spark,
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing repeated in this document at all"),
+        ],
+    )
+    out = {
+        r.id: r
+        for r in cu.duplicated_spans(df, "text", "id", n=6).collect()
+    }
+    assert out[3].n_spans == 0 and out[3].dup_tokens == 0
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 6
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 6
+    assert abs(out[2].dup_fraction - 6 / 10) < 1e-6
+
+
+def test_duplicated_spans_merges_overlaps(spark):
+    # one 8-word duplicated run detected via n=6 grams: 3 overlapping
+    # hits (pos 0,1,2) must merge into ONE span covering all 8 tokens.
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(
+        spark,
+        [(1, f"{run} suffix a"), (2, f"prefix b {run}")],
+    )
+    out = {r.id: r for r in cu.duplicated_spans(df, "text", "id", n=6).collect()}
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 8
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 8
+
+
+def test_duplicated_spans_intra_doc_and_separate_spans(spark):
+    # the same 6-gram twice INSIDE one doc, far apart -> 2 spans.
+    g = "p q r s t u"
+    df = _docs(spark, [(1, f"{g} x1 x2 x3 x4 x5 x6 x7 {g}")])
+    row = cu.duplicated_spans(df, "text", "id", n=6).head()
+    assert row.n_spans == 2 and row.dup_tokens == 12
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-prob quality proxy
+# ---------------------------------------------------------------------------
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        unigram_logprob,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "the the the the the"),      # all high-frequency tokens
+            (2, "qzx wvk jjm plo rrn"),      # all singletons
+            (3, "the qzx the wvk the"),      # mixed
+        ],
+    )
+    out = {r.id: r for r in unigram_logprob(df, "text", "id").collect()}
+    assert out[1].n_tokens == 5 and out[2].n_tokens == 5
+    # common-token doc must score strictly lower (more probable)
+    assert out[1].mean_nll < out[3].mean_nll < out[2].mean_nll
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        unigram_logprob,
+    )
+
+    df = _docs(spark, [(1, "a a b")])
+    # N=3, V=2, alpha=1: p(a)=(2+1)/(3+2)=0.6, p(b)=(1+1)/5=0.4
+    expect = -(2 * math.log2(0.6) + 1 * math.log2(0.4)) / 3
+    row = unigram_logprob(df, "text", "id").head()
+    assert row.n_tokens == 3
+    assert abs(row.mean_nll - round(expect, 4)) < 1e-9

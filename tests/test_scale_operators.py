@@ -399,3 +399,32 @@ def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
     assert lsh_uncapped > 0
     assert lsh_high == lsh_uncapped
     assert lsh_capped == 0
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """Planted twin vectors collapse to the min-id representative;
+    isolated vectors survive untouched."""
+    import random
+
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    dim = 16
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+        if i % 3 == 0:  # plant a near-identical twin at id i+1000
+            rows.append((i + 1000, [float(x * 1.0001) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(
+        df, threshold=0.99, n_planes=8, bands=2
+    )
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # every planted twin (id >= 1000) has a lower-id original -> dropped
+    assert all(i < 1000 for i in ids)
+    # all 10 twin-originals plus the 20 singletons possible survivors;
+    # sign-LSH with 8 planes on near-identical vectors has recall ~1
+    assert 25 <= len(ids) <= 30
