@@ -231,27 +231,40 @@ _LOG = logging.getLogger(__name__)
 DEFAULT_MAX_BUCKET = 1000
 
 
-def _cap_hot_buckets(
+def _bucket_pairs(
     exploded: DataFrame,
     keys: Sequence[str],
+    id_col: str,
     max_bucket: int,
     reliable: bool,
     op_name: str,
 ) -> DataFrame:
-    """Drop candidate buckets larger than ``max_bucket`` (and useless
-    singletons), logging how much was dropped — the 'no silent caps'
-    rule. The bucket histogram is materialized once (pipeline break) so
-    the keep-join and the logged counters share one aggregation; its
-    size is bounded by the distinct bucket-key count, not the corpus."""
-    hist = _pipeline_break(
-        exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")),
+    """Candidate pairs from capped buckets in ONE wide stage.
+
+    ``groupBy(keys)`` collects each bucket's sorted distinct member ids;
+    buckets above ``max_bucket`` are dropped (logged, never silent —
+    same contract as the histogram path) and singletons contribute
+    nothing; surviving buckets expand to their C(n, 2) ordered pairs
+    with array expressions. This replaces histogram + keep-join +
+    self-join (three wide stages, two materializations) with one
+    aggregation: the shuffle carries each (bucket, id) exactly once and
+    the cap bounds the expansion at C(max_bucket, 2) pairs per bucket,
+    so executor memory per bucket row is bounded too. Only valid when a
+    cap exists — the uncapped-exact path keeps the self-join, which
+    spills instead of buffering an unbounded bucket array.
+    """
+    buckets = _pipeline_break(
+        exploded.groupBy(*[F.col(k) for k in keys]).agg(
+            F.array_sort(F.collect_set(F.col(id_col))).alias("__ids")
+        ),
         reliable,
     )
+    n = F.size(F.col("__ids"))
     stats = (
-        hist.filter(F.col("__n") > max_bucket)
+        buckets.filter(n > max_bucket)
         .agg(
             F.count(F.lit(1)).alias("buckets"),
-            F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("pairs"),
+            F.sum(n.cast("double") * (n - 1) / 2).alias("pairs"),
         )
         .first()
     )
@@ -264,10 +277,22 @@ def _cap_hot_buckets(
             stats["buckets"],
             int(stats["pairs"] or 0),
         )
-    keep = hist.filter(
-        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
-    ).select(*keys)
-    return exploded.join(keep, on=list(keys))
+    kept = buckets.filter((n >= 2) & (n <= max_bucket))
+    ids = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_l"), y.alias("id_r")),
+            ),
+        )
+    )
+    return (
+        kept.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_l").alias("id_l"), F.col("p.id_r").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
 
 
 def _minhash_h1h2(s: Column) -> tuple[Column, Column]:
@@ -388,32 +413,40 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # consumed by both sides of the self-join -> materialize once
-    banded = _pipeline_break(
-        sigs.select(F.col("__id"), F.posexplode(band_keys).alias("band", "key")),
-        reliable,
-    )
-    if max_bucket is not None:
-        banded = _cap_hot_buckets(
-            banded, ["band", "key"], max_bucket, reliable, "minhash_lsh_pairs"
-        )
-
-    left = banded.select(
-        F.col("band"), F.col("key"), F.col("__id").alias("id_l")
-    )
-    right = banded.select(
-        F.col("band"), F.col("key"), F.col("__id").alias("id_r")
+    banded = sigs.select(
+        F.col("__id"), F.posexplode(band_keys).alias("band", "key")
     )
     # Pipeline-break before the verify join — same rationale as in
     # ngram_jaccard_pairs (a lazy candidate subplan degrades the combined
     # join order/strategy badly).
-    cand = _pipeline_break(
-        left.join(right, on=["band", "key"])
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"]),
-        reliable,
-    )
+    if max_bucket is not None:
+        # capped default: one groupBy-collect generates bucket pairs
+        # directly (no histogram, no self-join), cap-bounded expansion
+        cand = _pipeline_break(
+            _bucket_pairs(
+                banded, ["band", "key"], "__id", max_bucket, reliable,
+                "minhash_lsh_pairs",
+            ),
+            reliable,
+        )
+    else:
+        # uncapped-exact path: self-join spills where an unbounded
+        # bucket array would not; materialize the band relation once
+        # since both join sides consume it
+        banded = _pipeline_break(banded, reliable)
+        left = banded.select(
+            F.col("band"), F.col("key"), F.col("__id").alias("id_l")
+        )
+        right = banded.select(
+            F.col("band"), F.col("key"), F.col("__id").alias("id_r")
+        )
+        cand = _pipeline_break(
+            left.join(right, on=["band", "key"])
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select("id_l", "id_r")
+            .dropDuplicates(["id_l", "id_r"]),
+            reliable,
+        )
 
     sh = base.select(F.col("__id"), F.col("__sh"))
     joined = (
@@ -477,24 +510,31 @@ def ngram_jaccard_pairs(
         .select("__id", F.md5("s").alias("shash"))
         .filter(F.col("shash").startswith(sample_hex_prefix))
     )
-    if max_bucket is not None:
-        sampled = _cap_hot_buckets(
-            sampled, ["shash"], max_bucket, reliable, "ngram_jaccard_pairs"
-        )
 
     # Candidates are materialized eagerly too: leaving this lazy hands the
     # optimizer one giant (self-join ⋈ sh ⋈ sh) plan whose join
     # order/strategy degrades badly (measured 128s vs 12s at sf0.1 on
     # local[32]); a pipeline break with known sizes keeps the verify join
     # a plain shuffled hash join over the real candidate count.
-    cand = _pipeline_break(
-        sampled.alias("a")
-        .join(sampled.alias("b"), on="shash")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
-        .dropDuplicates(["id_l", "id_r"]),
-        reliable,
-    )
+    if max_bucket is not None:
+        # capped default: one groupBy-collect generates bucket pairs
+        # directly (no histogram, no self-join), cap-bounded expansion
+        cand = _pipeline_break(
+            _bucket_pairs(
+                sampled, ["shash"], "__id", max_bucket, reliable,
+                "ngram_jaccard_pairs",
+            ),
+            reliable,
+        )
+    else:
+        cand = _pipeline_break(
+            sampled.alias("a")
+            .join(sampled.alias("b"), on="shash")
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
+            .dropDuplicates(["id_l", "id_r"]),
+            reliable,
+        )
 
     sh = base.select(F.col("__id"), F.col("__sh"))
     joined = (

@@ -157,3 +157,21 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_duplicated_spans_hot_grams_semijoin_on_long_keys(spark):
+    """q102: gram frequency aggregates partially map-side, the hot-gram
+    filter applies as a LeftSemi join, and no embedding of the gram
+    STRING survives past the projection (the join key is the md5 long)."""
+    plan = _formatted(spark, em.q102_duplicated_spans(spark, SF))
+    tree = _tree(plan)
+    assert "LeftSemi" in tree
+    # partial + final HashAggregate for the gram-frequency count
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_unigram_logprob_stats_broadcast(spark):
+    """q101: the 1-row (total, vocab) corpus aggregate enters as a
+    broadcast nested-loop join, never a shuffle."""
+    plan = _formatted(spark, em.q101_unigram_logprob(spark, SF))
+    assert "BroadcastNestedLoopJoin" in _tree(plan)
