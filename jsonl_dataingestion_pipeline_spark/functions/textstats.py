@@ -290,6 +290,9 @@ def unigram_logprob(
 
     Returns (id_col, n_tokens, mean_nll) with
     ``mean_nll = -mean(log2((cnt(term)+alpha) / (N + alpha*V)))``.
+    Documents with zero tokens (empty/whitespace/NULL text) have no
+    defined mean and are absent from the output — left-join against the
+    corpus if every id must appear.
     """
     from pyspark.sql import functions as F
 
