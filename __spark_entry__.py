@@ -5295,3 +5295,52 @@ _UNION_MERGES["q100_semantic_curation"] = [
     ("logprob", "q101_unigram_logprob"),
     ("dupspans", "q102_duplicated_spans"),
 ]
+
+
+def q103_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per document: whitespace tokens vs the
+    BPE-ish subword estimate (letter runs split every 8 chars, digit
+    runs every 3, marks 1 each) — the pair a packing/budget planner
+    needs. Pure codegen, oracle-replayed piece-for-piece."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bpe_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q103_bpe_token_budget"] = q103_bpe_token_budget
+
+_ORACLE_DEDUP_SIM["q103_bpe_token_budget"] = r"""
+    WITH pieces AS (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]') AS ps
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(d.text), '\s+')) END
+                AS BIGINT) AS ws_tokens,
+           CAST(COALESCE(list_sum(list_transform(p.ps, x ->
+               CASE WHEN regexp_matches(x, '^[a-zA-Z]')
+                         THEN CAST(ceil(length(x) / 8.0) AS BIGINT)
+                    WHEN regexp_matches(x, '^[0-9]')
+                         THEN CAST(ceil(length(x) / 3.0) AS BIGINT)
+                    ELSE 1 END)), 0) AS BIGINT) AS bpe_tokens
+    FROM documents d JOIN pieces p ON d.doc_id = p.doc_id
+"""
+
+_ORACLE_SHAPES["q103_bpe_token_budget"] = (
+    ("doc_id", "BIGINT"), ("ws_tokens", "BIGINT"), ("bpe_tokens", "BIGINT"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("bpe_budget", "q103_bpe_token_budget")
+)

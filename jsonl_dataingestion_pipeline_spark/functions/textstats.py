@@ -326,3 +326,48 @@ def unigram_logprob(
             ),
         )
     )
+
+
+# GPT-2-style pre-tokenizer classes, simplified to what Java regex and
+# RE2 (the DuckDB oracle) match identically: letter runs, digit runs,
+# single non-alphanumeric marks. Whitespace separates and is free.
+_BPE_PIECE_RE = r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f])"
+
+
+def bpe_token_count(
+    c: ColumnOrName,
+    *,
+    chars_per_word_piece: int = 8,
+    digits_per_piece: int = 3,
+) -> Column:
+    """Tokenizer-free BPE-ish token count (vs whitespace ``token_count``).
+
+    Approximates a trained BPE vocabulary's behavior with deterministic
+    arithmetic the oracle replays exactly: a letter run contributes
+    ``ceil(len / chars_per_word_piece)`` tokens (long words split into
+    subword pieces), a digit run ``ceil(len / digits_per_piece)``
+    (cl100k-style digit grouping), every other mark one token, and
+    whitespace none. Pure codegen — one ``regexp_extract_all`` plus an
+    array fold, no UDF, no vocabulary broadcast — so it runs at scan
+    speed over 100 TB. For budget planning / chunk packing, not for
+    exact accounting against a specific tokenizer.
+    """
+    t = _col(c).cast("string")
+    pieces = F.regexp_extract_all(t, F.lit(_BPE_PIECE_RE), 1)
+    per_piece = lambda p: (
+        F.when(
+            p.rlike("^[a-zA-Z]"),
+            F.ceil(F.length(p) / F.lit(float(chars_per_word_piece))),
+        )
+        .when(
+            p.rlike("^[0-9]"),
+            F.ceil(F.length(p) / F.lit(float(digits_per_piece))),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    return F.aggregate(
+        F.transform(pieces, per_piece),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -262,3 +262,28 @@ def test_unigram_logprob_matches_hand_computation(spark):
     row = unigram_logprob(df, "text", "id").head()
     assert row.n_tokens == 3
     assert abs(row.mean_nll - round(expect, 4)) < 1e-9
+
+
+def test_bpe_token_count_arithmetic(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bpe_token_count,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "hello world"),            # 1 + 1
+            (2, "internationalization"),   # 20 letters -> ceil(20/8) = 3
+            (3, "a 1234567 x!"),           # 1 + ceil(7/3)=3 + 1 + 1 = 6
+            (4, ""),                       # 0
+            (5, None),                     # null text -> null count
+        ],
+    )
+    got = {
+        r.id: r.n
+        for r in df.select("id", bpe_token_count("text").alias("n")).collect()
+    }
+    assert got[1] == 2
+    assert got[2] == 3
+    assert got[3] == 6
+    assert got[4] == 0

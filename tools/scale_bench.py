@@ -157,8 +157,12 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        duplicated_spans,
+    )
     from jsonl_dataingestion_pipeline_spark.operators.similarity import (
         embedding_neardup_pairs,
+        semantic_dedup,
     )
 
     bits = 4 + max(0, math.ceil(math.log2(k)))
@@ -169,12 +173,30 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
             e, threshold=0.9, n_planes=4 * bits, bands=4
         )
 
+    def semdedup_scaled(spark, sf_dir):
+        # planted twins collapse pairwise -> true survivor count is
+        # exactly (n_vectors - n_twin_pairs) * k; band bits follow log2(k)
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return semantic_dedup(
+            e, threshold=0.9, n_planes=4 * bits, bands=4
+        )
+
+    def q102_scaled(spark, sf_dir):
+        # word-suffix bijection preserves every intra-replica 6-gram and
+        # shares none across replicas -> docs-with-spans scale exactly *k
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return duplicated_spans(d, "text", "doc_id", n=6).filter(
+            F.col("n_spans") > 0
+        )
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
         "q39_embedding_neardup_planted": q39_scaled,
         "q84_line_dedup": entry.q84_line_dedup,
         "q90_corpus_pipeline": entry.q90_corpus_pipeline,
+        "q100_semantic_dedup_planted": semdedup_scaled,
+        "q102_duplicated_spans": q102_scaled,
     }
     out = {}
     for name, fn in runs.items():
