@@ -18,6 +18,7 @@ import os
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 FORMATS = ("parquet", "orc", "json", "csv")
@@ -115,3 +116,90 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: Optional[str] = None,
+    recursive: bool = True,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Read opaque blobs (images, audio, video, archives) via Spark's
+    built-in ``binaryFile`` source: one row per file with
+    (path, modificationTime, length, content).
+
+    This is the 100 TB ingestion path for multimodal payloads sitting in
+    object storage: the listing is distributed, each executor reads only
+    its own files, and nothing round-trips through the driver.
+    ``max_bytes`` filters oversized files at the SOURCE (pushed down by
+    the binaryFile reader), protecting executor memory from a stray
+    multi-GB blob — binary contents are not splittable, so one file must
+    fit in one task.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: Optional[str] = None,
+    recursive: bool = True,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Blobs -> the package's media-struct convention:
+    (path, media: struct<data, mime, width, height, duration_ms>).
+
+    Mime is sniffed from magic bytes with a tiny codegen'd prefix check
+    (PNG / WAV / JPEG / AVI — the formats ``operators/multimodal``
+    carries real decoders for); anything else is
+    ``application/octet-stream``. Width/height/duration stay NULL until
+    a decode kernel fills them (``multimodal.media_stats``) — sniffing
+    must not require decoding.
+    """
+    raw = read_binary_files(
+        spark, path, glob=glob, recursive=recursive, max_bytes=max_bytes
+    )
+    head = F.substring(F.col("content"), 1, 12)
+    mime = (
+        F.when(
+            F.substring(head, 1, 8)
+            == F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+            F.lit("image/png"),
+        )
+        .when(
+            (F.substring(head, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(head, 9, 4) == F.lit(b"WAVE")),
+            F.lit("audio/wav"),
+        )
+        .when(
+            (F.substring(head, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(head, 9, 4) == F.lit(b"AVI ")),
+            F.lit("video/avi"),
+        )
+        .when(
+            F.substring(head, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF])),
+            F.lit("image/jpeg"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return raw.select(
+        F.col("path"),
+        F.struct(
+            F.col("content").alias("data"),
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("media"),
+    )

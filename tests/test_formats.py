@@ -54,3 +54,69 @@ def test_partitioned_write_prunes(spark, tmp_path):
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         sniff_format(os.path.join(str(tmp_path), "mystery.bin"))
+
+
+def test_read_binary_and_media_files(spark, tmp_path):
+    import numpy as np
+
+    from jsonl_dataingestion_pipeline_spark.functions.media import (
+        encode_png,
+        encode_wav,
+    )
+    from jsonl_dataingestion_pipeline_spark.sources.formats import (
+        read_binary_files,
+        read_media_files,
+    )
+
+    d = tmp_path / "blobs"
+    sub = d / "nested"
+    sub.mkdir(parents=True)
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    wav = encode_wav(np.zeros(64, dtype=np.int16), 8000)
+    (d / "a.png").write_bytes(png)
+    (sub / "b.wav").write_bytes(wav)
+    (d / "c.bin").write_bytes(b"\x00\x01opaque")
+
+    raw = read_binary_files(spark, str(d))
+    assert raw.count() == 3  # recursive by default
+    assert {"path", "modificationTime", "length", "content"} <= set(raw.columns)
+
+    only_png = read_binary_files(spark, str(d), glob="*.png")
+    assert only_png.count() == 1
+
+    capped = read_binary_files(spark, str(d), max_bytes=10)
+    assert capped.count() == 1  # only the 8-byte c.bin fits
+
+    media = read_media_files(spark, str(d))
+    got = {
+        r.path.rsplit("/", 1)[-1]: r.media.mime for r in media.collect()
+    }
+    assert got == {
+        "a.png": "image/png",
+        "b.wav": "audio/wav",
+        "c.bin": "application/octet-stream",
+    }
+    row = media.filter(F.col("media.mime") == "image/png").head()
+    assert bytes(row.media.data) == png and row.media.width is None
+
+
+def test_media_files_feed_decode_kernels(spark, tmp_path):
+    """The binaryFile source composes with the real decode path."""
+    import numpy as np
+
+    from jsonl_dataingestion_pipeline_spark.functions.media import encode_png
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+    from jsonl_dataingestion_pipeline_spark.sources.formats import (
+        read_media_files,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    (d / "x.png").write_bytes(encode_png(img))
+    df = read_media_files(spark, str(d))
+    out = resize_images(df, "media", width=2, height=2).head()
+    assert out.media.width == 2 and out.media.height == 2
+    assert out.media.mime == "image/png"
