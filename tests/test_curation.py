@@ -287,3 +287,52 @@ def test_bpe_token_count_arithmetic(spark):
     assert got[2] == 3
     assert got[3] == 6
     assert got[4] == 0
+
+
+def test_duplicated_spans_property_vs_bruteforce(spark):
+    """Randomized cross-check against an independent reference: covered
+    token positions computed as an explicit set union of [pos, pos+n-1]
+    intervals; spans = maximal contiguous runs of covered positions."""
+    import random
+
+    rng = random.Random(77)
+    n = 3
+    for trial in range(8):
+        docs = []
+        for i in range(rng.randint(1, 5)):
+            toks = [
+                rng.choice("abcd") for _ in range(rng.randint(0, 12))
+            ]
+            docs.append((i, " ".join(toks)))
+
+        # reference
+        from collections import Counter
+        gram_count = Counter()
+        doc_grams = {}
+        for i, text in docs:
+            toks = text.split()
+            grams = [
+                tuple(toks[p:p + n]) for p in range(len(toks) - n + 1)
+            ]
+            doc_grams[i] = grams
+            gram_count.update(grams)
+        expect = {}
+        for i, text in docs:
+            covered = set()
+            for p, g in enumerate(doc_grams[i]):
+                if gram_count[g] >= 2:
+                    covered.update(range(p, p + n))
+            runs = 0
+            prev = None
+            for p in sorted(covered):
+                if prev is None or p != prev + 1:
+                    runs += 1
+                prev = p
+            expect[i] = (runs, len(covered))
+
+        df = spark.createDataFrame(docs, "id int, text string")
+        got = {
+            r.id: (r.n_spans, r.dup_tokens)
+            for r in cu.duplicated_spans(df, "text", "id", n=n).collect()
+        }
+        assert got == expect, (trial, docs, got, expect)
