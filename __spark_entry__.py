@@ -5344,3 +5344,80 @@ _ORACLE_SHAPES["q103_bpe_token_budget"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("bpe_budget", "q103_bpe_token_budget")
 )
+
+
+def q104_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (the other half of q102): documents rebuilt
+    with every duplicated word-6-gram span cut out; the md5 digest of
+    each rebuilt text makes the whole reconstruction hash-checked."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        remove_duplicated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(d, "text", "doc_id", n=6)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(F.col("text")).alias("clean_digest"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q104_span_removal"] = q104_span_removal
+
+_ORACLE_DEDUP_SIM["q104_span_removal"] = r"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - 4)) - 1 AS pos,
+               unnest(list_transform(range(1, len(t) - 4),
+                      i -> array_to_string(list_slice(t, i, i + 5), ' '))) AS gram
+        FROM tk
+    ), k AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gkey
+        FROM g
+    ), hot AS (
+        SELECT gkey FROM k GROUP BY gkey HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT doc_id, pos FROM k SEMI JOIN hot USING (gkey)
+    ), covered AS (
+        SELECT DISTINCT doc_id, unnest(range(pos, pos + 6)) AS tp
+        FROM hits
+    ), toks AS (
+        SELECT doc_id, unnest(range(1, len(t) + 1)) - 1 AS tp,
+               unnest(t) AS tok
+        FROM tk
+    ), kept AS (
+        SELECT s.doc_id, s.tp, s.tok
+        FROM (SELECT * FROM toks WHERE length(tok) > 0) s
+        ANTI JOIN covered c ON s.doc_id = c.doc_id AND s.tp = c.tp
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY tp) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), base AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.text, '')) AS clean_digest
+    FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+_ORACLE_SHAPES["q104_span_removal"] = (
+    ("doc_id", "BIGINT"), ("n_tokens", "BIGINT"), ("n_kept", "BIGINT"),
+    ("clean_digest", "VARCHAR"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("span_removal", "q104_span_removal")
+)

@@ -398,6 +398,31 @@ def dedup_lines(
     )
 
 
+def _dup_gram_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int,
+    min_count: int,
+) -> DataFrame:
+    """(__id, __pos) of every word-``n``-gram occurring >= ``min_count``
+    times corpus-wide: posexplode grams -> frequency on the 64-bit md5
+    gram key (8-byte longs through the shuffle, map-side partials) ->
+    semi-join positions against the hot set (tiny -> AQE broadcast)."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_ngrams(text_col, n)).alias("__pos", "__gram"),
+    ).select("__id", "__pos", _gram_key(F.col("__gram")).alias("__g"))
+    hot = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("__g")
+    )
+    return grams.join(hot, "__g", "leftsemi")
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str,
@@ -429,17 +454,7 @@ def duplicated_spans(
     Returns ``(id_col, n_tokens, n_spans, dup_tokens, dup_fraction)``
     for every document (zero spans included).
     """
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(word_ngrams(text_col, n)).alias("__pos", "__gram"),
-    ).select("__id", "__pos", _gram_key(F.col("__gram")).alias("__g"))
-    hot = (
-        grams.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") >= min_count)
-        .select("__g")
-    )
-    hits = grams.join(hot, "__g", "leftsemi")
+    hits = _dup_gram_hits(df, text_col, id_col, n=n, min_count=min_count)
 
     w = Window.partitionBy("__id").orderBy("__pos")
     marked = hits.withColumn(
@@ -478,4 +493,65 @@ def duplicated_spans(
                 scale,
             ).alias("dup_fraction"),
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al. 2022): rebuild
+    each document with every duplicated word-``n``-gram span cut out.
+
+    Policy: ALL covered tokens are removed, in every document (the
+    paper's remove-all-but-one needs a global occurrence order; dropping
+    boilerplate everywhere is the common production simplification —
+    RefinedWeb does the same for line dedup, see ``dedup_lines``).
+
+    Plan: the shared hot-gram hit relation (semi-join on 8-byte gram
+    keys) -> covered token positions via a bounded ``sequence`` explode
+    (n per hit, overlap-deduplicated) -> anti-join the posexploded token
+    stream -> order-preserving rebuild per doc (``collect_list`` of
+    (pos, token) structs + ``array_sort``), exactly the ``dedup_lines``
+    rebuild shape. One doc-keyed shuffle; nothing driver-side.
+
+    Returns ``(id_col, text_col, n_tokens, n_kept)`` for every document
+    (text empty when everything was boilerplate).
+    """
+    hits = _dup_gram_hits(df, text_col, id_col, n=n, min_count=min_count)
+    covered = hits.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__tp"),
+    ).dropDuplicates(["__id", "__tp"])
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__tp", "__tok"),
+    ).filter(F.length("__tok") > 0)
+    kept = toks.join(covered, ["__id", "__tp"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tp", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )

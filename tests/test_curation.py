@@ -336,3 +336,40 @@ def test_duplicated_spans_property_vs_bruteforce(spark):
             for r in cu.duplicated_spans(df, "text", "id", n=n).collect()
         }
         assert got == expect, (trial, docs, got, expect)
+
+
+def test_remove_duplicated_spans(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = _docs(
+        spark,
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared}"),                       # only the shared run
+            (3, "nothing repeated in this document at all"),
+        ],
+    )
+    got = {
+        r.id: r
+        for r in cu.remove_duplicated_spans(df, "text", "id", n=6).collect()
+    }
+    assert got[1].text == "intro words here tail one"
+    assert got[1].n_tokens == 11 and got[1].n_kept == 5
+    assert got[2].text == "" and got[2].n_kept == 0
+    assert got[3].text == "nothing repeated in this document at all"
+    assert got[3].n_kept == 7
+
+
+def test_remove_duplicated_spans_consistent_with_detection(spark):
+    """n_tokens - n_kept must equal the detector's dup_tokens."""
+    import random
+
+    rng = random.Random(9)
+    docs = [
+        (i, " ".join(rng.choice("abcd") for _ in range(rng.randint(0, 15))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    det = {r.id: r.dup_tokens for r in cu.duplicated_spans(df, "text", "id", n=3).collect()}
+    rem = {r.id: (r.n_tokens, r.n_kept) for r in cu.remove_duplicated_spans(df, "text", "id", n=3).collect()}
+    for i, (nt, nk) in rem.items():
+        assert nt - nk == det[i], (i, docs)
