@@ -5421,3 +5421,48 @@ _ORACLE_SHAPES["q104_span_removal"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("span_removal", "q104_span_removal")
 )
+
+
+def q105_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the documents
+    table keyed on doc_id, summarized per (split, lang) so membership,
+    completeness, and the id checksum are all hash-checked."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        split_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = split_corpus(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    return s.groupBy(F.col("split"), F.col("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q105_corpus_split"] = q105_corpus_split
+
+# bounds: floor(0.8 * 2^32) = 3435973836, floor(0.9 * 2^32) = 3865470566
+_ORACLE_DEDUP_SIM["q105_corpus_split"] = """
+    WITH coin AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS u
+        FROM documents
+    )
+    SELECT CASE WHEN u < 3435973836 THEN 'train'
+                WHEN u < 3865470566 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM coin GROUP BY 1, 2
+"""
+
+_ORACLE_SHAPES["q105_corpus_split"] = (
+    ("split", "VARCHAR"), ("lang", "VARCHAR"),
+    ("n_docs", "BIGINT"), ("sum_ids", "BIGINT"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(("corpus_split", "q105_corpus_split"))

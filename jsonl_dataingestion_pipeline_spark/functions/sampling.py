@@ -164,3 +164,49 @@ def quota_sample(
         .filter(F.col("__qrk") <= max_per_group)
         .drop("__qrk")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    key: ColumnOrName,
+    weights: Mapping[str, float],
+    *,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on ``key``.
+
+    Each row's uniform coin ``u = hash32(key, seed) / 2^32`` lands in a
+    half-open cumulative-weight interval; the matching split name goes
+    in ``split_col``. Same guarantees as :func:`deterministic_sample`:
+    reproducible across runs/partitionings/engines, consistent per key
+    (all rows sharing a key land in the same split — split BY DOCUMENT,
+    not by row, by passing the document key), and a narrow projection —
+    no shuffle, no driver state, so it costs one codegen'd expression
+    at any corpus size.
+
+    ``weights`` must sum to 1 (+-1e-9); iteration order defines the
+    interval order, so pass a plain dict in the order you want
+    documented. Raises if ``split_col`` already exists.
+    """
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    coin = _bucket32(_col(key), seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        bound = int(acc * (1 << 32))
+        cond_val = F.lit(name)
+        expr = (
+            F.when(coin < bound, cond_val)
+            if expr is None
+            else expr.when(coin < bound, cond_val)
+        )
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -181,3 +181,41 @@ def test_temperature_sample_null_group_and_collision(spark):
         temperature_sample(
             df.withColumn("keep_rate", F.lit(1.0)), "grp", "id", target_n=60
         )
+
+
+def test_split_corpus_deterministic_and_complete(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        split_corpus,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert 1500 < counts["train"] < 1700  # ~80% of 2000
+    # determinism: same assignment on a different partitioning
+    again = split_corpus(
+        df.repartition(7), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3,
+    )
+    a = {r.doc_id: r["split"] for r in out.collect()}
+    b = {r.doc_id: r["split"] for r in again.collect()}
+    assert a == b
+
+
+def test_split_corpus_validations(spark):
+    import pytest as _pytest
+
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        split_corpus,
+    )
+
+    df = spark.range(10).withColumn("split", F.lit("x"))
+    with _pytest.raises(ValueError):
+        split_corpus(df, "id", {"a": 0.5, "b": 0.5})
+    with _pytest.raises(ValueError):
+        split_corpus(spark.range(10), "id", {"a": 0.5, "b": 0.4})
