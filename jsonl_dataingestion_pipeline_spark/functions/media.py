@@ -1,11 +1,13 @@
-"""Pure-stdlib media codecs: PNG (zlib), PCM WAV (wave), baseline JPEG.
+"""Pure-stdlib media codecs: PNG, PCM WAV, baseline JPEG, GIF, MJPEG-AVI.
 
 The container has no PIL/torchaudio, but PNG and PCM-WAV need nothing
-beyond stdlib ``zlib``/``wave`` plus numpy, and baseline JPEG is a
-self-contained Huffman+IDCT pipeline (see ``functions/jpeg.py``), so
-these three formats get REAL decode/encode kernels and the multimodal
-operators stop being stubs for them (video stays honestly stubbed — a
-video codec can't be reimplemented responsibly here).
+beyond stdlib ``zlib``/``wave`` plus numpy; baseline JPEG is a
+self-contained Huffman+IDCT pipeline (``functions/jpeg.py``); GIF is a
+self-contained LZW + frame-composition pipeline (``functions/gif.py``,
+real inter-frame disposal/transparency); and MJPEG-AVI rides the JPEG
+decoder (``functions/avi.py``). All five formats get REAL decode/encode
+kernels. Only native-only video codecs (H.264 & friends) stay honestly
+stubbed — those can't be reimplemented responsibly here.
 
 Scope: PNG bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha,
 RGBA), non-interlaced — the overwhelmingly common case and everything our
@@ -31,6 +33,7 @@ from .avi import (  # noqa: F401  (facade re-export)
     encode_avi_mjpeg,
     is_avi,
 )
+from .gif import decode_gif, encode_gif, is_gif  # noqa: F401  (facade re-export)
 from .jpeg import decode_jpeg, encode_jpeg, is_jpeg  # noqa: F401  (facade re-export)
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-PNG, PCM-WAV, baseline JPEG, and MJPEG-AVI video payloads get REAL
-decode / feature / resize / frame-sample kernels — pure stdlib + numpy,
-no media libraries needed (see ``functions/media.py``,
-``functions/jpeg.py``, ``functions/avi.py``). Only inter-frame video
-codecs (H.264 & friends), which genuinely require native libraries,
+PNG, PCM-WAV, baseline JPEG, animated GIF, and MJPEG-AVI video
+payloads get REAL decode / feature / resize / frame-sample kernels —
+pure stdlib + numpy, no media libraries needed (``functions/media.py``,
+``functions/jpeg.py``, ``functions/gif.py``, ``functions/avi.py``).
+Only native-only video codecs (H.264 & friends, which genuinely
+require external libraries)
 fall back to a deterministic md5-seeded fake, clearly marked, so the
 Spark-side plumbing (schema, Arrow batch shape, mapInPandas streaming
 partitioning) is exercised for every mime type and swapping in ffmpeg
@@ -42,8 +43,8 @@ FEATURE_DIM = 16
 
 def decode_available(data: bytes | None = None) -> bool:
     """True when the payload is a format with a real pure-stdlib decoder
-    (PNG / PCM-WAV / baseline JPEG / MJPEG-AVI), or — with no payload —
-    always True since those decoders ship with this package."""
+    (PNG / PCM-WAV / baseline JPEG / GIF / MJPEG-AVI), or — with no
+    payload — always True since those decoders ship with this package."""
     if data is None:
         return True
     return (
@@ -51,6 +52,7 @@ def decode_available(data: bytes | None = None) -> bool:
         or _codecs.is_wav(data)
         or _codecs.is_jpeg(data)
         or _codecs.is_avi(data)
+        or _codecs.is_gif(data)
     )
 
 
@@ -66,13 +68,21 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 def _features_of(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     """Real features for PNG/JPEG (4×4 mean-pooled grayscale), WAV
-    (16-segment RMS), and MJPEG-AVI (middle-frame image features); md5
-    fake for everything else (incl. corrupt files)."""
+    (16-segment RMS), and GIF / MJPEG-AVI (middle-frame image
+    features on the composited canvas); md5 fake for everything else
+    (incl. corrupt files)."""
     if data is not None and _codecs.is_avi(data):
         try:
             jpegs, _fps, _w, _h = _codecs.decode_avi(data)
             mid = _codecs.decode_jpeg(jpegs[len(jpegs) // 2])
             return _codecs.image_features(mid, grid=4)[:dim]
+        except Exception:
+            return _fake_features(data, dim)
+    if data is not None and _codecs.is_gif(data):
+        try:
+            gif_frames, _delays = _codecs.decode_gif(data)
+            mid_frame = gif_frames[len(gif_frames) // 2]
+            return _codecs.image_features(mid_frame, grid=4)[:dim]
         except Exception:
             return _fake_features(data, dim)
     if data is not None and (_codecs.is_png(data) or _codecs.is_jpeg(data)):
@@ -191,7 +201,9 @@ def sample_frames(
     into ``every_ms`` windows, and each window re-encoded as a standalone
     WAV. MJPEG-AVI payloads are really sampled: the frame nearest each
     ``every_ms`` boundary is returned as its standalone JPEG bytes (no
-    re-encode — MJPEG frames are independent JPEGs). Other video codecs
+    re-encode — MJPEG frames are independent JPEGs). Animated GIFs are
+    really composited (transparency + disposal) and each sampled canvas
+    re-encoded as a standalone PNG. Other video codecs
     need a native library, so those payloads get deterministic fake
     frames sized from the ``duration_ms`` metadata — the output schema
     and streaming batch shape are the tested contract either way.
@@ -222,6 +234,34 @@ def sample_frames(
                             continue
                     except Exception:
                         pass  # corrupt AVI -> metadata-sized fake below
+                if data is not None and _codecs.is_gif(data):
+                    try:
+                        gframes, delays = _codecs.decode_gif(data)
+                        if gframes:
+                            # composited canvases re-encoded as PNG: each
+                            # sampled frame is a standalone viewable image
+                            starts = []
+                            t = 0
+                            for d in delays:
+                                starts.append(t)
+                                t += max(d, 10)
+                            picks, nxt = [], 0
+                            for tick in range(0, max(t, 1), every_ms):
+                                while (
+                                    nxt + 1 < len(starts)
+                                    and starts[nxt + 1] <= tick
+                                ):
+                                    nxt += 1
+                                picks.append(nxt)
+                            frames.append(
+                                [
+                                    _codecs.encode_png(gframes[i])
+                                    for i in picks
+                                ]
+                            )
+                            continue
+                    except Exception:
+                        pass  # corrupt GIF -> metadata-sized fake below
                 if data is not None and _codecs.is_wav(data):
                     try:
                         samples, rate = _codecs.decode_wav(data)

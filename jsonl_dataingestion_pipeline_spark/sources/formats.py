@@ -191,6 +191,11 @@ def read_media_files(
             F.substring(head, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF])),
             F.lit("image/jpeg"),
         )
+        .when(
+            (F.substring(head, 1, 6) == F.lit(b"GIF87a"))
+            | (F.substring(head, 1, 6) == F.lit(b"GIF89a")),
+            F.lit("image/gif"),
+        )
         .otherwise(F.lit("application/octet-stream"))
     )
     return raw.select(
