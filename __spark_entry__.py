@@ -4733,7 +4733,7 @@ _ORACLE_SHAPES: dict[str, tuple] = {
     "q03_region_revenue": (("region", "VARCHAR"), ("nation", "VARCHAR"), ("revenue", "DOUBLE"), ("n_items", "BIGINT")),
     "q04_priority_semijoin": (("priority", "VARCHAR"), ("n_orders", "BIGINT")),
     "q05_latest_order_per_customer": (("custkey", "BIGINT"), ("orderkey", "BIGINT"), ("orderdate", "DATE"), ("totalprice", "DOUBLE")),
-    "q06_set_ops": (("custkey", "BIGINT")),
+    "q06_set_ops": (("custkey", "BIGINT"),),
     "q07_mktsegment_stats": (("segment", "VARCHAR"), ("n_customers", "BIGINT"), ("avg_balance", "DOUBLE"), ("min_balance", "DOUBLE"), ("max_balance", "DOUBLE")),
     "q08_windowed_event_agg": (("hour", "TIMESTAMP"), ("event_type", "VARCHAR"), ("n_events", "BIGINT"), ("total_value", "DOUBLE")),
     "q09_event_json_extract": (("k_bucket", "INTEGER"), ("n", "BIGINT"), ("avg_value", "DOUBLE")),

@@ -171,7 +171,6 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
     transparent: int | None = None
     disposal = 0
     delay_cs = 0
-    prev_canvas = canvas.copy()
 
     while pos < len(data):
         block = data[pos]
@@ -183,12 +182,16 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
             pos += 1
             if label == 0xF9:  # graphic control
                 size = data[pos]
-                gflags, delay_cs, tidx = struct.unpack(
-                    "<BHB", data[pos + 1 : pos + 5]
-                )
-                pos += 1 + size + 1  # size + payload + terminator
-                disposal = (gflags >> 2) & 0x07
-                transparent = tidx if (gflags & 0x01) else None
+                if size >= 4:
+                    gflags, delay_cs, tidx = struct.unpack(
+                        "<BHB", data[pos + 1 : pos + 5]
+                    )
+                    disposal = (gflags >> 2) & 0x07
+                    transparent = tidx if (gflags & 0x01) else None
+                pos += 1 + size
+                while data[pos] != 0:  # tolerate nonstandard extra blocks
+                    pos += 1 + data[pos]
+                pos += 1  # terminator
             else:  # skip any other extension's sub-blocks
                 while True:
                     size = data[pos]
@@ -243,12 +246,10 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
             canvas[top : top + ih, left : left + iw] = bg_rgb
         elif disposal == 3:  # restore what was there before this frame
             canvas = before
-        prev_canvas = before
         transparent = None
         disposal = 0
         delay_cs = 0
 
-    del prev_canvas
     return frames, delays
 
 
@@ -288,6 +289,10 @@ def encode_gif(frames: list[np.ndarray], delays_ms: list[int] | None = None) -> 
     out += palette.tobytes()
     if delays_ms is None:
         delays_ms = [100] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise ValueError(
+            f"{len(delays_ms)} delays for {len(frames)} frames"
+        )
     min_code = max(2, bits)
     for frame, delay in zip(frames, delays_ms):
         out += b"\x21\xf9"  # graphic control: disposal=1 (leave), no transp

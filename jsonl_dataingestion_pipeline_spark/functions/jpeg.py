@@ -232,6 +232,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

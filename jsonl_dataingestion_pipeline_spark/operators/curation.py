@@ -385,7 +385,7 @@ def dedup_lines(
     # them with an empty body so the output covers the full corpus
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep_pat)).cast("long").alias("n_lines"),
     )
     return (
         base.join(rebuilt, "__id", "left")

@@ -239,32 +239,37 @@ def _bucket_pairs(
     reliable: bool,
     op_name: str,
 ) -> DataFrame:
-    """Candidate pairs from capped buckets in ONE wide stage.
+    """Candidate pairs from capped buckets, memory-bounded end to end.
 
-    ``groupBy(keys)`` collects each bucket's sorted distinct member ids;
-    buckets above ``max_bucket`` are dropped (logged, never silent —
-    same contract as the histogram path) and singletons contribute
-    nothing; surviving buckets expand to their C(n, 2) ordered pairs
-    with array expressions. This replaces histogram + keep-join +
-    self-join (three wide stages, two materializations) with one
-    aggregation: the shuffle carries each (bucket, id) exactly once and
-    the cap bounds the expansion at C(max_bucket, 2) pairs per bucket,
-    so executor memory per bucket row is bounded too. Only valid when a
-    cap exists — the uncapped-exact path keeps the self-join, which
-    spills instead of buffering an unbounded bucket array.
+    Two aggregations over the same bucket-keyed shuffle layout:
+      1. histogram ``groupBy(keys).count()`` — fixed-size aggregation
+         state, safe against the multi-million-member degenerate bucket
+         the cap exists for; hot buckets (> ``max_bucket``) are dropped
+         here (logged, never silent) along with useless singletons;
+      2. semi-join the exploded relation against the surviving keys
+         (tiny -> AQE broadcast, no shuffle), THEN collect each
+         remaining bucket's sorted distinct ids — the collect buffer is
+         now provably <= ``max_bucket`` entries — and expand C(n, 2)
+         ordered pairs with array expressions.
+    No self-join anywhere, and — unlike collecting before filtering —
+    no aggregation buffer ever holds an uncapped bucket. Only used when
+    a cap exists; the uncapped-exact path keeps the band self-join,
+    which spills instead of buffering unbounded bucket arrays.
     """
-    buckets = _pipeline_break(
-        exploded.groupBy(*[F.col(k) for k in keys]).agg(
-            F.array_sort(F.collect_set(F.col(id_col))).alias("__ids")
-        ),
+    kcols = [F.col(k) for k in keys]
+    # consumed by both the histogram and the post-filter collect
+    exploded = _pipeline_break(exploded, reliable)
+    hist = _pipeline_break(
+        exploded.groupBy(*kcols).agg(F.count(F.lit(1)).alias("__n")),
         reliable,
     )
-    n = F.size(F.col("__ids"))
     stats = (
-        buckets.filter(n > max_bucket)
+        hist.filter(F.col("__n") > max_bucket)
         .agg(
             F.count(F.lit(1)).alias("buckets"),
-            F.sum(n.cast("double") * (n - 1) / 2).alias("pairs"),
+            F.sum(F.col("__n").cast("double") * (F.col("__n") - 1) / 2).alias(
+                "pairs"
+            ),
         )
         .first()
     )
@@ -277,7 +282,14 @@ def _bucket_pairs(
             stats["buckets"],
             int(stats["pairs"] or 0),
         )
-    kept = buckets.filter((n >= 2) & (n <= max_bucket))
+    keep_keys = hist.filter(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
+    ).select(*keys)
+    kept = (
+        exploded.join(keep_keys, on=list(keys), how="leftsemi")
+        .groupBy(*kcols)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+    )
     ids = F.col("__ids")
     pairs = F.flatten(
         F.transform(
@@ -495,7 +507,6 @@ def ngram_jaccard_pairs(
     bucket/pair counts are logged — never silent). Pass ``None`` for the
     exact uncapped semantics the DuckDB oracle replays; output is
     identical whenever no bucket exceeds the cap.
-    Unset by default so results stay byte-identical to the uncapped oracle.
     """
     if base is None:
         base = shingle_base(

@@ -96,6 +96,8 @@ def clean_columns(df: DataFrame) -> DataFrame:
         else:
             expr = clean_string(c)
         projection.append(expr.alias(name))
+    while len(_CLEAN_PROJECTION_CACHE) >= 8:  # bound: evict oldest entry
+        _CLEAN_PROJECTION_CACHE.pop(next(iter(_CLEAN_PROJECTION_CACHE)))
     _CLEAN_PROJECTION_CACHE[cache_key] = projection
     return df.select(*projection)
 

@@ -373,3 +373,17 @@ def test_remove_duplicated_spans_consistent_with_detection(spark):
     rem = {r.id: (r.n_tokens, r.n_kept) for r in cu.remove_duplicated_spans(df, "text", "id", n=3).collect()}
     for i, (nt, nk) in rem.items():
         assert nt - nk == det[i], (i, docs)
+
+
+def test_dedup_lines_n_lines_literal_separator(spark):
+    """n_lines must count literal-sep splits, not regex splits
+    (regression: '.' as sep previously made n_lines = len(text)+1)."""
+    df = spark.createDataFrame(
+        [(1, "keep me.shared line.unique one"), (2, "shared line.other text")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept)
+        for r in cu.dedup_lines(df, "doc_id", "text", sep=".").collect()
+    }
+    assert got[1] == (3, 2) and got[2] == (2, 1)

@@ -135,3 +135,24 @@ def test_gif_features_and_frame_sampling(spark):
     assert len(out) == 2
     assert np.array_equal(decode_png(bytes(out[0])), f0)
     assert np.array_equal(decode_png(bytes(out[1])), f1)
+
+
+def test_encode_gif_rejects_mismatched_delays():
+    f = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif([f, f, f], [100, 100])
+
+
+def test_gif_tolerates_oversized_graphic_control():
+    """Nonstandard GCE size=5 (seen from buggy encoders): extra byte is
+    skipped, fields still honored."""
+    full_red = {"rect": (0, 0, 4, 4), "idx": [[1] * 4] * 4}
+    data = bytearray(_hand_gif([full_red]))
+    i = bytes(data).index(b"\x21\xf9")
+    # rewrite GCE: size 5 with one trailing junk byte before terminator
+    # original: 21 f9 04 <gflags> <delay lo> <delay hi> <tidx> 00
+    gce = data[i : i + 8]
+    new = bytes([0x21, 0xF9, 0x05]) + bytes(gce[3:7]) + b"\x7f\x00"
+    data[i : i + 8] = new
+    frames, _ = decode_gif(bytes(data))
+    assert np.array_equal(frames[0], np.tile([255, 0, 0], (4, 4, 1)))

@@ -189,3 +189,20 @@ def test_jpeg_roundtrip_property(h, w, gray, q, seed):
     out = decode_jpeg(encode_jpeg(img, q))
     assert out.shape == (h, w, 1 if gray else 3)
     assert _psnr(img, out) > 22.0
+
+
+def test_decode_tolerates_fill_bytes(spark=None):
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker."""
+    import numpy as np
+
+    from jsonl_dataingestion_pipeline_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 16, 3), 99, np.uint8)
+    data = encode_jpeg(img)
+    # inject fill bytes before the DQT marker (FF DB)
+    i = data.index(b"\xff\xdb")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
