@@ -140,10 +140,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads (Arrow-batched mapInPandas).
 
-    PNG and baseline-JPEG payloads are really decoded, nearest-neighbor
-    resized, and re-encoded in their own format; formats without a
-    stdlib codec get the deterministic fake payload (metadata update is
-    the contract either way).
+    PNG, baseline-JPEG, and GIF payloads (every frame of an animation)
+    are really decoded, nearest-neighbor resized, and re-encoded in
+    their own format; formats without a stdlib codec get the
+    deterministic fake payload (metadata update is the contract either
+    way).
     """
     schema = df.schema
 
@@ -174,6 +175,20 @@ def resize_images(
                         )
                     except Exception:
                         resized = None  # corrupt/progressive JPEG -> fake
+                elif data is not None and _codecs.is_gif(data):
+                    try:
+                        gframes, delays = _codecs.decode_gif(data)
+                        # nearest-neighbor keeps only original pixels, so
+                        # the frames stay within the GIF's own palette
+                        resized = _codecs.encode_gif(
+                            [
+                                _codecs.resize_nearest(g, width, height)
+                                for g in gframes
+                            ],
+                            delays,
+                        )
+                    except Exception:
+                        resized = None  # corrupt GIF -> fake payload
                 if resized is None:
                     seed = hashlib.md5(data or b"").digest()
                     resized = (seed * ((width * height) // len(seed) + 1))[

@@ -156,3 +156,25 @@ def test_gif_tolerates_oversized_graphic_control():
     data[i : i + 8] = new
     frames, _ = decode_gif(bytes(data))
     assert np.array_equal(frames[0], np.tile([255, 0, 0], (4, 4, 1)))
+
+
+def test_gif_real_resize(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    f0 = np.zeros((8, 8, 3), np.uint8)
+    f0[:4] = [255, 0, 0]
+    f1 = np.zeros((8, 8, 3), np.uint8)
+    f1[:, :4] = [0, 0, 255]
+    gif = encode_gif([f0, f1], [50, 50])
+    df = spark.createDataFrame(
+        [(1, (bytearray(gif), "image/gif", 8, 8, 100))],
+        "media_id long, media struct<data:binary,mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = resize_images(df, "media", width=4, height=4).head().media
+    assert out.width == 4 and out.height == 4
+    frames, delays = decode_gif(bytes(out.data))
+    assert delays == [50, 50]
+    assert np.array_equal(frames[0][:2], np.tile([255, 0, 0], (2, 4, 1)))
+    assert np.array_equal(frames[1][:, :2], np.tile([0, 0, 255], (4, 2, 1)))
