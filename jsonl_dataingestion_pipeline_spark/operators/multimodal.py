@@ -111,8 +111,9 @@ def extract_features(
 
     The per-partition generator shape is the real contract: batches stream
     through without materializing the partition, so binary payloads never
-    blow executor memory even with multi-MB media values. PNG/WAV decode
-    for real; other formats get the documented deterministic fake.
+    blow executor memory even with multi-MB media values. PNG/JPEG/WAV/
+    GIF/MJPEG-AVI decode for real; only native-only codecs get the
+    documented deterministic fake.
     """
     out_schema = T.StructType(
         list(df.schema.fields)
