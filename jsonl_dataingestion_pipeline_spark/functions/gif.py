@@ -189,8 +189,10 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
                     disposal = (gflags >> 2) & 0x07
                     transparent = tidx if (gflags & 0x01) else None
                 pos += 1 + size
-                while data[pos] != 0:  # tolerate nonstandard extra blocks
-                    pos += 1 + data[pos]
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]  # tolerate nonstandard extra blocks
+                if pos >= len(data):
+                    raise ValueError("truncated GIF graphic-control block")
                 pos += 1  # terminator
             else:  # skip any other extension's sub-blocks
                 while True:
