@@ -5466,3 +5466,87 @@ _ORACLE_SHAPES["q105_corpus_split"] = (
 )
 
 _UNION_MERGES["q53_sampling_suite"].append(("corpus_split", "q105_corpus_split"))
+
+
+def q106_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule-set (Rae et al. 2021 table A1) over
+    the documents table — every rule's signal plus the final keep."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(d, "text", "doc_id")
+
+
+_DEDUP_SIM_QUERIES["q106_gopher_rules"] = q106_gopher_rules
+
+_ORACLE_DEDUP_SIM["q106_gopher_rules"] = r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS t,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   x -> length(x) > 0) AS ls
+        FROM documents
+    ), calc AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(t) END AS BIGINT) AS n_words,
+               COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                   AS total_chars,
+               (length(text) - length(replace(text, '#', '')))
+                   + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+               GREATEST(len(ls), 1) AS n_lines,
+               len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
+                   AS n_bullet,
+               len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)$')))
+                   AS n_ellipsis,
+               len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               CAST(len(list_intersect(
+                   list_transform(t, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS BIGINT) AS stopword_hits,
+               CASE WHEN len(ls) <= 0 THEN 0.0
+                    ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                               / CAST(len(ls) AS DOUBLE), 6) END
+                   AS dup_line_frac
+        FROM base
+    ), m AS (
+        SELECT doc_id, n_words,
+               round(CAST(total_chars AS DOUBLE) / GREATEST(n_words, 1), 6)
+                   AS mean_word_len,
+               round(CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1), 6)
+                   AS symbol_word_ratio,
+               round(CAST(n_bullet AS DOUBLE) / n_lines, 6)
+                   AS bullet_line_frac,
+               round(CAST(n_ellipsis AS DOUBLE) / n_lines, 6)
+                   AS ellipsis_line_frac,
+               round(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 6)
+                   AS alpha_word_frac,
+               stopword_hits, dup_line_frac
+        FROM calc
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           stopword_hits, dup_line_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2) AS keep
+    FROM m
+"""
+
+_ORACLE_SHAPES["q106_gopher_rules"] = (
+    ("doc_id", "BIGINT"), ("n_words", "BIGINT"), ("mean_word_len", "DOUBLE"),
+    ("symbol_word_ratio", "DOUBLE"), ("bullet_line_frac", "DOUBLE"),
+    ("ellipsis_line_frac", "DOUBLE"), ("alpha_word_frac", "DOUBLE"),
+    ("stopword_hits", "BIGINT"), ("dup_line_frac", "DOUBLE"),
+    ("keep", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(("q106_gopher_rules", {}))

@@ -555,3 +555,110 @@ def remove_duplicated_spans(
         F.col("n_tokens"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# Gopher quality rules (Rae et al. 2021, table A1) — the widely-reused
+# document-level filter set. Thresholds below are the paper's.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-document Gopher quality rules as one narrow projection.
+
+    Every signal is an array/regex expression over the same tokenization
+    the rest of the engine uses — no shuffle, no UDF, so the filter runs
+    at scan speed over 100 TB and each rule's verdict is visible (the
+    flags, not just the final ``keep``, are returned for auditing).
+
+    Returns ``(id_col, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    stopword_hits, dup_line_frac, keep)``.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = token_count(t).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = F.round(
+        total_chars.cast("double") / F.greatest(n_words, F.lit(1)), scale
+    )
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+        + F.coalesce(F.regexp_count(t, F.lit(r"\.\.\.")), F.lit(0))
+    )
+    sym_ratio = F.round(
+        n_symbols.cast("double") / F.greatest(n_words, F.lit(1)), scale
+    )
+    lines = F.filter(
+        F.transform(F.split(t.cast("string"), r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+        ).cast("double")
+        / n_lines,
+        scale,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))).cast(
+            "double"
+        )
+        / n_lines,
+        scale,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        scale,
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda x: F.lower(x)), stops
+        )
+    ).cast("long")
+    dlf = dup_line_fraction(t)
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        dlf.alias("dup_line_frac"),
+        keep.alias("keep"),
+    )

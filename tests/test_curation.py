@@ -387,3 +387,35 @@ def test_dedup_lines_n_lines_literal_separator(spark):
         for r in cu.dedup_lines(df, "doc_id", "text", sep=".").collect()
     }
     assert got[1] == (3, 2) and got[2] == (2, 1)
+
+
+def test_gopher_quality_flags(spark):
+    long_good = " ".join(
+        ["the quick brown fox jumps with energy and vigor that we have"] * 6
+    )
+    df = _docs(
+        spark,
+        [
+            (1, long_good),                       # passes everything
+            (2, "too short to keep"),             # < 50 words
+            (3, " ".join(["####"] * 60)),         # no alpha, no stopwords
+        ],
+    )
+    got = {
+        r.id: r for r in cu.gopher_quality_flags(df, "text", "id").collect()
+    }
+    assert got[1].keep and got[1].n_words == 72 and got[1].stopword_hits >= 4
+    assert not got[2].keep and got[2].n_words == 4
+    assert not got[3].keep
+    assert got[3].alpha_word_frac == 0.0 and got[3].symbol_word_ratio > 0.1
+
+
+def test_gopher_flags_line_rules(spark):
+    bullets = "\n".join(["- item one here"] * 9 + ["a normal line"])
+    dots = "\n".join(["trailing thing..."] * 4 + ["clean line here"] * 6)
+    df = _docs(spark, [(1, bullets), (2, dots)])
+    got = {
+        r.id: r for r in cu.gopher_quality_flags(df, "text", "id").collect()
+    }
+    assert abs(got[1].bullet_line_frac - 0.9) < 1e-9
+    assert abs(got[2].ellipsis_line_frac - 0.4) < 1e-9
