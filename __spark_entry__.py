@@ -5550,3 +5550,55 @@ _ORACLE_SHAPES["q106_gopher_rules"] = (
 )
 
 _JOIN_MERGES["q20_doc_quality"][1].append(("q106_gopher_rules", {}))
+
+
+def q107_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020): per-doc surviving-line
+    rebuild + the page-level flags, hash-checked including the rebuilt
+    text."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        c4_quality_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_quality_filter(d, "text", "doc_id")
+
+
+_DEDUP_SIM_QUERIES["q107_c4_filter"] = q107_c4_filter
+
+_ORACLE_DEDUP_SIM["q107_c4_filter"] = r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   x -> length(x) > 0) AS ls
+        FROM documents
+    ), calc AS (
+        SELECT doc_id, text, ls,
+               list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+                   AND len(string_split_regex(l, '\s+')) >= 5) AS kept
+        FROM base
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, chr(10)), '') AS c4_text,
+           CAST(len(ls) AS BIGINT) AS c4_n_lines,
+           CAST(len(kept) AS BIGINT) AS c4_n_kept_lines,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+               AS c4_n_sentences,
+           contains(lower(text), 'lorem ipsum') AS c4_has_lorem,
+           contains(text, '{') AS c4_has_brace,
+           (len(regexp_extract_all(text, '[.!?]')) >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND len(kept) > 0) AS c4_keep
+    FROM calc
+"""
+
+_ORACLE_SHAPES["q107_c4_filter"] = (
+    ("doc_id", "BIGINT"), ("c4_text", "VARCHAR"), ("c4_n_lines", "BIGINT"),
+    ("c4_n_kept_lines", "BIGINT"), ("c4_n_sentences", "BIGINT"),
+    ("c4_has_lorem", "BOOLEAN"), ("c4_has_brace", "BOOLEAN"),
+    ("c4_keep", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(("q107_c4_filter", {}))

@@ -662,3 +662,55 @@ def gopher_quality_flags(
         dlf.alias("dup_line_frac"),
         keep.alias("keep"),
     )
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2) as one narrow
+    projection: keep only lines that end in terminal punctuation AND
+    have >= ``min_words_per_line`` words; flag pages with fewer than
+    ``min_sentences`` sentences, containing ``lorem ipsum``, or
+    containing a curly brace (code leakage).
+
+    Returns ``(id_col, c4_text, c4_n_lines, c4_n_kept_lines,
+    c4_n_sentences, c4_has_lorem, c4_has_brace, c4_keep)`` where
+    ``c4_text`` is the page rebuilt from the surviving lines. All array
+    expressions over the line split — no explode, no shuffle, no UDF.
+    """
+    t = F.col(text_col).cast("string")
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    is_kept = lambda l: l.rlike(r'[.!?"]$') & (
+        F.size(F.split(l, r"\s+")) >= min_words_per_line
+    )
+    kept = F.filter(lines, is_kept)
+    n_sentences = F.coalesce(
+        F.regexp_count(t, F.lit(r"[.!?]")), F.lit(0)
+    ).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    keep = (
+        (n_sentences >= min_sentences)
+        & ~has_lorem
+        & ~F.coalesce(has_brace, F.lit(False))
+        & (F.size(kept) > 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("c4_text"),
+        F.size(lines).cast("long").alias("c4_n_lines"),
+        F.size(kept).cast("long").alias("c4_n_kept_lines"),
+        n_sentences.alias("c4_n_sentences"),
+        F.coalesce(has_lorem, F.lit(False)).alias("c4_has_lorem"),
+        F.coalesce(has_brace, F.lit(False)).alias("c4_has_brace"),
+        F.coalesce(keep, F.lit(False)).alias("c4_keep"),
+    )

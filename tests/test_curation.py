@@ -419,3 +419,29 @@ def test_gopher_flags_line_rules(spark):
     }
     assert abs(got[1].bullet_line_frac - 0.9) < 1e-9
     assert abs(got[2].ellipsis_line_frac - 0.4) < 1e-9
+
+
+def test_c4_quality_filter(spark):
+    page = "\n".join(
+        [
+            "This is a proper sentence with enough words.",   # kept
+            "Too short.",                                     # <5 words
+            "no terminal punctuation here at all",            # no punct
+            'A quoted ending counts as terminal here."',      # kept
+        ]
+    )
+    df = _docs(
+        spark,
+        [
+            (1, page),
+            (2, "Lorem Ipsum dolor sit amet. More words here. And more."),
+            (3, "function() { return 1; } This has braces. Yes it does. Ok."),
+            (4, "One sentence only here."),
+        ],
+    )
+    got = {r.id: r for r in cu.c4_quality_filter(df, "text", "id").collect()}
+    assert got[1].c4_n_lines == 4 and got[1].c4_n_kept_lines == 2
+    assert got[1].c4_text.splitlines()[0].startswith("This is a proper")
+    assert got[2].c4_has_lorem and not got[2].c4_keep
+    assert got[3].c4_has_brace and not got[3].c4_keep
+    assert got[4].c4_n_sentences == 1 and not got[4].c4_keep
