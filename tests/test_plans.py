@@ -175,3 +175,11 @@ def test_unigram_logprob_stats_broadcast(spark):
     broadcast nested-loop join, never a shuffle."""
     plan = _formatted(spark, em.q101_unigram_logprob(spark, SF))
     assert "BroadcastNestedLoopJoin" in _tree(plan)
+
+
+def test_quality_filters_are_shuffle_free(spark):
+    """q106 (Gopher rules) and q107 (C4 cleaning) are narrow projections:
+    at 100 TB they run at scan speed with zero Exchange."""
+    for q in (em.q106_gopher_rules, em.q107_c4_filter):
+        tree = _tree(_formatted(spark, q(spark, SF)))
+        assert "Exchange" not in tree, tree
