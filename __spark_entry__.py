@@ -5486,7 +5486,8 @@ _ORACLE_DEDUP_SIM["q106_gopher_rules"] = r"""
         SELECT doc_id, text,
                string_split_regex(trim(text), '\s+') AS t,
                list_filter(
-                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   list_transform(string_split_regex(text, '\r?\n'),
+                                  x -> trim(x)),
                    x -> length(x) > 0) AS ls
         FROM documents
     ), calc AS (
@@ -5537,7 +5538,8 @@ _ORACLE_DEDUP_SIM["q106_gopher_rules"] = r"""
             AND bullet_line_frac <= 0.9
             AND ellipsis_line_frac <= 0.3
             AND alpha_word_frac >= 0.8
-            AND stopword_hits >= 2) AS keep
+            AND stopword_hits >= 2
+            AND dup_line_frac <= 0.3) AS keep
     FROM m
 """
 
@@ -5570,7 +5572,8 @@ _ORACLE_DEDUP_SIM["q107_c4_filter"] = r"""
     WITH base AS (
         SELECT doc_id, text,
                list_filter(
-                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   list_transform(string_split_regex(text, '\r?\n'),
+                                  x -> trim(x)),
                    x -> length(x) > 0) AS ls
         FROM documents
     ), calc AS (
@@ -5581,16 +5584,17 @@ _ORACLE_DEDUP_SIM["q107_c4_filter"] = r"""
     )
     SELECT doc_id,
            COALESCE(array_to_string(kept, chr(10)), '') AS c4_text,
-           CAST(len(ls) AS BIGINT) AS c4_n_lines,
-           CAST(len(kept) AS BIGINT) AS c4_n_kept_lines,
-           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
-               AS c4_n_sentences,
-           contains(lower(text), 'lorem ipsum') AS c4_has_lorem,
-           contains(text, '{') AS c4_has_brace,
-           (len(regexp_extract_all(text, '[.!?]')) >= 3
+           CAST(COALESCE(len(ls), 0) AS BIGINT) AS c4_n_lines,
+           CAST(COALESCE(len(kept), 0) AS BIGINT) AS c4_n_kept_lines,
+           CAST(COALESCE(len(regexp_extract_all(text, '[.!?]')), 0)
+               AS BIGINT) AS c4_n_sentences,
+           COALESCE(contains(lower(text), 'lorem ipsum'), FALSE)
+               AS c4_has_lorem,
+           COALESCE(contains(text, '{'), FALSE) AS c4_has_brace,
+           COALESCE(len(regexp_extract_all(text, '[.!?]')) >= 3
             AND NOT contains(lower(text), 'lorem ipsum')
             AND NOT contains(text, '{')
-            AND len(kept) > 0) AS c4_keep
+            AND len(kept) > 0, FALSE) AS c4_keep
     FROM calc
 """
 

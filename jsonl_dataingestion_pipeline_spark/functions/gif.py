@@ -152,11 +152,18 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
     if not is_gif(data):
         raise ValueError("not a GIF")
     data = bytes(data)
+
+    def need(p: int, n: int) -> None:
+        if p + n > len(data):
+            raise ValueError("truncated GIF")
+
+    need(6, 7)
     w, h, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        need(pos, 3 * n)
         gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
 
@@ -178,24 +185,28 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            need(pos, 1)
             label = data[pos]
             pos += 1
             if label == 0xF9:  # graphic control
+                need(pos, 1)
                 size = data[pos]
                 if size >= 4:
+                    need(pos + 1, 4)
                     gflags, delay_cs, tidx = struct.unpack(
                         "<BHB", data[pos + 1 : pos + 5]
                     )
                     disposal = (gflags >> 2) & 0x07
                     transparent = tidx if (gflags & 0x01) else None
                 pos += 1 + size
-                while pos < len(data) and data[pos] != 0:
-                    pos += 1 + data[pos]  # tolerate nonstandard extra blocks
-                if pos >= len(data):
-                    raise ValueError("truncated GIF graphic-control block")
+                need(pos, 1)
+                while data[pos] != 0:  # tolerate nonstandard extra blocks
+                    pos += 1 + data[pos]
+                    need(pos, 1)
                 pos += 1  # terminator
             else:  # skip any other extension's sub-blocks
                 while True:
+                    need(pos, 1)
                     size = data[pos]
                     pos += 1 + size
                     if size == 0:
@@ -204,23 +215,28 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
 
+        need(pos, 9)
         left, top, iw, ih, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
         palette = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
+            need(pos, 3 * n)
             palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
             pos += 3 * n
         if palette is None:
             raise ValueError("GIF image without any color table")
+        need(pos, 1)
         min_code = data[pos]
         pos += 1
         lzw = bytearray()
         while True:
+            need(pos, 1)
             size = data[pos]
             pos += 1
             if size == 0:
                 break
+            need(pos, size)
             lzw += data[pos : pos + size]
             pos += size
 

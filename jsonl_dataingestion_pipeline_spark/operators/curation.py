@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+    avg_token_length,
     token_count,
     tokens,
 )
@@ -43,6 +44,19 @@ from jsonl_dataingestion_pipeline_spark.functions.textstats import (
 # ---------------------------------------------------------------------------
 # Repetition (Gopher-style quality rules)
 # ---------------------------------------------------------------------------
+def _nonblank_lines(c: Column | str) -> Column:
+    """Non-blank trimmed lines (array<string>). Splits on ``\r?\n`` so
+    CRLF corpora behave identically to LF ones — Java regex ``$``
+    matches before a trailing ``\r`` while RE2 (the DuckDB oracle)
+    does not, so any trailing ``\r`` MUST be consumed by the split for
+    the line-level rules to replay across engines."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.transform(F.split(col.cast("string"), r"\r?\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+
+
 def dup_line_fraction(c: Column | str) -> Column:
     """Fraction of lines that are duplicates of an earlier line.
 
@@ -50,11 +64,7 @@ def dup_line_fraction(c: Column | str) -> Column:
     Pure array expressions — no explode, no shuffle; runs inside the
     projection.  Gopher repetition rule #1 (Rae et al. 2021, table A1).
     """
-    col = F.col(c) if isinstance(c, str) else c
-    lines = F.filter(
-        F.transform(F.split(col.cast("string"), r"\n"), lambda x: F.trim(x)),
-        lambda x: F.length(x) > 0,
-    )
+    lines = _nonblank_lines(c)
     n = F.size(lines)
     nd = F.size(F.array_distinct(lines))
     return F.when(n <= 0, F.lit(0.0)).otherwise(
@@ -576,6 +586,7 @@ def gopher_quality_flags(
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
     scale: int = 6,
 ) -> DataFrame:
     """Per-document Gopher quality rules as one narrow projection.
@@ -592,14 +603,7 @@ def gopher_quality_flags(
     t = F.col(text_col)
     toks = tokens(t)
     n_words = token_count(t).cast("long")
-    total_chars = F.aggregate(
-        F.transform(toks, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    mean_wl = F.round(
-        total_chars.cast("double") / F.greatest(n_words, F.lit(1)), scale
-    )
+    mean_wl = avg_token_length(t, scale)
     n_symbols = (
         F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
         + F.coalesce(F.regexp_count(t, F.lit(r"\.\.\.")), F.lit(0))
@@ -607,10 +611,7 @@ def gopher_quality_flags(
     sym_ratio = F.round(
         n_symbols.cast("double") / F.greatest(n_words, F.lit(1)), scale
     )
-    lines = F.filter(
-        F.transform(F.split(t.cast("string"), r"\n"), lambda x: F.trim(x)),
-        lambda x: F.length(x) > 0,
-    )
+    lines = _nonblank_lines(t)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = F.round(
         F.size(
@@ -649,6 +650,7 @@ def gopher_quality_flags(
         & (ellipsis_frac <= max_ellipsis_frac)
         & (alpha_frac >= min_alpha_word_frac)
         & (stop_hits >= min_stopword_hits)
+        & (dlf <= max_dup_line_frac)
     )
     return df.select(
         F.col(id_col),
@@ -685,10 +687,7 @@ def c4_quality_filter(
     expressions over the line split — no explode, no shuffle, no UDF.
     """
     t = F.col(text_col).cast("string")
-    lines = F.filter(
-        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
-        lambda x: F.length(x) > 0,
-    )
+    lines = _nonblank_lines(t)
     is_kept = lambda l: l.rlike(r'[.!?"]$') & (
         F.size(F.split(l, r"\s+")) >= min_words_per_line
     )
@@ -704,11 +703,14 @@ def c4_quality_filter(
         & ~F.coalesce(has_brace, F.lit(False))
         & (F.size(kept) > 0)
     )
+    # NULL text behaves as an empty page on BOTH engines: text '',
+    # zero lines/sentences, all flags false (the oracle coalesces the
+    # same way — symmetric by construction, not by accident).
     return df.select(
         F.col(id_col),
-        F.array_join(kept, "\n").alias("c4_text"),
-        F.size(lines).cast("long").alias("c4_n_lines"),
-        F.size(kept).cast("long").alias("c4_n_kept_lines"),
+        F.coalesce(F.array_join(kept, "\n"), F.lit("")).alias("c4_text"),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("c4_n_lines"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("long").alias("c4_n_kept_lines"),
         n_sentences.alias("c4_n_sentences"),
         F.coalesce(has_lorem, F.lit(False)).alias("c4_has_lorem"),
         F.coalesce(has_brace, F.lit(False)).alias("c4_has_brace"),

@@ -445,3 +445,34 @@ def test_c4_quality_filter(spark):
     assert got[2].c4_has_lorem and not got[2].c4_keep
     assert got[3].c4_has_brace and not got[3].c4_keep
     assert got[4].c4_n_sentences == 1 and not got[4].c4_keep
+
+
+def test_gopher_dup_line_rule_in_keep(spark):
+    base = "the quick brown fox jumps with energy that we have today"
+    repetitive = "\n".join([base] * 10)       # 10 identical lines -> dlf 0.9
+    varied = "\n".join(f"{base} v{i}" for i in range(10))
+    df = _docs(spark, [(1, repetitive), (2, varied)])
+    got = {r.id: r for r in cu.gopher_quality_flags(df, "text", "id").collect()}
+    assert got[1].dup_line_frac == 0.9 and not got[1].keep
+    assert got[2].dup_line_frac == 0.0 and got[2].keep
+
+
+def test_line_rules_crlf_equals_lf(spark):
+    """CRLF corpora must behave exactly like LF ones (the oracle's RE2
+    '$' does not match before '\\r'; the split consumes it)."""
+    lf = "One proper sentence right here now.\n- bullet item\nending dots..."
+    crlf = lf.replace("\n", "\r\n")
+    df = _docs(spark, [(1, lf), (2, crlf)])
+    g = {r.id: r for r in cu.gopher_quality_flags(df, "text", "id").collect()}
+    assert g[1].bullet_line_frac == g[2].bullet_line_frac
+    assert g[1].ellipsis_line_frac == g[2].ellipsis_line_frac > 0
+    c = {r.id: r for r in cu.c4_quality_filter(df, "text", "id").collect()}
+    assert c[1].c4_n_kept_lines == c[2].c4_n_kept_lines == 1
+    assert "\r" not in c[2].c4_text
+
+
+def test_c4_and_gopher_null_text(spark):
+    df = _docs(spark, [(1, None)])
+    c = cu.c4_quality_filter(df, "text", "id").head()
+    assert (c.c4_text, c.c4_n_lines, c.c4_n_kept_lines) == ("", 0, 0)
+    assert not c.c4_keep and not c.c4_has_lorem

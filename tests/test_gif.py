@@ -178,3 +178,16 @@ def test_gif_real_resize(spark):
     assert delays == [50, 50]
     assert np.array_equal(frames[0][:2], np.tile([255, 0, 0], (2, 4, 1)))
     assert np.array_equal(frames[1][:, :2], np.tile([0, 0, 255], (4, 2, 1)))
+
+
+def test_gif_truncation_raises_valueerror_everywhere():
+    """Truncating a valid GIF at ANY byte yields ValueError (or a valid
+    shorter decode) — never IndexError/struct.error."""
+    f0 = np.zeros((4, 4, 3), np.uint8)
+    f1 = np.full((4, 4, 3), 60, np.uint8)
+    data = encode_gif([f0, f1], [30, 30])
+    for cut in range(6, len(data)):
+        try:
+            decode_gif(data[:cut])
+        except ValueError:
+            pass
