@@ -5606,3 +5606,70 @@ _ORACLE_SHAPES["q107_c4_filter"] = (
 )
 
 _JOIN_MERGES["q20_doc_quality"][1].append(("q107_c4_filter", {}))
+
+
+def q108_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile-style mixture construction: downsample languages so the kept
+    corpus hits target TOKEN proportions at the max feasible total
+    (no upsampling). Per-language census + exact keep_rate checked."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        mix_sources,
+    )
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", token_count("text")
+    )
+    kept = mix_sources(
+        d, "lang", "__toks", "doc_id",
+        {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1},
+        seed=5,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.round(F.first("keep_rate"), 6).alias("keep_rate"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q108_token_budget_mix"] = q108_token_budget_mix
+
+_ORACLE_DEDUP_SIM["q108_token_budget_mix"] = r"""
+    WITH w AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END)
+                    AS DOUBLE) AS wsum
+        FROM documents GROUP BY lang
+    ), f AS (
+        SELECT * FROM (VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2),
+                              ('fr', 0.2), ('zh', 0.1)) t(lang, frac)
+    ), tmax AS (
+        SELECT MIN(w.wsum / f.frac) AS t
+        FROM w JOIN f USING (lang) WHERE f.frac > 0
+    ), r AS (
+        SELECT w.lang,
+               LEAST(1.0, tmax.t * f.frac / w.wsum) AS rate
+        FROM w JOIN f USING (lang), tmax
+    ), kept AS (
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE CAST(CAST('0x' || substr(md5('5:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS DOUBLE) < r.rate * 4294967296.0
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           ROUND(rate, 6) AS keep_rate
+    FROM kept GROUP BY lang, rate
+"""
+
+_ORACLE_SHAPES["q108_token_budget_mix"] = (
+    ("lang", "VARCHAR"), ("n_kept", "BIGINT"),
+    ("sum_ids", "BIGINT"), ("keep_rate", "DOUBLE"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(
+    ("token_budget_mix", "q108_token_budget_mix")
+)

@@ -210,3 +210,61 @@ def split_corpus(
     last = F.lit(items[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    group: ColumnOrName,
+    weight: ColumnOrName,
+    key: ColumnOrName,
+    targets: Mapping[str, float],
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Pile-style mixture construction: downsample each group so the
+    kept corpus matches the target WEIGHT proportions (tokens, bytes —
+    whatever ``weight`` measures), at the largest total the data allows
+    without upsampling any group.
+
+    Math: with per-group weight totals ``W_g`` and target fractions
+    ``f_g`` (must sum to 1), the max feasible mixture total is
+    ``T = min_g(W_g / f_g)`` and each group keeps rate
+    ``r_g = T * f_g / W_g`` (the argmin group keeps everything).
+    Selection is the deterministic md5 hash coin on ``key`` — so the
+    realized proportions converge to the targets in expectation while
+    membership stays reproducible across partitionings and engines.
+
+    Plan: one tiny per-group aggregate broadcast back onto the corpus,
+    then a narrow filter — the 100 TB side is scanned once and never
+    shuffled. Groups missing from ``targets`` are dropped (rate 0).
+    Returns the kept subset with a ``keep_rate`` column appended.
+    """
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target fractions must sum to 1, got {total}")
+    if "keep_rate" in df.columns:
+        raise ValueError("column 'keep_rate' already exists")
+    g = _col(group)
+    wsum = df.groupBy(g.alias("__g")).agg(F.sum(_col(weight)).alias("__w"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )[F.col("__g")]
+    rates = wsum.select(
+        "__g",
+        F.coalesce(frac, F.lit(0.0)).alias("__f"),
+        F.col("__w").cast("double").alias("__w"),
+    )
+    t_max = rates.filter(F.col("__f") > 0).agg(
+        F.min(F.col("__w") / F.col("__f")).alias("__t")
+    )
+    rated = rates.crossJoin(F.broadcast(t_max)).select(
+        "__g",
+        F.when(F.col("__f") > 0, F.least(
+            F.lit(1.0), F.col("__t") * F.col("__f") / F.col("__w")
+        )).otherwise(F.lit(0.0)).alias("keep_rate"),
+    )
+    out = df.join(
+        F.broadcast(rated), g.eqNullSafe(F.col("__g")), "inner"
+    ).drop("__g")
+    coin = _bucket32(_col(key), seed).cast("double")
+    return out.filter(coin < F.col("keep_rate") * F.lit(float(1 << 32)))

@@ -219,3 +219,46 @@ def test_split_corpus_validations(spark):
         split_corpus(df, "id", {"a": 0.5, "b": 0.5})
     with _pytest.raises(ValueError):
         split_corpus(spark.range(10), "id", {"a": 0.5, "b": 0.4})
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        mix_sources,
+    )
+
+    rows = []
+    for i in range(3000):
+        rows.append((i, "big", 10))      # W=30000
+    for i in range(3000, 3600):
+        rows.append((i, "small", 10))    # W=6000
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks int")
+    out = mix_sources(
+        df, "src", "toks", "doc_id", {"big": 0.5, "small": 0.5}, seed=1
+    )
+    got = {r.src: r for r in
+           out.groupBy("src").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.first("keep_rate").alias("rate")).collect()}
+    # T = min(30000/0.5, 6000/0.5) = 12000 -> big keeps 0.2, small keeps 1.0
+    assert got["small"].rate == 1.0 and got["small"].n == 600
+    assert abs(got["big"].rate - 0.2) < 1e-12
+    assert 500 <= got["big"].n <= 700  # ~600 expected
+    # determinism across partitionings
+    again = mix_sources(
+        df.repartition(7), "src", "toks", "doc_id",
+        {"big": 0.5, "small": 0.5}, seed=1,
+    )
+    assert {r.doc_id for r in out.select("doc_id").collect()} == \
+           {r.doc_id for r in again.select("doc_id").collect()}
+
+
+def test_mix_sources_drops_untargeted_group(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        mix_sources,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "doc_id long, src string, toks int"
+    )
+    out = mix_sources(df, "src", "toks", "doc_id", {"a": 1.0}, seed=0)
+    assert [r.src for r in out.collect()] == ["a"]
