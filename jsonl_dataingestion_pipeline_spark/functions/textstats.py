@@ -371,3 +371,131 @@ def bpe_token_count(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def bigram_logprob(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    alpha: float = 1.0,
+    lam: float = 0.8,
+    lowercase: bool = True,
+    scale: int = 4,
+):
+    """Per-document mean negative log2 probability under the corpus's
+    own interpolated bigram LM — one rung up from
+    :func:`unigram_logprob` on the CCNet ladder (Wenzek et al. 2020
+    score text with a KenLM 5-gram; a self-trained smoothed bigram is
+    the strongest LM that stays fully relational and oracle-replayable).
+
+    Model, defined exactly as computed (both engines replay this):
+
+    - unigram counts ``c(w)`` over ALL token positions, ``N`` total
+      tokens, ``V`` distinct tokens;
+    - bigram counts ``c(w1 w2)`` over all adjacent pairs WITHIN a
+      document (no cross-document pairs);
+    - ``p_bi(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)``;
+    - ``p_uni(w2)  = (c(w2) + alpha) / (N + alpha * V)``;
+    - ``p = lam * p_bi + (1 - lam) * p_uni`` (simple interpolation —
+      unseen-context backoff without Katz bookkeeping);
+    - score = mean over the document's bigram positions of ``-log2 p``.
+
+    Plan (all shuffles key-partitioned, nothing driver-side):
+    one tokenized scan -> per-(doc, w1, w2) bigram counts [shuffle 1]
+    -> corpus bigram counts by re-aggregation [shuffle 2, Zipf-bounded]
+    -> unigram counts from a token re-scan [shuffle 3] -> (N, V) as a
+    broadcast 1-row aggregate -> two broadcast-able dimension joins on
+    w1/w2 -> per-doc mean [shuffle 4, doc-keyed]. At 100 TB the
+    dictionary tables are the small sides (vocabulary ≪ corpus), so AQE
+    broadcasts them; the corpus is scanned twice, linearly.
+
+    Returns (id_col, n_bigrams, mean_nll); documents with < 2 tokens
+    have no bigram positions and are absent (left-join to keep them).
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    arr = F.filter(tokens(t), lambda x: x != "")
+    # adjacent pairs: slice off the last token, pair item i with i+1
+    pairs = F.transform(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(arr, i + 2).alias("w2")
+        ),
+    )
+    doc_bi = (
+        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("bf"))
+    )
+    corpus_bi = doc_bi.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    uni = (
+        df.select(F.explode(arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    stats = uni.agg(
+        F.sum("c1").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vocab"),
+    )
+    a = F.lit(float(alpha))
+    p_bi = (F.col("c12") + a) / (F.col("c1") + a * F.col("__vocab"))
+    p_uni = (F.col("c2") + a) / (F.col("__total") + a * F.col("__vocab"))
+    p = F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni
+    return (
+        doc_bi.join(corpus_bi, on=["w1", "w2"])
+        .join(uni, on=F.col("w1") == F.col("term"))
+        .drop("term")
+        .join(
+            uni.select(
+                F.col("term").alias("__t2"), F.col("c1").alias("c2")
+            ),
+            on=F.col("w2") == F.col("__t2"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("bf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("bf") * (-F.log2(p))) / F.sum("bf"), scale
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scores,
+    score_col: str = "mean_nll",
+    *,
+    bucket_col: str = "bucket",
+):
+    """CCNet-style head/middle/tail split on an LM score column: the
+    lowest-scoring third of documents (most fluent under the LM) is
+    ``head``, then ``middle``, then ``tail``.
+
+    Deliberately NOT a global ``ntile`` — that would be one
+    single-partition sort over the whole corpus.  Instead the two
+    tercile thresholds come from one exact ``percentile`` aggregate
+    (partial map-side, one 2-value row) broadcast back over the corpus;
+    classification is then a shuffle-free comparison.  Boundary ties
+    all land in the lower bucket (``<= t`` inclusive), so the split is
+    deterministic under any row order — which also makes it exactly
+    replayable by the oracle's ``quantile_cont``.
+    """
+    t = scores.agg(
+        F.percentile(F.col(score_col), F.lit(1.0 / 3)).alias("__t1"),
+        F.percentile(F.col(score_col), F.lit(2.0 / 3)).alias("__t2"),
+    )
+    s = F.col(score_col)
+    return (
+        scores.crossJoin(F.broadcast(t))
+        .withColumn(
+            bucket_col,
+            F.when(s <= F.col("__t1"), "head")
+            .when(s <= F.col("__t2"), "middle")
+            .otherwise("tail"),
+        )
+        .drop("__t1", "__t2")
+    )

@@ -1,0 +1,122 @@
+"""Web-corpus column functions: HTML -> text extraction and URL/domain
+normalization.
+
+The reference pipeline ingests curated CSV exports, so it never faces
+raw crawl HTML; a 100 TB pretraining build does (C4, RefinedWeb and
+FineWeb all start from WET/WARC records).  These are the two column
+primitives that stage needs before any quality rule can run:
+
+- :func:`strip_html` — comments/script/style removal, tag stripping,
+  entity decoding, whitespace collapse.  One chain of ``regexp_replace``
+  / ``replace`` Column expressions: fully codegen'd, embarrassingly
+  parallel, zero shuffle, and replayable verbatim by the DuckDB oracle
+  (every pattern below is valid in both Java regex and RE2 — no
+  backreferences, no lookaround).
+- :func:`url_host` / :func:`registered_domain` — host extraction and a
+  public-suffix-lite registered-domain heuristic, the grouping key for
+  per-domain quotas (C4 caps pages per host; FineWeb's dedup and
+  quality stats are domain-keyed).
+
+Scale notes: both are narrow per-row projections — they cost one pass
+of whole-stage-codegen'd string work and preserve the input
+partitioning, so they compose with any downstream shuffle for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column as ColumnType
+
+ColumnOrName = "ColumnOrName"
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, ColumnType) else F.col(c)
+
+
+# Block-level elements whose content is NOT text (drop content too).
+_BLOCK_DROP = ("script", "style")
+
+# HTML entities decoded by strip_html, in application order.  `&amp;`
+# must come last so `&amp;lt;` decodes to the literal text `&lt;`, not
+# to `<` (single-pass standard behaviour).
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(c) -> Column:
+    """Extract visible text from an HTML fragment.
+
+    Steps (each a global regexp/literal replace, valid identically in
+    Java regex and RE2 so the oracle replays them 1:1):
+
+    1. drop comments ``<!-- ... -->`` (dotall, non-greedy);
+    2. drop ``<script>``/``<style>`` blocks INCLUDING their content
+       (case-insensitive, dotall, non-greedy);
+    3. every remaining tag ``<tagname ...>`` / ``</tagname>`` /
+       ``<!doctype ...>`` becomes a single space — only ``<`` followed
+       by a letter, ``/`` or ``!`` opens a tag, so stray ``<`` in prose
+       (``a < b``) survives;
+    4. decode the common entities (``&amp;`` last, single pass);
+    5. collapse all whitespace runs to one space and trim.
+
+    Unclosed script/style blocks are left for step 3 (tags stripped,
+    content kept) rather than deleting the rest of the document.
+    """
+    out = _col(c)
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    for tag in _BLOCK_DROP:
+        out = F.regexp_replace(
+            out, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " "
+        )
+    out = F.regexp_replace(out, r"</?[a-zA-Z!][^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def url_host(c) -> Column:
+    """Host part of a URL, lower-cased (pure regex — identical in the
+    oracle; no dependency on JVM ``parse_url`` semantics): everything
+    between ``://`` and the first ``/``, ``?``, ``#``, or ``:`` (port).
+    NULL when the value does not look like an absolute URL.
+    """
+    h = F.lower(
+        F.regexp_extract(_col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
+    )
+    return F.when(h != "", h)
+
+
+# Two-level public suffixes a last-two-label heuristic would split
+# wrong.  A deliberately small embedded list (the operator's contract is
+# "public-suffix-LITE"); swap in the full PSL as a broadcast join if a
+# deployment needs it.
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "co.in", "co.kr", "co.nz", "co.za",
+    "com.au", "com.br", "com.cn", "com.mx", "com.tr", "com.sg",
+)
+
+
+def registered_domain(host: "Column | str") -> Column:
+    """Registrable domain of a host: the last two labels, or the last
+    three when the last two form a known two-level public suffix
+    (``example.co.uk`` -> ``example.co.uk``, not ``co.uk``).  A leading
+    ``www.`` label never changes the answer (it is dropped by taking
+    labels from the END).  Hosts with fewer labels than needed are
+    returned whole; NULL propagates.
+    """
+    h = _col(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - F.lit(1), F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - F.lit(2), F.lit(1)), 3), ".")
+    return F.when(last2.isin(*_TWO_LEVEL_SUFFIXES), last3).otherwise(last2)

@@ -334,6 +334,18 @@ def merge_upsert(
 # ---------------------------------------------------------------------------
 # Cross-corpus line-level exact dedup (Falcon/RefinedWeb-style)
 # ---------------------------------------------------------------------------
+def normalized_line_key(line: Column) -> Column:
+    """Canonical form a line is *matched* under for fuzzy boilerplate
+    detection (RefinedWeb-style): lower-cased, digits collapsed to
+    ``0`` (timestamps/counters don't defeat the match), every
+    non-alphanumeric run collapsed to one space, trimmed.  ``"Updated:
+    2024-01-07"`` and ``"updated  2019/12/31!"`` share a key."""
+    k = F.lower(line)
+    k = F.regexp_replace(k, r"[0-9]+", "0")
+    k = F.regexp_replace(k, r"[^a-z0]+", " ")
+    return F.trim(k)
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str,
@@ -341,10 +353,16 @@ def dedup_lines(
     *,
     sep: str = "\n",
     min_docs: int = 2,
+    key=None,
 ) -> DataFrame:
     """Remove every occurrence of a line that appears in >= ``min_docs``
     distinct documents (boilerplate: headers, nav bars, cookie banners),
     preserving the order of surviving lines.
+
+    ``key`` (optional, ``Column -> Column``) maps each line to the form
+    it is MATCHED under — e.g. :func:`normalized_line_key` for fuzzy
+    matching that ignores case/digits/punctuation — while the text is
+    rebuilt from the ORIGINAL lines.  Default: exact match.
 
     Relational plan (scales linearly; RefinedWeb runs this on multi-TB
     crawls):
@@ -373,14 +391,16 @@ def dedup_lines(
         F.posexplode(
             F.split(F.col(text_col), sep_pat)
         ).alias("__pos", "__line"),
+    ).withColumn(
+        "__key", key(F.col("__line")) if key is not None else F.col("__line")
     )
     dup = (
-        lines.groupBy("__line")
+        lines.groupBy("__key")
         .agg(F.countDistinct("__id").alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("__line")
+        .select("__key")
     )
-    kept = lines.join(dup, "__line", "left_anti")
+    kept = lines.join(dup, "__key", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(

@@ -476,3 +476,106 @@ def test_c4_and_gopher_null_text(spark):
     c = cu.c4_quality_filter(df, "text", "id").head()
     assert (c.c4_text, c.c4_n_lines, c.c4_n_kept_lines) == ("", 0, 0)
     assert not c.c4_keep and not c.c4_has_lorem
+
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bigram_logprob,
+    )
+
+    df = _docs(spark, [(1, "a a b")])
+    # uni: c(a)=2 c(b)=1, N=3, V=2; bigrams (a,a),(a,b); alpha=1, lam=.8
+    p_aa = 0.8 * ((1 + 1) / (2 + 2)) + 0.2 * ((2 + 1) / (3 + 2))
+    p_ab = 0.8 * ((1 + 1) / (2 + 2)) + 0.2 * ((1 + 1) / (3 + 2))
+    expect = -(math.log2(p_aa) + math.log2(p_ab)) / 2
+    row = bigram_logprob(df, "text", "id").head()
+    assert row.n_bigrams == 2
+    assert abs(row.mean_nll - round(expect, 4)) < 1e-9
+
+
+def test_bigram_logprob_orders_fluent_vs_shuffled(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bigram_logprob,
+    )
+
+    # same unigram distribution, different bigram structure: the
+    # repeated-phrase docs share bigrams, the scrambled doc has
+    # singleton bigrams -> higher NLL under the corpus bigram LM
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),
+        ],
+    )
+    out = {r.id: r for r in bigram_logprob(df, "text", "id").collect()}
+    assert out[1].mean_nll == out[2].mean_nll
+    assert out[1].mean_nll < out[3].mean_nll
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bigram_logprob,
+    )
+
+    df = _docs(spark, [(1, "solo"), (2, ""), (3, None), (4, "a b")])
+    got = {r.id for r in bigram_logprob(df, "text", "id").collect()}
+    assert got == {4}
+
+
+def test_perplexity_buckets_terciles(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 7)], "id long, mean_nll double"
+    )
+    out = {r.id: r.bucket for r in perplexity_buckets(df).collect()}
+    # thresholds: quantile_cont(1/3)=2.667, (2/3)=4.333
+    assert out == {1: "head", 2: "head", 3: "middle", 4: "middle",
+                   5: "tail", 6: "tail"}
+
+
+def test_dedup_lines_normalized_key(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        dedup_lines,
+        normalized_line_key,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "Updated: 2024-01-07\nunique alpha"),
+            (2, "updated  2019/12/31!\nunique beta"),
+            (3, "plain text only"),
+        ],
+    )
+    out = {
+        r.id: r
+        for r in dedup_lines(
+            df, "id", "text", key=normalized_line_key
+        ).collect()
+    }
+    # the two date-stamped banners normalize to the same key -> removed
+    # from BOTH docs, originals preserved for the survivors
+    assert out[1].text == "unique alpha" and out[1].n_kept == 1
+    assert out[2].text == "unique beta" and out[2].n_kept == 1
+    assert out[3].text == "plain text only" and out[3].n_kept == 1
+
+
+def test_dedup_lines_exact_default_unchanged(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        dedup_lines,
+    )
+
+    df = _docs(
+        spark,
+        [(1, "Updated: 2024-01-07\na"), (2, "updated  2019/12/31!\nb")],
+    )
+    out = {r.id: r for r in dedup_lines(df, "id", "text").collect()}
+    # exact matching: the banners differ, nothing removed
+    assert out[1].n_kept == 2 and out[2].n_kept == 2

@@ -1,0 +1,97 @@
+"""Web-corpus functions: HTML stripping and URL/domain normalization."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.functions.web import (
+    registered_domain,
+    strip_html,
+    url_host,
+)
+
+
+def _one(spark, col, value):
+    return spark.createDataFrame([(value,)], "v string").select(
+        col.alias("r")
+    ).first()["r"]
+
+
+class TestStripHtml:
+    def test_basic_page(self, spark):
+        html = (
+            "<!doctype html><html><head><title>T</title>"
+            "<style>body { color: red; }</style>"
+            "<script>var x = '<p>not text</p>';</script></head>"
+            "<body><h1>Hello</h1><p>world &amp; friends</p></body></html>"
+        )
+        assert _one(spark, strip_html("v"), html) == "T Hello world & friends"
+
+    def test_comments_and_entities(self, spark):
+        html = "a<!-- hidden <b>bold</b> -->b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"
+        assert _one(spark, strip_html("v"), html) == "a b <tag> \"q\" 's' end"
+
+    def test_amp_decoded_last_single_pass(self, spark):
+        # &amp;lt; is the literal text "&lt;", NOT "<"
+        assert _one(spark, strip_html("v"), "x &amp;lt; y") == "x &lt; y"
+
+    def test_stray_lt_in_prose_survives(self, spark):
+        assert _one(spark, strip_html("v"), "if a < b then <em>yes</em>") == (
+            "if a < b then yes"
+        )
+
+    def test_case_insensitive_script_block(self, spark):
+        html = "keep<SCRIPT type='x'>drop()</SCRIPT >keep2"
+        assert _one(spark, strip_html("v"), html) == "keep keep2"
+
+    def test_unclosed_script_keeps_content(self, spark):
+        # no closing tag: tag stripped, content kept (not deleted to EOF)
+        assert _one(spark, strip_html("v"), "a <script>x = 1") == "a x = 1"
+
+    def test_whitespace_collapse_and_trim(self, spark):
+        assert _one(spark, strip_html("v"), "  <p>\n a\tb\r\n</p> ") == "a b"
+
+    def test_null_propagates(self, spark):
+        assert _one(spark, strip_html("v"), None) is None
+
+
+class TestUrlHost:
+    def test_host_lowercased_port_dropped(self, spark):
+        assert _one(
+            spark, url_host("v"), "HTTPS://WWW.Example.COM:8443/a?b#c"
+        ) == "www.example.com"
+
+    def test_no_scheme_is_null(self, spark):
+        assert _one(spark, url_host("v"), "www.example.com/a") is None
+
+    def test_scheme_plus_minus(self, spark):
+        assert _one(spark, url_host("v"), "s3a://bucket/key") == "bucket"
+
+
+class TestRegisteredDomain:
+    def test_plain(self, spark):
+        assert _one(
+            spark, registered_domain("v"), "news.blog.example.com"
+        ) == "example.com"
+
+    def test_www_dropped_by_tail_take(self, spark):
+        assert _one(
+            spark, registered_domain("v"), "www.example.org"
+        ) == "example.org"
+
+    def test_two_level_suffix(self, spark):
+        assert _one(
+            spark, registered_domain("v"), "shop.example.co.uk"
+        ) == "example.co.uk"
+
+    def test_short_host_returned_whole(self, spark):
+        assert _one(spark, registered_domain("v"), "localhost") == "localhost"
+
+    def test_null_propagates(self, spark):
+        assert _one(spark, registered_domain("v"), None) is None
+
+    def test_composes_with_url_host(self, spark):
+        assert _one(
+            spark,
+            registered_domain(url_host("v")),
+            "https://a.b.site.com.au/x",
+        ) == "site.com.au"
