@@ -5673,3 +5673,359 @@ _ORACLE_SHAPES["q108_token_budget_mix"] = (
 _UNION_MERGES["q53_sampling_suite"].append(
     ("token_budget_mix", "q108_token_budget_mix")
 )
+
+
+def q109_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-HTML text extraction: wrap each document in a deterministic
+    HTML page (doctype, title, style+script blocks, a comment, escaped
+    entities), then recover the visible text with
+    ``functions.web.strip_html``. The whole clean text is md5-checked,
+    so every stage of the strip chain (comment/script/style removal,
+    tag strip, entity decode, whitespace collapse) is hash-verified
+    against the oracle's independent replay."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import strip_html
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    html = F.concat(
+        F.lit("<!doctype html><html><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>p { margin: 0; }</style><script>var id = "),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><!-- doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more &lt;escaped&gt;</p></body></html>"),
+    )
+    clean = strip_html(html)
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("clean_digest"),
+        F.length(clean).cast("long").alias("clean_chars"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q109_html_extract"] = q109_html_extract
+
+_ORACLE_DEDUP_SIM["q109_html_extract"] = r"""
+    WITH h AS (
+        SELECT doc_id,
+               '<!doctype html><html><head><title>' || source ||
+               '</title><style>p { margin: 0; }</style><script>var id = ' ||
+               CAST(doc_id AS VARCHAR) ||
+               ';</script></head><body><!-- doc ' ||
+               CAST(doc_id AS VARCHAR) || ' --><h1>' || lang ||
+               '</h1><p>' || text ||
+               ' &amp; more &lt;escaped&gt;</p></body></html>' AS html
+        FROM documents WHERE doc_id < 1000
+    ), s1 AS (
+        SELECT doc_id,
+               regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS x
+        FROM h
+    ), s2 AS (
+        SELECT doc_id,
+               regexp_replace(x,
+                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id,
+               regexp_replace(x,
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x
+        FROM s2
+    ), s4 AS (
+        SELECT doc_id,
+               regexp_replace(x, '</?[a-zA-Z!][^>]*>', ' ', 'g') AS x
+        FROM s3
+    ), s5 AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(replace(
+                   x, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                   '&amp;', '&') AS x
+        FROM s4
+    ), clean AS (
+        SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS c
+        FROM s5
+    )
+    SELECT doc_id, md5(c) AS clean_digest,
+           CAST(length(c) AS BIGINT) AS clean_chars
+    FROM clean
+"""
+
+_ORACLE_SHAPES["q109_html_extract"] = (
+    ("doc_id", "BIGINT"), ("clean_digest", "VARCHAR"),
+    ("clean_chars", "BIGINT"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("html", "q109_html_extract")
+)
+
+
+def q110_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl curation: deterministic URLs (subdomain prefix x
+    public suffix, incl. two-level ``co.uk``) -> ``url_host`` ->
+    ``registered_domain`` grouping key -> domain census + the C4-style
+    per-domain quota cap (``quota_sample``). The oracle re-derives the
+    registrable domain with independent regex logic and replays the
+    hash-coin quota rank."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        quota_sample,
+    )
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        registered_domain,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.element_at(
+        F.array(F.lit("www."), F.lit("news."), F.lit(""), F.lit("a.b.")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    suffix = F.element_at(
+        F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), prefix, F.col("source"), suffix,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    u = d.select(
+        "doc_id", registered_domain(url_host(url)).alias("domain")
+    )
+    census = u.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+    kept = quota_sample(u, "domain", "doc_id", max_per_group=40, seed=7)
+    kept_c = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_sum_ids"),
+    )
+    return census.join(kept_c, on="domain")
+
+
+_DEDUP_SIM_QUERIES["q110_domain_curation"] = q110_domain_curation
+
+_ORACLE_DEDUP_SIM["q110_domain_curation"] = r"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' ||
+               CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'news.'
+                               WHEN 2 THEN '' ELSE 'a.b.' END ||
+               source ||
+               CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                               ELSE '.org' END ||
+               '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ), hosted AS (
+        SELECT doc_id,
+               lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+        FROM u
+    ), dom AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(host, '\.co\.uk$')
+                    THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+                    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+               END AS domain
+        FROM hosted
+    ), census AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM dom GROUP BY domain
+    ), ranked AS (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY CAST('0x' || substr(md5('7:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+                       doc_id ASC
+               ) AS rk
+        FROM dom
+    ), kept AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_sum_ids
+        FROM ranked WHERE rk <= 40 GROUP BY domain
+    )
+    SELECT domain, n_docs, sum_ids, n_kept, kept_sum_ids
+    FROM census JOIN kept USING (domain)
+"""
+
+_ORACLE_SHAPES["q110_domain_curation"] = (
+    ("domain", "VARCHAR"), ("n_docs", "BIGINT"), ("sum_ids", "BIGINT"),
+    ("n_kept", "BIGINT"), ("kept_sum_ids", "BIGINT"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(
+    ("domain_quota", "q110_domain_curation")
+)
+
+
+def q111_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: every document scored by mean
+    negative log2 probability under the corpus's own interpolated
+    bigram LM (``bigram_logprob``), then split into head/middle/tail
+    terciles via broadcast percentile thresholds
+    (``perplexity_buckets`` — no global sort). Per-document scores AND
+    bucket assignment are hash-checked."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bigram_logprob,
+        perplexity_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    scores = bigram_logprob(d, "text", "doc_id")
+    return perplexity_buckets(scores).select(
+        "doc_id", "n_bigrams", "mean_nll", "bucket"
+    )
+
+
+_DEDUP_SIM_QUERIES["q111_lm_perplexity"] = q111_lm_perplexity
+
+_ORACLE_DEDUP_SIM["q111_lm_perplexity"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '') AS arr
+        FROM documents WHERE doc_id < 1500
+    ), big AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(arr) - 1),
+                   i -> struct_pack(w1 := arr[CAST(i AS INT)],
+                                    w2 := arr[CAST(i AS INT) + 1])) AS bgs
+        FROM toks WHERE len(arr) >= 2
+    ), dbx AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+               CAST(COUNT(*) AS DOUBLE) AS bf
+        FROM (SELECT doc_id, UNNEST(bgs) AS bg FROM big)
+        GROUP BY doc_id, bg.w1, bg.w2
+    ), corpus_bi AS (
+        SELECT w1, w2, SUM(bf) AS c12 FROM dbx GROUP BY w1, w2
+    ), uni AS (
+        SELECT t AS term, CAST(COUNT(*) AS DOUBLE) AS c1
+        FROM (SELECT UNNEST(arr) AS t FROM toks) GROUP BY t
+    ), stats AS (
+        SELECT SUM(c1) AS total, CAST(COUNT(*) AS DOUBLE) AS vocab
+        FROM uni
+    ), scored AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.bf) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(d.bf * -log2(
+                   0.8 * (cb.c12 + 1) / (u1.c1 + s.vocab)
+                   + 0.2 * (u2.c1 + 1) / (s.total + s.vocab)
+               )) / SUM(d.bf), 4) AS mean_nll
+        FROM dbx d
+        JOIN corpus_bi cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+        JOIN uni u1 ON d.w1 = u1.term
+        JOIN uni u2 ON d.w2 = u2.term
+        CROSS JOIN stats s
+        GROUP BY d.doc_id
+    ), th AS (
+        SELECT quantile_cont(mean_nll, 1.0/3) AS t1,
+               quantile_cont(mean_nll, 2.0/3) AS t2
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, mean_nll,
+           CASE WHEN mean_nll <= th.t1 THEN 'head'
+                WHEN mean_nll <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN th
+"""
+
+_ORACLE_SHAPES["q111_lm_perplexity"] = (
+    ("doc_id", "BIGINT"), ("n_bigrams", "BIGINT"),
+    ("mean_nll", "DOUBLE"), ("bucket", "VARCHAR"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("bigram_ppl", "q111_lm_perplexity")
+)
+
+
+def q112_fuzzy_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style fuzzy boilerplate removal: each document gains a
+    date-stamped banner and a year-stamped copyright footer (digits
+    differ per doc), then ``dedup_lines`` with ``normalized_line_key``
+    removes lines whose CANONICAL form (case/digits/punctuation
+    collapsed) recurs in >= 5 distinct documents while rebuilding from
+    the ORIGINAL lines. Rebuilt text is md5-checked."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        dedup_lines,
+        normalized_line_key,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1200)
+    stamped = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Updated: 20"),
+            F.lpad((F.col("doc_id") % 30).cast("string"), 2, "0"),
+            F.lit("-01-0"),
+            ((F.col("doc_id") % 9) + 1).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            (F.lit(1990) + F.col("doc_id") % 30).cast("string"),
+            F.lit(" Example Corp"),
+        ).alias("text"),
+    )
+    out = dedup_lines(
+        stamped, "doc_id", "text", key=normalized_line_key, min_docs=5
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("digest"), "n_lines", "n_kept"
+    )
+
+
+_DEDUP_SIM_QUERIES["q112_fuzzy_line_dedup"] = q112_fuzzy_line_dedup
+
+_ORACLE_DEDUP_SIM["q112_fuzzy_line_dedup"] = r"""
+    WITH stamped AS (
+        SELECT doc_id,
+               'Updated: 20' || lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0')
+               || '-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || chr(10)
+               || text || chr(10)
+               || 'Copyright ' || CAST(1990 + doc_id % 30 AS VARCHAR)
+               || ' Example Corp' AS text
+        FROM documents WHERE doc_id < 1200
+    ), expl AS (
+        SELECT doc_id,
+               UNNEST(string_split(text, chr(10))) AS line,
+               UNNEST(generate_series(0,
+                   len(string_split(text, chr(10))) - 1)) AS pos
+        FROM stamped
+    ), keyed AS (
+        SELECT doc_id, line, pos,
+               trim(regexp_replace(regexp_replace(lower(line),
+                   '[0-9]+', '0', 'g'), '[^a-z0]+', ' ', 'g')) AS k
+        FROM expl
+    ), dup AS (
+        SELECT k FROM keyed GROUP BY k
+        HAVING COUNT(DISTINCT doc_id) >= 5
+    ), kept AS (
+        SELECT * FROM keyed WHERE k NOT IN (SELECT k FROM dup)
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           md5(COALESCE(r.text, '')) AS digest,
+           CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM stamped s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+"""
+
+_ORACLE_SHAPES["q112_fuzzy_line_dedup"] = (
+    ("doc_id", "BIGINT"), ("digest", "VARCHAR"),
+    ("n_lines", "BIGINT"), ("n_kept", "BIGINT"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("fuzzy_lines", "q112_fuzzy_line_dedup")
+)

@@ -183,3 +183,31 @@ def test_quality_filters_are_shuffle_free(spark):
     for q in (em.q106_gopher_rules, em.q107_c4_filter):
         tree = _tree(_formatted(spark, q(spark, SF)))
         assert "Exchange" not in tree, tree
+
+
+def test_html_extract_is_shuffle_free(spark):
+    """q109: the whole strip_html chain is a narrow projection — at
+    100 TB HTML->text extraction runs at scan speed, zero Exchange."""
+    tree = _tree(_formatted(spark, em.q109_html_extract(spark, SF)))
+    assert "Exchange" not in tree, tree
+
+
+def test_domain_curation_single_domain_shuffle(spark):
+    """q110: census + quota share the domain-keyed exchange family; the
+    quota window compiles to a partial top-k (WindowGroupLimit) so an
+    over-quota domain never materializes past the cap."""
+    tree = _tree(_formatted(spark, em.q110_domain_curation(spark, SF)))
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_bigram_lm_stats_broadcast(spark):
+    """q111: the 1-row (N, V) aggregate joins broadcast, and the bucket
+    thresholds join broadcast — no corpus-wide sort anywhere (the
+    CCNet split must not cost a global ntile)."""
+    import re
+
+    plan = _formatted(spark, em.q111_lm_perplexity(spark, SF))
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" in tree
+    # no ntile window function (percentile contains the substring)
+    assert not re.search(r"\bntile\(", plan.lower())
