@@ -6029,3 +6029,176 @@ _ORACLE_SHAPES["q112_fuzzy_line_dedup"] = (
 _UNION_MERGES["q23_dedup_stats"].append(
     ("fuzzy_lines", "q112_fuzzy_line_dedup")
 )
+
+
+def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation: one 4x256 CMS over all
+    event user_ids, point-queried for the 20 heaviest users and laid
+    next to exact counts with the no-undercount guarantee checked.
+    Deterministic md5 bucketing, so the oracle rebuilds the identical
+    sketch cell-for-cell."""
+    from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=4, width=256)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(sk, exact.select("user_id"), "user_id",
+                       depth=4, width=256)
+    return exact.join(est, on="user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("no_undercount"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q113_cms_heavy_hitters"] = q113_cms_heavy_hitters
+
+_ORACLE_DEDUP_SIM["q113_cms_heavy_hitters"] = r"""
+    WITH js AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+    cells AS (
+        SELECT js.j,
+               CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+                   CAST(e.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events e CROSS JOIN js
+        GROUP BY js.j, bucket
+    ), exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id ASC LIMIT 20
+    ), probes AS (
+        SELECT x.user_id, x.exact_n, js.j,
+               CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+                   CAST(x.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256
+                   AS bucket
+        FROM exact x CROSS JOIN js
+    )
+    SELECT p.user_id, p.exact_n,
+           MIN(COALESCE(c.cnt, 0)) AS cms_est,
+           MIN(COALESCE(c.cnt, 0)) >= p.exact_n AS no_undercount
+    FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_n
+"""
+
+_ORACLE_SHAPES["q113_cms_heavy_hitters"] = (
+    ("user_id", "BIGINT"), ("exact_n", "BIGINT"),
+    ("cms_est", "BIGINT"), ("no_undercount", "BOOLEAN"),
+)
+
+_UNION_MERGES["q78_layout_battery"].append(
+    ("cms", "q113_cms_heavy_hitters")
+)
+
+
+def q114_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier census: median / MAD and the
+    3-robust-sigma outlier count over event values
+    (``operators.profile.mad_outliers``)."""
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev, "value", "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").alias("mad_n"),
+        "med",
+        "mad",
+        "n_outliers",
+        "outlier_share",
+    )
+
+
+_DEDUP_SIM_QUERIES["q114_mad_outliers"] = q114_mad_outliers
+
+_ORACLE_DEDUP_SIM["q114_mad_outliers"] = r"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS mad_n,
+           ROUND(MIN(d.med), 6) AS med,
+           ROUND(MIN(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS outlier_share
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
+
+_ORACLE_SHAPES["q114_mad_outliers"] = (
+    ("event_type", "VARCHAR"), ("mad_n", "BIGINT"), ("med", "DOUBLE"),
+    ("mad", "DOUBLE"), ("n_outliers", "BIGINT"),
+    ("outlier_share", "DOUBLE"),
+)
+
+_JOIN_MERGES["q82_event_stats"][1].append(("q114_mad_outliers", {}))
+
+
+def q115_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR inverted index over the corpus with standard vocabulary
+    pruning (df-first plan; postings collected ONLY for surviving
+    terms): term -> document frequency + sorted postings list. The
+    full postings arrays participate in the value hash."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, "text", "doc_id", min_df=5, max_df=400)
+
+
+_DEDUP_SIM_QUERIES["q115_inverted_index"] = q115_inverted_index
+
+_ORACLE_DEDUP_SIM["q115_inverted_index"] = r"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, t AS term
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_filter(
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                       x -> x <> '')) AS t
+            FROM documents
+        )
+    ), freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM pairs GROUP BY term
+    ), keep AS (
+        SELECT term, df FROM freq WHERE df BETWEEN 5 AND 400
+    ), post AS (
+        SELECT p.term, list_sort(list(p.doc_id)) AS postings
+        FROM pairs p JOIN keep k ON p.term = k.term
+        GROUP BY p.term
+    )
+    SELECT k.term, k.df, p.postings
+    FROM keep k JOIN post p ON k.term = p.term
+"""
+
+_ORACLE_SHAPES["q115_inverted_index"] = (
+    ("term", "VARCHAR"), ("df", "BIGINT"), ("postings", "BIGINT[]"),
+)
+
+_UNION_MERGES["q60_text_ranking"].append(
+    ("inverted_index", "q115_inverted_index")
+)

@@ -44,3 +44,85 @@ def hll_rollup(
         F.count_distinct(F.col(value)).alias("exact")
     )
     return merged.join(exact, list(coarse_keys))
+
+
+def _cms_bucket(j, key, width: int):
+    """Row ``j``'s bucket for ``key``: top-32-bits of md5(j:key) mod
+    width — deterministic, engine-independent (the DuckDB oracle
+    replays the identical arithmetic)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j.cast("string"), F.lit(":"), key)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``key``'s frequency distribution (Cormode &
+    Muthukrishnan 2005): ``depth`` hash rows x ``width`` buckets, each
+    cell the count of keys hashing into it.
+
+    The 100 TB shape: the input is exploded ``depth``-fold but the
+    aggregation state is FIXED at depth*width cells (map-side partial
+    combine collapses everything before the shuffle), so the shuffle
+    carries at most depth*width rows per map task no matter how many
+    distinct keys exist — this is the sketch to use when even the HLL
+    answer "how many" isn't enough and you need "how often" per key
+    without materializing a full frequency table. Sketches are
+    mergeable by summing cells (groupBy (j, bucket) over shards).
+
+    Returns (j, bucket, cnt) — depth*width rows max.
+    """
+    k = F.col(key).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("j"),
+        k.alias("__k"),
+    )
+    return (
+        rows.select(
+            "j", _cms_bucket(F.col("j"), F.col("__k"), width).alias("bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys_df: DataFrame,
+    key: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: estimate(key) = min over hash rows of the
+    key's cell. Guarantees estimate >= true count (never undercounts);
+    overcounts by collision mass bounded by e*N/width w.p. 1-e^-depth.
+
+    The sketch is depth*width rows — always the broadcast side; the
+    probe is a narrow explode + broadcast join + min-aggregate, so
+    estimating any number of keys costs one scan of the keys.
+    """
+    k = F.col(key).cast("string")
+    probes = keys_df.select(
+        F.col(key),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn("bucket", _cms_bucket(F.col("j"), k, width))
+    return (
+        probes.join(F.broadcast(sketch), on=["j", "bucket"], how="left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

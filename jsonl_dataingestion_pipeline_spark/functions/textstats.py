@@ -499,3 +499,50 @@ def perplexity_buckets(
         )
         .drop("__t1", "__t2")
     )
+
+
+def inverted_index(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 1,
+    max_df: int | None = None,
+    lowercase: bool = True,
+):
+    """Distributed inverted-index construction: per term, its document
+    frequency and the sorted postings list of document ids.
+
+    The 100 TB hazard is the postings array for ultra-common terms
+    (a stopword's postings = every document). The plan therefore goes
+    df-FIRST: (1) explode distinct (term, doc) pairs, (2) one count
+    aggregate for df per term, (3) keep only terms within
+    [``min_df``, ``max_df``] via a semi-join (standard IR vocabulary
+    pruning), (4) collect+sort postings ONLY for surviving terms — so
+    no aggregation buffer ever holds an unbounded postings list when a
+    ``max_df`` bound is set. Both aggregations partial-combine
+    map-side; everything shuffles on the term key.
+
+    Returns (term, df, postings: array<id>).
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(t)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    freq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df") <= max_df)
+    keep = freq.filter(cond)
+    postings = (
+        pairs.join(keep.select("term"), on="term", how="leftsemi")
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("postings"))
+    )
+    return keep.join(postings, on="term")

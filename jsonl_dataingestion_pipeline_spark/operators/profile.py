@@ -86,3 +86,58 @@ def key_skew_report(df: DataFrame, key: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: str,
+    group: str,
+    *,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    scale: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier census: median / MAD (median absolute
+    deviation) and the count of values beyond ``k`` robust sigmas
+    (``|x - med| > k * consistency * MAD``; 1.4826 makes MAD a
+    consistent sigma estimator under normality). Median/MAD resist the
+    very outliers a mean/stddev rule would absorb — this is the data-
+    quality gate to run over a numeric column before trusting it.
+
+    Plan: two group-keyed exact-percentile aggregations (median, then
+    MAD over deviations) plus one final census — three shuffles on the
+    same group key, each with map-side partials; the tiny per-group
+    stats re-enter as group-keyed joins (AQE broadcasts them while
+    |groups| is small and falls back to shuffle joins when it is not —
+    deliberately NOT a forced broadcast). No global sort, no driver math.
+    Exact percentiles keep the operator oracle-replayable; at extreme
+    group cardinality swap ``percentile`` for ``percentile_approx``.
+
+    Returns (group, n, med, mad, n_outliers, outlier_share) — values
+    rounded to ``scale``.
+    """
+    g = F.col(group)
+    v = F.col(value)
+    med = df.groupBy(group).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(med, on=group).withColumn(
+        "__adev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(group).agg(
+        F.percentile(F.col("__adev"), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(mad, on=group).withColumn(
+        "__out",
+        (F.col("__adev") > F.lit(k) * F.lit(consistency) * F.col("mad"))
+        .cast("int"),
+    )
+    return flagged.groupBy(group).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("med"), scale).alias("med"),
+        F.round(F.first("mad"), scale).alias("mad"),
+        F.sum("__out").cast("long").alias("n_outliers"),
+        F.round(F.sum("__out") / F.count(F.lit(1)), scale).alias(
+            "outlier_share"
+        ),
+    )

@@ -207,3 +207,87 @@ def test_quota_sample_caps_groups_deterministically(spark):
         for r in quota_sample(df, "g", "id", max_per_group=10, seed=3).collect()
     )
     assert a != c  # seed-sensitive
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    import pyspark.sql.functions as F
+
+    # 26 distinct keys, key i repeated i+1 times
+    rows = [(chr(97 + i),) for i in range(26) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", depth=4, width=256)
+    assert sk.count() <= 4 * 256
+    keys = df.distinct()
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(sk, keys, "k", depth=4, width=256).collect()
+    }
+    for i in range(26):
+        exact = i + 1
+        assert est[chr(97 + i)] >= exact          # CMS guarantee
+        assert est[chr(97 + i)] <= exact + 26     # sparse: tiny collision mass
+
+
+def test_cms_sketches_merge_by_cell_sum(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "k string")
+    b = spark.createDataFrame([("x",)] * 3, "k string")
+    merged = (
+        cms_sketch(a, "k").unionByName(cms_sketch(b, "k"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    keys = spark.createDataFrame([("x",), ("y",), ("zz",)], "k string")
+    est = {r.k: r.cms_est for r in cms_estimate(merged, keys, "k").collect()}
+    assert est["x"] >= 8 and est["y"] >= 2
+    assert est["zz"] <= 10  # unseen key bounded by collision mass
+
+
+def test_mad_outliers_flags_planted_spikes(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 500, -400]]
+    rows += [("b", float(v)) for v in [5, 5, 5, 5, 5]]  # MAD 0: no spread
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in mad_outliers(df, "v", "g").collect()}
+    assert out["a"].n_outliers == 2 and out["a"].med == 10.0
+    assert out["b"].mad == 0.0 and out["b"].n_outliers == 0
+
+
+def test_inverted_index_df_bounds_and_sorted_postings(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (3, "the cat"),
+            (1, "the dog barks"),
+            (2, "THE the cat naps"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.term: r
+        for r in inverted_index(df, "text", "id").collect()
+    }
+    assert out["the"].df == 3 and out["the"].postings == [1, 2, 3]
+    assert out["cat"].df == 2 and out["cat"].postings == [2, 3]
+    assert out["dog"].df == 1
+    # vocabulary pruning: drop the stopword-like term via max_df
+    pruned = {
+        r.term
+        for r in inverted_index(df, "text", "id", min_df=2, max_df=2).collect()
+    }
+    assert pruned == {"cat"}

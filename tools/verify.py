@@ -25,7 +25,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-HEAVY = ["q20", "q24", "q25", "q27", "q39", "q51", "q90", "q92", "q100"]
+HEAVY = ["q20", "q23", "q24", "q25", "q27", "q33", "q39", "q51", "q53",
+         "q90", "q92", "q100"]
 
 
 def run(label: str, cmd: list[str]) -> bool:
