@@ -6202,3 +6202,77 @@ _ORACLE_SHAPES["q115_inverted_index"] = (
 _UNION_MERGES["q60_text_ranking"].append(
     ("inverted_index", "q115_inverted_index")
 )
+
+
+def q116_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized supplier-part bipartite graph from
+    lineitem (every node has out-edges by construction). Six rounds,
+    damping 0.85, ranks re-rounded to 1e-9 each round — which is what
+    lets the oracle's unrolled-iteration replay match bit-for-bit (see
+    operators/graph.py module note on FP determinism)."""
+    from jsonl_dataingestion_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+    )
+    edges = (
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .union(li.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        .distinct()
+    )
+    return pagerank(edges, iterations=6)
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    head = r"""
+    WITH ed AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem
+        )
+    ), nodes AS (
+        SELECT DISTINCT src AS node_id FROM ed
+        UNION
+        SELECT DISTINCT dst FROM ed
+    ), nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src
+    ),
+    pr0 AS (
+        SELECT node_id, ROUND(1.0 / (SELECT c FROM nc), 9) AS rank
+        FROM nodes
+    )"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+    pr{k} AS (
+        SELECT n.node_id,
+               ROUND((1 - 0.85) / (SELECT c FROM nc)
+                     + 0.85 * COALESCE(s.m, 0), 9) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node_id, SUM(p.rank / d.deg) AS m
+            FROM ed e JOIN pr{k - 1} p ON p.node_id = e.src
+                      JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node_id = n.node_id
+    )""")
+    return (
+        head + "".join(steps)
+        + f"\n    SELECT node_id, rank FROM pr{iterations}"
+    )
+
+
+_DEDUP_SIM_QUERIES["q116_pagerank"] = q116_pagerank
+_ORACLE_DEDUP_SIM["q116_pagerank"] = _pagerank_oracle(6)
+_ORACLE_SHAPES["q116_pagerank"] = (
+    ("node_id", "VARCHAR"), ("rank", "DOUBLE"),
+)
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("pagerank", "q116_pagerank")
+)

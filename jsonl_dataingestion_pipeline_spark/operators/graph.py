@@ -1,0 +1,88 @@
+"""Iterative graph analytics on DataFrames.
+
+The near-dup clustering operator (``operators/dedup.py``) already does
+one distributed iterative graph algorithm (min-id label propagation);
+this module adds the other classic, PageRank — the pattern for ANY
+fixed-point computation over an edge table (influence scoring, spam-site
+demotion in crawl curation, citation weighting).
+
+Spark-first shape: each iteration is one ``src``-keyed join (ranks are
+re-partitioned on the join key every round, so the edge relation's
+partitioning is reused) plus one ``dst``-keyed aggregation with map-side
+partial sums. Lineage is cut every ``checkpoint_every`` rounds
+(localCheckpoint; pass ``reliable=True`` on a real cluster for
+fault-tolerant checkpoints) so the plan does not grow unboundedly — the
+same discipline the dedup clustering loop uses.
+
+Determinism: every IEEE operation (divide, multiply, literal parse) is
+bit-identical across engines; ONLY the summation order of incoming
+contributions is run-dependent (~1e-16 relative noise). Rounding each
+iteration's ranks to ``scale`` decimals (default 1e-9 grid, six orders
+of magnitude above the noise) collapses both engines onto the same
+values, which is what makes the operator oracle-replayable — the same
+trick would NOT work without the per-iteration re-round, because
+unrounded noise compounds over iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping: float = 0.85,
+    scale: int = 9,
+    checkpoint_every: int = 4,
+    reliable: bool = False,
+) -> DataFrame:
+    """PageRank over a directed edge table (no self-handling of
+    dangling nodes: construct the edge set so every node has at least
+    one out-edge, e.g. symmetrize a bipartite relation — the usual
+    crawl-graph preprocessing; nodes with no out-edges would leak mass).
+
+    Returns (node_id, rank) for every node appearing as src or dst,
+    ranks rounded to ``scale`` decimals per iteration (see module note).
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node_id"))
+        .union(e.select(F.col("__dst").alias("node_id")))
+        .distinct()
+    )
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # one driver-side scalar (a count), NOT a per-row collect: the
+    # teleport term needs |V| as a literal
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), scale))
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e["__src"] == ranks["node_id"])
+            .join(deg, on="__src")
+            .select(
+                F.col("__dst").alias("node_id"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+        )
+        summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
+        ranks = nodes.join(summed, on="node_id", how="left").select(
+            "node_id",
+            F.round(
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
+                scale,
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = (
+                ranks.checkpoint(eager=True)
+                if reliable
+                else ranks.localCheckpoint(eager=True)
+            )
+    return ranks

@@ -1,0 +1,52 @@
+"""PageRank: hand-checked values, mass conservation, determinism."""
+from __future__ import annotations
+
+from jsonl_dataingestion_pipeline_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # a->b, b->a : symmetric pair, every rank stays 1/2
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    out = {r.node_id: r.rank for r in pagerank(e, iterations=1).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # b, c, d all point at a; a points back at each (no dangling mass)
+    e = _edges(
+        spark,
+        [("b", "a"), ("c", "a"), ("d", "a"),
+         ("a", "b"), ("a", "c"), ("a", "d")],
+    )
+    out = {r.node_id: r.rank for r in pagerank(e, iterations=10).collect()}
+    assert out["a"] > out["b"] == out["c"] == out["d"]
+    assert abs(sum(out.values()) - 1.0) < 1e-6  # mass conserved
+
+    # independent Python replay of the exact same iteration (incl. the
+    # per-round rounding) must agree to the rounding grid
+    ranks = {v: round(1.0 / 4, 9) for v in "abcd"}
+    for _ in range(10):
+        nxt = {}
+        nxt["a"] = 0.15 / 4 + 0.85 * (
+            ranks["b"] + ranks["c"] + ranks["d"]
+        )
+        for s in "bcd":
+            nxt[s] = 0.15 / 4 + 0.85 * ranks["a"] / 3
+        ranks = {k: round(v, 9) for k, v in nxt.items()}
+    for k in "abcd":
+        assert abs(out[k] - ranks[k]) < 2e-9, (k, out[k], ranks[k])
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    e = _edges(
+        spark,
+        [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(20)]
+        + [(f"n{(i * 7 + 3) % 20}", f"n{i}") for i in range(20)],
+    )
+    r1 = sorted(map(tuple, pagerank(e, iterations=6).collect()))
+    r2 = sorted(map(tuple, pagerank(e, iterations=6).collect()))
+    assert r1 == r2
