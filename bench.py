@@ -42,6 +42,11 @@ HEADLINE = [
     "q85_hll_rollup",
     "q86_zorder_cells",
     "q88_profile_columns",
+    "q106_gopher_rules",
+    "q109_html_extract",
+    "q111_lm_perplexity",
+    "q113_cms_heavy_hitters",
+    "q116_pagerank",
 ]
 
 

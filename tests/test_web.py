@@ -152,3 +152,38 @@ def test_strip_html_differential_random_pages(spark):
     }
     for i, html in pages:
         assert got[i] == py_strip(html), (i, html, got[i], py_strip(html))
+
+
+def test_registered_domain_differential_random_hosts(spark):
+    """Differential: Python replay of the public-suffix-lite rule over
+    seeded-random hosts must agree with the Column expression."""
+    import random
+
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        _TWO_LEVEL_SUFFIXES,
+    )
+
+    def py_domain(host: str) -> str:
+        labels = host.split(".")
+        if len(labels) >= 2 and ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES:
+            return ".".join(labels[-3:]) if len(labels) >= 3 else host
+        return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+    rng = random.Random(7)
+    subs = ["", "www.", "a.", "a.b.", "news.x."]
+    mids = ["example", "site", "x"]
+    tlds = ["com", "org", "io", "co.uk", "com.au", "co.jp", "uk"]
+    hosts = [
+        f"{rng.choice(subs)}{rng.choice(mids)}.{rng.choice(tlds)}"
+        for _ in range(120)
+    ] + ["localhost", "co.uk", "x.co.uk"]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)],
+                               "id long, v string")
+    got = {
+        r.id: r.r
+        for r in df.select(
+            "id", registered_domain("v").alias("r")
+        ).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == py_domain(h), (h, got[i], py_domain(h))
