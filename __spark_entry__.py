@@ -6276,3 +6276,64 @@ _ORACLE_SHAPES["q116_pagerank"] = (
 _UNION_MERGES["q51_neardup_clusters_battery"].append(
     ("pagerank", "q116_pagerank")
 )
+
+
+def q117_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard self-join (PPJoin-style prefix filter)
+    over the planted near-dup corpus. The oracle is an INDEPENDENT
+    brute-force all-shared-token join, so this query proves the prefix
+    filter's no-false-negative guarantee on real data — not just that
+    both engines replay the same plan."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir).filter(
+        F.col("id") < 300
+    )
+    return prefix_jaccard_pairs(corpus, "text", "id", threshold=0.9)
+
+
+_DEDUP_SIM_QUERIES["q117_prefix_jaccard_pairs"] = q117_prefix_jaccard_pairs
+
+# corpus restricted to id < 300 (the synthetic vocabulary is tiny, so
+# token-SET similarity saturates on the full corpus) and t = 0.9
+_ORACLE_DEDUP_SIM["q117_prefix_jaccard_pairs"] = _NEARDUP_CORPUS_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id < 150"
+) + r"""
+    , ctok AS (
+        SELECT id,
+               list_distinct(list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '')) AS st
+        FROM corpus
+    ), ex AS (
+        SELECT id, UNNEST(st) AS tok, len(st) AS n FROM ctok
+    ), shared AS (
+        SELECT a.id AS id_l, b.id AS id_r,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               a.n AS n_l, b.n AS n_r
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+        GROUP BY a.id, b.id, a.n, b.n
+    )
+    SELECT id_l, id_r,
+           ROUND(inter * 1.0 / (n_l + n_r - inter), 6) AS jaccard
+    FROM shared
+    WHERE ROUND(inter * 1.0 / (n_l + n_r - inter), 6) >= 0.9
+"""
+
+_ORACLE_SHAPES["q117_prefix_jaccard_pairs"] = (
+    ("id_l", "BIGINT"), ("id_r", "BIGINT"), ("jaccard", "DOUBLE"),
+)
+
+_ORACLE_SHAPES["q25_ngram_jaccard_pairs"] = (
+    ("id_l", "BIGINT"), ("id_r", "BIGINT"), ("jaccard", "DOUBLE"),
+)
+
+# q25 becomes a two-member battery: the sampled-shingle probabilistic
+# join and the exact prefix-filtered join, same output shape.
+_STANDALONE.remove("q25_ngram_jaccard_pairs")
+_UNION_MERGES["q25_ngram_jaccard_pairs"] = [
+    ("sampled", "q25_ngram_jaccard_pairs"),
+    ("prefix", "q117_prefix_jaccard_pairs"),
+]

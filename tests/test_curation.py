@@ -579,3 +579,39 @@ def test_dedup_lines_exact_default_unchanged(spark):
     out = {r.id: r for r in dedup_lines(df, "id", "text").collect()}
     # exact matching: the banners differ, nothing removed
     assert out[1].n_kept == 2 and out[2].n_kept == 2
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    """Prefix filtering is EXACT: against a random corpus, the result
+    must equal the brute-force all-pairs Jaccard at the threshold."""
+    import itertools
+    import random
+
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(5, 12))
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.5:  # plant a near-dup: drop one token
+            docs.append((100 + i, " ".join(base[:-1])))
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    got = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in prefix_jaccard_pairs(df, "text", "id", threshold=0.6).collect()
+    }
+
+    sets = {i: set(t.split()) for i, t in docs}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            if j >= 0.6:
+                expect[(a, b)] = j
+    assert got == expect and len(expect) > 5
