@@ -6337,3 +6337,275 @@ _UNION_MERGES["q25_ngram_jaccard_pairs"] = [
     ("sampled", "q25_ngram_jaccard_pairs"),
     ("prefix", "q117_prefix_jaccard_pairs"),
 ]
+
+
+def q118_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB FLAGSHIP: the six-stage raw-HTML -> curated-corpus funnel
+    (plans/webcorpus.py). Pages are synthesized deterministically from
+    documents (HTML wrapper with style/script/comment noise, a
+    date-stamped banner, a year-stamped copyright footer, per-page URLs
+    across 60 registrable domains); the oracle derives the expected
+    post-extraction text INDEPENDENTLY (it never runs the strip chain)
+    and replays C4 -> Gopher -> fuzzy line dedup -> exact dedup ->
+    domain quota, so the funnel checks extraction correctness too."""
+    from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
+        extract_web_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "), F.lit(".")
+        ),
+    )
+    body = F.aggregate(
+        lines,
+        F.lit(""),
+        lambda acc, l: F.concat(acc, F.lit("<p>"), l, F.lit("</p>")),
+    )
+    banner = F.concat(
+        F.lit("<p>Page updated on 20"),
+        F.lpad((F.col("doc_id") % 30).cast("string"), 2, "0"),
+        F.lit("-01-0"),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit(" by admin team.</p>"),
+    )
+    footer = F.concat(
+        F.lit("<p>Copyright "),
+        (F.lit(1990) + F.col("doc_id") % 30).cast("string"),
+        F.lit(" Example Corp all rights reserved.</p>"),
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title></title><style>body { margin: 0; }"
+            "</style><script>var a = 1;</script></head><body><!-- page "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(" -->"),
+        banner,
+        F.lit("<h1>"),
+        F.col("lang"),
+        F.lit(" page</h1>"),
+        body,
+        footer,
+        F.lit("</body></html>"),
+    )
+    prefix = F.element_at(
+        F.array(F.lit("www."), F.lit("news."), F.lit(""), F.lit("a.b.")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    suffix = F.element_at(
+        F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), prefix, F.col("source"), suffix,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    pages = d.select(
+        F.col("doc_id").alias("page_id"),
+        url.alias("url"),
+        html.alias("html"),
+    )
+    _, stats = extract_web_corpus(
+        pages,
+        id_col="page_id",
+        c4_min_sentences=4,
+        gopher_params={"min_words": 40, "min_stopword_hits": 0},
+        line_min_docs=5,
+        max_per_domain=6,
+        seed=0,
+    )
+    return stats
+
+
+_DEDUP_SIM_QUERIES["q118_web_pipeline"] = q118_web_pipeline
+
+_ORACLE_DEDUP_SIM["q118_web_pipeline"] = r"""
+WITH d AS (
+    SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 1000
+), tok AS (
+    SELECT doc_id, lang, source,
+           regexp_split_to_array(TRIM(text), '\s+') AS toks
+    FROM d
+), ext AS (
+    SELECT doc_id, lang, source,
+           'Page updated on 20' || lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0')
+           || '-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+           || ' by admin team.' || chr(10)
+           || lang || ' page' || chr(10)
+           || array_to_string(
+                  list_transform(
+                      generate_series(0,
+                          CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                      i -> array_to_string(
+                               toks[CAST(i AS INT) * 8 + 1
+                                    : CAST(i AS INT) * 8 + 8], ' ')
+                           || '.'),
+                  chr(10)) || chr(10)
+           || 'Copyright ' || CAST(1990 + doc_id % 30 AS VARCHAR)
+           || ' Example Corp all rights reserved.' AS text,
+           'https://' ||
+           CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'news.'
+                           WHEN 2 THEN '' ELSE 'a.b.' END ||
+           source ||
+           CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                           ELSE '.org' END ||
+           '/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM tok
+), s1 AS (
+    SELECT doc_id, url, text FROM ext WHERE length(text) > 0
+), c4 AS (
+    SELECT doc_id, url,
+           list_filter(
+               list_transform(string_split_regex(text, '\r?\n'),
+                              x -> trim(x)),
+               x -> length(x) > 0) AS ls,
+           len(regexp_extract_all(text, '[.!?]')) AS n_sent,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace
+    FROM s1
+), c4k AS (
+    SELECT doc_id, url,
+           list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+               AND len(string_split_regex(l, '\s+')) >= 5) AS kept,
+           n_sent, has_lorem, has_brace
+    FROM c4
+), s2 AS (
+    SELECT doc_id, url, array_to_string(kept, chr(10)) AS text
+    FROM c4k
+    WHERE n_sent >= 4 AND NOT has_lorem AND NOT has_brace
+          AND len(kept) > 0
+), gbase AS (
+    SELECT doc_id, url, text,
+           string_split_regex(trim(text), '\s+') AS t,
+           list_filter(
+               list_transform(string_split_regex(text, '\r?\n'),
+                              x -> trim(x)),
+               x -> length(x) > 0) AS ls
+    FROM s2
+), gcalc AS (
+    SELECT doc_id, url, text,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(t) END AS BIGINT) AS n_words,
+           COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               AS total_chars,
+           (length(text) - length(replace(text, '#', '')))
+               + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols,
+           GREATEST(len(ls), 1) AS n_lines,
+           len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
+               AS n_bullet,
+           len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)$')))
+               AS n_ellipsis,
+           len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+           CASE WHEN len(ls) <= 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                           / CAST(len(ls) AS DOUBLE), 6) END
+               AS dup_line_frac
+    FROM gbase
+), s3 AS (
+    SELECT doc_id, url, text FROM gcalc
+    WHERE n_words >= 40 AND n_words <= 100000
+      AND round(CAST(total_chars AS DOUBLE) / GREATEST(n_words, 1), 6)
+          BETWEEN 3.0 AND 10.0
+      AND round(CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1), 6) <= 0.1
+      AND round(CAST(n_bullet AS DOUBLE) / n_lines, 6) <= 0.9
+      AND round(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) <= 0.3
+      AND round(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 6) >= 0.8
+      AND dup_line_frac <= 0.3
+), expl AS (
+    SELECT doc_id,
+           UNNEST(string_split(text, chr(10))) AS line,
+           UNNEST(generate_series(0,
+               len(string_split(text, chr(10))) - 1)) AS pos
+    FROM s3
+), keyed AS (
+    SELECT doc_id, line, pos,
+           trim(regexp_replace(regexp_replace(lower(line),
+               '[0-9]+', '0', 'g'), '[^a-z0]+', ' ', 'g')) AS k
+    FROM expl
+), dup AS (
+    SELECT k FROM keyed GROUP BY k
+    HAVING COUNT(DISTINCT doc_id) >= 5
+), keptl AS (
+    SELECT * FROM keyed WHERE k NOT IN (SELECT k FROM dup)
+), rebuilt AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM keptl GROUP BY doc_id
+), s4 AS (
+    SELECT r.doc_id, s.url, r.text
+    FROM rebuilt r JOIN s3 s ON r.doc_id = s.doc_id
+), ck AS (
+    SELECT doc_id, url, text,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS c,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\s+',
+                   ' ', 'g')))
+               ORDER BY doc_id ASC) AS rn
+    FROM s4
+), s5 AS (
+    SELECT doc_id, url, text FROM ck WHERE rn = 1
+), dom AS (
+    SELECT doc_id, text,
+           CASE WHEN regexp_matches(
+                    lower(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)),
+                    '\.co\.uk$')
+                THEN regexp_extract(
+                    lower(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)),
+                    '([^.]+\.co\.uk)$', 1)
+                ELSE regexp_extract(
+                    lower(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)),
+                    '([^.]+\.[^.]+)$', 1)
+           END AS domain
+    FROM s5
+), ranked AS (
+    SELECT doc_id, domain,
+           ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY CAST('0x' || substr(md5('0:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+                   doc_id ASC) AS rk
+    FROM dom
+), s6 AS (
+    SELECT doc_id FROM ranked WHERE rk <= 6
+)
+SELECT 0 AS stage, 'input' AS stage_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM ext
+UNION ALL SELECT 1, 'html_extract', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'c4_clean', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'gopher_quality', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'fuzzy_line_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT) FROM s4
+UNION ALL SELECT 5, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT) FROM s5
+UNION ALL SELECT 6, 'domain_quota', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT) FROM s6
+"""
+
+_ORACLE_SHAPES["q90_corpus_pipeline"] = (
+    ("stage", "INTEGER"), ("stage_name", "VARCHAR"),
+    ("n_docs", "BIGINT"), ("sum_ids", "BIGINT"),
+)
+_ORACLE_SHAPES["q118_web_pipeline"] = (
+    ("stage", "INTEGER"), ("stage_name", "VARCHAR"),
+    ("n_docs", "BIGINT"), ("sum_ids", "BIGINT"),
+)
+
+# the two end-to-end funnels (text-corpus curation + web extraction)
+# share one driver battery
+_STANDALONE.remove("q90_corpus_pipeline")
+_UNION_MERGES["q90_corpus_pipeline"] = [
+    ("corpus", "q90_corpus_pipeline"),
+    ("web", "q118_web_pipeline"),
+]

@@ -52,7 +52,13 @@ _ENTITIES = (
 )
 
 
-def strip_html(c) -> Column:
+# closing (or void) tags that end a text block — their removal inserts a
+# newline instead of a space when keep_line_breaks=True, the way real
+# extractors preserve document structure for line-level curation rules
+_BLOCK_BOUNDARY_RE = r"(?i)<(?:/p|/div|/li|/tr|/h[1-6]|br[^>]*)\s*>"
+
+
+def strip_html(c, *, keep_line_breaks: bool = False) -> Column:
     """Extract visible text from an HTML fragment.
 
     Steps (each a global regexp/literal replace, valid identically in
@@ -61,14 +67,19 @@ def strip_html(c) -> Column:
     1. drop comments ``<!-- ... -->`` (dotall, non-greedy);
     2. drop ``<script>``/``<style>`` blocks INCLUDING their content
        (case-insensitive, dotall, non-greedy);
-    3. every remaining tag ``<tagname ...>`` / ``</tagname>`` /
+    3. with ``keep_line_breaks``: block-ending tags (``</p> </div>
+       </li> </tr> </h1..6> <br>``) become a NEWLINE — the structure
+       line-level curation rules (C4, line dedup) need;
+    4. every remaining tag ``<tagname ...>`` / ``</tagname>`` /
        ``<!doctype ...>`` becomes a single space — only ``<`` followed
        by a letter, ``/`` or ``!`` opens a tag, so stray ``<`` in prose
        (``a < b``) survives;
-    4. decode the common entities (``&amp;`` last, single pass);
-    5. collapse all whitespace runs to one space and trim.
+    5. decode the common entities (``&amp;`` last, single pass);
+    6. collapse whitespace: all runs to one space and trim — or, with
+       ``keep_line_breaks``, horizontal runs to one space, blank-padded
+       newline runs to one newline, then trim.
 
-    Unclosed script/style blocks are left for step 3 (tags stripped,
+    Unclosed script/style blocks are left for step 4 (tags stripped,
     content kept) rather than deleting the rest of the document.
     """
     out = _col(c)
@@ -77,9 +88,16 @@ def strip_html(c) -> Column:
         out = F.regexp_replace(
             out, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " "
         )
+    if keep_line_breaks:
+        out = F.regexp_replace(out, _BLOCK_BOUNDARY_RE, "\n")
     out = F.regexp_replace(out, r"</?[a-zA-Z!][^>]*>", " ")
     for ent, rep in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
+    if keep_line_breaks:
+        out = F.regexp_replace(out, r"[ \t\f\r]+", " ")
+        out = F.regexp_replace(out, r" ?\n[ \n]*", "\n")
+        # trim() strips only spaces — newlines need the regex anchors
+        return F.regexp_replace(out, r"^\s+|\s+$", "")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 

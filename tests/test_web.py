@@ -187,3 +187,84 @@ def test_registered_domain_differential_random_hosts(spark):
     }
     for i, h in enumerate(hosts):
         assert got[i] == py_domain(h), (h, got[i], py_domain(h))
+
+
+class TestStripHtmlLineBreaks:
+    def test_block_tags_become_newlines(self, spark):
+        html = ("<html><body><h1>Title</h1><p>one two.</p>"
+                "<p>three four.</p><div>five</div>tail</body></html>")
+        got = _one(
+            spark, strip_html("v", keep_line_breaks=True), html
+        )
+        assert got == "Title\none two.\nthree four.\nfive\ntail"
+
+    def test_br_variants(self, spark):
+        got = _one(
+            spark, strip_html("v", keep_line_breaks=True),
+            "a<br>b<br/>c<br />d<BR>e",
+        )
+        assert got == "a\nb\nc\nd\ne"
+
+    def test_newline_runs_squeeze(self, spark):
+        got = _one(
+            spark, strip_html("v", keep_line_breaks=True),
+            "<p>a</p> \n <p></p> <p>b</p>",
+        )
+        assert got == "a\nb"
+
+    def test_flat_mode_unchanged(self, spark):
+        got = _one(spark, strip_html("v"), "<p>a</p><p>b</p>")
+        assert got == "a b"
+
+
+def test_extract_web_corpus_funnel(spark):
+    from pyspark.sql import functions as F
+
+    from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
+        extract_web_corpus,
+    )
+
+    common = [
+        "the quick brown fox jumps over the lazy dog today.",
+        "every good sentence ends with proper punctuation marks.",
+        "distributed systems shuffle data between executor partitions.",
+        "columnar formats prune unread columns at scan time.",
+    ]
+
+    def page(i, uniq_tag):
+        body = "".join(f"<p>{s}</p>" for s in common)
+        body += (
+            f"<p>topic {uniq_tag} covers the tokens kept for test"
+            " purposes.</p>"
+        )
+        return (
+            i,
+            f"https://www.site{i % 2}.com/p/{i}",
+            "<html><head><style>x { y: z; }</style></head><body>"
+            f"<p>Banner updated on 2024-0{i % 9 + 1}-01 by admin crew.</p>"
+            f"{body}</body></html>",
+        )
+
+    # pages 6 and 7 share a unique sentence -> exact dups after the
+    # banner and the 8-doc common sentences are removed as boilerplate
+    rows = [page(i, "x" * (min(i, 6) + 1)) for i in range(8)]
+    rows.append((100, "https://www.site0.com/p/100", "<p>short.</p>"))
+    pages = spark.createDataFrame(rows, "page_id long, url string, html string")
+    kept, stats = extract_web_corpus(
+        pages,
+        gopher_params={"min_words": 10, "min_stopword_hits": 1},
+        line_min_docs=5,
+        max_per_domain=3,
+        seed=1,
+    )
+    st = {r.stage_name: r.n_docs for r in stats.collect()}
+    assert st["input"] == 9
+    assert st["c4_clean"] == 8          # the 1-sentence page dies
+    assert st["gopher_quality"] == 8
+    assert st["fuzzy_line_dedup"] == 8  # boilerplate gone, docs survive
+    assert st["exact_dedup"] == 7       # pages 6/7 collapse to one
+    assert st["domain_quota"] == 6      # site0 over quota by one
+    texts = {r.page_id: r.text for r in kept.collect()}
+    assert all("Banner updated" not in t for t in texts.values())
+    assert all("quick brown fox" not in t for t in texts.values())
+    assert all(t.startswith("topic ") for t in texts.values())
