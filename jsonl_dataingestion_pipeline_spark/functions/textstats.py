@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence, Union
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -546,3 +547,34 @@ def inverted_index(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("postings"))
     )
     return keep.join(postings, on="term")
+
+
+def compression_ratio(c: ColumnOrName, *, level: int = 6, scale: int = 4):
+    """zlib compressed-size / raw-size per document — the classic
+    machine-generated-text signal (highly repetitive pages compress far
+    below ~0.4; random/encrypted junk sits near 1.0). Used as a cheap
+    quality gate alongside the Gopher rules.
+
+    This is the one text-quality kernel Spark cannot express natively,
+    so it is an Arrow-batched ``pandas_udf`` (vectorized transfer, zlib
+    in C — NOT a row-at-a-time Python UDF): the sanctioned slow path,
+    kept off the oracle parity path (DuckDB has no zlib; covered by
+    pytest instead of a driver oracle). Empty/NULL text -> NULL.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, level)) / len(b), scale)
+
+        return s.map(one)
+
+    return _ratio(_col(c))

@@ -615,3 +615,28 @@ def test_prefix_jaccard_matches_brute_force(spark):
             if j >= 0.6:
                 expect[(a, b)] = j
     assert got == expect and len(expect) > 5
+
+
+def test_compression_ratio_separates_repetitive_from_varied(spark):
+    import zlib
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        compression_ratio,
+    )
+
+    rep = "buy now click here " * 200
+    varied = " ".join(f"w{i * 7919 % 104729}" for i in range(600))
+    df = _docs(spark, [(1, rep), (2, varied), (3, ""), (4, None)])
+    out = {
+        r.id: r.r
+        for r in df.select(
+            "id", compression_ratio("text").alias("r")
+        ).collect()
+    }
+    assert out[1] < 0.1 < out[2]          # repetition compresses away
+    assert out[3] is None and out[4] is None
+    # exact agreement with direct zlib (same level, same rounding)
+    expect = round(
+        len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 4
+    )
+    assert out[1] == expect
