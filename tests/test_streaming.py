@@ -349,3 +349,60 @@ def test_ingest_stream_incremental_dedup(spark, tmp_path):
     q.awaitTermination(120)
     back = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
     assert [r.doc_id for r in back.select("doc_id").collect()] == [12]
+
+
+def test_web_extraction_stages_run_on_a_stream(tmp_path, spark):
+    """The web-funnel's narrow stages (strip_html -> C4 flags -> Gopher
+    flags) are stateless projections, so they compose with a file-source
+    stream unchanged — same expressions, availableNow trigger."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import strip_html
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        c4_quality_filter,
+        gopher_quality_flags,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    body = "".join(
+        f"<p>the quick brown fox number {i} jumps far today.</p>"
+        for i in range(4)
+    )
+    rows = [
+        {"page_id": i, "html": f"<html><body>{body}</body></html>"}
+        for i in range(3)
+    ]
+    import json as _json
+
+    (indir / "pages.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+
+    src = (
+        spark.readStream.format("json")
+        .schema("page_id long, html string")
+        .load(str(indir))
+    )
+    ext = src.select(
+        "page_id",
+        strip_html(F.col("html"), keep_line_breaks=True).alias("text"),
+    )
+    c4 = c4_quality_filter(ext, "text", "page_id")
+    flags = gopher_quality_flags(
+        c4.filter("c4_keep").select("page_id", F.col("c4_text").alias("text")),
+        "text",
+        "page_id",
+        min_words=10,
+        min_stopword_hits=1,
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("web_stream_flags")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT page_id, keep FROM web_stream_flags ORDER BY page_id"
+    ).collect()
+    assert [r.page_id for r in got] == [0, 1, 2]
+    assert all(r.keep for r in got)
