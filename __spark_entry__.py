@@ -6609,3 +6609,120 @@ _UNION_MERGES["q90_corpus_pipeline"] = [
     ("corpus", "q90_corpus_pipeline"),
     ("web", "q118_web_pipeline"),
 ]
+
+
+def q119_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD2 dimension history from the event change feed: one
+    validity-interval row per (user, run of equal event_type), version
+    counter and current flag included — every interval boundary
+    participates in the value hash."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        scd2_from_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    return scd2_from_changes(ev, "user_id", "ts", "event_type")
+
+
+_DEDUP_SIM_QUERIES["q119_scd2_history"] = q119_scd2_history
+
+_ORACLE_DEDUP_SIM["q119_scd2_history"] = r"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_type ASC) AS prev
+        FROM events WHERE user_id < 300
+    ), changed AS (
+        SELECT user_id, ts, event_type FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_type ASC) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_type ASC) AS INT) AS version,
+           LEAD(ts) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_type ASC) IS NULL AS is_current
+    FROM changed
+"""
+
+_ORACLE_SHAPES["q119_scd2_history"] = (
+    ("user_id", "BIGINT"), ("event_type", "VARCHAR"),
+    ("valid_from", "TIMESTAMP"), ("valid_to", "TIMESTAMP"),
+    ("version", "INTEGER"), ("is_current", "BOOLEAN"),
+)
+
+_UNION_MERGES["q70_delta_audit"].append(("scd2", "q119_scd2_history"))
+
+
+def q120_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated query (EXISTS + NOT EXISTS),
+    adapted to this schema: suppliers who were the ONLY late shipper on
+    a finished multi-supplier order ("late" = shipped > 90 days after
+    the order date). Spark-first formulation: ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers) replaces both
+    correlated subqueries; the oracle runs the literal EXISTS /
+    NOT EXISTS form, so the gate proves the rewrite's equivalence."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"]).withColumn(
+        "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    per = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    return (
+        j.filter((F.col("o_orderstatus") == "F") & F.col("late"))
+        .join(per, on="l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+        .join(sup, j["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+_DEDUP_SIM_QUERIES["q120_waiting_suppliers"] = q120_waiting_suppliers
+
+_ORACLE_DEDUP_SIM["q120_waiting_suppliers"] = r"""
+    WITH l AS (
+        SELECT li.*, o.o_orderstatus, o.o_orderdate
+        FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.o_orderstatus = 'F'
+      AND l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+"""
+
+_ORACLE_SHAPES["q120_waiting_suppliers"] = (
+    ("s_name", "VARCHAR"), ("numwait", "BIGINT"),
+)
+
+_UNION_MERGES["q44_join_agg_battery"].append(
+    ("waiting_suppliers", "q120_waiting_suppliers")
+)

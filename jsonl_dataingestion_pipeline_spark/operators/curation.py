@@ -736,3 +736,47 @@ def c4_quality_filter(
         F.coalesce(has_brace, F.lit(False)).alias("c4_has_brace"),
         F.coalesce(keep, F.lit(False)).alias("c4_keep"),
     )
+
+
+def scd2_from_changes(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change feed: one row per
+    (key, consecutive run of equal ``attr``), with ``valid_from`` /
+    ``valid_to`` half-open validity, a per-key ``version`` counter and
+    an ``is_current`` flag — the standard warehouse dimension-history
+    build (Kimball SCD2), and the complement of :func:`snapshot_diff`
+    (which compares two static versions).
+
+    Relational plan: two windows over the same (key x ts) sort — lag to
+    detect change points (consecutive duplicate attrs collapse into one
+    version), lead for the next change's timestamp as ``valid_to``
+    (NULL = still current). Both windows partition by key, so the
+    operator scales to any number of keys; one key's history is bounded
+    by its own change count (the same bound any SCD2 builder has).
+    Deterministic given unique (key, ts) pairs; ties on ts are broken
+    by ``attr`` so reruns agree.
+
+    Returns (key, attr, valid_from, valid_to, version, is_current).
+    """
+    k, t, a = F.col(key), F.col(ts), F.col(attr)
+    w = Window.partitionBy(k).orderBy(t.asc(), a.asc())
+    changed = (
+        df.select(k, t, a)
+        .withColumn("__prev", F.lag(a).over(w))
+        .filter(F.col("__prev").isNull() | (a != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(k).orderBy(t.asc(), a.asc())
+    return (
+        changed.withColumn("valid_from", t)
+        .withColumn("valid_to", F.lead(t).over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key, attr, "valid_from", "valid_to", "version", "is_current"
+        )
+    )

@@ -640,3 +640,33 @@ def test_compression_ratio_separates_repetitive_from_varied(spark):
         len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 4
     )
     assert out[1] == expect
+
+
+def test_scd2_from_changes_collapses_runs(spark):
+    import datetime as dt
+
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        scd2_from_changes,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, s)
+    rows = [
+        (1, T(1), "bronze"),
+        (1, T(2), "bronze"),     # duplicate run -> collapsed
+        (1, T(5), "silver"),
+        (1, T(9), "gold"),
+        (2, T(3), "bronze"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, tier string")
+    out = sorted(
+        scd2_from_changes(df, "uid", "ts", "tier").collect(),
+        key=lambda r: (r.uid, r.version),
+    )
+    u1 = [r for r in out if r.uid == 1]
+    assert [(r.tier, r.version, r.is_current) for r in u1] == [
+        ("bronze", 1, False), ("silver", 2, False), ("gold", 3, True)
+    ]
+    assert u1[0].valid_from == T(1) and u1[0].valid_to == T(5)
+    assert u1[1].valid_to == T(9) and u1[2].valid_to is None
+    u2 = [r for r in out if r.uid == 2]
+    assert len(u2) == 1 and u2[0].is_current
