@@ -313,3 +313,138 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.octet_length(m.getField("data")).alias("media_bytes"),
         m.getField("mime").alias("media_mime"),
     )
+
+
+def _gray_frame(data: bytes) -> "pd.Series | None":
+    """First decodable image frame as a 2-D float grayscale array, or
+    None for non-image / undecodable payloads."""
+    import numpy as np
+
+    try:
+        if _codecs.is_png(data):
+            arr = _codecs.decode_png(data)
+        elif _codecs.is_jpeg(data):
+            arr = _codecs.decode_jpeg(data)
+        elif _codecs.is_gif(data):
+            arr = _codecs.decode_gif(data)[0][0]
+        else:
+            return None
+    except ValueError:
+        return None
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3 and a.shape[2] >= 3:  # RGB(A) -> luma
+        a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    elif a.ndim == 3:  # single-channel plane
+        a = a[..., 0]
+    return a
+
+
+def _ahash64(gray, grid: int = 8) -> int:
+    """Average-hash: block-average to grid x grid, bit i = cell > mean.
+    Pure integer/float numpy — deterministic across platforms (block
+    sums are exact small-int sums; the mean comparison is IEEE)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    cells = np.empty((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells > cells.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # to signed 64-bit (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_ahash(
+    df: DataFrame, media_col: str = "media", out_col: str = "ahash"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image payload — the LAION-
+    style image-dedup signature: 64 bits from an 8x8 block-averaged
+    grayscale thumbnail. Survives re-encoding and mild resizing; pairs
+    within a small Hamming distance are near-duplicate images.
+
+    Arrow-batched ``mapInPandas`` over the same streaming-generator
+    contract as ``extract_features``; non-image payloads -> NULL.
+    Compose with ``operators.dedup.simhash_near_pairs``'s banding (or
+    :func:`image_neardup_pairs` below) for the pair join.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            hashes = []
+            for m in pdf[media_col]:
+                g = _gray_frame(m["data"]) if m is not None else None
+                hashes.append(None if g is None else _ahash64(g))
+            out[out_col] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    *,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: aHash -> banded Hamming join.
+
+    Pigeonhole banding (64/band_bits bands; two hashes within
+    ``max_hamming`` < n_bands share >= 1 exact band) keeps the join
+    bucketed — identical plan shape to text SimHash dedup, so the same
+    100 TB properties hold: no all-pairs, band buckets shrink as
+    corpora diversify.  Returns (id_l, id_r, hamming).
+    """
+    hashed = image_ahash(df, media_col).filter(F.col("ahash").isNotNull())
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = hashed.select(
+        F.col(id_col).alias("__id"),
+        F.col("ahash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "__id", "ahash",
+        F.col("b.band").alias("band"), F.col("b.key").alias("key"),
+    )
+    left = bands.select(
+        "band", "key",
+        F.col("__id").alias("id_l"), F.col("ahash").alias("h_l"),
+    )
+    right = bands.select(
+        "band", "key",
+        F.col("__id").alias("id_r"), F.col("ahash").alias("h_r"),
+    )
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    ham = F.bit_count(F.col("h_l").bitwiseXOR(F.col("h_r")))
+    return cand.select("id_l", "id_r", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -187,3 +187,51 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     y, r = decode_wav(encode_wav(x, rate))
     assert r == rate and y.shape == (n, ch)
     assert np.abs(y - x).max() < 1e-3
+
+
+def test_image_ahash_and_neardup_pairs(spark):
+    """aHash is stable under mild brightness shift + re-encode; the
+    banded Hamming join finds the planted near-dup pair and nothing
+    else."""
+    import numpy as np
+
+    from jsonl_dataingestion_pipeline_spark.functions.media import encode_png
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = (rng.integers(0, 2, (32, 32)) * 255).astype(np.uint8)
+    bright = np.clip(base.astype(int) + 10, 0, 255).astype(np.uint8)
+    other = (rng.integers(0, 2, (32, 32)) * 255).astype(np.uint8)
+
+    rows = [
+        (1, {"data": encode_png(base), "mime": "image/png",
+             "width": 32, "height": 32, "duration_ms": None}),
+        (2, {"data": encode_png(bright), "mime": "image/png",
+             "width": 32, "height": 32, "duration_ms": None}),
+        (3, {"data": encode_png(other), "mime": "image/png",
+             "width": 32, "height": 32, "duration_ms": None}),
+        (4, {"data": b"not an image", "mime": "text/plain",
+             "width": None, "height": None, "duration_ms": None}),
+    ]
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        MEDIA_STRUCT,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()),
+         T.StructField("media", MEDIA_STRUCT)]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    hashes = {r.id: r.ahash for r in image_ahash(df).collect()}
+    assert hashes[4] is None
+    assert hashes[1] == hashes[2]          # brightness shift: same bits
+    assert hashes[1] != hashes[3]
+
+    pairs = image_neardup_pairs(df, "id", max_hamming=6).collect()
+    assert {(p.id_l, p.id_r) for p in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
