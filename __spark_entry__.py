@@ -6726,3 +6726,91 @@ _ORACLE_SHAPES["q120_waiting_suppliers"] = (
 _UNION_MERGES["q44_join_agg_battery"].append(
     ("waiting_suppliers", "q120_waiting_suppliers")
 )
+
+
+def q121_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking (12-token windows, stride 8) over
+    the corpus: every chunk's id, index, size and exact text content
+    participate in the value hash."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        chunk_text,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return chunk_text(d, "doc_id", "text", chunk_tokens=12, stride=8)
+
+
+_DEDUP_SIM_QUERIES["q121_text_chunks"] = q121_text_chunks
+
+_ORACLE_DEDUP_SIM["q121_text_chunks"] = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+        FROM documents WHERE doc_id < 500
+    ), w AS (
+        SELECT doc_id, t,
+               1 + CAST(ceil(GREATEST(len(t) - 12, 0) / 8.0) AS INT)
+                   AS n_win
+        FROM tok
+    ), ex AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(0, n_win - 1)) AS k
+        FROM w
+    )
+    SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)
+               AS rag_chunk_id,
+           doc_id,
+           CAST(k AS INT) AS chunk_index,
+           CAST(len(t[CAST(k AS INT) * 8 + 1
+                      : CAST(k AS INT) * 8 + 12]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(t[CAST(k AS INT) * 8 + 1
+                             : CAST(k AS INT) * 8 + 12], ' ') AS chunk
+    FROM ex
+"""
+
+_ORACLE_SHAPES["q121_text_chunks"] = (
+    ("rag_chunk_id", "VARCHAR"), ("doc_id", "BIGINT"),
+    ("chunk_index", "INTEGER"), ("n_chunk_tokens", "BIGINT"),
+    ("chunk", "VARCHAR"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("rag_chunks", "q121_text_chunks")
+)
+
+
+_Q122_SQL = """
+    SELECT n_name,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(RANK() OVER (
+               ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                        DESC,
+                        n_name ASC) AS INT) AS rnk
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+def q122_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) API surface: tables registered as temp views,
+    ONE ANSI statement (4-way join + distinct agg + window RANK over an
+    aggregate) executed verbatim by BOTH engines — Catalyst and DuckDB
+    parse the identical text, so this also pins down dialect drift."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q122_SQL)
+
+
+_DEDUP_SIM_QUERIES["q122_sql_surface"] = q122_sql_surface
+_ORACLE_DEDUP_SIM["q122_sql_surface"] = _Q122_SQL
+_ORACLE_SHAPES["q122_sql_surface"] = (
+    ("n_name", "VARCHAR"), ("n_orders", "BIGINT"),
+    ("revenue", "DOUBLE"), ("rnk", "INTEGER"),
+)
+_UNION_MERGES["q03_join_revenue"].append(("sql_surface", "q122_sql_surface"))

@@ -780,3 +780,58 @@ def scd2_from_changes(
             key, attr, "valid_from", "valid_to", "version", "is_current"
         )
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style overlapping chunking: split each document's token
+    stream into windows of ``chunk_tokens`` advancing by ``stride``
+    (overlap = chunk_tokens - stride), the standard retrieval-index
+    preparation (and the downstream consumer of the reference's
+    ``{document_id, content}`` JSONL output — cf.
+    /root/reference/src/writer.py:239-243's RAG intent).
+
+    The last window starts at the final stride boundary that still
+    covers unseen tokens, so every token lands in >= 1 chunk and no
+    empty trailing chunk is emitted. Chunk ids are ``<doc>#<k>`` (``rag_chunk_id``).
+
+    One narrow projection (sequence + transform) then an explode — no
+    shuffle at all; chunking 100 TB is scan-bound. Deterministic and
+    fully oracle-replayable.
+
+    Returns (rag_chunk_id, id_col, chunk_index, n_chunk_tokens, chunk).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_win = (
+        F.lit(1)
+        + F.ceil(extra.cast("double") / F.lit(float(stride))).cast("int")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("k"),
+            F.slice(toks, k * stride + 1, chunk_tokens).alias("w"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(wins).alias("c"))
+        .select(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit("#"),
+                F.col("c.k").cast("string"),
+            ).alias("rag_chunk_id"),
+            F.col(id_col),
+            F.col("c.k").alias("chunk_index"),
+            F.size(F.col("c.w")).cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.col("c.w"), " ").alias("chunk"),
+        )
+    )

@@ -670,3 +670,27 @@ def test_scd2_from_changes_collapses_runs(spark):
     assert u1[1].valid_to == T(9) and u1[2].valid_to is None
     u2 = [r for r in out if r.uid == 2]
     assert len(u2) == 1 and u2[0].is_current
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        chunk_text,
+    )
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(1, text), (2, "a b"), (3, "")])
+    out = sorted(
+        chunk_text(df, "id", "text", chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r.id, r.chunk_index),
+    )
+    d1 = [r for r in out if r.id == 1]
+    # windows at 0,3,6 cover t0..t9 (last window t6..t9); window 9 not
+    # emitted because ceil((10-4)/3)=2 -> 3 windows
+    assert [r.chunk for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"
+    ]
+    assert [r.rag_chunk_id for r in d1] == ["1#0", "1#1", "1#2"]
+    d2 = [r for r in out if r.id == 2]
+    assert len(d2) == 1 and d2[0].chunk == "a b" and d2[0].n_chunk_tokens == 2
+    d3 = [r for r in out if r.id == 3]
+    assert len(d3) == 1 and d3[0].chunk == ""  # empty doc -> one empty chunk
