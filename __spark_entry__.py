@@ -6339,20 +6339,12 @@ _UNION_MERGES["q25_ngram_jaccard_pairs"] = [
 ]
 
 
-def q118_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEB FLAGSHIP: the six-stage raw-HTML -> curated-corpus funnel
-    (plans/webcorpus.py). Pages are synthesized deterministically from
-    documents (HTML wrapper with style/script/comment noise, a
-    date-stamped banner, a year-stamped copyright footer, per-page URLs
-    across 60 registrable domains); the oracle derives the expected
-    post-extraction text INDEPENDENTLY (it never runs the strip chain)
-    and replays C4 -> Gopher -> fuzzy line dedup -> exact dedup ->
-    domain quota, so the funnel checks extraction correctness too."""
-    from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
-        extract_web_corpus,
-    )
-
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+def _web_pages(d: DataFrame) -> DataFrame:
+    """Deterministic page synthesis for the web funnel (q118): HTML
+    wrapper with style/script/comment noise, a date-stamped banner, a
+    year-stamped copyright footer, per-page URLs across 60 registrable
+    domains. Shared with tools/scale_bench.py so the funnel's
+    near-linearity can be measured on k-scaled corpora."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
     lines = F.transform(
@@ -6405,11 +6397,26 @@ def q118_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://"), prefix, F.col("source"), suffix,
         F.lit("/p/"), F.col("doc_id").cast("string"),
     )
-    pages = d.select(
+    return d.select(
         F.col("doc_id").alias("page_id"),
         url.alias("url"),
         html.alias("html"),
     )
+
+
+def q118_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB FLAGSHIP: the six-stage raw-HTML -> curated-corpus funnel
+    (plans/webcorpus.py) over deterministically synthesized pages
+    (:func:`_web_pages`); the oracle derives the expected
+    post-extraction text INDEPENDENTLY (it never runs the strip chain)
+    and replays C4 -> Gopher -> fuzzy line dedup -> exact dedup ->
+    domain quota, so the funnel checks extraction correctness too."""
+    from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
+        extract_web_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pages = _web_pages(d)
     _, stats = extract_web_corpus(
         pages,
         id_col="page_id",

@@ -189,6 +189,33 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
             F.col("n_spans") > 0
         )
 
+    def q111_scaled(spark, sf_dir):
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            bigram_logprob,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return bigram_logprob(d, "text", "doc_id")
+
+    def q118_scaled(spark, sf_dir):
+        from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
+            extract_web_corpus,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang", "source", "text")
+        _, stats = extract_web_corpus(
+            entry._web_pages(d),
+            id_col="page_id",
+            c4_min_sentences=4,
+            gopher_params={"min_words": 40, "min_stopword_hits": 0},
+            line_min_docs=5,
+            max_per_domain=10**9,  # quota would hide k-scaling: disable
+            seed=0,
+        )
+        return stats
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -197,12 +224,18 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
         "q90_corpus_pipeline": entry.q90_corpus_pipeline,
         "q100_semantic_dedup_planted": semdedup_scaled,
         "q102_duplicated_spans": q102_scaled,
+        # round-3 heavies, UNFILTERED so they see the whole scaled corpus
+        # (the registered q111/q118 cap doc_id for the oracle gate): the
+        # bigram LM scores every doc -> rows = k*docs exactly; the web
+        # funnel emits 7 rows but its stage doc-counts must scale *k.
+        "q111_bigram_lm": q111_scaled,
+        "q118_web_pipeline": q118_scaled,
     }
     out = {}
     for name, fn in runs.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        if name == "q90_corpus_pipeline":
+        if name in ("q90_corpus_pipeline", "q118_web_pipeline"):
             rows = {r["stage"]: r["n_docs"] for r in df.collect()}
             n = len(rows)
             out[name] = {"sec": round(time.time() - t0, 2), "rows": n, "stages": rows}
