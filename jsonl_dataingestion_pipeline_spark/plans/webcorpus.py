@@ -65,6 +65,7 @@ def extract_web_corpus(
     c4_min_sentences: int = 3,
     gopher_params: dict | None = None,
     line_min_docs: int = 5,
+    line_key=normalized_line_key,
     max_per_domain: int = 50,
     seed: int = 0,
     reliable: bool = False,
@@ -117,7 +118,7 @@ def extract_web_corpus(
         id_col,
         "text",
         min_docs=line_min_docs,
-        key=normalized_line_key,
+        key=line_key,
     )
     s4 = _pipeline_break(
         ld.filter(F.col("n_kept") >= 1)

@@ -211,6 +211,12 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
             c4_min_sentences=4,
             gopher_params={"min_words": 40, "min_stopword_hits": 0},
             line_min_docs=5,
+            # EXACT line matching here: the word-suffix replica tokens
+            # (w~r) collapse under the digit-folding fuzzy key, which
+            # would turn every body line into >=k-doc boilerplate at
+            # k >= min_docs — a construction artifact, not a property
+            # of the operator (exact lines stay replica-disjoint)
+            line_key=None,
             max_per_domain=10**9,  # quota would hide k-scaling: disable
             seed=0,
         )
