@@ -6821,3 +6821,131 @@ _ORACLE_SHAPES["q122_sql_surface"] = (
     ("revenue", "DOUBLE"), ("rnk", "INTEGER"),
 )
 _UNION_MERGES["q03_join_revenue"].append(("sql_surface", "q122_sql_surface"))
+
+
+def q123_data_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair chain over the event feed: deterministic NULL injection
+    (event_id % 11) -> per-user mode imputation -> per-type percentile
+    winsorization. Imputed categories AND clipped values hash-checked
+    row by row."""
+    from jsonl_dataingestion_pipeline_spark.operators.repair import (
+        impute_mode,
+        winsorize,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 8000)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("cat"),
+        "value",
+    )
+    imp = impute_mode(base, "cat", "user_id")
+    win = winsorize(
+        imp, "value", "event_type", lo=0.05, hi=0.95, out_col="value_w"
+    )
+    return win.select("event_id", "cat", "value_w")
+
+
+_DEDUP_SIM_QUERIES["q123_data_repair"] = q123_data_repair
+
+_ORACLE_DEDUP_SIM["q123_data_repair"] = r"""
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE event_type END AS cat,
+               value
+        FROM events WHERE event_id < 8000
+    ), modes AS (
+        SELECT user_id, cat AS m FROM (
+            SELECT user_id, cat,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, cat ASC) AS rk
+            FROM base WHERE cat IS NOT NULL GROUP BY user_id, cat
+        ) WHERE rk = 1
+    ), imp AS (
+        SELECT b.event_id, b.user_id, b.event_type,
+               COALESCE(b.cat, m.m) AS cat, b.value
+        FROM base b LEFT JOIN modes m ON b.user_id = m.user_id
+    ), bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM imp GROUP BY event_type
+    )
+    SELECT i.event_id, i.cat,
+           ROUND(LEAST(GREATEST(i.value, b.lo), b.hi), 6) AS value_w
+    FROM imp i JOIN bounds b ON i.event_type = b.event_type
+"""
+
+_ORACLE_SHAPES["q123_data_repair"] = (
+    ("event_id", "BIGINT"), ("cat", "VARCHAR"), ("value_w", "DOUBLE"),
+)
+
+_UNION_MERGES["q88_profile_battery"].append(("repair", "q123_data_repair"))
+
+
+def q124_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship: customers clustered by
+    custkey % 200; each cluster's golden record takes the per-field
+    majority value (NULLs injected at custkey % 13; ties break toward
+    the smallest value)."""
+    from jsonl_dataingestion_pipeline_spark.operators.repair import (
+        golden_record,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 200).alias("entity_cluster"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return golden_record(c, "entity_cluster", ["seg", "nk"])
+
+
+_DEDUP_SIM_QUERIES["q124_golden_record"] = q124_golden_record
+
+_ORACLE_DEDUP_SIM["q124_golden_record"] = r"""
+    WITH base AS (
+        SELECT c_custkey % 200 AS entity_cluster,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg,
+               c_nationkey AS nk
+        FROM customer
+    ), seg_mode AS (
+        SELECT entity_cluster, seg FROM (
+            SELECT entity_cluster, seg,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY entity_cluster
+                       ORDER BY COUNT(*) DESC, seg ASC) AS rk
+            FROM base WHERE seg IS NOT NULL
+            GROUP BY entity_cluster, seg
+        ) WHERE rk = 1
+    ), nk_mode AS (
+        SELECT entity_cluster, nk FROM (
+            SELECT entity_cluster, nk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY entity_cluster
+                       ORDER BY COUNT(*) DESC, nk ASC) AS rk
+            FROM base WHERE nk IS NOT NULL
+            GROUP BY entity_cluster, nk
+        ) WHERE rk = 1
+    )
+    SELECT d.entity_cluster, s.seg, n.nk
+    FROM (SELECT DISTINCT entity_cluster FROM base) d
+    LEFT JOIN seg_mode s USING (entity_cluster)
+    LEFT JOIN nk_mode n USING (entity_cluster)
+"""
+
+_ORACLE_SHAPES["q124_golden_record"] = (
+    ("entity_cluster", "BIGINT"), ("seg", "VARCHAR"), ("nk", "BIGINT"),
+)
+
+_UNION_MERGES["q88_profile_battery"].append(
+    ("survivorship", "q124_golden_record")
+)
