@@ -30,9 +30,14 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     matched_ts_col: str = "matched_ts",
     tolerance_seconds: Optional[int] = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
-    ``right.on <= left.on`` (within the same ``by`` key).
+    ``right.on <= left.on`` (within the same ``by`` key) — or, with
+    ``direction="forward"``, the earliest right row with
+    ``right.on >= left.on``; ``direction="nearest"`` takes whichever of
+    the two is closer in time (ties -> the backward match), exactly the
+    pandas ``merge_asof`` direction contract.
 
     Plan shape: union both sides tagged, one window sorted by
     (ts, side-tag, payload) per key, running ``last(payload,
@@ -54,6 +59,10 @@ def asof_join(
     maps equal timestamps to one partition). Cost: one range shuffle +
     one tiny carry frame — fully parallel.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     by = list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
@@ -82,15 +91,58 @@ def asof_join(
         F.col("__side").asc(),
         F.col("__payload").asc(),
     ]
+    # forward scan: ascending ts, but equal-ts right rows must sort
+    # AFTER the left row (side desc) so `first` over
+    # (currentRow .. following) includes them
+    order_f = [
+        F.col("__ts").asc(),
+        F.col("__side").desc(),
+        F.col("__payload").desc(),
+    ]
+
+    def _pick(df: DataFrame) -> DataFrame:
+        """Resolve __match from __match_b/__match_f per direction."""
+        if direction == "backward":
+            return df.withColumn("__match", F.col("__match_b"))
+        if direction == "forward":
+            return df.withColumn("__match", F.col("__match_f"))
+        lts = F.col("__ts").cast("long")
+        db = lts - F.col("__match_b").getField("__rts").cast("long")
+        df_ = F.col("__match_f").getField("__rts").cast("long") - lts
+        return df.withColumn(
+            "__match",
+            F.when(F.col("__match_f").isNull(), F.col("__match_b"))
+            .when(F.col("__match_b").isNull(), F.col("__match_f"))
+            .when(df_ < db, F.col("__match_f"))
+            .otherwise(F.col("__match_b")),
+        )
+
     if by:
-        w = (
-            Window.partitionBy(*[F.col(c) for c in by])
+        pby = [F.col(c) for c in by]
+        wb = (
+            Window.partitionBy(*pby)
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = u.withColumn(
-            "__match", F.last("__payload", ignorenulls=True).over(w)
-        ).filter(F.col("__side") == 1)
+        wf = (
+            Window.partitionBy(*pby)
+            .orderBy(*order_f)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = u
+        filled = filled.withColumn(
+            "__match_b",
+            F.last("__payload", ignorenulls=True).over(wb)
+            if direction != "forward"
+            else F.lit(None).cast(u.schema["__payload"].dataType),
+        )
+        filled = filled.withColumn(
+            "__match_f",
+            F.first("__payload", ignorenulls=True).over(wf)
+            if direction != "backward"
+            else F.lit(None).cast(u.schema["__payload"].dataType),
+        )
+        filled = _pick(filled).filter(F.col("__side") == 1)
     else:
         # Keyless: parallel global running-last (see docstring).
         spark = u.sparkSession
@@ -103,31 +155,69 @@ def asof_join(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        local = ranged.withColumn(
-            "__match", F.last("__payload", ignorenulls=True).over(wp)
+        wpf = (
+            Window.partitionBy("__pid")
+            .orderBy(*order_f)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        # Latest payload per partition = struct-wise max (leading field is
-        # __rts, and nulls are skipped) -> prefix-carry over the tiny
-        # one-row-per-partition frame, broadcast back.
-        pmax = ranged.groupBy("__pid").agg(F.max("__payload").alias("__pmax"))
-        wcarry = Window.orderBy("__pid").rowsBetween(
+        ptype = u.schema["__payload"].dataType
+        local = ranged.withColumn(
+            "__match_b",
+            F.last("__payload", ignorenulls=True).over(wp)
+            if direction != "forward"
+            else F.lit(None).cast(ptype),
+        ).withColumn(
+            "__match_f",
+            F.first("__payload", ignorenulls=True).over(wpf)
+            if direction != "backward"
+            else F.lit(None).cast(ptype),
+        )
+        # Partition stitch, both directions over ONE tiny per-partition
+        # frame: latest payload (struct-wise max, leading field __rts)
+        # carried FORWARD from earlier ranges for the backward match;
+        # earliest payload (min) carried BACKWARD from later ranges for
+        # the forward match. Range partitioning keeps equal timestamps
+        # in one partition, so ties can't split.
+        pagg = ranged.groupBy("__pid").agg(
+            F.max("__payload").alias("__pmax"),
+            F.min("__payload").alias("__pmin"),
+        )
+        wcarry_b = Window.orderBy("__pid").rowsBetween(
             Window.unboundedPreceding, -1
         )
-        carry = pmax.select(
+        wcarry_f = Window.orderBy("__pid").rowsBetween(
+            1, Window.unboundedFollowing
+        )
+        carry = pagg.select(
             "__pid",
-            F.last("__pmax", ignorenulls=True).over(wcarry).alias("__carry"),
+            F.last("__pmax", ignorenulls=True).over(wcarry_b).alias(
+                "__carry_b"
+            ),
+            F.first("__pmin", ignorenulls=True).over(wcarry_f).alias(
+                "__carry_f"
+            ),
         )
         filled = (
             local.join(F.broadcast(carry), on="__pid", how="left")
-            .withColumn("__match", F.coalesce("__match", "__carry"))
-            .filter(F.col("__side") == 1)
+            .withColumn(
+                "__match_b", F.coalesce("__match_b", "__carry_b")
+                if direction != "forward" else F.col("__match_b"),
+            )
+            .withColumn(
+                "__match_f", F.coalesce("__match_f", "__carry_f")
+                if direction != "backward" else F.col("__match_f"),
+            )
         )
+        filled = _pick(filled).filter(F.col("__side") == 1)
 
     out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
     match = F.col("__match")
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("__ts").cast("long") - match.getField("__rts").cast("long")
+            F.abs(
+                F.col("__ts").cast("long")
+                - match.getField("__rts").cast("long")
+            )
             <= F.lit(tolerance_seconds)
         )
         match = F.when(match.isNotNull() & in_tol, match)

@@ -155,3 +155,81 @@ def test_asof_join_keyed_plan_has_no_single_partition_exchange(spark):
     )
     plan = asof_join(left, right, on="ts", by=["k"])._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """Differential: backward/forward/nearest against pandas merge_asof
+    on seeded-random keyed data (unique right timestamps per key; left
+    timestamps never equidistant, so `nearest` has a unique answer)."""
+    import random
+
+    import pandas as pd
+
+    from jsonl_dataingestion_pipeline_spark.operators.joins import asof_join
+
+    rng = random.Random(13)
+    keys = ["a", "b", "c"]
+    right_rows = [
+        (k, 10 * i, f"{k}{i}")
+        for k in keys
+        for i in rng.sample(range(1, 40), 12)
+    ]
+    left_rows = []
+    for j in range(120):
+        t = rng.randrange(0, 420)
+        if t % 10 == 5:
+            t += 1  # never equidistant between two right ts
+        left_rows.append((rng.choice(keys), t, j))
+
+    ldf = spark.createDataFrame(left_rows, "k string, ts long, lid long")
+    rdf = spark.createDataFrame(right_rows, "k string, ts long, val string")
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values(
+        "ts", kind="stable"
+    )
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "val"]).sort_values(
+        "ts", kind="stable"
+    )
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: (r.matched_ts, r.val)
+            for r in asof_join(
+                ldf, rdf, on="ts", by=["k"], direction=direction
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            suffixes=("", "_r"),
+        )
+        for _, row in exp_df.iterrows():
+            exp = (
+                (None, None)
+                if pd.isna(row["val"])
+                else (int(row["ts_r"]) if "ts_r" in row else None, row["val"])
+            )
+            g = got[row["lid"]]
+            assert g[1] == exp[1], (direction, row["lid"], g, exp)
+
+
+def test_asof_keyless_forward_and_nearest(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, 7), (2, 12), (3, 100)], "lid long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(10, "x"), (11, "y"), (50, "z")], "ts long, val string"
+    )
+    fwd = {
+        r.lid: r.val
+        for r in asof_join(ldf, rdf, on="ts", by=[],
+                           direction="forward").collect()
+    }
+    assert fwd == {1: "x", 2: "z", 3: None}
+    near = {
+        r.lid: r.val
+        for r in asof_join(ldf, rdf, on="ts", by=[],
+                           direction="nearest").collect()
+    }
+    assert near == {1: "x", 2: "y", 3: "z"}
