@@ -6949,3 +6949,87 @@ _ORACLE_SHAPES["q124_golden_record"] = (
 _UNION_MERGES["q88_profile_battery"].append(
     ("survivorship", "q124_golden_record")
 )
+
+
+def q125_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``direction="nearest"`` as-of join: each sampled event matched to
+    the CLOSEST purchase of the same user (exact interval distances,
+    ties to the backward match — the pandas merge_asof contract). Right side
+    deduped per (user, ts) so both engines face one candidate per
+    instant; the oracle computes the backward and forward candidates
+    with correlated subqueries and replays the choice rule."""
+    from jsonl_dataingestion_pipeline_spark.operators.joins import asof_join
+
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], direction="nearest"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("matched_ts").alias("near_ts"),
+        F.col("purchase_value").alias("near_value"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q125_asof_nearest"] = q125_asof_nearest
+
+_ORACLE_DEDUP_SIM["q125_asof_nearest"] = r"""
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0
+    ), r AS (
+        SELECT user_id, ts, ROUND(MAX(value), 2) AS pv
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ), cand AS (
+        SELECT l.event_id, l.user_id, l.ts,
+               (SELECT r.ts FROM r WHERE r.user_id = l.user_id
+                    AND r.ts <= l.ts
+                ORDER BY r.ts DESC LIMIT 1) AS b_ts,
+               (SELECT r.pv FROM r WHERE r.user_id = l.user_id
+                    AND r.ts <= l.ts
+                ORDER BY r.ts DESC LIMIT 1) AS b_pv,
+               (SELECT r.ts FROM r WHERE r.user_id = l.user_id
+                    AND r.ts >= l.ts
+                ORDER BY r.ts ASC LIMIT 1) AS f_ts,
+               (SELECT r.pv FROM r WHERE r.user_id = l.user_id
+                    AND r.ts >= l.ts
+                ORDER BY r.ts ASC LIMIT 1) AS f_pv
+        FROM l
+    )
+    SELECT event_id, user_id,
+           CASE WHEN f_ts IS NULL THEN b_ts
+                WHEN b_ts IS NULL THEN f_ts
+                WHEN epoch(f_ts) - epoch(ts)
+                     < epoch(ts) - epoch(b_ts) THEN f_ts
+                ELSE b_ts END AS near_ts,
+           CASE WHEN f_ts IS NULL THEN b_pv
+                WHEN b_ts IS NULL THEN f_pv
+                WHEN epoch(f_ts) - epoch(ts)
+                     < epoch(ts) - epoch(b_ts) THEN f_pv
+                ELSE b_pv END AS near_value
+    FROM cand
+"""
+
+_ORACLE_SHAPES["q125_asof_nearest"] = (
+    ("event_id", "BIGINT"), ("user_id", "BIGINT"),
+    ("near_ts", "TIMESTAMP"), ("near_value", "DOUBLE"),
+)
+
+# q42 becomes a two-member battery: backward + nearest directions
+_STANDALONE.remove("q42_asof_join")
+_ORACLE_SHAPES["q42_asof_join"] = (
+    ("event_id", "BIGINT"), ("user_id", "BIGINT"),
+    ("matched_ts", "TIMESTAMP"), ("purchase_value", "DOUBLE"),
+)
+_UNION_MERGES["q42_asof_join"] = [
+    ("backward", "q42_asof_join"),
+    ("nearest", "q125_asof_nearest"),
+]

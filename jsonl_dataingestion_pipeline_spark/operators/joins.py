@@ -106,9 +106,11 @@ def asof_join(
             return df.withColumn("__match", F.col("__match_b"))
         if direction == "forward":
             return df.withColumn("__match", F.col("__match_f"))
-        lts = F.col("__ts").cast("long")
-        db = lts - F.col("__match_b").getField("__rts").cast("long")
-        df_ = F.col("__match_f").getField("__rts").cast("long") - lts
+        # type-independent distances: timestamp - timestamp yields a
+        # comparable day-time interval, numeric - numeric a number
+        lts = F.col("__ts")
+        db = lts - F.col("__match_b").getField("__rts")
+        df_ = F.col("__match_f").getField("__rts") - lts
         return df.withColumn(
             "__match",
             F.when(F.col("__match_f").isNull(), F.col("__match_b"))
@@ -213,13 +215,18 @@ def asof_join(
     out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
     match = F.col("__match")
     if tolerance_seconds is not None:
-        in_tol = (
-            F.abs(
-                F.col("__ts").cast("long")
-                - match.getField("__rts").cast("long")
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        rts = match.getField("__rts")
+        if isinstance(
+            left.schema[on].dataType, (TimestampType, TimestampNTZType)
+        ):
+            tol = F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+            in_tol = (F.col("__ts") - rts <= tol) & (
+                rts - F.col("__ts") <= tol
             )
-            <= F.lit(tolerance_seconds)
-        )
+        else:
+            in_tol = F.abs(F.col("__ts") - rts) <= F.lit(tolerance_seconds)
         match = F.when(match.isNotNull() & in_tol, match)
     out = filled.select(
         *out_cols,
