@@ -7033,3 +7033,116 @@ _UNION_MERGES["q42_asof_join"] = [
     ("backward", "q42_asof_join"),
     ("nearest", "q125_asof_nearest"),
 ]
+
+
+def q126_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars: per (hour, event_type) the opening/high/low/
+    closing value plus count and volume — the classic timeseries
+    downsampling aggregate, via min_by/max_by with a (ts, event_id)
+    struct tiebreak so first/last are deterministic under any layout."""
+    e = _events(spark, sf_dir)
+    tie = F.struct("ts", "event_id")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        "event_type",
+    ).agg(
+        F.round(F.min_by("value", tie), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", tie), 2).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q126_ohlc_bars"] = q126_ohlc_bars
+
+_ORACLE_DEDUP_SIM["q126_ohlc_bars"] = r"""
+    WITH rk AS (
+        SELECT date_trunc('hour', ts) AS bar, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT bar, event_type,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           ROUND(SUM(value), 2) AS volume
+    FROM rk
+    GROUP BY bar, event_type
+"""
+
+_ORACLE_SHAPES["q126_ohlc_bars"] = (
+    ("bar", "TIMESTAMP"), ("event_type", "VARCHAR"), ("open", "DOUBLE"),
+    ("high", "DOUBLE"), ("low", "DOUBLE"), ("close", "DOUBLE"),
+    ("n_ticks", "BIGINT"), ("volume", "DOUBLE"),
+)
+
+_UNION_MERGES["q08_time_windows"].append(("ohlc", "q126_ohlc_bars"))
+
+
+def q127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition census over per-user event sequences: counts
+    and conditional probabilities of (event_type -> next event_type),
+    the path-analysis primitive behind funnels and anomaly scoring."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        e.withColumn("__next", F.lead("event_type").over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("__tot")
+    )
+    return pairs.join(totals, on="from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.col("__tot"), 6).alias("p_trans"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q127_event_transitions"] = q127_event_transitions
+
+_ORACLE_DEDUP_SIM["q127_event_transitions"] = r"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt
+    ), totals AS (
+        SELECT from_type, SUM(n_trans) AS tot FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n_trans,
+           ROUND(p.n_trans * 1.0 / t.tot, 6) AS p_trans
+    FROM pairs p JOIN totals t USING (from_type)
+"""
+
+_ORACLE_SHAPES["q127_event_transitions"] = (
+    ("from_type", "VARCHAR"), ("to_type", "VARCHAR"),
+    ("n_trans", "BIGINT"), ("p_trans", "DOUBLE"),
+)
+
+_UNION_MERGES["q80_event_funnels"].append(
+    ("transitions", "q127_event_transitions")
+)
