@@ -211,3 +211,20 @@ def test_bigram_lm_stats_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in tree
     # no ntile window function (percentile contains the substring)
     assert not re.search(r"\bntile\(", plan.lower())
+
+
+def test_ohlc_single_exchange_partial_agg(spark):
+    """q126: one aggregate family — partial map-side combine, ONE
+    Exchange on (bar, event_type). min_by/max_by over a struct compiles
+    to SortAggregate; the partial/final split still happens."""
+    tree = _tree(_formatted(spark, em.q126_ohlc_bars(spark, SF)))
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("SortAggregate") + tree.count("HashAggregate") >= 2
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """q117: candidate generation is an equi-join on prefix tokens —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    tree = _tree(_formatted(spark, em.q117_prefix_jaccard_pairs(spark, SF)))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
