@@ -7146,3 +7146,90 @@ _ORACLE_SHAPES["q127_event_transitions"] = (
 _UNION_MERGES["q80_event_funnels"].append(
     ("transitions", "q127_event_transitions")
 )
+
+
+def q128_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user silence detection over the event stream: every
+    consecutive-event gap above 10 minutes, with boundaries and
+    whole-second durations (floor-epoch arithmetic on both engines)."""
+    from jsonl_dataingestion_pipeline_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    return detect_gaps(e, "ts", "user_id", min_gap_seconds=600)
+
+
+_DEDUP_SIM_QUERIES["q128_gap_report"] = q128_gap_report
+
+_ORACLE_DEDUP_SIM["q128_gap_report"] = r"""
+    WITH s AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC) AS prev_ts
+        FROM events WHERE user_id < 50
+    )
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           CAST(FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts)) AS BIGINT)
+               AS gap_seconds
+    FROM s
+    WHERE prev_ts IS NOT NULL
+      AND FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts)) > 600
+"""
+
+_ORACLE_SHAPES["q128_gap_report"] = (
+    ("user_id", "BIGINT"), ("gap_start", "TIMESTAMP"),
+    ("gap_end", "TIMESTAMP"), ("gap_seconds", "BIGINT"),
+)
+
+
+def q129_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame stats per user (true time frame, not
+    a row frame): every event's lookback count/mean/min/max hash-checked
+    against DuckDB's RANGE window."""
+    from jsonl_dataingestion_pipeline_spark.operators.timeseries import (
+        rolling_stats,
+    )
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    out = rolling_stats(e, "ts", "user_id", "value", window_seconds=3600)
+    return out.select(
+        "event_id", "user_id", "roll_n", "roll_mean", "roll_min", "roll_max"
+    )
+
+
+_DEDUP_SIM_QUERIES["q129_rolling_stats"] = q129_rolling_stats
+
+_ORACLE_DEDUP_SIM["q129_rolling_stats"] = r"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+           ROUND(AVG(value) OVER w, 6) AS roll_mean,
+           ROUND(MIN(value) OVER w, 6) AS roll_min,
+           ROUND(MAX(value) OVER w, 6) AS roll_max
+    FROM (
+        SELECT event_id, user_id, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        FROM events WHERE user_id < 30
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLE_SHAPES["q129_rolling_stats"] = (
+    ("event_id", "BIGINT"), ("user_id", "BIGINT"), ("roll_n", "BIGINT"),
+    ("roll_mean", "DOUBLE"), ("roll_min", "DOUBLE"),
+    ("roll_max", "DOUBLE"),
+)
+
+# q74 becomes the timeseries battery: LOCF resample + gap report +
+# trailing range-frame rolling stats
+_STANDALONE.remove("q74_resample_locf")
+_ORACLE_SHAPES["q74_resample_locf"] = (
+    ("user_id", "BIGINT"), ("bucket", "TIMESTAMP"),
+    ("value", "DOUBLE"), ("filled", "BOOLEAN"),
+)
+_UNION_MERGES["q74_resample_locf"] = [
+    ("locf", "q74_resample_locf"),
+    ("gaps", "q128_gap_report"),
+    ("rolling", "q129_rolling_stats"),
+]

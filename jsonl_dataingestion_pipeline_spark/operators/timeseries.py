@@ -135,3 +135,90 @@ def resample_locf(
         filled_val.alias(value_col),
         F.col(value_col).isNull().alias("filled"),
     )
+
+
+def _epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Whole epoch seconds for TIMESTAMP or TIMESTAMP_NTZ columns
+    (``cast('long')`` rejects NTZ; second-diff against a naive epoch is
+    type-independent and timezone-free)."""
+    t = F.col(ts_col)
+    if _is_ntz(df, ts_col):
+        return F.timestamp_diff("SECOND", _ntz_epoch(), t)
+    return t.cast("long")
+
+
+def detect_gaps(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Per-key silence detection: every pair of consecutive events more
+    than ``min_gap_seconds`` apart — the monitoring primitive behind
+    "sensor went dark" / "pipeline stalled" alerts, and the inverse of
+    LOCF gap-filling (:func:`resample_locf` repairs what this reports).
+
+    One key-partitioned window (lag), then a filter — no grid
+    materialization, so cost is O(events), not O(time range).
+    Duplicate timestamps are harmless: any peer ordering yields the
+    same gap set (gaps between equal timestamps are zero).
+
+    Returns (key, gap_start, gap_end, gap_seconds).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    sec = _epoch_seconds(df, ts_col)
+    out = (
+        df.select(F.col(key_col), F.col(ts_col), sec.alias("__s"))
+        .withColumn("__prev_ts", F.lag(ts_col).over(w))
+        .withColumn("__prev_s", F.lag("__s").over(w))
+        .filter(
+            F.col("__prev_s").isNotNull()
+            & (F.col("__s") - F.col("__prev_s") > min_gap_seconds)
+        )
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("__prev_ts").alias("gap_start"),
+        F.col(ts_col).alias("gap_end"),
+        (F.col("__s") - F.col("__prev_s")).cast("long").alias("gap_seconds"),
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    window_seconds: int,
+    scale: int = 6,
+) -> DataFrame:
+    """Trailing time-RANGE window per key: for every event, count/mean/
+    min/max of ``value_col`` over the last ``window_seconds`` seconds
+    INCLUSIVE of the current instant — a true range frame (peers by
+    time value), not a row frame, so irregular sampling is handled
+    correctly and equal timestamps always see identical frames (which
+    is also what makes it engine-deterministic).
+
+    One key-partitioned range window over epoch seconds; scales per key
+    like every window here.
+
+    Returns the input plus (roll_n, roll_mean, roll_min, roll_max).
+    """
+    sec = _epoch_seconds(df, ts_col)
+    base = df.withColumn("__s", sec)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__s").asc())
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return (
+        base.withColumn("roll_n", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "roll_mean", F.round(F.avg(value_col).over(w), scale)
+        )
+        .withColumn("roll_min", F.round(F.min(value_col).over(w), scale))
+        .withColumn("roll_max", F.round(F.max(value_col).over(w), scale))
+        .drop("__s")
+    )

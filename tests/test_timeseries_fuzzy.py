@@ -160,3 +160,42 @@ def test_time_bucket_ntz_ltz_equivalence(spark):
         ).cast("timestamp").alias("ntz"),
     )
     assert both.filter(F.col("ltz") != F.col("ntz")).count() == 0
+
+
+def test_detect_gaps_and_rolling_stats(spark):
+    import datetime as dt
+
+    from jsonl_dataingestion_pipeline_spark.operators.timeseries import (
+        detect_gaps,
+        rolling_stats,
+    )
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, "k", T(0), 1.0),
+        (2, "k", T(1), 3.0),
+        (3, "k", T(30), 5.0),   # 29-minute gap
+        (4, "k", T(31), 7.0),
+        (5, "j", T(0), 9.0),    # other key: no gaps
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp, v double")
+
+    gaps = detect_gaps(df, "ts", "k", min_gap_seconds=600).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g.k == "k" and g.gap_seconds == 29 * 60
+    assert g.gap_start == T(1) and g.gap_end == T(30)
+
+    # 10-minute trailing range frame: row 2 sees rows 1-2; row 3 sees
+    # only itself (outside range); row 4 sees rows 3-4
+    out = {
+        r.id: (r.roll_n, r.roll_mean)
+        for r in rolling_stats(
+            df, "ts", "k", "v", window_seconds=600
+        ).collect()
+    }
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 2.0)
+    assert out[3] == (1, 5.0)
+    assert out[4] == (2, 6.0)
+    assert out[5] == (1, 9.0)
