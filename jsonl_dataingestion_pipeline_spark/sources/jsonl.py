@@ -233,3 +233,46 @@ def read_documents(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSONL read that QUARANTINES malformed lines
+    instead of dropping or failing on them — the ingestion contract a
+    100 TB crawl feed needs (a handful of truncated/garbage lines must
+    neither kill the job nor vanish silently).
+
+    PERMISSIVE mode with an explicit ``columnNameOfCorruptRecord``: a
+    parseable line lands in the typed frame; an unparseable one lands
+    (verbatim) in the quarantine frame for reprocessing/forensics.
+
+    Returns ``(good, bad)``:
+      - ``good``: rows matching ``schema`` (corrupt column dropped);
+      - ``bad``: one ``raw`` string column with the original line.
+
+    Both come from ONE cached scan (Spark requires referencing the
+    corrupt column only after a cache/materialization; the cache also
+    means the file is parsed once, not twice).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full_schema = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad

@@ -215,3 +215,35 @@ def test_normalize_documents_legacy_consignee_repr(spark):
     assert legacy == {"J1": "['0001234567']", "J2": "[]"}
     typed = normalize_documents(df, with_doc_index_fallback=False).first()
     assert typed["consignee_code"] == ["0001234567"]  # default stays typed
+
+
+def test_read_jsonl_quarantine_splits_good_and_bad(tmp_path, spark):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from jsonl_dataingestion_pipeline_spark.sources.jsonl import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        '{"id": 2, "text": "also ok"}\n'
+        "{broken json!!\n"
+        '{"id": "not-a-number", "text": "type mismatch"}\n'
+        '{"id": 4, "text": "fine"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    ids = sorted(r.id for r in good.collect())
+    assert ids == [1, 2, 4]
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("broken json" in r for r in raws)
+    assert any("not-a-number" in r for r in raws)
