@@ -204,7 +204,8 @@ def rolling_stats(
     One key-partitioned range window over epoch seconds; scales per key
     like every window here.
 
-    Returns the input plus (roll_n, roll_mean, roll_min, roll_max).
+    Returns the input plus (roll_n, roll_mean, roll_min, roll_max,
+    roll_std — sample stddev, NULL for single-row frames).
     """
     sec = _epoch_seconds(df, ts_col)
     base = df.withColumn("__s", sec)
@@ -220,5 +221,8 @@ def rolling_stats(
         )
         .withColumn("roll_min", F.round(F.min(value_col).over(w), scale))
         .withColumn("roll_max", F.round(F.max(value_col).over(w), scale))
+        .withColumn(
+            "roll_std", F.round(F.stddev_samp(value_col).over(w), scale)
+        )
         .drop("__s")
     )

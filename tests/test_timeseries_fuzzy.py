@@ -199,3 +199,22 @@ def test_detect_gaps_and_rolling_stats(spark):
     assert out[3] == (1, 5.0)
     assert out[4] == (2, 6.0)
     assert out[5] == (1, 9.0)
+
+
+def test_rolling_std_matches_statistics(spark):
+    import datetime as dt
+    import statistics
+
+    from jsonl_dataingestion_pipeline_spark.operators.timeseries import (
+        rolling_stats,
+    )
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [(i, "k", T(i), float(v)) for i, v in enumerate([2, 4, 4, 4, 5])]
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp, v double")
+    out = {
+        r.id: r.roll_std
+        for r in rolling_stats(df, "ts", "k", "v", window_seconds=600).collect()
+    }
+    assert out[0] is None  # single-row frame
+    assert out[4] == round(statistics.stdev([2, 4, 4, 4, 5]), 6)
