@@ -694,3 +694,53 @@ def test_chunk_text_overlap_and_coverage(spark):
     assert len(d2) == 1 and d2[0].chunk == "a b" and d2[0].n_chunk_tokens == 2
     d3 = [r for r in out if r.id == 3]
     assert len(d3) == 1 and d3[0].chunk == ""  # empty doc -> one empty chunk
+
+
+def test_chunk_text_property_full_coverage_random(spark):
+    """Invariants over 60 random (n_tokens, chunk, stride) cases, one
+    Spark job: chunk ids unique, every token index covered by >= 1
+    window, windows ordered, last window never empty."""
+    import random
+
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        chunk_text,
+    )
+
+    rng = random.Random(29)
+    cases = []
+    for cid in range(60):
+        n = rng.randint(0, 40)
+        chunk = rng.randint(1, 12)
+        stride = rng.randint(1, chunk)  # stride <= chunk: gap-free
+        text = " ".join(f"w{cid}_{i}" for i in range(n))
+        cases.append((cid, chunk, stride, n, text))
+
+    by_params = {}
+    for cid, chunk, stride, n, text in cases:
+        by_params.setdefault((chunk, stride), []).append((cid, n, text))
+
+    for (chunk, stride), rows in by_params.items():
+        df = spark.createDataFrame(
+            [(c, t) for c, _n, t in rows], "id long, text string"
+        )
+        out = chunk_text(
+            df, "id", "text", chunk_tokens=chunk, stride=stride
+        ).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r.id, []).append(r)
+        for cid, n, _text in rows:
+            chunks = sorted(per_doc[cid], key=lambda r: r.chunk_index)
+            ids = [r.rag_chunk_id for r in chunks]
+            assert len(ids) == len(set(ids))
+            covered = set()
+            for r in chunks:
+                toks = r.chunk.split() if r.chunk else []
+                for t in toks:
+                    covered.add(int(t.split("_")[1]))
+                assert r.n_chunk_tokens == len(toks) or (
+                    n == 0 and r.n_chunk_tokens == 1  # empty-text token
+                )
+            if n > 0:
+                assert covered == set(range(n)), (cid, chunk, stride)
+            assert chunks[-1].n_chunk_tokens >= 1
