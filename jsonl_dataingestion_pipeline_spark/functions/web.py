@@ -104,11 +104,16 @@ def strip_html(c, *, keep_line_breaks: bool = False) -> Column:
 def url_host(c) -> Column:
     """Host part of a URL, lower-cased (pure regex — identical in the
     oracle; no dependency on JVM ``parse_url`` semantics): everything
-    between ``://`` and the first ``/``, ``?``, ``#``, or ``:`` (port).
-    NULL when the value does not look like an absolute URL.
+    between ``://`` (skipping any ``userinfo@``) and the first ``/``,
+    ``?``, ``#``, or ``:`` (port). NULL when the value does not look
+    like an absolute URL.
     """
     h = F.lower(
-        F.regexp_extract(_col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
+        F.regexp_extract(
+            _col(c),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)",
+            1,
+        )
     )
     return F.when(h != "", h)
 

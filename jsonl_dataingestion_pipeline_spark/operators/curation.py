@@ -764,11 +764,17 @@ def scd2_from_changes(
     """
     k, t, a = F.col(key), F.col(ts), F.col(attr)
     w = Window.partitionBy(k).orderBy(t.asc(), a.asc())
+    # null-safe change detection: NULL is a real state — a transition
+    # to/from NULL opens a new version (plain != would null out and
+    # silently drop such rows). First row: no __had_prev marker.
     changed = (
         df.select(k, t, a)
         .withColumn("__prev", F.lag(a).over(w))
-        .filter(F.col("__prev").isNull() | (a != F.col("__prev")))
-        .drop("__prev")
+        .withColumn("__had_prev", F.lag(F.lit(1)).over(w))
+        .filter(
+            F.col("__had_prev").isNull() | ~a.eqNullSafe(F.col("__prev"))
+        )
+        .drop("__prev", "__had_prev")
     )
     w2 = Window.partitionBy(k).orderBy(t.asc(), a.asc())
     return (

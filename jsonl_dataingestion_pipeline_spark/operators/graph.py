@@ -77,6 +77,8 @@ def pagerank(
     # one driver-side scalar (a count), NOT a per-row collect: the
     # teleport term needs |V| as a literal
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: edge table is empty (no nodes)")
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), scale))
     rank_side = (

@@ -744,3 +744,25 @@ def test_chunk_text_property_full_coverage_random(spark):
             if n > 0:
                 assert covered == set(range(n)), (cid, chunk, stride)
             assert chunks[-1].n_chunk_tokens >= 1
+
+
+def test_scd2_null_state_is_a_real_version(spark):
+    import datetime as dt
+
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        scd2_from_changes,
+    )
+
+    T = lambda d: dt.datetime(2024, 1, d)
+    df = spark.createDataFrame(
+        [(1, T(1), "a"), (1, T(2), None), (1, T(3), None), (1, T(4), "b")],
+        "uid long, ts timestamp, v string",
+    )
+    out = sorted(
+        scd2_from_changes(df, "uid", "ts", "v").collect(),
+        key=lambda r: r.version,
+    )
+    # a -> NULL (one collapsed version) -> b
+    assert [(r.v, r.is_current) for r in out] == [
+        ("a", False), (None, False), ("b", True)
+    ]

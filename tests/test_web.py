@@ -268,3 +268,10 @@ def test_extract_web_corpus_funnel(spark):
     assert all("Banner updated" not in t for t in texts.values())
     assert all("quick brown fox" not in t for t in texts.values())
     assert all(t.startswith("topic ") for t in texts.values())
+
+
+def test_url_host_skips_userinfo(spark):
+    assert _one(
+        spark, url_host("v"), "https://user:pw@Example.COM:8080/x"
+    ) == "example.com"
+    assert _one(spark, url_host("v"), "ftp://a@b@host.org/f") == "host.org"
