@@ -7233,3 +7233,99 @@ _UNION_MERGES["q74_resample_locf"] = [
     ("gaps", "q128_gap_report"),
     ("rolling", "q129_rolling_stats"),
 ]
+
+
+def q130_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the aggregate-of-aggregate histogram: how many
+    customers placed exactly k orders, INCLUDING k = 0 via the left
+    join (the classic trap: an inner join silently drops the zero
+    bucket)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_DEDUP_SIM_QUERIES["q130_custdist"] = q130_custdist
+
+_ORACLE_DEDUP_SIM["q130_custdist"] = r"""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+"""
+
+_ORACLE_SHAPES["q130_custdist"] = (
+    ("c_count", "BIGINT"), ("custdist", "BIGINT"),
+)
+
+_UNION_MERGES["q01_agg_battery"].append(("custdist", "q130_custdist"))
+
+
+def q131_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global scalar-subquery filter + anti-join:
+    per nation, customers whose balance beats the positive-balance
+    average AND who never placed an URGENT order (every customer has
+    SOME order in this data, so plain inactivity would be vacuous).
+    The broadcast 1-row global average replaces the scalar subquery;
+    the anti-join replaces NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").startswith("1"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .drop("__avg")
+    )
+    inactive = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return inactive.groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q131_rich_inactive_customers"] = (
+    q131_rich_inactive_customers
+)
+
+_ORACLE_DEDUP_SIM["q131_rich_inactive_customers"] = r"""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority LIKE '1%')
+    GROUP BY c_nationkey
+"""
+
+_ORACLE_SHAPES["q131_rich_inactive_customers"] = (
+    ("nationkey", "BIGINT"), ("numcust", "BIGINT"),
+    ("totacctbal", "DOUBLE"),
+)
+
+_UNION_MERGES["q06_set_ops_battery"].append(
+    ("rich_inactive", "q131_rich_inactive_customers")
+)
