@@ -47,6 +47,7 @@ HEADLINE = [
     "q111_lm_perplexity",
     "q113_cms_heavy_hitters",
     "q116_pagerank",
+    "q118_web_pipeline",
 ]
 
 

@@ -94,7 +94,11 @@ def pagerank(
             )
         )
         summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
-        ranks = nodes.join(summed, on="node_id", how="left").select(
+        # the stitch join is |V| x |V|: same size class as the rank
+        # vector, so it rides the same broadcast knob
+        ranks = nodes.join(
+            rank_side(summed), on="node_id", how="left"
+        ).select(
             "node_id",
             F.round(
                 F.lit(teleport)

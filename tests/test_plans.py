@@ -228,3 +228,14 @@ def test_prefix_jaccard_no_cartesian(spark):
     tree = _tree(_formatted(spark, em.q117_prefix_jaccard_pairs(spark, SF)))
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_pagerank_loop_broadcasts_rank_vector(spark):
+    """q116: with broadcast_ranks (default) the edge relation is never
+    shuffled inside the loop — every rank/degree join is broadcast."""
+    df = em.q116_pagerank(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "BroadcastHashJoin" in tree
+    # the only Exchanges are the contribution partial-sum aggregations
+    # and the |V|-sized stitches — never a sort-merge of the edges
+    assert "SortMergeJoin" not in tree, tree
