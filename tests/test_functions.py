@@ -262,3 +262,60 @@ def test_mix_sources_drops_untargeted_group(spark):
     )
     out = mix_sources(df, "src", "toks", "doc_id", {"a": 1.0}, seed=0)
     assert [r.src for r in out.collect()] == ["a"]
+
+
+def test_bpe_token_count_differential_python_replay(spark):
+    """120 seeded-random strings vs an independent Python replay of the
+    BPE-ish counting rule (letter runs /8, digit runs /3, marks 1)."""
+    import math
+    import random
+    import re
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bpe_token_count,
+    )
+
+    def py_count(t):
+        total = 0
+        for piece in re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]", t):
+            if piece[0].isalpha():
+                total += math.ceil(len(piece) / 8)
+            elif piece[0].isdigit():
+                total += math.ceil(len(piece) / 3)
+            else:
+                total += 1
+        return total
+
+    rng = random.Random(17)
+    alphabet = "abcXYZ0123456789 .,!?~#\t\n"
+    cases = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", bpe_token_count("t").alias("n")).collect()
+    }
+    for i, t in cases:
+        assert got[i] == py_count(t), (i, repr(t), got[i], py_count(t))
+
+
+def test_quota_sample_layout_independent(spark):
+    """The hash-coin quota picks the SAME rows under any partitioning —
+    the reproducibility contract every sampler here carries."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        quota_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"g{i % 5}", i) for i in range(500)], "g string, k long"
+    )
+    a = quota_sample(df.repartition(1), "g", "k", max_per_group=7, seed=3)
+    b = quota_sample(
+        df.repartition(13, F.col("k")), "g", "k", max_per_group=7, seed=3
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 35
