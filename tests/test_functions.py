@@ -319,3 +319,58 @@ def test_quota_sample_layout_independent(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) == 35
+
+
+def test_lang_id_differential_python_replay(spark):
+    """Stopword-voting language ID vs an independent Python replay on
+    seeded-random token soups from all four language lists."""
+    import random
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        LANG_STOPWORDS,
+        lang_id,
+    )
+
+    def py_lang(text, default="und"):
+        toks = [t.lower() for t in text.split()]
+        best, best_lang = 0, default
+        for lang in sorted(LANG_STOPWORDS):
+            hits = sum(1 for t in toks if t in LANG_STOPWORDS[lang])
+            if hits > best:
+                best, best_lang = hits, lang
+        return best_lang
+
+    rng = random.Random(23)
+    vocab = [w for ws in LANG_STOPWORDS.values() for w in ws] + [
+        "xyz", "qqq", "foo", "bar"
+    ]
+    cases = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    got = {
+        r.id: r.l
+        for r in df.select("id", lang_id("t").alias("l")).collect()
+    }
+    for i, t in cases:
+        assert got[i] == py_lang(t), (i, t, got[i], py_lang(t))
+
+
+def test_split_corpus_layout_independent(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        split_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_corpus(df.repartition(1), "k", w, seed=9)
+    b = split_corpus(df.repartition(17, F.col("k")), "k", w, seed=9)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    from collections import Counter
+
+    c = Counter(s for _k, s in ra)
+    assert 700 < c["train"] < 900 and c["val"] > 50 and c["test"] > 50
