@@ -7329,3 +7329,53 @@ _ORACLE_SHAPES["q131_rich_inactive_customers"] = (
 _UNION_MERGES["q06_set_ops_battery"].append(
     ("rich_inactive", "q131_rich_inactive_customers")
 )
+
+
+def q132_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization parity: documents are suffixed with
+    DECOMPOSED sequences (e+U+0301, u+U+0308, A+U+030A), normalized to
+    NFC via the pandas_udf kernel, and md5-checked against DuckDB's
+    nfc_normalize — the multilingual-dedup precondition (decomposed and
+    precomposed forms must hash identically after this step)."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        normalize_unicode,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    decomposed = F.concat(
+        F.col("text"),
+        F.lit(" caf"), F.lit("e\u0301"),
+        F.lit(" "), F.lit("u\u0308"), F.lit("ber"),
+        F.lit(" "), F.lit("A\u030a"),
+    )
+    nfc = normalize_unicode(decomposed, "NFC")
+    return d.select(
+        "doc_id",
+        F.md5(nfc).alias("nfc_digest"),
+        F.length(nfc).cast("long").alias("nfc_chars"),
+        F.length(decomposed).cast("long").alias("raw_chars"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q132_unicode_nfc"] = q132_unicode_nfc
+
+_ORACLE_DEDUP_SIM["q132_unicode_nfc"] = r"""
+    WITH built AS (
+        SELECT doc_id,
+               text || ' caf' || 'e' || chr(769) || ' ' || 'u' ||
+               chr(776) || 'ber' || ' ' || 'A' || chr(778) AS raw
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(raw)) AS nfc_digest,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+           CAST(length(raw) AS BIGINT) AS raw_chars
+    FROM built
+"""
+
+_ORACLE_SHAPES["q132_unicode_nfc"] = (
+    ("doc_id", "BIGINT"), ("nfc_digest", "VARCHAR"),
+    ("nfc_chars", "BIGINT"), ("raw_chars", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(("nfc", "q132_unicode_nfc"))

@@ -578,3 +578,28 @@ def compression_ratio(c: ColumnOrName, *, level: int = 6, scale: int = 4):
         return s.map(one)
 
     return _ratio(_col(c))
+
+
+def normalize_unicode(c: ColumnOrName, form: str = "NFC"):
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    step multilingual dedup needs BEFORE hashing (decomposed ``e`` +
+    U+0301 and precomposed ``é`` must collide). Spark has no built-in
+    normalizer, so this is an Arrow-batched ``pandas_udf`` over
+    ``unicodedata`` (the sanctioned vectorized slow path); DuckDB's
+    ``nfc_normalize`` is the oracle twin for the NFC form. NULL
+    propagates.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    return _norm(_col(c))

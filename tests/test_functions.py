@@ -374,3 +374,29 @@ def test_split_corpus_layout_independent(spark):
 
     c = Counter(s for _k, s in ra)
     assert 700 < c["train"] < 900 and c["val"] > 50 and c["test"] > 50
+
+
+def test_normalize_unicode_composes_and_propagates_null(spark):
+    import unicodedata
+
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        normalize_unicode,
+    )
+
+    rows = [(1, "café"), (2, "ﬁle"), (3, None), (4, "ascii")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    nfc = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_unicode("t", "NFC").alias("n")
+        ).collect()
+    }
+    assert nfc[1] == "café"           # combining acute composed
+    assert nfc[2] == "ﬁle"            # NFC keeps the fi ligature
+    assert nfc[3] is None and nfc[4] == "ascii"
+    nfkc = df.select(normalize_unicode("t", "NFKC").alias("n")).collect()
+    assert any(r.n == "file" for r in nfkc)  # NFKC folds the ligature
+    assert all(
+        r.n is None or r.n == unicodedata.normalize("NFKC", t)
+        for r, (_i, t) in zip(nfkc, rows)
+    )
