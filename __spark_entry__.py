@@ -4674,15 +4674,24 @@ def q97_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__m"),
         F.sum("n").cast("long").alias("n_events"),
     )
-    # round-trip THROUGH the map type; emit sorted entries as the
-    # cross-engine-comparable representation (DuckDB MAPs surface as
-    # key/value column dicts, not k->v mappings)
+    # round-trip THROUGH the map type; emit sorted entries comma-joined
+    # as VARCHAR — the cross-engine-comparable representation (DuckDB
+    # MAPs surface as key/value column dicts, not k->v mappings, and
+    # the driver's pandas canonicalizer cannot sort list columns:
+    # CORRECTNESS_r03 q97 erred with ``unhashable type: 'list'``).
+    # Entries are sorted so the join is deterministic and every
+    # key:count pair participates in the value hash.
     entries = F.sort_array(F.map_entries(F.col("__m")))
     return m.select(
         "user_id",
-        F.transform(
-            entries,
-            lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    e["key"], F.lit(":"), e["value"].cast("string")
+                ),
+            ),
+            ",",
         ).alias("type_counts"),
         "n_events",
     )
@@ -4697,8 +4706,8 @@ _ORACLE_DEDUP_SIM["q97_event_type_map"] = """
         GROUP BY user_id, event_type
     )
     SELECT user_id,
-           array_agg(event_type || ':' || CAST(n AS VARCHAR)
-                     ORDER BY event_type) AS type_counts,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS type_counts,
            CAST(SUM(n) AS BIGINT) AS n_events
     FROM per GROUP BY user_id
 """
@@ -6159,14 +6168,26 @@ _JOIN_MERGES["q82_event_stats"][1].append(("q114_mad_outliers", {}))
 def q115_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR inverted index over the corpus with standard vocabulary
     pruning (df-first plan; postings collected ONLY for surviving
-    terms): term -> document frequency + sorted postings list. The
-    full postings arrays participate in the value hash."""
+    terms): term -> document frequency + sorted postings list.
+
+    The sorted postings array is emitted comma-joined as VARCHAR: the
+    driver's pandas canonicalizer cannot sort list-typed columns
+    (CORRECTNESS_r03 q60_text_ranking: ``unhashable type: 'list'``),
+    and the join is value-preserving because the array is sorted —
+    every element still participates in the value hash."""
     from jsonl_dataingestion_pipeline_spark.functions.textstats import (
         inverted_index,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return inverted_index(d, "text", "doc_id", min_df=5, max_df=400)
+    idx = inverted_index(d, "text", "doc_id", min_df=5, max_df=400)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
+    )
 
 
 _DEDUP_SIM_QUERIES["q115_inverted_index"] = q115_inverted_index
@@ -6187,7 +6208,8 @@ _ORACLE_DEDUP_SIM["q115_inverted_index"] = r"""
     ), keep AS (
         SELECT term, df FROM freq WHERE df BETWEEN 5 AND 400
     ), post AS (
-        SELECT p.term, list_sort(list(p.doc_id)) AS postings
+        SELECT p.term,
+               array_to_string(list_sort(list(p.doc_id)), ',') AS postings
         FROM pairs p JOIN keep k ON p.term = k.term
         GROUP BY p.term
     )
@@ -6196,7 +6218,7 @@ _ORACLE_DEDUP_SIM["q115_inverted_index"] = r"""
 """
 
 _ORACLE_SHAPES["q115_inverted_index"] = (
-    ("term", "VARCHAR"), ("df", "BIGINT"), ("postings", "BIGINT[]"),
+    ("term", "VARCHAR"), ("df", "BIGINT"), ("postings", "VARCHAR"),
 )
 
 _UNION_MERGES["q60_text_ranking"].append(

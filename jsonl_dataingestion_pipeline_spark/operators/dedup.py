@@ -580,14 +580,19 @@ def connected_components(
     rows sharing a component are one duplicate cluster and the component
     label (the cluster's min id) is its canonical representative.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converged
-    when no label changes. Rounds needed = graph diameter, which for
-    near-dup clusters is tiny (pairs come from a shared-signature bucket,
-    so clusters are dense). Each round is one join + one aggregation on
-    the (small) label frame, lineage-truncated per round; deterministic
-    regardless of partitioning. Raises after ``max_iter`` rounds so a
-    pathological chain fails loudly instead of looping forever.
+    Algorithm: min-label propagation with pointer-jumping. Each round
+    (1) every node takes the min of its own label and its neighbors'
+    labels, then (2) shortcuts through the label table itself
+    (``comp := comp(comp)``, path compression) — so a chain of length L
+    needs O(log L) rounds, not O(L). (Plain propagation is
+    O(diameter): a 30-node path graph — which a chained near-dup
+    corpus really produces at small scale — blows the round budget.)
+    Converged when no label changes. Labels only ever decrease and
+    every label is a node id, so the fixpoint is exactly the
+    per-component min id. Each round is two joins + one aggregation on
+    the (|V|-row) label frame, lineage-truncated per round;
+    deterministic regardless of partitioning. Raises after
+    ``max_iter`` rounds (diameter > 2^25) instead of looping forever.
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -605,8 +610,23 @@ def connected_components(
             sym.join(labels.withColumnsRenamed({"id": "a", "comp": "c"}), on="a")
             .select(F.col("b").alias("id"), F.col("c").alias("comp"))
         )
+        prop = labels.unionAll(msgs).groupBy("id").agg(
+            F.min("comp").alias("comp")
+        )
+        # pointer-jump: comp := comp(comp). Every comp value is itself a
+        # node id, so the lookup always hits; left+coalesce guards the
+        # (impossible-by-invariant) miss rather than dropping the row.
+        jump = prop.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
         new_labels = _pipeline_break(
-            labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp")),
+            prop.join(jump, on=prop["comp"] == jump["__jid"], how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("__jcomp", "comp")
+                ).alias("comp"),
+            ),
             reliable,
         )
         changed = (

@@ -96,6 +96,25 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
             continue
+        # The driver's pandas canonicalizer sort_values raw result columns
+        # and cannot hash list/dict cells (CORRECTNESS_r03 q60/q97 erred
+        # with "unhashable type: 'list'"), so a top-level array/map/struct
+        # column must FAIL here even though _norm() could compare it —
+        # local green must predict driver green.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            print(
+                f"FAIL  {name}: driver-incompatible complex-typed columns "
+                f"{complex_cols} (stringify with array_join/to_json)"
+            )
+            failures += 1
+            continue
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
