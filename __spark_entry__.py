@@ -6341,7 +6341,7 @@ _ORACLE_DEDUP_SIM["q117_prefix_jaccard_pairs"] = _NEARDUP_CORPUS_SQL.replace(
     SELECT id_l, id_r,
            ROUND(inter * 1.0 / (n_l + n_r - inter), 6) AS jaccard
     FROM shared
-    WHERE ROUND(inter * 1.0 / (n_l + n_r - inter), 6) >= 0.9
+    WHERE inter * 1.0 / (n_l + n_r - inter) >= 0.9
 """
 
 _ORACLE_SHAPES["q117_prefix_jaccard_pairs"] = (
@@ -6773,7 +6773,10 @@ _DEDUP_SIM_QUERIES["q121_text_chunks"] = q121_text_chunks
 
 _ORACLE_DEDUP_SIM["q121_text_chunks"] = r"""
     WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(TRIM(text), '\s+'),
+                   x -> x <> '') AS t
         FROM documents WHERE doc_id < 500
     ), w AS (
         SELECT doc_id, t,
@@ -6795,6 +6798,7 @@ _ORACLE_DEDUP_SIM["q121_text_chunks"] = r"""
            array_to_string(t[CAST(k AS INT) * 8 + 1
                              : CAST(k AS INT) * 8 + 12], ' ') AS chunk
     FROM ex
+    WHERE len(t[CAST(k AS INT) * 8 + 1 : CAST(k AS INT) * 8 + 12]) > 0
 """
 
 _ORACLE_SHAPES["q121_text_chunks"] = (

@@ -805,7 +805,10 @@ def chunk_text(
 
     The last window starts at the final stride boundary that still
     covers unseen tokens, so every token lands in >= 1 chunk and no
-    empty trailing chunk is emitted. Chunk ids are ``<doc>#<k>`` (``rag_chunk_id``).
+    empty trailing chunk is emitted. Empty/whitespace-only documents
+    produce NO chunks (split of '' yields [''], which would otherwise
+    surface as one chunk of a single empty token — ADVICE r3).
+    Chunk ids are ``<doc>#<k>`` (``rag_chunk_id``).
 
     One narrow projection (sequence + transform) then an explode — no
     shuffle at all; chunking 100 TB is scan-bound. Deterministic and
@@ -813,7 +816,7 @@ def chunk_text(
 
     Returns (rag_chunk_id, id_col, chunk_index, n_chunk_tokens, chunk).
     """
-    toks = tokens(F.col(text_col))
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
     n = F.size(toks)
     # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
     extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
@@ -830,6 +833,7 @@ def chunk_text(
     )
     return (
         df.select(F.col(id_col), F.explode(wins).alias("c"))
+        .filter(F.size(F.col("c.w")) > 0)  # zero-token docs: no chunks
         .select(
             F.concat(
                 F.col(id_col).cast("string"), F.lit("#"),

@@ -1038,10 +1038,13 @@ def prefix_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("s_l"), F.col("s_r")))
     union = F.size(F.array_union(F.col("s_l"), F.col("s_r")))
+    # filter on the UNROUNDED ratio so the 'every pair with Jaccard >=
+    # threshold' contract holds for thresholds off the rounding grid;
+    # round only the returned display column (ADVICE r3)
     return (
-        joined.withColumn(
-            "jaccard", F.round(inter / union, scale)
+        joined.withColumn("__jraw", inter / union)
+        .filter(F.col("__jraw") >= threshold)
+        .select(
+            "id_l", "id_r", F.round(F.col("__jraw"), scale).alias("jaccard")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_l", "id_r", "jaccard")
     )

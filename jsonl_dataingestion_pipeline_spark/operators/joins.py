@@ -44,10 +44,13 @@ def asof_join(
     ignorenulls)``; keep left rows. The payload travels as ONE struct so
     a legitimately-null right column can't leak an older row's value.
     The payload itself is the third sort key: when several right rows
-    share the same (key, ts), the struct-wise largest one wins —
-    deterministic across runs and partitionings (plain ``last`` over a
-    (ts, side)-only ordering would pick whichever equal-ts row the sort
-    happened to place last).
+    share the same (key, ts), the backward scan takes the struct-wise
+    LARGEST and the forward scan the struct-wise SMALLEST — fixed
+    choices, deterministic across runs and partitionings (plain
+    ``last`` over a (ts, side)-only ordering would pick whichever
+    equal-ts row the sort happened to place last), and each matches
+    the keyless path's partition-stitch aggregate (max-carry backward,
+    min-carry forward) so output never depends on partition layout.
 
     Keyless form (``by=[]`` / ``by=None``): a window over zero partition
     columns would collapse to ONE partition (a global sort on a single
@@ -93,11 +96,15 @@ def asof_join(
     ]
     # forward scan: ascending ts, but equal-ts right rows must sort
     # AFTER the left row (side desc) so `first` over
-    # (currentRow .. following) includes them
+    # (currentRow .. following) includes them. __payload ASC so the
+    # first-non-null among equal-ts right rows is the struct-MIN — the
+    # same row the keyless path's F.min(__payload) partition carry
+    # picks (payload DESC here would make the matched row depend on
+    # where the range-partition boundary falls).
     order_f = [
         F.col("__ts").asc(),
         F.col("__side").desc(),
-        F.col("__payload").desc(),
+        F.col("__payload").asc(),
     ]
 
     def _pick(df: DataFrame) -> DataFrame:

@@ -75,7 +75,9 @@ def winsorize(
     scale: int = 6,
 ) -> DataFrame:
     """Clip ``value`` into its group's exact [``lo``, ``hi``] percentile
-    interval (rounded to ``scale``). Exact percentiles keep it
+    interval (rounded to ``scale``). NULL values stay NULL — without the
+    explicit guard Spark's NULL-skipping GREATEST would silently impute
+    NULL to the group's lower bound. Exact percentiles keep it
     oracle-replayable; swap in ``percentile_approx`` at extreme group
     cardinality."""
     out_col = out_col or value
@@ -83,17 +85,16 @@ def winsorize(
         F.percentile(F.col(value), F.lit(lo)).alias("__lo"),
         F.percentile(F.col(value), F.lit(hi)).alias("__hi"),
     ).withColumnRenamed(group, "__g")
+    clipped = F.round(
+        F.least(F.greatest(F.col(value), F.col("__lo")), F.col("__hi")),
+        scale,
+    )
     return (
         df.join(bounds, on=df[group].eqNullSafe(F.col("__g")), how="left")
         .drop("__g")
         .withColumn(
             out_col,
-            F.round(
-                F.least(
-                    F.greatest(F.col(value), F.col("__lo")), F.col("__hi")
-                ),
-                scale,
-            ),
+            F.when(F.col(value).isNull(), F.lit(None)).otherwise(clipped),
         )
         .drop("__lo", "__hi")
     )

@@ -693,7 +693,18 @@ def test_chunk_text_overlap_and_coverage(spark):
     d2 = [r for r in out if r.id == 2]
     assert len(d2) == 1 and d2[0].chunk == "a b" and d2[0].n_chunk_tokens == 2
     d3 = [r for r in out if r.id == 3]
-    assert len(d3) == 1 and d3[0].chunk == ""  # empty doc -> one empty chunk
+    assert d3 == []  # empty doc -> NO chunks (ADVICE r3)
+
+
+def test_chunk_text_skips_empty_and_whitespace_docs(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        chunk_text,
+    )
+
+    df = _docs(spark, [(1, ""), (2, "   \t  "), (3, " one  two ")])
+    out = chunk_text(df, "id", "text", chunk_tokens=4, stride=3).collect()
+    assert {r.id for r in out} == {3}
+    assert out[0].chunk == "one two" and out[0].n_chunk_tokens == 2
 
 
 def test_chunk_text_property_full_coverage_random(spark):
@@ -730,19 +741,19 @@ def test_chunk_text_property_full_coverage_random(spark):
         for r in out:
             per_doc.setdefault(r.id, []).append(r)
         for cid, n, _text in rows:
+            if n == 0:
+                assert cid not in per_doc  # zero-token doc -> no chunks
+                continue
             chunks = sorted(per_doc[cid], key=lambda r: r.chunk_index)
             ids = [r.rag_chunk_id for r in chunks]
             assert len(ids) == len(set(ids))
             covered = set()
             for r in chunks:
-                toks = r.chunk.split() if r.chunk else []
+                toks = r.chunk.split()
                 for t in toks:
                     covered.add(int(t.split("_")[1]))
-                assert r.n_chunk_tokens == len(toks) or (
-                    n == 0 and r.n_chunk_tokens == 1  # empty-text token
-                )
-            if n > 0:
-                assert covered == set(range(n)), (cid, chunk, stride)
+                assert r.n_chunk_tokens == len(toks)
+            assert covered == set(range(n)), (cid, chunk, stride)
             assert chunks[-1].n_chunk_tokens >= 1
 
 

@@ -233,3 +233,51 @@ def test_asof_keyless_forward_and_nearest(spark):
                            direction="nearest").collect()
     }
     assert near == {1: "x", 2: "y", 3: "z"}
+
+
+def test_asof_keyless_forward_duplicate_right_ts_layout_independent(spark):
+    """Duplicate right timestamps + keyless forward: the in-partition
+    window tie-break must agree with the cross-partition min-carry, so
+    the matched row is the struct-MIN payload regardless of how many
+    range partitions the union lands in (ADVICE r3: payload DESC in the
+    window picked MAX while the carry picked MIN — the match then
+    depended on where the partition boundary fell)."""
+    from jsonl_dataingestion_pipeline_spark.operators.joins import asof_join
+
+    # many left rows before a block of equal-ts right rows, so with
+    # shuffle.partitions > 1 some left rows resolve via the carry and
+    # some via the in-partition window
+    ldf = spark.createDataFrame(
+        [(i, i) for i in range(40)], "lid long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(50, "zz"), (50, "aa"), (50, "mm"), (90, "later")],
+        "ts long, val string",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("1", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            results[nparts] = {
+                r.lid: r.val
+                for r in asof_join(
+                    ldf, rdf, on="ts", by=[], direction="forward"
+                ).collect()
+            }
+        assert results["1"] == results["8"]
+        # struct-min among the equal-ts rows: ("aa",) sorts first
+        assert set(results["8"].values()) == {"aa"}
+        # keyed path (constant key) agrees with the keyless path
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        keyed = {
+            r.lid: r.val
+            for r in asof_join(
+                ldf.withColumn("k", F.lit(1)),
+                rdf.withColumn("k", F.lit(1)),
+                on="ts", by=["k"], direction="forward",
+            ).collect()
+        }
+        assert keyed == results["8"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

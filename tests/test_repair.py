@@ -46,6 +46,16 @@ def test_winsorize_clips_to_percentiles(spark):
     assert min(vs) == 1.0
 
 
+def test_winsorize_propagates_null_values(spark):
+    """A NULL value must survive winsorization as NULL, not get imputed
+    to the group's lower bound (GREATEST skips NULLs — ADVICE r3)."""
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    vs = [r.v for r in winsorize(df, "v", "g", lo=0.2, hi=0.8).collect()]
+    assert vs.count(None) == 1
+    assert min(v for v in vs if v is not None) > 1.0  # clipping still works
+
+
 def test_golden_record_majority_per_field(spark):
     df = spark.createDataFrame(
         [
