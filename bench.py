@@ -96,8 +96,12 @@ def main() -> int:
         for name in HEADLINE:
             try:
                 qs[name](spark, warm_sf).count()
-            except Exception:
-                pass
+            except Exception as e:  # a query broken at sf0.001 loses its
+                # warmup and would look slower below — say so (VERDICT r3)
+                print(
+                    f"# warmup FAILED for {name}: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -42,10 +42,14 @@ def pagerank(
     reliable: bool = False,
     broadcast_ranks: bool = True,
 ) -> DataFrame:
-    """PageRank over a directed edge table (no self-handling of
-    dangling nodes: construct the edge set so every node has at least
-    one out-edge, e.g. symmetrize a bipartite relation — the usual
-    crawl-graph preprocessing; nodes with no out-edges would leak mass).
+    """PageRank over a directed edge table. Dangling nodes (no
+    out-edges — a real crawl graph is full of them) are handled the
+    standard way: their rank mass is redistributed uniformly to every
+    node each iteration, so total rank stays 1. The dangling-mass term
+    is computed as a 1-row aggregate and broadcast-cross-joined (never
+    a per-row collect); when the graph has no dangling nodes (checked
+    once at setup, one driver scalar) the term is skipped entirely and
+    the loop is exactly the lean two-join shape.
 
     ``broadcast_ranks=True`` (default) ships the |V|-sized rank and
     degree vectors to the edge partitions each round, so the (much
@@ -74,8 +78,17 @@ def pagerank(
         .distinct()
     )
     deg = _break(e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg")))
-    # one driver-side scalar (a count), NOT a per-row collect: the
-    # teleport term needs |V| as a literal
+    # dangling = nodes with no out-edges; their per-iteration rank mass
+    # is redistributed uniformly (checked once — two driver scalars, a
+    # count each, NOT per-row collects; the teleport term needs |V| as
+    # a literal anyway)
+    dangling = _break(
+        nodes.join(
+            deg.withColumnRenamed("__src", "node_id"), on="node_id",
+            how="left_anti",
+        )
+    )
+    has_dangling = dangling.count() > 0
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: edge table is empty (no nodes)")
@@ -94,16 +107,28 @@ def pagerank(
             )
         )
         summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
+        incoming = F.coalesce(F.col("__in"), F.lit(0.0))
+        stitched = nodes.join(rank_side(summed), on="node_id", how="left")
+        if has_dangling:
+            # 1-row dangling-mass frame, broadcast to every node. The
+            # mass is re-rounded like the ranks so the summation-order
+            # noise (module note) can't leak into the next iteration.
+            dmass = (
+                ranks.join(dangling, on="node_id", how="leftsemi")
+                .agg(
+                    F.round(
+                        F.coalesce(F.sum("rank"), F.lit(0.0)), scale
+                    ).alias("__dmass")
+                )
+            )
+            stitched = stitched.crossJoin(F.broadcast(dmass))
+            incoming = incoming + F.col("__dmass") / F.lit(float(n))
         # the stitch join is |V| x |V|: same size class as the rank
         # vector, so it rides the same broadcast knob
-        ranks = nodes.join(
-            rank_side(summed), on="node_id", how="left"
-        ).select(
+        ranks = stitched.select(
             "node_id",
             F.round(
-                F.lit(teleport)
-                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
-                scale,
+                F.lit(teleport) + F.lit(damping) * incoming, scale
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:

@@ -66,25 +66,29 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
-def _features_of(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
-    """Real features for PNG/JPEG (4×4 mean-pooled grayscale), WAV
-    (16-segment RMS), and GIF / MJPEG-AVI (middle-frame image
-    features on the composited canvas); md5 fake for everything else
-    (incl. corrupt files)."""
+def _features_of(
+    data: bytes | None, dim: int = FEATURE_DIM
+) -> tuple[list[float], bool]:
+    """(features, synthetic): real features for PNG/JPEG (4×4
+    mean-pooled grayscale), WAV (16-segment RMS), and GIF / MJPEG-AVI
+    (middle-frame image features on the composited canvas) with
+    ``synthetic=False``; md5 fake with ``synthetic=True`` for
+    everything else (native-only codecs, corrupt files) so downstream
+    consumers can never mistake the stand-in for decode output."""
     if data is not None and _codecs.is_avi(data):
         try:
             jpegs, _fps, _w, _h = _codecs.decode_avi(data)
             mid = _codecs.decode_jpeg(jpegs[len(jpegs) // 2])
-            return _codecs.image_features(mid, grid=4)[:dim]
+            return _codecs.image_features(mid, grid=4)[:dim], False
         except Exception:
-            return _fake_features(data, dim)
+            return _fake_features(data, dim), True
     if data is not None and _codecs.is_gif(data):
         try:
             gif_frames, _delays = _codecs.decode_gif(data)
             mid_frame = gif_frames[len(gif_frames) // 2]
-            return _codecs.image_features(mid_frame, grid=4)[:dim]
+            return _codecs.image_features(mid_frame, grid=4)[:dim], False
         except Exception:
-            return _fake_features(data, dim)
+            return _fake_features(data, dim), True
     if data is not None and (_codecs.is_png(data) or _codecs.is_jpeg(data)):
         try:
             arr = (
@@ -92,20 +96,23 @@ def _features_of(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
                 if _codecs.is_png(data)
                 else _codecs.decode_jpeg(data)
             )
-            return _codecs.image_features(arr, grid=4)[:dim]
+            return _codecs.image_features(arr, grid=4)[:dim], False
         except Exception:
-            return _fake_features(data, dim)
+            return _fake_features(data, dim), True
     if data is not None and _codecs.is_wav(data):
         try:
             samples, _rate = _codecs.decode_wav(data)
-            return _codecs.audio_features(samples, dim=dim)
+            return _codecs.audio_features(samples, dim=dim), False
         except Exception:
-            return _fake_features(data, dim)
-    return _fake_features(data, dim)
+            return _fake_features(data, dim), True
+    return _fake_features(data, dim), True
 
 
 def extract_features(
-    df: DataFrame, media_col: str = "media", out_col: str = "features"
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "features",
+    synthetic_col: str = "synthetic",
 ) -> DataFrame:
     """Decode + featurize media batches via mapInPandas (Arrow-batched).
 
@@ -113,20 +120,28 @@ def extract_features(
     through without materializing the partition, so binary payloads never
     blow executor memory even with multi-MB media values. PNG/JPEG/WAV/
     GIF/MJPEG-AVI decode for real; only native-only codecs get the
-    documented deterministic fake.
+    documented deterministic fake, flagged ``synthetic=true`` in the
+    output so fake features can't be mistaken for decode output
+    (VERDICT r3 item 6).
     """
     out_schema = T.StructType(
         list(df.schema.fields)
-        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+        + [
+            T.StructField(out_col, T.ArrayType(T.DoubleType())),
+            T.StructField(synthetic_col, T.BooleanType()),
+        ]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             media = pdf[media_col]
             pdf = pdf.copy()
-            pdf[out_col] = [
-                _features_of(m["data"] if m is not None else None) for m in media
+            pairs = [
+                _features_of(m["data"] if m is not None else None)
+                for m in media
             ]
+            pdf[out_col] = [p[0] for p in pairs]
+            pdf[synthetic_col] = [p[1] for p in pairs]
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema)

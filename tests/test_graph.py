@@ -41,6 +41,33 @@ def test_pagerank_hub_ranks_highest(spark):
         assert abs(out[k] - ranks[k]) < 2e-9, (k, out[k], ranks[k])
 
 
+def test_pagerank_dangling_mass_redistributed(spark):
+    """a->b, a->c, b->c: c has NO out-edges. Its rank mass must be
+    redistributed uniformly each round (total rank stays 1); the old
+    precondition-only behavior silently leaked it (VERDICT r3 item 4).
+    Values checked against an independent Python replay of the same
+    iteration (incl. the per-round rounding of ranks AND dangling mass)."""
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    for iters in (1, 2, 6):
+        out = {
+            r.node_id: r.rank for r in pagerank(e, iterations=iters).collect()
+        }
+        assert abs(sum(out.values()) - 1.0) < 1e-6, (iters, out)
+
+        ranks = {v: round(1.0 / 3, 9) for v in "abc"}
+        for _ in range(iters):
+            dmass = round(ranks["c"], 9)
+            t = 0.15 / 3
+            nxt = {
+                "a": t + 0.85 * (dmass / 3),
+                "b": t + 0.85 * (ranks["a"] / 2 + dmass / 3),
+                "c": t + 0.85 * (ranks["a"] / 2 + ranks["b"] + dmass / 3),
+            }
+            ranks = {k: round(v, 9) for k, v in nxt.items()}
+        for k in "abc":
+            assert abs(out[k] - ranks[k]) < 2e-9, (iters, k, out[k], ranks[k])
+
+
 def test_pagerank_deterministic_across_runs(spark):
     e = _edges(
         spark,

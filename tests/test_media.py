@@ -122,10 +122,15 @@ def test_extract_features_real_png_and_wav(spark):
         ],
         "id long, media struct<data:binary,mime:string,width:int,height:int,duration_ms:int>",
     )
-    feats = {r["id"]: r["features"] for r in extract_features(df).collect()}
+    rows = {r["id"]: r for r in extract_features(df).collect()}
+    feats = {k: r["features"] for k, r in rows.items()}
     assert all(f == pytest.approx(1.0) for f in feats[1])    # white -> +1 cells
     assert all(f == pytest.approx(-1.0) for f in feats[2])   # silence -> -1 RMS
     assert len(feats[3]) == 16                               # fake path still shaped
+    # real decodes flagged real; the md5 stand-in flagged synthetic so it
+    # can never be mistaken for decode output (VERDICT r3 item 6)
+    assert not rows[1]["synthetic"] and not rows[2]["synthetic"]
+    assert rows[3]["synthetic"]
 
 
 def test_resize_images_real_png(spark):

@@ -197,6 +197,39 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         return bigram_logprob(d, "text", "doc_id")
 
+    def q116_scaled(spark, sf_dir):
+        # PageRank on k disjoint suffix-tagged copies of the q116 graph:
+        # components are independent, so true rows = k * (x1 rows) and
+        # each replica's ranks are the x1 ranks / k (teleport scales
+        # with |V|). Catches anything superlinear in the per-iteration
+        # join/agg loop.
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        )
+        edges = (
+            li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+            .union(li.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+            .distinct()
+        )
+        rep = edges.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        ).select(
+            F.concat("src", F.lit("~"), F.col("__r").cast("string")).alias(
+                "src"
+            ),
+            F.concat("dst", F.lit("~"), F.col("__r").cast("string")).alias(
+                "dst"
+            ),
+        )
+        return pagerank(rep, iterations=6)
+
     def q118_scaled(spark, sf_dir):
         from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
             extract_web_corpus,
@@ -235,6 +268,7 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
         # bigram LM scores every doc -> rows = k*docs exactly; the web
         # funnel emits 7 rows but its stage doc-counts must scale *k.
         "q111_bigram_lm": q111_scaled,
+        "q116_pagerank_replicas": q116_scaled,
         "q118_web_pipeline": q118_scaled,
     }
     out = {}
