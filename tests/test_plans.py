@@ -239,3 +239,46 @@ def test_pagerank_loop_broadcasts_rank_vector(spark):
     # the only Exchanges are the contribution partial-sum aggregations
     # and the |V|-sized stitches — never a sort-merge of the edges
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_pagerank_only_shuffles_are_partial_aggregates(spark):
+    """q116 (PLANS.md): every shuffle Exchange in the loop body sits
+    directly above a HashAggregate — the map-side partial contribution
+    sums. An Exchange over anything else would mean the edge relation
+    (or an un-aggregated contribution stream) is being shuffled."""
+    df = em.q116_pagerank(spark, SF)
+    lines = _tree(_formatted(spark, df)).splitlines()
+    for i, line in enumerate(lines):
+        node = line.split("- ")[-1]
+        if node.startswith("Exchange "):
+            child = lines[i + 1].split("- ")[-1]
+            assert child.startswith("HashAggregate"), (line, child)
+
+
+def test_q40_single_scan_single_exchange(spark):
+    """q40 (PLANS.md): the whole shipment document pipeline — cleaning,
+    derivations, T6 narrative, T7 content — is one Project pipeline over
+    ONE parquet scan; the only Exchange is the final document-numbering
+    window. A second scan or shuffle would mean the transform stopped
+    being a single codegen pass."""
+    df = em.q40_shipment_pipeline_full(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert tree.count("Scan parquet") == 1, tree
+    exchanges = [
+        l for l in tree.splitlines()
+        if l.split("- ")[-1].startswith("Exchange ")
+    ]
+    assert len(exchanges) <= 1, tree
+    assert "Join" not in tree and "SortMergeJoin" not in tree, tree
+
+
+def test_q118_stage_checkpoints_prevent_recompute(spark):
+    """q118 (PLANS.md): the funnel's per-stage counts read the stage
+    CHECKPOINTS (Scan ExistingRDD), so the raw parquet input is scanned
+    at most once (the stage-0 raw count). Without the checkpoints every
+    union branch would re-run the whole upstream funnel from parquet."""
+    df = em.q118_web_pipeline(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert tree.count("Scan parquet") <= 1, tree
+    assert "Scan ExistingRDD" in tree, tree
+    assert "WindowGroupLimit" in tree, tree
