@@ -152,7 +152,7 @@ def build_scaled(base_dir: str, k: int) -> str:
     return out_dir
 
 
-def run_queries(spark, sf_dir: str, k: int) -> dict:
+def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> dict:
     """Run the heavy family once at sf_dir; return {query: {sec, rows}}."""
     from pyspark.sql import functions as F
 
@@ -273,6 +273,8 @@ def run_queries(spark, sf_dir: str, k: int) -> dict:
     }
     out = {}
     for name, fn in runs.items():
+        if only and not any(name.startswith(p) for p in only):
+            continue
         t0 = time.time()
         df = fn(spark, sf_dir)
         if name in ("q90_corpus_pipeline", "q118_web_pipeline"):
@@ -290,8 +292,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query-name prefixes to run (default: all)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = args.queries.split(",") if args.queries else None
 
     from jsonl_dataingestion_pipeline_spark.session import get_spark
 
@@ -311,7 +318,7 @@ def main() -> int:
     for k in scales:
         sf_dir = build_scaled(args.base, k)
         print(f"# scale x{k}: {sf_dir}", flush=True)
-        results[f"x{k}"] = run_queries(spark, sf_dir, k)
+        results[f"x{k}"] = run_queries(spark, sf_dir, k, only=only)
 
     # linearity report: rows and sec relative to x1
     report = {"scales": scales, "results": results, "linearity": {}}
