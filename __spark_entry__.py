@@ -7405,3 +7405,101 @@ _ORACLE_SHAPES["q132_unicode_nfc"] = (
 )
 
 _UNION_MERGES["q19_corpus_stats"].append(("nfc", "q132_unicode_nfc"))
+
+
+def q133_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (k=8, 3 iterations,
+    deterministic smallest-id init): the clustering step SemDeDup-style
+    curation buckets on. Assignment is a zero-shuffle codegen
+    projection over driver-held centroid literals; the only shuffle is
+    the (cluster, dim) average. Centroids re-round to 1e-9 per
+    iteration and distances to 1e-6 before the argmin, which is what
+    lets the oracle's unrolled-iteration replay match bit-for-bit
+    (operators/clustering.py module note)."""
+    from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+        kmeans,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return kmeans(e, "embedding", "vec_id", k=8, iterations=3)
+
+
+def _kmeans_oracle(k: int, iterations: int, dim: int, n_limit: int) -> str:
+    """Unrolled-iteration DuckDB replay of q133 (same pattern as
+    _pagerank_oracle): assignment = rounded squared-L2 argmin with
+    cluster-id tie-break, update = per-(cluster, dim) rounded AVG,
+    empty clusters keep their previous centroid."""
+    sq = (
+        "ROUND(list_sum(list_transform(list_zip(p.v, c.cv), "
+        "q -> (q[1]-q[2])*(q[1]-q[2]))), 6)"
+    )
+    ctes = [
+        f"""pts AS (
+        SELECT vec_id AS id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x, 9)) AS v
+        FROM embeddings WHERE vec_id < {n_limit}
+    )""",
+        f"""c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid,
+               v AS cv
+        FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k})
+    )""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""d{i} AS (
+        SELECT p.id, c.cid, {sq} AS dd
+        FROM pts p CROSS JOIN c{i} c
+    )"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+        SELECT id, cid FROM (
+            SELECT id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dd, cid) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""n{i} AS (
+        SELECT cid, list(m ORDER BY j) AS cv FROM (
+            SELECT a.cid, dims.j, ROUND(AVG(p.v[dims.j]), 9) AS m
+            FROM a{i} a JOIN pts p USING (id)
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS j) dims
+            GROUP BY a.cid, dims.j
+        ) GROUP BY cid
+    )"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+        SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+        FROM c{i} c LEFT JOIN n{i} n USING (cid)
+    )"""
+        )
+    ctes.append(
+        f"""dfin AS (
+        SELECT p.id, c.cid, {sq} AS dd
+        FROM pts p CROSS JOIN c{iterations} c
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT id AS vec_id, cid AS cluster, dd AS dist2 FROM (
+        SELECT id, cid, dd,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dd, cid) AS rn
+        FROM dfin
+    ) WHERE rn = 1
+"""
+    )
+
+
+_DEDUP_SIM_QUERIES["q133_kmeans"] = q133_kmeans
+_ORACLE_DEDUP_SIM["q133_kmeans"] = _kmeans_oracle(
+    k=8, iterations=3, dim=64, n_limit=400
+)
+_ORACLE_SHAPES["q133_kmeans"] = (
+    ("vec_id", "BIGINT"), ("cluster", "INTEGER"), ("dist2", "DOUBLE"),
+)
+_UNION_MERGES["q28_ann_topk"].append(("kmeans", "q133_kmeans"))

@@ -1,0 +1,126 @@
+"""Distributed k-means clustering over embedding columns.
+
+The curation use case: cluster the corpus embedding space, then curate
+per cluster — SemDeDup (Abbas et al. 2023) prunes near-duplicates
+WITHIN k-means clusters; density/diversity sampling picks per-cluster
+quotas; cluster-balanced training mixes weight clusters evenly. The
+``semantic_dedup`` operator (operators/similarity.py) buckets by a
+label column; :func:`kmeans` is what produces such a label from raw
+embeddings when none exists.
+
+Spark-first shape (Lloyd's algorithm):
+
+- **Assignment is pure codegen, zero shuffle.** Centroids are k×d
+  doubles — by definition of k-means they fit on the driver — so each
+  iteration collects them (k rows, the same class of driver-side
+  scalar as PageRank's ``|V|`` count) and embeds them as literal
+  arrays in a single projection: squared-L2 distance per centroid via
+  ``zip_with`` + ``aggregate`` fold, argmin via ``array_min`` over
+  (dist, cluster) structs. No per-row Python, no join, no shuffle —
+  the 100 TB cost of an iteration is one scan.
+- **The update step is the only shuffle**: ``posexplode`` the vectors
+  and average per (cluster, dimension) — n·d narrow rows into a
+  map-side partial aggregate of at most k·d groups.
+- For k·d too large to embed in codegen (tens of thousands of
+  clusters), swap the literal projection for a broadcast join against
+  the centroid frame + ``min_by`` — same plan class, documented knob.
+
+Determinism / oracle replay (same discipline as ``graph.pagerank``):
+centroid coordinates are re-rounded to ``scale`` decimals every
+iteration (absorbs summation-order noise in the averages) and
+assignment distances are rounded to ``dist_scale`` before the argmin
+(absorbs fold-order noise), ties broken by the smaller cluster id —
+so a DuckDB replay of the unrolled iterations matches bit-for-bit.
+Initial centroids are the vectors of the k smallest ids: deterministic
+and replayable (k-means++ would be better seeding but needs sequential
+weighted draws; at 100 TB the standard move is k-means|| — out of
+scope, the fixed-init Lloyd's core is the same either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec, centroid_lits):
+    """Squared L2 between an array column and a literal double array,
+    as a sequential fold (matches DuckDB's list_sum order)."""
+    lit_arr = F.array(*[F.lit(float(x)) for x in centroid_lits])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    iterations: int = 4,
+    scale: int = 9,
+    dist_scale: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over ``vec_col`` (array<float/double>).
+
+    Returns (``id_col``, cluster: int, dist2: double) — each point's
+    final cluster and its squared distance (rounded to ``dist_scale``)
+    to that centroid. Empty clusters keep their previous centroid.
+
+    See module note for the plan shape and determinism contract.
+    """
+    pts = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x, scale)).alias("__v"),
+    )
+    # deterministic init: the k smallest ids' vectors (driver-side k rows)
+    init_rows = pts.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans: need >= k={k} points, got {len(init_rows)}")
+    centroids = {cid: list(r["__v"]) for cid, r in enumerate(init_rows)}
+    d = len(init_rows[0]["__v"])
+
+    def assign_expr():
+        structs = [
+            F.struct(
+                F.round(_sqdist(F.col("__v"), centroids[cid]),
+                        dist_scale).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid in sorted(centroids)
+        ]
+        return F.array_min(F.array(*structs))
+
+    for _ in range(iterations):
+        assigned = pts.withColumn("__a", assign_expr())
+        # the ONLY shuffle: (cluster, dim) partial-aggregated averages
+        upd = (
+            assigned.select(
+                F.col("__a.c").alias("__c"),
+                F.posexplode(F.col("__v")).alias("__j", "__x"),
+            )
+            .groupBy("__c", "__j")
+            .agg(F.round(F.avg("__x"), scale).alias("__m"))
+            .groupBy("__c")
+            .agg(F.array_sort(F.collect_list(F.struct("__j", "__m"))).alias(
+                "__e"
+            ))
+            .select("__c", F.col("__e.__m").alias("__cv"))
+            .collect()
+        )
+        new = {r["__c"]: list(r["__cv"]) for r in upd}
+        # empty clusters keep their previous centroid
+        centroids = {cid: new.get(cid, centroids[cid]) for cid in centroids}
+        if any(len(v) != d for v in centroids.values()):
+            raise ValueError("kmeans: ragged vector lengths in input")
+
+    final = pts.withColumn("__a", assign_expr())
+    return final.select(
+        F.col(id_col),
+        F.col("__a.c").alias("cluster"),
+        F.col("__a.d").alias("dist2"),
+    )

@@ -1,0 +1,91 @@
+"""k-means: separated blobs recovered, determinism, numpy replay."""
+from __future__ import annotations
+
+import numpy as np
+
+from jsonl_dataingestion_pipeline_spark.operators.clustering import kmeans
+
+
+def _blob_df(spark, centers, per, spread=0.05, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = 0
+    for c in centers:
+        base = np.zeros(dim)
+        base[c % dim] = float(c + 1)
+        for _ in range(per):
+            v = base + rng.uniform(-spread, spread, dim)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    df = _blob_df(spark, centers=[0, 3, 6], per=20)
+    out = kmeans(df, "vec", "id", k=3, iterations=5).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    # three well-separated blobs -> exactly the three id ranges
+    groups = sorted(frozenset(s) for s in by_cluster.values())
+    assert sorted(map(sorted, groups)) == [
+        list(range(0, 20)), list(range(20, 40)), list(range(40, 60))
+    ]
+    assert all(r.dist2 < 0.1 for r in out)  # tight blobs
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    df = _blob_df(spark, centers=[1, 4], per=15, spread=0.5)
+    r1 = sorted(map(tuple, kmeans(df, "vec", "id", k=2, iterations=4).collect()))
+    r2 = sorted(map(tuple, kmeans(df, "vec", "id", k=2, iterations=4).collect()))
+    assert r1 == r2
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    """Independent numpy replay of the same algorithm (rounded init,
+    rounded distances with cluster-id tie-break, rounded averages,
+    empty clusters keep previous centroids)."""
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((30, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "id long, vec array<double>",
+    )
+    k, iters = 4, 3
+    got = {
+        r.id: (r.cluster, r.dist2)
+        for r in kmeans(df, "vec", "id", k=k, iterations=iters).collect()
+    }
+
+    pts = np.round(vecs, 9)
+    cent = {c: pts[c].copy() for c in range(k)}  # k smallest ids
+
+    def assign():
+        out = {}
+        for i in range(len(pts)):
+            dists = [
+                (round(float(((pts[i] - cent[c]) ** 2).sum()), 6), c)
+                for c in sorted(cent)
+            ]
+            out[i] = min(dists)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        for c in sorted(cent):
+            members = [pts[i] for i, (d, cc) in a.items() if cc == c]
+            if members:
+                cent[c] = np.round(np.mean(members, axis=0), 9)
+    final = assign()
+    for i, (d, c) in final.items():
+        gc, gd = got[i]
+        assert gc == c, (i, gc, c)
+        assert abs(gd - d) < 2e-6, (i, gd, d)
+
+
+def test_kmeans_raises_on_too_few_points(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError):
+        kmeans(df, "vec", "id", k=3, iterations=1)
