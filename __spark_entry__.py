@@ -7503,3 +7503,79 @@ _ORACLE_SHAPES["q133_kmeans"] = (
     ("vec_id", "BIGINT"), ("cluster", "INTEGER"), ("dist2", "DOUBLE"),
 )
 _UNION_MERGES["q28_ann_topk"].append(("kmeans", "q133_kmeans"))
+
+
+def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed bag-of-n-grams linear classifier INFERENCE
+    over every document: unigram+bigram md5 feature hashing into 1024
+    buckets, model-as-broadcast-table weight lookup, per-doc mean
+    weight + bias as the logit, thresholded keep/drop label. The logit
+    (not the sigmoid) is emitted so the whole pass stays exact
+    cross-engine (functions/classifier.py module note)."""
+    from jsonl_dataingestion_pipeline_spark.functions.classifier import (
+        classify,
+        default_weight_table,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    w = default_weight_table(spark, n_features=1024)
+    out = classify(
+        d, "text", "doc_id", w,
+        n_features=1024, bias=-0.05, threshold=0.0,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_terms").alias("clf_n_terms"),
+        F.col("logit").alias("clf_logit"),
+        F.col("label").alias("clf_label"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q134_quality_classifier"] = q134_quality_classifier
+
+_ORACLE_DEDUP_SIM["q134_quality_classifier"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '') AS t
+        FROM documents WHERE doc_id < 600
+    ), terms AS (
+        SELECT doc_id, UNNEST(t) AS term FROM toks
+        UNION ALL
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+               )) AS term
+        FROM toks
+    ), w AS (
+        SELECT b AS bucket,
+               ROUND(((b * 2654435761 + 99991) % 2000003)
+                     / 2000003.0 * 2 - 1, 6) AS weight
+        FROM (SELECT UNNEST(generate_series(0, 1023)) AS b)
+    ), f AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 1024
+                   AS bucket
+        FROM terms
+    ), s AS (
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND(-0.05 + SUM(w.weight) / COUNT(*), 6) AS logit
+        FROM f JOIN w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_terms, 0) AS clf_n_terms,
+           COALESCE(s.logit, -0.05) AS clf_logit,
+           CASE WHEN COALESCE(s.logit, -0.05) >= 0.0
+                THEN 'keep' ELSE 'drop' END AS clf_label
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 600) d
+    LEFT JOIN s USING (doc_id)
+"""
+
+_ORACLE_SHAPES["q134_quality_classifier"] = (
+    ("doc_id", "BIGINT"), ("clf_n_terms", "BIGINT"),
+    ("clf_logit", "DOUBLE"), ("clf_label", "VARCHAR"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(("q134_quality_classifier", {}))
