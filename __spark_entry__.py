@@ -7579,3 +7579,187 @@ _ORACLE_SHAPES["q134_quality_classifier"] = (
 )
 
 _JOIN_MERGES["q20_doc_quality"][1].append(("q134_quality_classifier", {}))
+
+
+def q135_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph extraction: pages carry three deterministic
+    outlinks (one SHOUTING-case with default port + fragment, one
+    single-quoted with tracking params, one with userinfo credentials)
+    plus a relative stylesheet href. extract_links pulls every href,
+    canonicalize_url normalizes them (the relative one canonicalizes to
+    NULL and drops), and the (src_domain -> dst_domain) edge census is
+    aggregated — the frontier-building step a crawl ranking (q116
+    PageRank) consumes. The oracle rebuilds the SAME html in SQL and
+    replays extraction + canonicalization + registrable-domain
+    independently."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        canonicalize_url,
+        extract_links,
+        registered_domain,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+
+    def tgt(j: int):
+        return (F.col("doc_id") * 7 + F.lit(j * 13 + 1)) % 997
+
+    def dom(t):
+        return F.concat(
+            F.lit("site"),
+            (t % 60).cast("string"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+                (t % 3 + 1).cast("int"),
+            ),
+        )
+
+    t0, t1, t2 = tgt(0), tgt(1), tgt(2)
+    html = F.concat(
+        F.lit('<html><body><p>'), F.col("text"), F.lit('</p>'),
+        F.lit('<a href="HTTPS://WWW.'), dom(t0), F.lit(':443/p/'),
+        t0.cast("string"), F.lit('#top">one</a>'),
+        F.lit("<a href='https://"), dom(t1), F.lit('/p/'),
+        t1.cast("string"), F.lit("?utm_source=feed&b=2&a=1'>two</a>"),
+        F.lit('<a href="https://crawler:pw@'), dom(t2), F.lit('/p/'),
+        t2.cast("string"), F.lit('?ref=x">three</a>'),
+        F.lit('<link href="/styles.css"></body></html>'),
+    )
+    own_url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    links = d.select(
+        registered_domain(url_host(own_url)).alias("src_domain"),
+        F.explode(extract_links(html)).alias("href"),
+    )
+    canon = links.select(
+        "src_domain", canonicalize_url(F.col("href")).alias("cu")
+    ).filter(F.col("cu").isNotNull())
+    return (
+        canon.select(
+            "src_domain",
+            registered_domain(url_host(F.col("cu"))).alias("dst_domain"),
+            "cu",
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("cu").cast("long").alias("n_urls"),
+        )
+    )
+
+
+_DEDUP_SIM_QUERIES["q135_link_graph"] = q135_link_graph
+
+_ORACLE_DEDUP_SIM["q135_link_graph"] = r"""
+    WITH base AS (
+        SELECT doc_id, text, source,
+               (doc_id * 7 + 1) % 997 AS t0,
+               (doc_id * 7 + 14) % 997 AS t1,
+               (doc_id * 7 + 27) % 997 AS t2
+        FROM documents WHERE doc_id < 800
+    ), built AS (
+        SELECT doc_id, source,
+               '<html><body><p>' || text || '</p>' ||
+               '<a href="HTTPS://WWW.' ||
+               'site' || CAST(t0 % 60 AS VARCHAR) ||
+               CASE t0 % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                           ELSE '.org' END ||
+               ':443/p/' || CAST(t0 AS VARCHAR) || '#top">one</a>' ||
+               '<a href=''https://' ||
+               'site' || CAST(t1 % 60 AS VARCHAR) ||
+               CASE t1 % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                           ELSE '.org' END ||
+               '/p/' || CAST(t1 AS VARCHAR) ||
+               '?utm_source=feed&b=2&a=1''>two</a>' ||
+               '<a href="https://crawler:pw@' ||
+               'site' || CAST(t2 % 60 AS VARCHAR) ||
+               CASE t2 % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                           ELSE '.org' END ||
+               '/p/' || CAST(t2 AS VARCHAR) || '?ref=x">three</a>' ||
+               '<link href="/styles.css"></body></html>' AS html
+        FROM base
+    ), hrefs AS (
+        SELECT doc_id, source, UNNEST(
+            list_concat(
+                regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1),
+                regexp_extract_all(html,
+                    '(?i)href\s*=\s*''([^'']*)''', 1)
+            )) AS href
+        FROM built
+    ), pieces AS (
+        SELECT doc_id, source, href,
+               regexp_replace(href, '#.*$', '') AS nofrag
+        FROM hrefs
+    ), parsed AS (
+        SELECT doc_id, source,
+               lower(regexp_extract(nofrag,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(nofrag,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)',
+                   1)) AS hostport,
+               regexp_extract(nofrag,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                   AS rawpath,
+               regexp_extract(nofrag, '\?([^#]*)', 1) AS rawq
+        FROM pieces
+    ), canon AS (
+        SELECT doc_id, source, scheme,
+               regexp_replace(hostport, ':\d+$', '') AS host,
+               scheme || '://' ||
+               regexp_replace(hostport, ':\d+$', '') ||
+               CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) <> ''
+                     AND NOT (scheme = 'http'
+                              AND regexp_extract(hostport, ':(\d+)$', 1) = '80')
+                     AND NOT (scheme = 'https'
+                              AND regexp_extract(hostport, ':(\d+)$', 1) = '443')
+                    THEN ':' || regexp_extract(hostport, ':(\d+)$', 1)
+                    ELSE '' END ||
+               CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+               CASE WHEN array_to_string(list_sort(list_filter(
+                         string_split(rawq, '&'),
+                         p -> p <> ''
+                              AND NOT regexp_matches(p, '^utm_[^=]*(=.*)?$')
+                              AND NOT list_contains(
+                                  ['gclid','fbclid','msclkid','ref',
+                                   'sessionid'],
+                                  regexp_extract(p, '^([^=]*)', 1)))), '&')
+                         <> ''
+                    THEN '?' || array_to_string(list_sort(list_filter(
+                         string_split(rawq, '&'),
+                         p -> p <> ''
+                              AND NOT regexp_matches(p, '^utm_[^=]*(=.*)?$')
+                              AND NOT list_contains(
+                                  ['gclid','fbclid','msclkid','ref',
+                                   'sessionid'],
+                                  regexp_extract(p, '^([^=]*)', 1)))), '&')
+                    ELSE '' END AS cu
+        FROM parsed
+        WHERE scheme <> '' AND hostport <> ''
+    ), edges AS (
+        SELECT CASE WHEN regexp_matches(source || '.com', '\.co\.uk$')
+                    THEN regexp_extract(source || '.com',
+                         '([^.]+\.co\.uk)$', 1)
+                    ELSE source || '.com' END AS src_domain,
+               CASE WHEN regexp_matches(host, '\.co\.uk$')
+                    THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+                    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+               END AS dst_domain,
+               cu
+        FROM canon
+    )
+    SELECT src_domain, dst_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_urls
+    FROM edges GROUP BY src_domain, dst_domain
+"""
+
+_ORACLE_SHAPES["q135_link_graph"] = (
+    ("src_domain", "VARCHAR"), ("dst_domain", "VARCHAR"),
+    ("n_links", "BIGINT"), ("n_urls", "BIGINT"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("link_graph", "q135_link_graph")
+)

@@ -143,3 +143,77 @@ def registered_domain(host: "Column | str") -> Column:
     last2 = F.array_join(F.slice(labels, F.greatest(n - F.lit(1), F.lit(1)), 2), ".")
     last3 = F.array_join(F.slice(labels, F.greatest(n - F.lit(2), F.lit(1)), 3), ".")
     return F.when(last2.isin(*_TWO_LEVEL_SUFFIXES), last3).otherwise(last2)
+
+
+# query parameters stripped by canonicalize_url: tracking/session noise
+# that makes one logical page look like many distinct URLs (the classic
+# crawl-frontier dedup problem). Prefix match for utm_*, exact for the
+# rest.
+_TRACKING_EXACT = ("gclid", "fbclid", "msclkid", "ref", "sessionid")
+
+
+def canonicalize_url(c: "Column | str") -> Column:
+    """Crawl-frontier URL canonicalization — the normalization step
+    before URL-level dedup / frontier scheduling, built from regex +
+    array expressions only (identically replayable in the oracle):
+
+    1. fragment dropped (``#...``);
+    2. scheme and host lower-cased; ``userinfo@`` credentials dropped;
+    3. default ports removed (``http://h:80``, ``https://h:443``),
+       non-default ports kept;
+    4. empty path becomes ``/``;
+    5. query parameters: tracking params dropped (``utm_*`` prefix,
+       gclid/fbclid/msclkid/ref/sessionid exact), the rest SORTED so
+       param order can't split a page's identity; an emptied query
+       loses its ``?``.
+
+    NULL for values that do not look like absolute URLs (no scheme).
+    """
+    u = F.regexp_replace(_col(c), r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(
+            u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1
+        )
+    )
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^utm_[^=]*(=.*)?$")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*_TRACKING_EXACT),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), rebuilt)
+
+
+def extract_links(c: "Column | str") -> Column:
+    """All ``href`` attribute values in an HTML fragment, in document
+    order: double- then single-quoted forms (two RE2-safe extracts,
+    concatenated — no backreference so the oracle replays 1:1).
+    Unquoted hrefs are out of contract. Returns array<string>."""
+    h = _col(c)
+    dq = F.regexp_extract_all(h, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)
+    sq = F.regexp_extract_all(h, F.lit(r"(?i)href\s*=\s*'([^']*)'"), 1)
+    return F.concat(dq, sq)

@@ -275,3 +275,60 @@ def test_url_host_skips_userinfo(spark):
         spark, url_host("v"), "https://user:pw@Example.COM:8080/x"
     ) == "example.com"
     assert _one(spark, url_host("v"), "ftp://a@b@host.org/f") == "host.org"
+
+
+class TestCanonicalizeUrl:
+    def _c(self, spark, value):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            canonicalize_url,
+        )
+
+        return _one(spark, canonicalize_url(F.col("v")), value)
+
+    def test_batch_cases(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            canonicalize_url,
+        )
+
+        cases = [
+            # fragment dropped, scheme/host lowercased
+            ("HTTPS://Example.COM/a#frag", "https://example.com/a"),
+            # default ports removed, non-default kept
+            ("https://example.com:443/x", "https://example.com/x"),
+            ("http://example.com:80/x", "http://example.com/x"),
+            ("http://example.com:8080/x", "http://example.com:8080/x"),
+            # empty path -> /
+            ("https://example.com", "https://example.com/"),
+            # userinfo dropped
+            ("https://user:pw@example.com/a", "https://example.com/a"),
+            # tracking params dropped, rest sorted; emptied query loses ?
+            ("https://e.com/p?utm_source=x&b=2&a=1", "https://e.com/p?a=1&b=2"),
+            ("https://e.com/p?utm_campaign=x&gclid=9", "https://e.com/p"),
+            ("https://e.com/p?ref=foo&z=1&sessionid=s", "https://e.com/p?z=1"),
+            # param order can't split identity
+            ("https://e.com/p?b=2&a=1", "https://e.com/p?a=1&b=2"),
+            # 'refresh' is NOT the tracking param 'ref'
+            ("https://e.com/p?refresh=1", "https://e.com/p?refresh=1"),
+            # not an absolute URL -> NULL
+            ("/relative/path", None),
+            ("mailto:x@y.z", None),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "v string")
+        got = [
+            r["r"]
+            for r in df.select(canonicalize_url(F.col("v")).alias("r")).collect()
+        ]
+        for (u, want), g in zip(cases, got):
+            assert g == want, (u, g, want)
+
+
+def test_extract_links_both_quote_styles(spark):
+    from jsonl_dataingestion_pipeline_spark.functions.web import extract_links
+
+    html = (
+        '<a href="https://a.com/1">x</a> mid '
+        "<A HREF='https://b.com/2'>y</A>"
+        '<link href="/css.css">'
+    )
+    got = _one(spark, extract_links(F.col("v")), html)
+    assert got == ["https://a.com/1", "/css.css", "https://b.com/2"]
