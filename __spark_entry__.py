@@ -7763,3 +7763,69 @@ _ORACLE_SHAPES["q135_link_graph"] = (
 _UNION_MERGES["q33_text_extract_battery"].append(
     ("link_graph", "q135_link_graph")
 )
+
+
+def q136_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: the planted corpus pairs every
+    document with a 10-token-shorter twin; ``dedup_keep_best`` keeps
+    the TOKEN-RICHEST member of each near-dup cluster (ties -> smaller
+    id) instead of the arbitrary min-id representative — so here the
+    full-length originals survive and the truncated twins drop. The
+    oracle replays the components recursively and arg-maxes
+    (n_tokens DESC, id ASC) per component."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        tokens,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        dedup_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir).withColumn(
+        "ntok", F.size(F.filter(tokens(F.col("text")), lambda x: x != ""))
+    )
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "id", shingle_k=3, sample_hex_prefix="0",
+        threshold=0.5, base=_planted_shingle_base(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    kept = dedup_keep_best(corpus, pairs, "id", "ntok")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("kb_n_survivors"),
+        F.sum("id").cast("long").alias("kb_sum_ids"),
+        F.sum("ntok").cast("long").alias("kb_sum_tokens"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q136_keep_best_survivors"] = q136_keep_best_survivors
+
+_ORACLE_DEDUP_SIM["q136_keep_best_survivors"] = _Q55_SURVIVORS_SQL[
+    : _Q55_SURVIVORS_SQL.rindex("SELECT CAST(COUNT(*)")
+] + r"""
+    , sized AS (
+        SELECT c.id, l.comp,
+               len(list_filter(regexp_split_to_array(TRIM(c.text), '\s+'),
+                               x -> x <> '')) AS ntok
+        FROM corpus c JOIN labels l ON c.id = l.id
+    ), winners AS (
+        SELECT id, ntok FROM (
+            SELECT id, ntok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY comp ORDER BY ntok DESC, id ASC
+                   ) AS rn
+            FROM sized
+        ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS kb_n_survivors,
+           CAST(SUM(id) AS BIGINT) AS kb_sum_ids,
+           CAST(SUM(ntok) AS BIGINT) AS kb_sum_tokens
+    FROM winners
+"""
+
+_ORACLE_SHAPES["q136_keep_best_survivors"] = (
+    ("kb_n_survivors", "BIGINT"), ("kb_sum_ids", "BIGINT"),
+    ("kb_sum_tokens", "BIGINT"),
+)
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("keep_best", "q136_keep_best_survivors")
+)

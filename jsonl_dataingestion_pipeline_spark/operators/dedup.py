@@ -684,6 +684,38 @@ def dedup_near_duplicates(
     return df.join(keep, on=id_col, how="leftsemi")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    reliable: bool = False,
+) -> DataFrame:
+    """Near-dup dedup that keeps the BEST row per cluster, not the
+    min-id one: among each connected component of the pair graph the
+    row with the highest ``score_col`` survives (ties -> smallest id).
+    The curation semantics: near-duplicate web pages keep the longest /
+    highest-quality variant, not an arbitrary representative.
+
+    Plan: the component labeling (one iterative job, see
+    :func:`connected_components`), one per-component argmax aggregate
+    (max over (score, -id) structs — deterministic, partial-aggregated
+    map-side), one semi-join back. ``score_col`` must be numeric and
+    non-null."""
+    comp = connected_components(df, pairs, id_col=id_col, reliable=reliable)
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+    ).join(comp, on="id")
+    best = scored.groupBy("comp").agg(
+        F.max(
+            F.struct(F.col("__s").alias("s"), (-F.col("id")).alias("negid"))
+        ).alias("__b")
+    )
+    keep = best.select((-F.col("__b.negid")).alias(id_col))
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -274,6 +274,28 @@ def test_connected_components_and_neardup_dedup(spark):
     assert kept == [0, 4, 5, 7]  # one representative per cluster + singletons
 
 
+def test_dedup_keep_best_picks_highest_score(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    # components: {0,1,2,3}, {5,6}, singletons 4 and 7
+    nodes = spark.createDataFrame(
+        [(0, 10.0), (1, 30.0), (2, 30.0), (3, 5.0),
+         (4, 1.0), (5, 2.0), (6, 9.0), (7, 0.0)],
+        "id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_l long, id_r long"
+    )
+    kept = sorted(
+        r["id"] for r in dedup_keep_best(nodes, pairs, "id", "score").collect()
+    )
+    # cluster {0..3}: max score 30 tied between 1 and 2 -> smaller id 1;
+    # cluster {5,6}: 6 wins on score; singletons survive regardless
+    assert kept == [1, 4, 6, 7]
+
+
 def test_deterministic_sample_properties(spark):
     from jsonl_dataingestion_pipeline_spark.functions.sampling import (
         deterministic_sample,
