@@ -7829,3 +7829,119 @@ _ORACLE_SHAPES["q136_keep_best_survivors"] = (
 _UNION_MERGES["q51_neardup_clusters_battery"].append(
     ("keep_best", "q136_keep_best_survivors")
 )
+
+
+def q137_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold benchmark decontamination (fuzzy upgrade of
+    q68's exact 13-gram rule): the corpus is salted with LEAKED copies
+    of the benchmark docs (last 5 tokens dropped, id + 100000), which
+    exact containment of a long n-gram may still catch but whose point
+    here is a HIGH-Jaccard partial match; fuzzy_decontaminate flags
+    every corpus doc whose shingle-set Jaccard with any benchmark doc
+    reaches 0.5 and names the argmax benchmark. The oracle brute-forces
+    every (corpus, benchmark) pair with list_intersect — no candidate
+    pruning — proving the broadcast shared-shingle candidate set loses
+    nothing."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        tokens,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    toks = tokens(F.col("text"))
+    leaked = bench.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.filter(F.col("doc_id") % 50 != 0).unionByName(leaked)
+    return fuzzy_decontaminate(
+        corpus, bench, "text", "doc_id", shingle_k=3, threshold=0.5
+    )
+
+
+_DEDUP_SIM_QUERIES["q137_fuzzy_decontamination"] = q137_fuzzy_decontamination
+
+_ORACLE_DEDUP_SIM["q137_fuzzy_decontamination"] = r"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+    ), bench AS (
+        SELECT doc_id, text FROM d WHERE doc_id % 50 = 0
+    ), leaked AS (
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(
+                   (regexp_split_to_array(TRIM(text), '\s+'))
+                       [1:GREATEST(len(regexp_split_to_array(TRIM(text),
+                                                             '\s+')) - 5, 1)],
+                   ' ') AS text
+        FROM bench
+    ), corpus AS (
+        SELECT doc_id, text FROM d WHERE doc_id % 50 <> 0
+        UNION ALL SELECT doc_id, text FROM leaked
+    ), csh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(
+                       len(regexp_split_to_array(TRIM(text), '\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        COALESCE(regexp_split_to_array(TRIM(text), '\s+')[CAST(i AS INT)], ''),
+                        COALESCE(regexp_split_to_array(TRIM(text), '\s+')[CAST(i AS INT) + 1], ''),
+                        COALESCE(regexp_split_to_array(TRIM(text), '\s+')[CAST(i AS INT) + 2], ''))))
+                   AS sh
+        FROM corpus
+    ), bsh AS (
+        SELECT doc_id AS bid,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(
+                       len(regexp_split_to_array(TRIM(text), '\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        COALESCE(regexp_split_to_array(TRIM(text), '\s+')[CAST(i AS INT)], ''),
+                        COALESCE(regexp_split_to_array(TRIM(text), '\s+')[CAST(i AS INT) + 1], ''),
+                        COALESCE(regexp_split_to_array(TRIM(text), '\s+')[CAST(i AS INT) + 2], ''))))
+                   AS sh
+        FROM bench
+    ), pairs AS (
+        SELECT c.doc_id, b.bid,
+               ROUND(len(list_intersect(c.sh, b.sh)) /
+                     CAST(len(c.sh) + len(b.sh)
+                          - len(list_intersect(c.sh, b.sh)) AS DOUBLE),
+                     6) AS j
+        FROM csh c CROSS JOIN bsh b
+        WHERE len(list_intersect(c.sh, b.sh)) > 0
+    ), best AS (
+        SELECT doc_id, j, bid FROM (
+            SELECT doc_id, j, bid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY j DESC, bid ASC
+                   ) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT c.doc_id,
+           COALESCE(b.j, 0.0) AS max_jaccard,
+           COALESCE(b.j, 0.0) >= 0.5 AS contaminated,
+           CASE WHEN COALESCE(b.j, 0.0) >= 0.5 THEN b.bid END
+               AS matched_bench
+    FROM corpus c LEFT JOIN best b USING (doc_id)
+"""
+
+_ORACLE_SHAPES["q137_fuzzy_decontamination"] = (
+    ("doc_id", "BIGINT"), ("max_jaccard", "DOUBLE"),
+    ("contaminated", "BOOLEAN"), ("matched_bench", "BIGINT"),
+)
+
+_ORACLE_SHAPES["q68_decontamination"] = (
+    ("doc_id", "BIGINT"), ("n_hits", "BIGINT"), ("contaminated", "BOOLEAN"),
+)
+
+# q68 becomes a two-member battery: exact 13-gram containment + fuzzy
+# Jaccard-threshold overlap, same decontamination family.
+_STANDALONE.remove("q68_decontamination")
+_UNION_MERGES["q68_decontamination"] = [
+    ("exact", "q68_decontamination"),
+    ("fuzzy", "q137_fuzzy_decontamination"),
+]

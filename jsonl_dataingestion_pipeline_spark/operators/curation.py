@@ -845,3 +845,90 @@ def chunk_text(
             F.array_join(F.col("c.w"), " ").alias("chunk"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Jaccard-threshold benchmark decontamination — the fuzzy upgrade
+    of :func:`contamination_flags`: a corpus document is contaminated
+    when its shingle-SET Jaccard similarity with ANY benchmark document
+    reaches ``threshold`` (catches paraphrased/partially-edited eval
+    leakage that exact n-gram containment misses).
+
+    EXACT, no LSH recall loss: any pair with Jaccard > 0 shares at
+    least one shingle, so candidates = corpus-shingles semi-joined
+    against the benchmark shingle set are complete for every positive
+    threshold. Scale design mirrors the exact decontaminator: the
+    BENCHMARK side (eval sets — MBs, not TBs) reduces to distinct
+    (benchmark_id, shingle) rows and broadcasts; the corpus side is
+    exploded once and never shuffles against itself. Set sizes join in
+    as two tiny aggregates; Jaccard is computed from intersection
+    counts alone (no array materialization). One (corpus, benchmark)
+    grouped count is the only data-sized shuffle, bounded by the true
+    candidate pairs.
+
+    Returns one row per corpus document: (``id_col``, max_jaccard
+    DOUBLE — 0.0 when no overlap, rounded to ``scale``; contaminated
+    BOOLEAN; matched_bench BIGINT — the argmax benchmark id, ties ->
+    smallest, NULL when not contaminated).
+    """
+    from ..functions.textstats import shingles
+
+    def sh(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_k))
+            ).alias("__sh"),
+        )
+
+    c_sh = sh(corpus, "__cid")
+    b_sh = F.broadcast(sh(benchmark, "__bid"))
+    inter = (
+        c_sh.join(b_sh, on="__sh")
+        .groupBy("__cid", "__bid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__inter"))
+    )
+    c_n = c_sh.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nc"))
+    b_n = b_sh.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
+    jacc = (
+        inter.join(c_n, on="__cid")
+        .join(F.broadcast(b_n), on="__bid")
+        .select(
+            "__cid",
+            "__bid",
+            F.round(
+                F.col("__inter")
+                / (F.col("__nc") + F.col("__nb") - F.col("__inter")).cast(
+                    "double"
+                ),
+                scale,
+            ).alias("__j"),
+        )
+    )
+    best = jacc.groupBy("__cid").agg(
+        F.max(
+            F.struct(F.col("__j").alias("j"), (-F.col("__bid")).alias("nb"))
+        ).alias("__b")
+    )
+    out = corpus.select(F.col(id_col)).join(
+        best.withColumnRenamed("__cid", id_col), on=id_col, how="left"
+    )
+    max_j = F.coalesce(F.col("__b.j"), F.lit(0.0))
+    contaminated = max_j >= threshold
+    return out.select(
+        F.col(id_col),
+        max_j.alias("max_jaccard"),
+        contaminated.alias("contaminated"),
+        F.when(contaminated, -F.col("__b.nb"))
+        .cast("long")
+        .alias("matched_bench"),
+    )

@@ -777,3 +777,33 @@ def test_scd2_null_state_is_a_real_version(spark):
     assert [(r.v, r.is_current) for r in out] == [
         ("a", False), (None, False), ("b", True)
     ]
+
+
+def test_fuzzy_decontaminate_flags_paraphrased_leak(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    bench = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+    ])
+    corpus = _docs(spark, [
+        # near-copy of bench 1 (last word changed) -> high Jaccard
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        # unrelated
+        (11, "completely different text with no overlap whatsoever here"),
+        # shares a couple of shingles with bench 2 but far below 0.5
+        (12, "one two three totally unrelated tail of words goes here"),
+    ])
+    out = {
+        r.id: r
+        for r in fuzzy_decontaminate(
+            corpus, bench, "text", "id", shingle_k=3, threshold=0.5
+        ).collect()
+    }
+    assert out[10].contaminated and out[10].matched_bench == 1
+    assert out[10].max_jaccard > 0.5
+    assert not out[11].contaminated and out[11].matched_bench is None
+    assert out[11].max_jaccard == 0.0
+    assert not out[12].contaminated and 0.0 < out[12].max_jaccard < 0.5
