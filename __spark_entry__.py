@@ -7945,3 +7945,84 @@ _UNION_MERGES["q68_decontamination"] = [
     ("exact", "q68_decontamination"),
     ("fuzzy", "q137_fuzzy_decontamination"),
 ]
+
+
+def q138_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window completeness: lead, first_value / nth_value over
+    explicit ROWS frames, cume_dist, dense_rank — the remaining SQL
+    window surface q56 doesn't carry. All orderings fully tiebroken
+    (price, orderkey) so frames are total orders and both engines see
+    identical frame contents."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    d = F.col("o_orderdate").cast("date")
+    by_cust = Window.partitionBy("o_custkey").orderBy(
+        d.asc(), F.col("o_orderkey").asc()
+    )
+    by_seg = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    seg_run = by_seg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(F.lead(d, 1).over(by_cust), d).alias("days_until_next"),
+        F.first_value(F.col("o_totalprice")).over(seg_run).alias(
+            "seg_min_price"
+        ),
+        F.nth_value(F.col("o_totalprice"), 2).over(seg_run).alias(
+            "seg_second_price"
+        ),
+        F.round(F.cume_dist().over(by_seg), 6).alias("seg_cume"),
+        F.dense_rank().over(by_seg).cast("int").alias("seg_dense_rank"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q138_window_extras"] = q138_window_extras
+
+_ORACLE_DEDUP_SIM["q138_window_extras"] = """
+    SELECT o_orderkey AS orderkey,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                LEAD(CAST(o_orderdate AS DATE), 1) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+                )) AS INT) AS days_until_next,
+           FIRST_VALUE(o_totalprice) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS seg_min_price,
+           NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS seg_second_price,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+           ), 6) AS seg_cume,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+           ) AS INT) AS seg_dense_rank
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 20 = 0
+"""
+
+_ORACLE_SHAPES["q138_window_extras"] = (
+    ("orderkey", "BIGINT"), ("days_until_next", "INTEGER"),
+    ("seg_min_price", "DOUBLE"), ("seg_second_price", "DOUBLE"),
+    ("seg_cume", "DOUBLE"), ("seg_dense_rank", "INTEGER"),
+)
+
+_ORACLE_SHAPES["q56_window_suite"] = (
+    ("orderkey", "BIGINT"), ("days_since_prev", "INTEGER"),
+    ("price_quartile", "INTEGER"), ("price_pct_rank", "DOUBLE"),
+)
+
+# q56 becomes a two-member battery covering the full analytic surface
+_STANDALONE.remove("q56_window_suite")
+_UNION_MERGES["q56_window_suite"] = [
+    ("core", "q56_window_suite"),
+    ("extras", "q138_window_extras"),
+]
