@@ -8026,3 +8026,99 @@ _UNION_MERGES["q56_window_suite"] = [
     ("core", "q56_window_suite"),
     ("extras", "q138_window_extras"),
 ]
+
+
+def q139_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table fingerprinting: the incremental-merge result
+    (orders split into a base snapshot and a late delta, merged with
+    merge_upsert) must fingerprint IDENTICALLY to the from-scratch
+    relation — emitted as both fingerprints plus the equality verdict.
+    Everything is int/string typed so the md5-of-JSON row key is
+    byte-identical in the oracle's replay."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        merge_upsert,
+        table_fingerprint,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    # base = even keys with status overwritten (stale), delta = the true
+    # rows for keys % 3 == 0 plus all odd keys: the merge must repair
+    # base's stale rows and add the missing ones.
+    base = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("STALE")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    delta = o.filter(
+        (F.col("o_orderkey") % 3 == 0) | (F.col("o_orderkey") % 2 == 1)
+    )
+    merged = merge_upsert(base, delta, ["o_orderkey"])
+    fp_m = table_fingerprint(merged).select(
+        F.lit("merged").alias("side"), "n_rows", "xor_fp", "sum_fp"
+    )
+    fp_f = table_fingerprint(o).select(
+        F.lit("full").alias("side"), "n_rows", "xor_fp", "sum_fp"
+    )
+    return fp_m.unionByName(fp_f)
+
+
+_DEDUP_SIM_QUERIES["q139_table_fingerprint"] = q139_table_fingerprint
+
+_ORACLE_DEDUP_SIM["q139_table_fingerprint"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders
+    ), base AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'STALE'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_orderpriority
+        FROM o WHERE o_orderkey % 2 = 0
+    ), delta AS (
+        SELECT * FROM o
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 1
+    ), merged AS (
+        SELECT * FROM delta
+        UNION ALL
+        SELECT * FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey
+        )
+    ), keyed AS (
+        SELECT 'merged' AS side,
+               CAST('0x' || substr(md5(to_json(struct_pack(
+                   o_orderkey := o_orderkey, o_custkey := o_custkey,
+                   o_orderstatus := o_orderstatus,
+                   o_orderpriority := o_orderpriority))::VARCHAR), 1, 15)
+                   AS BIGINT) AS k
+        FROM merged
+        UNION ALL
+        SELECT 'full' AS side,
+               CAST('0x' || substr(md5(to_json(struct_pack(
+                   o_orderkey := o_orderkey, o_custkey := o_custkey,
+                   o_orderstatus := o_orderstatus,
+                   o_orderpriority := o_orderpriority))::VARCHAR), 1, 15)
+                   AS BIGINT) AS k
+        FROM o
+    )
+    SELECT side,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(k) AS BIGINT) AS xor_fp,
+           CAST(SUM(k % 268435456) AS BIGINT) AS sum_fp
+    FROM keyed GROUP BY side
+"""
+
+_ORACLE_SHAPES["q139_table_fingerprint"] = (
+    ("side", "VARCHAR"), ("n_rows", "BIGINT"),
+    ("xor_fp", "BIGINT"), ("sum_fp", "BIGINT"),
+)
+
+_UNION_MERGES["q70_delta_audit"].append(
+    ("fingerprint", "q139_table_fingerprint")
+)

@@ -932,3 +932,53 @@ def fuzzy_decontaminate(
         .cast("long")
         .alias("matched_bench"),
     )
+
+
+def table_fingerprint(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a table: one row of
+    (n_rows, xor_fp, sum_fp) over a 60-bit per-row md5 key of the
+    canonical JSON of ``cols`` (all columns by default).
+
+    The anti-entropy check for incremental pipelines: an incrementally
+    maintained table equals its from-scratch recompute iff all three
+    values match (modulo astronomically unlikely collisions). Both
+    aggregates are commutative/associative — independent of
+    partitioning and row order, partial-aggregated map-side, and
+    comparable across clusters. Two complementary checksums because
+    each alone has a blind spot: XOR never overflows but cancels
+    even-multiplicity duplicate rows; SUM sees multiplicity but must
+    not overflow, so keys are reduced mod 2^28 first (exact up to
+    ~3.4e10 rows — raise the reduction if a table outgrows that).
+    ``to_json`` of a struct is deterministic given column order — pass
+    ``cols`` explicitly when schemas may differ in column order."""
+    cols = list(cols or df.columns)
+    # ignoreNullFields=false so a NULL field serializes as "c":null —
+    # unambiguous vs a missing column, and byte-identical to DuckDB's
+    # to_json(struct_pack(...)) for int/string columns (floats/dates
+    # format engine-specifically; stringify those explicitly first when
+    # a fingerprint must be compared cross-engine).
+    row_key = F.conv(
+        F.substring(
+            F.md5(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.bit_xor(row_key), F.lit(0)).cast("long").alias(
+            "xor_fp"
+        ),
+        F.coalesce(F.sum(row_key % F.lit(2 ** 28)), F.lit(0))
+        .cast("long")
+        .alias("sum_fp"),
+    )

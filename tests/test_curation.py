@@ -807,3 +807,44 @@ def test_fuzzy_decontaminate_flags_paraphrased_leak(spark):
     assert not out[11].contaminated and out[11].matched_bench is None
     assert out[11].max_jaccard == 0.0
     assert not out[12].contaminated and 0.0 < out[12].max_jaccard < 0.5
+
+
+def test_table_fingerprint_order_and_partition_invariant(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        table_fingerprint,
+    )
+
+    rows = [(i, f"v{i % 7}") for i in range(100)]
+    a = spark.createDataFrame(rows, "k long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string") \
+        .repartition(13)
+    fa = table_fingerprint(a).head()
+    fb = table_fingerprint(b).head()
+    assert (fa.n_rows, fa.xor_fp, fa.sum_fp) == (fb.n_rows, fb.xor_fp, fb.sum_fp)
+    # any single-row change must flip the fingerprint
+    c = spark.createDataFrame(rows[:-1] + [(99, "CHANGED")], "k long, v string")
+    fc = table_fingerprint(c).head()
+    assert (fc.xor_fp, fc.sum_fp) != (fa.xor_fp, fa.sum_fp)
+    # duplicate-row multiplicity: XOR alone cancels, SUM catches it
+    d = spark.createDataFrame(rows + rows, "k long, v string")
+    fd = table_fingerprint(d).head()
+    assert fd.xor_fp == 0 or fd.xor_fp != fa.xor_fp  # xor blind spot is real
+    assert fd.sum_fp == 2 * fa.sum_fp and fd.n_rows == 200
+
+
+def test_q139_merge_equals_full_recompute(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_fp", "/root/repo/__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    out = {
+        r.side: r
+        for r in em.q139_table_fingerprint(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    m, f = out["merged"], out["full"]
+    assert (m.n_rows, m.xor_fp, m.sum_fp) == (f.n_rows, f.xor_fp, f.sum_fp)
