@@ -230,6 +230,37 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         )
         return pagerank(rep, iterations=6)
 
+    def q133_scaled(spark, sf_dir):
+        # Lloyd's k-means over the full scaled embedding table: output
+        # rows = points = k-linear by construction; the check is that
+        # WALL stays linear (assignment is one scan per iteration, the
+        # update shuffle is n*d narrow rows into k*d groups).
+        from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+            kmeans,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return kmeans(e, "embedding", "vec_id", k=8, iterations=3)
+
+    def q137_scaled(spark, sf_dir):
+        # fuzzy decontamination: benchmark = replica-0 docs (every
+        # other replica's word-suffixed text shares ZERO shingles with
+        # it), so contaminated hits stay constant while corpus rows and
+        # wall must scale linearly with k.
+        from jsonl_dataingestion_pipeline_spark.operators.curation import (
+            fuzzy_decontaminate,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        bench = d.filter(
+            (F.col("doc_id") < ID_OFFSET) & (F.col("doc_id") % 50 == 0)
+        )
+        return fuzzy_decontaminate(
+            d, bench, "text", "doc_id", shingle_k=3, threshold=0.5
+        )
+
     def q118_scaled(spark, sf_dir):
         from jsonl_dataingestion_pipeline_spark.plans.webcorpus import (
             extract_web_corpus,
@@ -270,6 +301,8 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q111_bigram_lm": q111_scaled,
         "q116_pagerank_replicas": q116_scaled,
         "q118_web_pipeline": q118_scaled,
+        "q133_kmeans": q133_scaled,
+        "q137_fuzzy_decontam": q137_scaled,
     }
     out = {}
     for name, fn in runs.items():
