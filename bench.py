@@ -59,6 +59,10 @@ HEADLINE = [
     "q113_cms_heavy_hitters",
     "q116_pagerank",
     "q118_web_pipeline",
+    "q133_kmeans",
+    "q134_quality_classifier",
+    "q135_link_graph",
+    "q137_fuzzy_decontamination",
 ]
 
 
