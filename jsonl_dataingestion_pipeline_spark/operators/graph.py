@@ -93,14 +93,21 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: edge table is empty (no nodes)")
     teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), scale))
+    # static (node_id, __deg) stitched once so each iteration broadcasts
+    # ONE |V|-frame to the edges (rank+degree together), not two
+    nodes_deg = _break(
+        nodes.join(
+            deg.withColumnRenamed("__src", "node_id"), on="node_id",
+            how="left",
+        )
+    )
+    ranks = nodes_deg.withColumn("rank", F.round(F.lit(1.0 / n), scale))
     rank_side = (
         (lambda d: F.broadcast(d)) if broadcast_ranks else (lambda d: d)
     )
     for i in range(iterations):
         contribs = (
             e.join(rank_side(ranks), e["__src"] == ranks["node_id"])
-            .join(rank_side(deg), on="__src")
             .select(
                 F.col("__dst").alias("node_id"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -108,7 +115,7 @@ def pagerank(
         )
         summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
         incoming = F.coalesce(F.col("__in"), F.lit(0.0))
-        stitched = nodes.join(rank_side(summed), on="node_id", how="left")
+        stitched = nodes_deg.join(rank_side(summed), on="node_id", how="left")
         if has_dangling:
             # 1-row dangling-mass frame, broadcast to every node. The
             # mass is re-rounded like the ranks so the summation-order
@@ -124,13 +131,15 @@ def pagerank(
             stitched = stitched.crossJoin(F.broadcast(dmass))
             incoming = incoming + F.col("__dmass") / F.lit(float(n))
         # the stitch join is |V| x |V|: same size class as the rank
-        # vector, so it rides the same broadcast knob
+        # vector, so it rides the same broadcast knob. __deg rides along
+        # so the next iteration's edge join needs no second broadcast.
         ranks = stitched.select(
             "node_id",
+            "__deg",
             F.round(
                 F.lit(teleport) + F.lit(damping) * incoming, scale
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = _break(ranks)
-    return ranks
+    return ranks.select("node_id", "rank")
