@@ -21,9 +21,21 @@ Spark-first shape (Lloyd's algorithm):
 - **The update step is the only shuffle**: ``posexplode`` the vectors
   and average per (cluster, dimension) — n·d narrow rows into a
   map-side partial aggregate of at most k·d groups.
-- For k·d too large to embed in codegen (tens of thousands of
-  clusters), swap the literal projection for a broadcast join against
-  the centroid frame + ``min_by`` — same plan class, documented knob.
+- **For k·d too large to embed in codegen** (SemDeDup-realistic k is
+  10⁴-10⁵ clusters, where a k·d-literal projection would blow up the
+  generated code), ``assign_via_join=True`` ships the centroids as a
+  ONE-ROW broadcast frame holding an ``array<struct<c,cv>>`` column:
+  a ``BroadcastNestedLoopJoin`` glues that row onto every point
+  partition and the argmin is ``array_min`` over a ``transform`` of
+  the runtime array — data, not code, so k is bounded by broadcast
+  memory (k=10⁵ × d=768 doubles ≈ 600 MB — chunk above that), not by
+  the JVM's 64 KB method limit. Still zero shuffle: strictly better
+  than the centroid-join + ``min_by`` alternative, which would
+  shuffle n·k joined rows into a per-point aggregate. The fold, the
+  rounding, and the (dist, cluster) tie-break are byte-identical to
+  the literal path, so both modes return bit-equal assignments
+  (differential-tested); ``assign_via_join=None`` (default) picks the
+  join path automatically when k·d exceeds ``AUTO_JOIN_KD``.
 
 Determinism / oracle replay (same discipline as ``graph.pagerank``):
 centroid coordinates are re-rounded to ``scale`` decimals every
@@ -43,14 +55,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sqdist(vec, centroid_lits):
-    """Squared L2 between an array column and a literal double array,
-    as a sequential fold (matches DuckDB's list_sum order)."""
-    lit_arr = F.array(*[F.lit(float(x)) for x in centroid_lits])
+#: k·d above which ``assign_via_join=None`` switches from the literal
+#: codegen projection to the one-row broadcast-array assignment. 4096
+#: keeps the generated method for the literal path well under the JVM's
+#: 64 KB bytecode-per-method limit.
+AUTO_JOIN_KD = 4096
+
+
+def _sqdist_cols(vec, cvec):
+    """Squared L2 between two array<double> columns, as a sequential
+    fold (matches DuckDB's list_sum order). Shared by both assignment
+    modes so their float summation order is byte-identical."""
     return F.aggregate(
-        F.zip_with(vec, lit_arr, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _sqdist(vec, centroid_lits):
+    """Squared L2 between an array column and a literal double array."""
+    return _sqdist_cols(
+        vec, F.array(*[F.lit(float(x)) for x in centroid_lits])
     )
 
 
@@ -63,6 +89,7 @@ def kmeans(
     iterations: int = 4,
     scale: int = 9,
     dist_scale: int = 6,
+    assign_via_join: bool | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over ``vec_col`` (array<float/double>).
 
@@ -70,7 +97,10 @@ def kmeans(
     final cluster and its squared distance (rounded to ``dist_scale``)
     to that centroid. Empty clusters keep their previous centroid.
 
-    See module note for the plan shape and determinism contract.
+    ``assign_via_join``: False = k·d-literal codegen projection;
+    True = one-row broadcast ``array<struct>`` assignment (large-k
+    path, bit-equal results); None (default) = join path iff
+    ``k * d > AUTO_JOIN_KD``. See module note for plan shapes.
     """
     pts = df.select(
         F.col(id_col),
@@ -83,8 +113,11 @@ def kmeans(
         raise ValueError(f"kmeans: need >= k={k} points, got {len(init_rows)}")
     centroids = {cid: list(r["__v"]) for cid, r in enumerate(init_rows)}
     d = len(init_rows[0]["__v"])
+    if assign_via_join is None:
+        assign_via_join = k * d > AUTO_JOIN_KD
+    spark = df.sparkSession
 
-    def assign_expr():
+    def assign_literal(frame):
         structs = [
             F.struct(
                 F.round(_sqdist(F.col("__v"), centroids[cid]),
@@ -93,10 +126,42 @@ def kmeans(
             )
             for cid in sorted(centroids)
         ]
-        return F.array_min(F.array(*structs))
+        return frame.withColumn("__a", F.array_min(F.array(*structs)))
+
+    def assign_join(frame):
+        # centroids as DATA: one row, one array<struct<c,cv>> column,
+        # broadcast-nested-loop-glued onto every point partition. The
+        # argmin runs over the runtime array, so k never touches the
+        # generated code size. Zero shuffle, same fold/round/tie-break
+        # as the literal path.
+        cents = [
+            (int(cid), [float(x) for x in centroids[cid]])
+            for cid in sorted(centroids)
+        ]
+        cdf = spark.createDataFrame(
+            [(cents,)], "__cents array<struct<c:int,cv:array<double>>>"
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("__cents"),
+                lambda s: F.struct(
+                    F.round(
+                        _sqdist_cols(F.col("__v"), s["cv"]), dist_scale
+                    ).alias("d"),
+                    s["c"].alias("c"),
+                ),
+            )
+        )
+        return (
+            frame.crossJoin(F.broadcast(cdf))
+            .withColumn("__a", best)
+            .drop("__cents")
+        )
+
+    assign = assign_join if assign_via_join else assign_literal
 
     for _ in range(iterations):
-        assigned = pts.withColumn("__a", assign_expr())
+        assigned = assign(pts)
         # the ONLY shuffle: (cluster, dim) partial-aggregated averages
         upd = (
             assigned.select(
@@ -118,7 +183,7 @@ def kmeans(
         if any(len(v) != d for v in centroids.values()):
             raise ValueError("kmeans: ragged vector lengths in input")
 
-    final = pts.withColumn("__a", assign_expr())
+    final = assign(pts)
     return final.select(
         F.col(id_col),
         F.col("__a.c").alias("cluster"),

@@ -89,3 +89,54 @@ def test_kmeans_raises_on_too_few_points(spark):
     df = spark.createDataFrame([(1, [0.0, 1.0])], "id long, vec array<double>")
     with pytest.raises(ValueError):
         kmeans(df, "vec", "id", k=3, iterations=1)
+
+
+def test_kmeans_join_assignment_bit_equal(spark):
+    """The large-k broadcast-array assignment returns byte-identical
+    (cluster, dist2) to the literal-projection path — same fold order,
+    rounding, and tie-break, just data instead of codegen literals."""
+    rng = np.random.RandomState(23)
+    vecs = rng.standard_normal((40, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    lit = sorted(map(tuple, kmeans(
+        df, "vec", "id", k=4, iterations=3, assign_via_join=False
+    ).collect()))
+    jn = sorted(map(tuple, kmeans(
+        df, "vec", "id", k=4, iterations=3, assign_via_join=True
+    ).collect()))
+    assert lit == jn
+
+
+def test_kmeans_auto_mode_picks_join_for_large_kd(spark):
+    """assign_via_join=None must route through the broadcast path when
+    k*d > AUTO_JOIN_KD: the final plan carries a BroadcastNestedLoopJoin
+    and ZERO shuffle Exchanges (assignment is still one scan)."""
+    from jsonl_dataingestion_pipeline_spark.operators import clustering
+
+    rng = np.random.RandomState(5)
+    d = 64
+    vecs = rng.standard_normal((80, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "id long, vec array<double>",
+    )
+    k = 70  # k*d = 4480 > AUTO_JOIN_KD=4096
+    assert k * d > clustering.AUTO_JOIN_KD
+    out = kmeans(df, "vec", "id", k=k, iterations=1)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert "ShuffleExchange" not in plan.replace(
+        "Exchange SinglePartition", ""
+    )
+    # no shuffle Exchange at all in the assignment query
+    for line in tree.splitlines():
+        node = line.split("- ")[-1]
+        assert not node.startswith("Exchange hashpartitioning"), tree

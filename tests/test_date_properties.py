@@ -7,6 +7,7 @@ highest-risk parity point.
 from __future__ import annotations
 
 import datetime
+import warnings
 
 import pandas as pd
 import pytest
@@ -44,7 +45,12 @@ def test_dayfirst_chain_matches_pandas(spark_global, collected, s):
     # batch per-example results through one Spark job at teardown is not
     # possible with hypothesis; instead accumulate and compare in python
     # using the pre-collected mapping.
-    expected = pd.to_datetime(s, dayfirst=True, errors="coerce")
+    with warnings.catch_warnings():
+        # the property test deliberately feeds the ambiguous formats
+        # pandas warns about (e.g. dayfirst-inconsistent strings) — the
+        # warning is the expected behavior under test, not noise.
+        warnings.simplefilter("ignore", UserWarning)
+        expected = pd.to_datetime(s, dayfirst=True, errors="coerce")
     expected_date = None if pd.isna(expected) else expected.date()
     got = collected(s)
     assert got == expected_date, f"{s}: spark={got} pandas={expected_date}"
