@@ -28,6 +28,7 @@ so every operator here is replayable by the DuckDB oracle.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -39,6 +40,8 @@ from jsonl_dataingestion_pipeline_spark.functions.textstats import (
     token_count,
     tokens,
 )
+
+_LOG = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -856,6 +859,7 @@ def fuzzy_decontaminate(
     shingle_k: int = 3,
     threshold: float = 0.5,
     scale: int = 6,
+    max_bench_df: int | None = 64,
 ) -> DataFrame:
     """Jaccard-threshold benchmark decontamination — the fuzzy upgrade
     of :func:`contamination_flags`: a corpus document is contaminated
@@ -863,17 +867,32 @@ def fuzzy_decontaminate(
     reaches ``threshold`` (catches paraphrased/partially-edited eval
     leakage that exact n-gram containment misses).
 
-    EXACT, no LSH recall loss: any pair with Jaccard > 0 shares at
-    least one shingle, so candidates = corpus-shingles semi-joined
-    against the benchmark shingle set are complete for every positive
-    threshold. Scale design mirrors the exact decontaminator: the
-    BENCHMARK side (eval sets — MBs, not TBs) reduces to distinct
-    (benchmark_id, shingle) rows and broadcasts; the corpus side is
-    exploded once and never shuffles against itself. Set sizes join in
-    as two tiny aggregates; Jaccard is computed from intersection
-    counts alone (no array materialization). One (corpus, benchmark)
-    grouped count is the only data-sized shuffle, bounded by the true
-    candidate pairs.
+    Candidates = corpus-shingles joined against the benchmark shingle
+    set — complete for every positive threshold when uncapped (any
+    pair with Jaccard > 0 shares a shingle). Scale design mirrors the
+    exact decontaminator: the BENCHMARK side (eval sets — MBs, not
+    TBs) reduces to distinct (benchmark_id, shingle) rows and
+    broadcasts; the corpus side is exploded once and never shuffles
+    against itself. Set sizes join in as two tiny aggregates; Jaccard
+    is computed from intersection counts alone (no array
+    materialization). One (corpus, benchmark) grouped count is the
+    only data-sized shuffle, bounded by the candidate pairs.
+
+    **Hot-shingle cap** (``max_bench_df``, default 64): at small
+    ``shingle_k`` a stop-word shingle shared by many benchmark docs
+    multiplies candidates toward |corpus| x |benchmark| — the q102
+    hot-gram problem. Shingles whose BENCHMARK document frequency
+    exceeds ``max_bench_df`` are dropped from candidate generation
+    (logged, never silent — same discipline as the ``max_bucket`` cap
+    in dedup). Recall impact: only the intersection count shrinks —
+    set sizes stay exact — so ``max_jaccard`` becomes a LOWER bound
+    and a pair is missed only if ALL of its shared shingles occur in
+    more than ``max_bench_df`` benchmark docs; a document genuinely
+    leaked from ONE benchmark doc always shares distinctive (low-DF)
+    shingles and is unaffected. No false positives either way. Pass
+    ``None`` for exact uncapped semantics, or raise ``shingle_k``
+    toward the 8-13 tokens real decontamination uses (hot shingles
+    vanish on their own at that length).
 
     Returns one row per corpus document: (``id_col``, max_jaccard
     DOUBLE — 0.0 when no overlap, rounded to ``scale``; contaminated
@@ -891,14 +910,42 @@ def fuzzy_decontaminate(
         )
 
     c_sh = sh(corpus, "__cid")
-    b_sh = F.broadcast(sh(benchmark, "__bid"))
+    b_all = sh(benchmark, "__bid")
+    if max_bench_df is not None:
+        # hot = shingles in > max_bench_df benchmark docs. The
+        # benchmark side is driver-small by contract, so the eager
+        # count that funds the log line is a tiny job; candidate
+        # generation excludes hot shingles by filtering the BENCHMARK
+        # side only — the inner join prunes the corpus side for free.
+        hot = (
+            b_all.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_bench_df)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "fuzzy_decontaminate: max_bench_df=%d dropped %d hot "
+                "shingle(s) from candidate generation; max_jaccard is a "
+                "lower bound for pairs whose every shared shingle is "
+                "hot. Pass max_bench_df=None for exact semantics.",
+                max_bench_df,
+                n_hot,
+            )
+        b_join = b_all.join(
+            F.broadcast(hot.select("__sh")), on="__sh", how="left_anti"
+        )
+    else:
+        b_join = b_all
     inter = (
-        c_sh.join(b_sh, on="__sh")
+        c_sh.join(F.broadcast(b_join), on="__sh")
         .groupBy("__cid", "__bid")
         .agg(F.count(F.lit(1)).cast("long").alias("__inter"))
     )
+    # set sizes use the FULL shingle sets (cap shrinks only the
+    # intersection -> scores can only go down, never up)
     c_n = c_sh.groupBy("__cid").agg(F.count(F.lit(1)).alias("__nc"))
-    b_n = b_sh.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
+    b_n = b_all.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
     jacc = (
         inter.join(c_n, on="__cid")
         .join(F.broadcast(b_n), on="__bid")

@@ -848,3 +848,68 @@ def test_q139_merge_equals_full_recompute(spark):
     }
     m, f = out["merged"], out["full"]
     assert (m.n_rows, m.xor_fp, m.sum_fp) == (f.n_rows, f.xor_fp, f.sum_fp)
+
+
+def test_fuzzy_decontaminate_hot_shingle_cap_bounds_candidates(spark, caplog):
+    """Adversarial stop-word corpus: every corpus doc shares the same
+    8 stop-word prefix trigrams with EVERY benchmark doc, so uncapped
+    candidate pairs are |corpus| x |bench|. With max_bench_df the hot
+    shingles are dropped from candidate generation: non-leak docs
+    produce ZERO candidate rows (max_jaccard collapses to 0.0 — the
+    observable proof the pair set is bounded by true distinctive
+    overlaps, not the stop-word cross product), while a genuinely
+    leaked doc still exceeds the threshold through its distinctive
+    (low-DF) shingles, with the same argmax benchmark."""
+    import logging
+
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    stop = "the of and is to in it for on as"  # 8 internal trigrams
+    bench_rows = [
+        (b, stop + " " + " ".join(f"b{b}w{j}" for j in range(20)))
+        for b in range(1, 31)
+    ]
+    corpus_rows = [
+        (100 + c, stop + " " + " ".join(f"c{c}w{j}" for j in range(20)))
+        for c in range(50)
+    ]
+    # leak: bench doc 1 with the final word changed
+    leak_text = bench_rows[0][1].rsplit(" ", 1)[0] + " changed"
+    corpus_rows.append((999, leak_text))
+    bench = _docs(spark, bench_rows)
+    corpus = _docs(spark, corpus_rows)
+
+    uncapped = {
+        r.id: r
+        for r in fuzzy_decontaminate(
+            corpus, bench, "text", "id",
+            shingle_k=3, threshold=0.5, max_bench_df=None,
+        ).collect()
+    }
+    # every doc shares the hot prefix with every benchmark doc
+    assert all(r.max_jaccard > 0.0 for r in uncapped.values())
+
+    with caplog.at_level(
+        logging.WARNING,
+        logger="jsonl_dataingestion_pipeline_spark.operators.curation",
+    ):
+        capped = {
+            r.id: r
+            for r in fuzzy_decontaminate(
+                corpus, bench, "text", "id",
+                shingle_k=3, threshold=0.5, max_bench_df=5,
+            ).collect()
+        }
+    assert any("hot shingle" in m for m in caplog.messages)
+    # stop-word-only docs: zero surviving candidates -> exact zeros
+    for c in range(50):
+        r = capped[100 + c]
+        assert r.max_jaccard == 0.0 and not r.contaminated
+        assert r.matched_bench is None
+    # the true leak still caught, same argmax, via distinctive shingles
+    assert capped[999].contaminated and capped[999].matched_bench == 1
+    assert capped[999].max_jaccard > 0.5
+    # cap only shrinks intersections: scores never increase
+    assert capped[999].max_jaccard <= uncapped[999].max_jaccard
