@@ -282,3 +282,33 @@ def test_q118_stage_checkpoints_prevent_recompute(spark):
     assert tree.count("Scan parquet") <= 1, tree
     assert "Scan ExistingRDD" in tree, tree
     assert "WindowGroupLimit" in tree, tree
+
+
+def test_q133_kmeans_assignment_is_scan_plus_project(spark):
+    """q133 (PLANS.md): at registry k (k*d <= AUTO_JOIN_KD) the final
+    assignment is ONE parquet scan into a pure codegen Project —
+    zero Exchange, zero join. A shuffle or join here would mean the
+    per-iteration assignment stopped being scan-speed."""
+    df = em.q133_kmeans(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_q137_fuzzy_decontamination_benchmark_broadcast_only(spark):
+    """q137 (PLANS.md): every join against the benchmark side is a
+    BroadcastHashJoin (shingle candidates, set sizes, hot-shingle
+    anti-join); the single SortMergeJoin is the per-doc LeftOuter
+    join-back of scores onto corpus ids. The corpus must never
+    self-join or sort-merge against the benchmark."""
+    df = em.q137_fuzzy_decontamination(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "BroadcastHashJoin Inner BuildRight" in tree, tree
+    assert "BroadcastHashJoin LeftAnti BuildRight" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    smj = [
+        l for l in tree.splitlines()
+        if "SortMergeJoin" in l.split("- ")[-1]
+    ]
+    assert len(smj) == 1 and "LeftOuter" in smj[0], tree
