@@ -242,6 +242,116 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return kmeans(e, "embedding", "vec_id", k=8, iterations=3)
 
+    def q134_scaled(spark, sf_dir):
+        # classifier inference over the FULL scaled corpus (the
+        # registered q134 caps doc_id for the oracle gate): the weight
+        # table is a constant broadcast, every doc gets exactly one
+        # row -> rows = k * docs, wall must stay linear.
+        from jsonl_dataingestion_pipeline_spark.functions.classifier import (
+            classify,
+            default_weight_table,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        w = default_weight_table(spark, n_features=1024)
+        return classify(
+            d, "text", "doc_id", w,
+            n_features=1024, bias=-0.05, threshold=0.0,
+        )
+
+    def q135_scaled(spark, sf_dir):
+        # link-graph census over the FULL scaled corpus (same link
+        # construction as the registered q135, uncapped): link targets
+        # derive from doc_id mod 997 over 60 synthetic domains, so the
+        # (src, dst) key space — and hence ROWS — is k-invariant while
+        # total link volume scales *k; the harness records sum(n_links)
+        # so the k-linearity check runs on volume.
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            canonicalize_url,
+            extract_links,
+            registered_domain,
+            url_host,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "source", "text")
+
+        def tgt(j):
+            return (F.col("doc_id") * 7 + F.lit(j * 13 + 1)) % 997
+
+        def dom(t):
+            return F.concat(
+                F.lit("site"), (t % 60).cast("string"),
+                F.element_at(
+                    F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+                    (t % 3 + 1).cast("int"),
+                ),
+            )
+
+        t0, t1, t2 = tgt(0), tgt(1), tgt(2)
+        html = F.concat(
+            F.lit('<html><body><p>'), F.col("text"), F.lit('</p>'),
+            F.lit('<a href="HTTPS://WWW.'), dom(t0), F.lit(':443/p/'),
+            t0.cast("string"), F.lit('#top">one</a>'),
+            F.lit("<a href='https://"), dom(t1), F.lit('/p/'),
+            t1.cast("string"), F.lit("?utm_source=feed&b=2&a=1'>two</a>"),
+            F.lit('<a href="https://crawler:pw@'), dom(t2), F.lit('/p/'),
+            t2.cast("string"), F.lit('?ref=x">three</a>'),
+            F.lit('<link href="/styles.css"></body></html>'),
+        )
+        own_url = F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        links = d.select(
+            registered_domain(url_host(own_url)).alias("src_domain"),
+            F.explode(extract_links(html)).alias("href"),
+        )
+        canon = links.select(
+            "src_domain", canonicalize_url(F.col("href")).alias("cu")
+        ).filter(F.col("cu").isNotNull())
+        return (
+            canon.select(
+                "src_domain",
+                registered_domain(url_host(F.col("cu"))).alias(
+                    "dst_domain"
+                ),
+                "cu",
+            )
+            .groupBy("src_domain", "dst_domain")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_links"),
+                F.countDistinct("cu").cast("long").alias("n_urls"),
+            )
+        )
+
+    def q136_scaled(spark, sf_dir):
+        # quality-aware survivors over the planted twin corpus built
+        # from the scaled documents: each replica mirrors the x1
+        # cluster structure (word-suffix bijection), so survivor rows
+        # are k-linear modulo the per-replica md5 shingle-sample noise.
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            tokens as _tokens,
+        )
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            dedup_keep_best,
+            ngram_jaccard_pairs,
+        )
+
+        corpus = entry._planted_neardup_corpus(spark, sf_dir).withColumn(
+            "ntok",
+            F.size(F.filter(_tokens(F.col("text")), lambda x: x != "")),
+        )
+        pairs = ngram_jaccard_pairs(
+            corpus, "text", "id", shingle_k=3, sample_hex_prefix="0",
+            threshold=0.5,
+            base=entry._planted_shingle_base(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+        return dedup_keep_best(corpus, pairs, "id", "ntok")
+
     def q137_scaled(spark, sf_dir):
         # fuzzy decontamination: benchmark = replica-0 docs (every
         # other replica's word-suffixed text shares ZERO shingles with
@@ -302,6 +412,9 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q116_pagerank_replicas": q116_scaled,
         "q118_web_pipeline": q118_scaled,
         "q133_kmeans": q133_scaled,
+        "q134_classifier": q134_scaled,
+        "q135_link_graph": q135_scaled,
+        "q136_keep_best": q136_scaled,
         "q137_fuzzy_decontam": q137_scaled,
     }
     out = {}
@@ -314,6 +427,19 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             rows = {r["stage"]: r["n_docs"] for r in df.collect()}
             n = len(rows)
             out[name] = {"sec": round(time.time() - t0, 2), "rows": n, "stages": rows}
+        elif name == "q135_link_graph":
+            # census rows are k-invariant by construction; linearity
+            # shows in the total link volume
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_links").alias("links"),
+            ).collect()[0]
+            n = agg["n"]
+            out[name] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": n,
+                "sum_links": int(agg["links"]),
+            }
         else:
             n = df.count()
             out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
