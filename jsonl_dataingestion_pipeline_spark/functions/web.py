@@ -120,8 +120,8 @@ def url_host(c) -> Column:
 
 # Two-level public suffixes a last-two-label heuristic would split
 # wrong.  A deliberately small embedded list (the operator's contract is
-# "public-suffix-LITE"); swap in the full PSL as a broadcast join if a
-# deployment needs it.
+# "public-suffix-LITE"); :func:`registered_domain_psl` below is the
+# full-PSL broadcast-table variant for deployments that need it.
 _TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "co.jp", "co.in", "co.kr", "co.nz", "co.za",
@@ -217,3 +217,124 @@ def extract_links(c: "Column | str") -> Column:
     dq = F.regexp_extract_all(h, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)
     sq = F.regexp_extract_all(h, F.lit(r"(?i)href\s*=\s*'([^']*)'"), 1)
     return F.concat(dq, sq)
+
+
+# ---------------------------------------------------------------------------
+# Full public-suffix-list variant of registered_domain
+# ---------------------------------------------------------------------------
+
+def psl_rules(spark, lines) -> "DataFrame":
+    """Parse raw public-suffix-list lines (the publicsuffix.org format:
+    one rule per line, ``//`` comments, ``*.`` wildcards, ``!``
+    exceptions) into the rules frame :func:`registered_domain_psl`
+    consumes: (match_key, klen, prio, pub_len).
+
+    ``match_key`` is the literal label suffix the host's tail must
+    equal (the wildcard's ``*.`` is stripped — its extra label is
+    accounted for in ``pub_len``); ``prio`` implements the PSL
+    prevailing-rule order (exception rules beat everything, then most
+    labels wins); ``pub_len`` is the number of host labels the PUBLIC
+    suffix occupies when the rule prevails (for an exception rule the
+    matching name itself is registrable, so its public suffix is one
+    label shorter than the match)."""
+    rows = []
+    for ln in lines:
+        ln = ln.strip()
+        if not ln or ln.startswith("//"):
+            continue
+        kind = "normal"
+        if ln.startswith("!"):
+            kind, ln = "exception", ln[1:]
+        elif ln.startswith("*."):
+            kind, ln = "wildcard", ln[2:]
+        key = ln.lower()
+        klen = key.count(".") + 1
+        if kind == "normal":
+            prio, pub_len = klen, klen
+        elif kind == "wildcard":
+            prio, pub_len = klen + 1, klen + 1
+        else:
+            prio, pub_len = 10000 + klen, klen - 1
+        rows.append((key, klen, prio, pub_len))
+    return spark.createDataFrame(
+        rows, "match_key string, klen int, prio int, pub_len int"
+    )
+
+
+def registered_domain_psl(
+    df: "DataFrame",
+    host_col: "Column | str",
+    psl: "DataFrame",
+    *,
+    out_col: str = "registered_domain",
+    max_levels: int = 5,
+) -> "DataFrame":
+    """Registrable domain via the FULL public suffix list — the
+    documented upgrade of :func:`registered_domain` (which embeds a
+    15-suffix LITE table) for deployments that need `.com.pl`-class
+    accuracy. ``psl`` is the output of :func:`psl_rules` over a PSL
+    snapshot (public data; ship it with the job, don't fetch).
+
+    Plan shape — the host side NEVER shuffles: for each suffix length
+    k in 1..``max_levels`` the host's last-k-label string left-joins a
+    broadcast slice of the rules table, then one ``greatest`` over the
+    matched (prio, pub_len) structs picks the PSL prevailing rule
+    (exceptions beat wildcards beat shorter rules); unmatched hosts
+    fall back to the PSL default rule ``*`` (last label is public).
+    ``max_levels`` bounds rule depth (the real PSL tops out at 5
+    labels). Hosts with no label beyond their public suffix are
+    returned whole (same contract as the LITE expression); NULL
+    propagates. Appends ``out_col`` to ``df``."""
+    h = F.lower(_col(host_col))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    out = df.withColumn("__rdp_h", h)
+    for k in range(1, max_levels + 1):
+        rk = (
+            psl.filter(F.col("klen") == k)
+            .groupBy("match_key")
+            .agg(F.max(F.struct("prio", "pub_len")).alias("__r"))
+            .select(
+                F.col("match_key").alias(f"__rdp_m{k}"),
+                F.col("__r.prio").alias(f"__rdp_p{k}"),
+                F.col("__r.pub_len").alias(f"__rdp_l{k}"),
+            )
+        )
+        lastk = F.when(
+            F.size(F.split(F.col("__rdp_h"), r"\.")) >= k,
+            F.array_join(
+                F.slice(
+                    F.split(F.col("__rdp_h"), r"\."),
+                    F.size(F.split(F.col("__rdp_h"), r"\.")) - F.lit(k)
+                    + 1,
+                    k,
+                ),
+                ".",
+            ),
+        )
+        out = out.join(
+            F.broadcast(rk),
+            on=lastk == F.col(f"__rdp_m{k}"),
+            how="left",
+        ).drop(f"__rdp_m{k}")
+    cands = [
+        F.struct(
+            F.coalesce(F.col(f"__rdp_p{k}"), F.lit(0)).alias("p"),
+            F.col(f"__rdp_l{k}").alias("l"),
+        )
+        for k in range(1, max_levels + 1)
+    ]
+    win = cands[0] if len(cands) == 1 else F.greatest(*cands)
+    hh = F.col("__rdp_h")
+    lab = F.split(hh, r"\.")
+    nn = F.size(lab)
+    pub_len = F.when(win["p"] > 0, win["l"]).otherwise(F.lit(1))
+    reg = F.when(
+        nn > pub_len,
+        F.array_join(F.slice(lab, nn - pub_len, pub_len + 1), "."),
+    ).otherwise(hh)
+    drop = ["__rdp_h"] + [
+        c for k in range(1, max_levels + 1)
+        for c in (f"__rdp_p{k}", f"__rdp_l{k}")
+    ]
+    return out.withColumn(out_col, reg).drop(*drop)

@@ -332,3 +332,123 @@ def test_extract_links_both_quote_styles(spark):
     )
     got = _one(spark, extract_links(F.col("v")), html)
     assert got == ["https://a.com/1", "/css.css", "https://b.com/2"]
+
+
+class TestRegisteredDomainPSL:
+    """Full public-suffix-list variant (broadcast rules table)."""
+
+    @staticmethod
+    def _psl(spark):
+        import os
+
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            psl_rules,
+        )
+
+        path = os.path.join(
+            os.path.dirname(__file__), "fixtures",
+            "public_suffix_snapshot.dat",
+        )
+        with open(path) as f:
+            return psl_rules(spark, f.readlines())
+
+    @staticmethod
+    def _run(spark, psl, hosts):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            registered_domain_psl,
+        )
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        out = registered_domain_psl(df, "host", psl, out_col="rd")
+        return {r.host: r.rd for r in out.collect()}
+
+    def test_differential_vs_lite_on_embedded_suffixes(self, spark):
+        """On every suffix the LITE expression knows (plus plain
+        two-level TLDs), the PSL table variant must agree exactly."""
+        from jsonl_dataingestion_pipeline_spark.functions import web
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            registered_domain,
+        )
+
+        hosts = ["news.blog.example.com", "www.example.org", "x.example.net"]
+        hosts += [
+            f"shop.example.{s}" for s in web._TWO_LEVEL_SUFFIXES
+        ] + [f"example.{s}" for s in web._TWO_LEVEL_SUFFIXES]
+        psl = self._psl(spark)
+        got = self._run(spark, psl, hosts)
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        lite = {
+            r.host: r.rd
+            for r in df.select(
+                "host", registered_domain("host").alias("rd")
+            ).collect()
+        }
+        assert got == lite
+
+    def test_beyond_lite_suffixes(self, spark):
+        """The cases the 15-suffix LITE table gets WRONG: com.pl,
+        ne.jp, github.io — the whole point of the full-PSL variant."""
+        psl = self._psl(spark)
+        got = self._run(spark, psl, [
+            "www.firm.com.pl", "mail.isp.ne.jp", "user.github.io",
+            "deep.sub.user.github.io",
+        ])
+        assert got["www.firm.com.pl"] == "firm.com.pl"
+        assert got["mail.isp.ne.jp"] == "isp.ne.jp"
+        assert got["user.github.io"] == "user.github.io"
+        assert got["deep.sub.user.github.io"] == "user.github.io"
+
+    def test_wildcard_and_exception_rules(self, spark):
+        """*.ck makes any x.ck a public suffix; !www.ck carves www.ck
+        back out as registrable (the canonical PSL example)."""
+        psl = self._psl(spark)
+        got = self._run(spark, psl, [
+            "foo.bar.ck", "deep.foo.bar.ck", "www.ck", "sub.www.ck",
+            "host.acme.jm",
+        ])
+        assert got["foo.bar.ck"] == "foo.bar.ck"
+        assert got["deep.foo.bar.ck"] == "foo.bar.ck"
+        assert got["www.ck"] == "www.ck"
+        assert got["sub.www.ck"] == "www.ck"
+        assert got["host.acme.jm"] == "host.acme.jm"
+
+    def test_default_rule_short_hosts_and_null(self, spark):
+        """Unknown TLD -> PSL default rule * (last label public);
+        hosts that ARE a public suffix come back whole; NULL and
+        case/www handling match the LITE contract."""
+        psl = self._psl(spark)
+        got = self._run(spark, psl, [
+            "server.internal", "a.b.unknowntld", "co.uk", "com",
+            "WWW.Example.COM", None,
+        ])
+        assert got["server.internal"] == "server.internal"
+        assert got["a.b.unknowntld"] == "b.unknowntld"
+        assert got["co.uk"] == "co.uk"
+        assert got["com"] == "com"
+        assert got["WWW.Example.COM"] == "example.com"
+        assert got[None] is None
+
+    def test_host_side_never_shuffles(self, spark):
+        """Every rules join is a broadcast; the host side plan has no
+        shuffle Exchange and no SortMergeJoin."""
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            registered_domain_psl,
+        )
+
+        psl = self._psl(spark)
+        df = spark.createDataFrame(
+            [("a.example.com",)], "host string"
+        )
+        out = registered_domain_psl(df, "host", psl, out_col="rd")
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" not in tree, tree
+        for i, line in enumerate(tree.splitlines()):
+            node = line.split("- ")[-1]
+            if node.startswith("Exchange hashpartitioning"):
+                # only the tiny rules-table aggregates may shuffle
+                nxt = tree.splitlines()[i + 1].split("- ")[-1]
+                assert nxt.startswith("HashAggregate"), tree
