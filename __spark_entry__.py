@@ -8122,3 +8122,116 @@ _ORACLE_SHAPES["q139_table_fingerprint"] = (
 _UNION_MERGES["q70_delta_audit"].append(
     ("fingerprint", "q139_table_fingerprint")
 )
+
+
+# ---------------------------------------------------------------------------
+# q140: image aHash near-dup pairs (banded Hamming join) — oracle-checked.
+# The synthetic 8x8 grayscale PNGs make the whole path DuckDB-replayable:
+# encode_png -> decode -> block-average aHash is EXACT integer/double math
+# (8x8 at grid=8 means each hash cell IS a pixel; the threshold mean is an
+# exact small-int sum / 64.0), so the oracle recomputes the bits from the
+# pixel formula and brute-forces every pair — proving the banded join
+# (pigeonhole: hamming <= 6 over 8 bands => >= 1 shared band) loses nothing.
+# Planted structure: doc d and d+100 share pixels up to a +5 brightness
+# shift, which aHash cancels (both sides of the cell>mean comparison move
+# together) -> exactly the 100 (d, d+100) pairs at hamming 0.
+
+
+def q140_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image near-dup: deterministic PNGs -> aHash ->
+    banded Hamming pair join (operators/multimodal.py)."""
+    from pyspark.sql import types as T
+
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        MEDIA_STRUCT,
+        image_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("media", MEDIA_STRUCT)]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from jsonl_dataingestion_pipeline_spark.functions.media import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            medias = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, off = did % 100, 5 * (did // 100)
+                px = np.array(
+                    [(seed * 7919 + k * 104729) % 251 + off
+                     for k in range(64)],
+                    dtype=np.uint8,
+                ).reshape(8, 8)
+                medias.append({
+                    "data": encode_png(px), "mime": "image/png",
+                    "width": 8, "height": 8, "duration_ms": None,
+                })
+            out = pdf[["doc_id"]].copy()
+            out["media"] = medias
+            yield out
+
+    imgs = d.mapInPandas(gen, schema=schema)
+    pairs = image_neardup_pairs(imgs, "doc_id", max_hamming=6)
+    return pairs.select(
+        F.col("id_l").alias("img_id_l"),
+        F.col("id_r").alias("img_id_r"),
+        F.col("hamming").cast("int").alias("img_hamming"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q140_image_neardup_pairs"] = q140_image_neardup_pairs
+
+_ORACLE_DEDUP_SIM["q140_image_neardup_pairs"] = """
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id < 200
+    ), px AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   k -> ((doc_id % 100) * 7919 + k * 104729) % 251
+                        + 5 * (doc_id // 100)) AS p
+        FROM ids
+    ), m AS (
+        SELECT doc_id, p, list_sum(p) / 64.0 AS mu FROM px
+    ), bits AS (
+        SELECT doc_id,
+               list_transform(p, v -> CASE WHEN v > mu THEN 1 ELSE 0 END)
+                   AS b
+        FROM m
+    ), ham AS (
+        SELECT a.doc_id AS img_id_l, b.doc_id AS img_id_r,
+               len(list_filter(generate_series(1, 64),
+                   i -> a.b[CAST(i AS INT)] <> b.b[CAST(i AS INT)]))
+                   AS img_hamming
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    )
+    SELECT img_id_l, img_id_r, CAST(img_hamming AS INT) AS img_hamming
+    FROM ham WHERE img_hamming <= 6
+"""
+
+_ORACLE_SHAPES["q140_image_neardup_pairs"] = (
+    ("img_id_l", "BIGINT"), ("img_id_r", "BIGINT"),
+    ("img_hamming", "INTEGER"),
+)
+
+_ORACLE_SHAPES["q31_media_stats"] = (
+    ("source", "VARCHAR"), ("mime", "VARCHAR"),
+    ("n", "BIGINT"), ("total_bytes", "BIGINT"),
+)
+
+# fold the image near-dup leg into the q31 media battery (it was the last
+# pytest-only heavy operator — now oracle-gated like everything else)
+_STANDALONE.remove("q31_media_stats")
+_UNION_MERGES["q31_media_stats"] = [
+    ("stats", "q31_media_stats"),
+    ("image_neardup", "q140_image_neardup_pairs"),
+]
