@@ -8168,7 +8168,8 @@ def q140_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 seed, off = did % 100, 5 * (did // 100)
                 px = np.array(
-                    [(seed * 7919 + k * 104729) % 251 + off
+                    [(seed * 7919 + k * 104729
+                      + (k * k % 251) * (seed + 7)) % 251 + off
                      for k in range(64)],
                     dtype=np.uint8,
                 ).reshape(8, 8)
@@ -8197,7 +8198,8 @@ _ORACLE_DEDUP_SIM["q140_image_neardup_pairs"] = """
     ), px AS (
         SELECT doc_id,
                list_transform(generate_series(0, 63),
-                   k -> ((doc_id % 100) * 7919 + k * 104729) % 251
+                   k -> ((doc_id % 100) * 7919 + k * 104729
+                         + ((k * k) % 251) * ((doc_id % 100) + 7)) % 251
                         + 5 * (doc_id // 100)) AS p
         FROM ids
     ), m AS (
@@ -8235,3 +8237,112 @@ _UNION_MERGES["q31_media_stats"] = [
     ("stats", "q31_media_stats"),
     ("image_neardup", "q140_image_neardup_pairs"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# q141: audio energy-fingerprint near-dup pairs — the WAV analogue of q140.
+# The fingerprint is EXACT integer math end-to-end (window-sum vs total-sum
+# cross products over integer PCM magnitudes — operators/multimodal.py
+# _energy_hash64), and the synthetic WAVs encode amplitude pcm/32767 so the
+# 16-bit PCM roundtrip is the identity; the oracle recomputes the bits from
+# the sample formula and brute-forces every pair. Planted structure: doc d
+# and d+100 carry the same waveform at 2x volume — the integer cross-product
+# comparison is scale-invariant, so exactly the 100 (d, d+100) pairs at
+# hamming 0 survive.
+
+
+def q141_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup: deterministic PCM WAVs -> energy-envelope
+    fingerprint -> banded Hamming pair join."""
+    from pyspark.sql import types as T
+
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        MEDIA_STRUCT,
+        audio_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("media", MEDIA_STRUCT)]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from jsonl_dataingestion_pipeline_spark.functions.media import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            medias = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, amp = did % 100, 1 + did // 100
+                pcm = np.array(
+                    [((seed * 4409 + j * 7919
+                       + (j * j % 2003) * (seed + 13)) % 2003 - 1001)
+                     * amp
+                     for j in range(1024)],
+                    dtype=np.float64,
+                )
+                wav = encode_wav(pcm / 32767.0, 8000)
+                medias.append({
+                    "data": wav, "mime": "audio/wav",
+                    "width": None, "height": None, "duration_ms": 128,
+                })
+            out = pdf[["doc_id"]].copy()
+            out["media"] = medias
+            yield out
+
+    wavs = d.mapInPandas(gen, schema=schema)
+    pairs = audio_neardup_pairs(wavs, "doc_id", max_hamming=6)
+    return pairs.select(
+        F.col("id_l").alias("wav_id_l"),
+        F.col("id_r").alias("wav_id_r"),
+        F.col("hamming").cast("int").alias("wav_hamming"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q141_audio_neardup_pairs"] = q141_audio_neardup_pairs
+
+_ORACLE_DEDUP_SIM["q141_audio_neardup_pairs"] = """
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id < 200
+    ), mags AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 1023),
+                   j -> abs(((doc_id % 100) * 4409 + j * 7919
+                             + ((j * j) % 2003) * ((doc_id % 100) + 13))
+                            % 2003 - 1001) * (1 + doc_id // 100)) AS m
+        FROM ids
+    ), tot AS (
+        SELECT doc_id, m, list_sum(m) AS total FROM mags
+    ), bits AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   w -> CASE WHEN list_sum(
+                            m[CAST(w * 16 + 1 AS INT):CAST(w * 16 + 16 AS INT)]
+                        ) * 64 > total THEN 1 ELSE 0 END) AS b
+        FROM tot
+    ), ham AS (
+        SELECT a.doc_id AS wav_id_l, b.doc_id AS wav_id_r,
+               len(list_filter(generate_series(1, 64),
+                   i -> a.b[CAST(i AS INT)] <> b.b[CAST(i AS INT)]))
+                   AS wav_hamming
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    )
+    SELECT wav_id_l, wav_id_r, CAST(wav_hamming AS INT) AS wav_hamming
+    FROM ham WHERE wav_hamming <= 6
+"""
+
+_ORACLE_SHAPES["q141_audio_neardup_pairs"] = (
+    ("wav_id_l", "BIGINT"), ("wav_id_r", "BIGINT"),
+    ("wav_hamming", "INTEGER"),
+)
+
+_UNION_MERGES["q31_media_stats"].append(
+    ("audio_neardup", "q141_audio_neardup_pairs")
+)

@@ -63,6 +63,7 @@ HEADLINE = [
     "q134_quality_classifier",
     "q135_link_graph",
     "q137_fuzzy_decontamination",
+    "q140_image_neardup_pairs",
 ]
 
 

@@ -43,10 +43,12 @@ iteration (absorbs summation-order noise in the averages) and
 assignment distances are rounded to ``dist_scale`` before the argmin
 (absorbs fold-order noise), ties broken by the smaller cluster id —
 so a DuckDB replay of the unrolled iterations matches bit-for-bit.
-Initial centroids are the vectors of the k smallest ids: deterministic
-and replayable (k-means++ would be better seeding but needs sequential
-weighted draws; at 100 TB the standard move is k-means|| — out of
-scope, the fixed-init Lloyd's core is the same either way).
+Default initial centroids are the vectors of the k smallest ids:
+deterministic and replayable. ``init="kmeans||"`` swaps in the Bahmani
+et al. scalable k-means++ seeding (:func:`kmeansll_init`) — the
+standard 100 TB move when fixed init risks merging true clusters;
+deterministic via hash coins, but not SQL-replayable, so the
+oracle-checked paths keep the default.
 """
 
 from __future__ import annotations
@@ -90,6 +92,7 @@ def kmeans(
     scale: int = 9,
     dist_scale: int = 6,
     assign_via_join: bool | None = None,
+    init: str = "first_k",
 ) -> DataFrame:
     """Lloyd's k-means over ``vec_col`` (array<float/double>).
 
@@ -101,18 +104,34 @@ def kmeans(
     True = one-row broadcast ``array<struct>`` assignment (large-k
     path, bit-equal results); None (default) = join path iff
     ``k * d > AUTO_JOIN_KD``. See module note for plan shapes.
+
+    ``init``: ``"first_k"`` (default — the k smallest ids' vectors,
+    bit-replayable by the oracle) or ``"kmeans||"`` — the Bahmani et
+    al. (2012) scalable k-means++ seeding via :func:`kmeansll_init`
+    (deterministic hash-coin variant; better starting inertia on
+    adversarially ordered data, still fully reproducible but not
+    SQL-replayable — keep ``first_k`` for oracle-checked paths).
     """
     pts = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.round(x, scale)).alias("__v"),
     )
-    # deterministic init: the k smallest ids' vectors (driver-side k rows)
-    init_rows = pts.orderBy(id_col).limit(k).collect()
-    if len(init_rows) < k:
-        raise ValueError(f"kmeans: need >= k={k} points, got {len(init_rows)}")
-    centroids = {cid: list(r["__v"]) for cid, r in enumerate(init_rows)}
-    d = len(init_rows[0]["__v"])
+    if init == "kmeans||":
+        seeds = kmeansll_init(pts, "__v", id_col, k=k, scale=scale)
+        centroids = {cid: list(v) for cid, v in enumerate(seeds)}
+        d = len(seeds[0])
+    elif init == "first_k":
+        # deterministic init: the k smallest ids' vectors (k driver rows)
+        init_rows = pts.orderBy(id_col).limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(
+                f"kmeans: need >= k={k} points, got {len(init_rows)}"
+            )
+        centroids = {cid: list(r["__v"]) for cid, r in enumerate(init_rows)}
+        d = len(init_rows[0]["__v"])
+    else:
+        raise ValueError(f"kmeans: unknown init {init!r}")
     if assign_via_join is None:
         assign_via_join = k * d > AUTO_JOIN_KD
     spark = df.sparkSession
@@ -189,3 +208,136 @@ def kmeans(
         F.col("__a.c").alias("cluster"),
         F.col("__a.d").alias("dist2"),
     )
+
+
+def _dist2_to_candidates(frame, vec_col, cands, spark, scale):
+    """``frame`` + a ``__d2`` column = squared distance to the nearest
+    of ``cands`` (list of vectors), via the same one-row broadcast
+    array<struct> shape as the large-k assignment — candidate count
+    never touches codegen size."""
+    arr = [(i, [float(x) for x in v]) for i, v in enumerate(cands)]
+    cdf = spark.createDataFrame(
+        [(arr,)], "__cs array<struct<i:int,cv:array<double>>>"
+    )
+    d2 = F.array_min(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.round(
+                _sqdist_cols(F.col(vec_col), s["cv"]), scale
+            ),
+        )
+    )
+    return (
+        frame.crossJoin(F.broadcast(cdf))
+        .withColumn("__d2", d2)
+        .drop("__cs")
+    )
+
+
+def kmeansll_init(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int,
+    rounds: int = 5,
+    oversample: float = 2.0,
+    scale: int = 9,
+) -> list:
+    """k-means|| seeding (Bahmani et al., VLDB 2012) — the scalable
+    k-means++ init, DETERMINISTIC variant. Returns k seed vectors.
+
+    The classic weakness of fixed init (first-k ids) is adversarial
+    layout: if the first k points sit in one true cluster, Lloyd's can
+    converge with several true clusters merged. k-means|| fixes that
+    with O(rounds) passes, each sampling ~``oversample * k`` points
+    with probability proportional to their squared distance from the
+    current seed set — exactly MLlib's seeding strategy, re-expressed:
+
+    - the per-point distance is the same one-row broadcast
+      array<struct> projection as the large-k assignment (candidate
+      count stays out of codegen), so each round is ONE scan + a
+      1-row sum aggregate + a filtered collect of ~l new candidates;
+    - the sampling coin is ``xxhash64(id, round)`` mapped into [0, 1)
+      — deterministic, partition-independent, reproducible across
+      runs and layouts (same discipline as functions/sampling.py);
+    - the O(rounds * l) collected candidates are weighted by their
+      assigned-point counts (one aggregate) and reduced to k seeds
+      driver-side with the deterministic farthest-point variant of
+      weighted k-means++ (argmax weight * d², ties -> first collected)
+      — candidates are driver-small by construction, the same scalar
+      class as the centroid pulls.
+
+    Not SQL-replayable (the oracle would need the full multi-round
+    sampling trace), so oracle-checked paths keep ``init="first_k"``.
+    """
+    spark = df.sparkSession
+    pts = df.select(F.col(id_col).alias("__id"), F.col(vec_col))
+    first = pts.orderBy("__id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeansll_init: empty input")
+    cands: list = [list(first[0][vec_col])]
+    l = max(int(oversample * k), 1)
+    coin = (F.pmod(F.xxhash64(F.col("__id"), F.col("__r")), F.lit(2**30))
+            .cast("double") / F.lit(float(2**30)))
+    for r in range(rounds):
+        scored = _dist2_to_candidates(pts, vec_col, cands, spark, scale)
+        phi = scored.agg(F.sum("__d2")).first()[0]
+        if not phi:  # every point already a seed (or coincides with one)
+            break
+        picked = (
+            scored.withColumn("__r", F.lit(r))
+            .filter(coin < F.lit(float(l)) * F.col("__d2") / F.lit(float(phi)))
+            .select("__id", vec_col)
+            .orderBy("__id")
+            .collect()
+        )
+        cands.extend(list(row[vec_col]) for row in picked)
+    # weight candidates by assigned-point counts (one scan + one agg)
+    arr = [(i, [float(x) for x in v]) for i, v in enumerate(cands)]
+    cdf = spark.createDataFrame(
+        [(arr,)], "__cs array<struct<i:int,cv:array<double>>>"
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                F.round(_sqdist_cols(F.col(vec_col), s["cv"]), scale)
+                .alias("d"),
+                s["i"].alias("i"),
+            ),
+        )
+    )
+    wrows = (
+        pts.crossJoin(F.broadcast(cdf))
+        .select(best["i"].alias("__c"))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .collect()
+    )
+    weights = {r["__c"]: r["__w"] for r in wrows}
+
+    # driver-side deterministic weighted k-means++ (farthest-point):
+    # start from the heaviest candidate, then repeatedly take the
+    # candidate maximizing weight * distance² to the chosen set.
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(cands)),
+                   key=lambda i: (-weights.get(i, 0), i))
+    chosen = [order[0]]
+    while len(chosen) < k and len(chosen) < len(cands):
+        scores = []
+        for i in range(len(cands)):
+            if i in chosen:
+                continue
+            d2 = min(sq(cands[i], cands[j]) for j in chosen)
+            scores.append((-(weights.get(i, 0) * d2), i))
+        scores.sort()
+        chosen.append(scores[0][1])
+    if len(chosen) < k:
+        raise ValueError(
+            f"kmeansll_init: only {len(chosen)} distinct seeds for k={k}; "
+            "raise rounds/oversample or lower k"
+        )
+    return [cands[i] for i in chosen]

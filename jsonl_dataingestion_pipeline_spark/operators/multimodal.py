@@ -407,15 +407,16 @@ def image_ahash(
     return df.mapInPandas(gen, schema=out_schema)
 
 
-def image_neardup_pairs(
-    df: DataFrame,
+def hash64_neardup_pairs(
+    hashed: DataFrame,
     id_col: str,
-    media_col: str = "media",
+    hash_col: str,
     *,
     max_hamming: int = 6,
     band_bits: int = 8,
 ) -> DataFrame:
-    """Near-duplicate image pairs: aHash -> banded Hamming join.
+    """Banded Hamming pair join over any 64-bit signature column
+    (image aHash, audio energy hash, ...).
 
     Pigeonhole banding (64/band_bits bands; two hashes within
     ``max_hamming`` < n_bands share >= 1 exact band) keeps the join
@@ -423,18 +424,17 @@ def image_neardup_pairs(
     100 TB properties hold: no all-pairs, band buckets shrink as
     corpora diversify.  Returns (id_l, id_r, hamming).
     """
-    hashed = image_ahash(df, media_col).filter(F.col("ahash").isNotNull())
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bands = hashed.select(
         F.col(id_col).alias("__id"),
-        F.col("ahash"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                        F.shiftrightunsigned(F.col(hash_col), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
@@ -443,16 +443,16 @@ def image_neardup_pairs(
             )
         ).alias("b"),
     ).select(
-        "__id", "ahash",
+        "__id", "__h",
         F.col("b.band").alias("band"), F.col("b.key").alias("key"),
     )
     left = bands.select(
         "band", "key",
-        F.col("__id").alias("id_l"), F.col("ahash").alias("h_l"),
+        F.col("__id").alias("id_l"), F.col("__h").alias("h_l"),
     )
     right = bands.select(
         "band", "key",
-        F.col("__id").alias("id_r"), F.col("ahash").alias("h_r"),
+        F.col("__id").alias("id_r"), F.col("__h").alias("h_r"),
     )
     cand = (
         left.join(right, on=["band", "key"])
@@ -462,4 +462,107 @@ def image_neardup_pairs(
     ham = F.bit_count(F.col("h_l").bitwiseXOR(F.col("h_r")))
     return cand.select("id_l", "id_r", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    *,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: aHash -> banded Hamming join
+    (:func:`hash64_neardup_pairs`). Returns (id_l, id_r, hamming)."""
+    hashed = image_ahash(df, media_col).filter(F.col("ahash").isNotNull())
+    return hash64_neardup_pairs(
+        hashed, id_col, "ahash",
+        max_hamming=max_hamming, band_bits=band_bits,
+    )
+
+
+def _energy_hash64(mag, windows: int = 64) -> int:
+    """64-bit audio energy-envelope fingerprint from integer sample
+    magnitudes (PCM units): bit w = window-w mean magnitude > overall
+    mean magnitude, compared as the EXACT integer cross-product
+    ``sum_w * n > total * len_w`` — no floating point anywhere, so the
+    hash is replayable from the sample formula in SQL and invariant
+    under global amplitude scaling (volume normalization), the audio
+    analogue of aHash's brightness invariance."""
+    import numpy as np
+
+    n = len(mag)
+    if n == 0:
+        return 0
+    mag = np.asarray(mag, dtype=np.int64)
+    total = int(mag.sum())
+    bounds = np.linspace(0, n, windows + 1).astype(int)
+    out = 0
+    for w in range(windows):
+        lo, hi = bounds[w], max(bounds[w + 1], bounds[w] + 1)
+        s = int(mag[lo:hi].sum())
+        bit = 1 if s * n > total * (hi - lo) else 0
+        out = (out << 1) | bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_fingerprint(
+    df: DataFrame, media_col: str = "media", out_col: str = "afp"
+) -> DataFrame:
+    """Energy-envelope fingerprint per PCM-WAV payload — the audio
+    near-dup signature: 64 bits from 64 equal time slices of the first
+    channel's integer sample magnitudes (see :func:`_energy_hash64`).
+    Survives re-encoding and volume scaling; compose with
+    :func:`hash64_neardup_pairs` (or :func:`audio_neardup_pairs`) for
+    the pair join. Non-WAV payloads -> NULL. Arrow-batched
+    ``mapInPandas`` under the same streaming-generator contract as
+    ``image_ahash``."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            fps = []
+            for m in pdf[media_col]:
+                data = m["data"] if m is not None else None
+                if data is None or not _codecs.is_wav(data):
+                    fps.append(None)
+                    continue
+                try:
+                    samples, _rate = _codecs.decode_wav(data)
+                except (ValueError, NotImplementedError, EOFError):
+                    fps.append(None)
+                    continue
+                # first channel, back to exact integer PCM units
+                ch0 = samples[:, 0] if samples.ndim == 2 else samples
+                mag = np.rint(np.abs(ch0) * 32768.0).astype(np.int64)
+                fps.append(_energy_hash64(mag))
+            out[out_col] = pd.array(fps, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    *,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate audio pairs: energy fingerprint -> banded
+    Hamming join (:func:`hash64_neardup_pairs`). Returns
+    (id_l, id_r, hamming)."""
+    hashed = audio_fingerprint(df, media_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return hash64_neardup_pairs(
+        hashed, id_col, "afp",
+        max_hamming=max_hamming, band_bits=band_bits,
     )

@@ -140,3 +140,78 @@ def test_kmeans_auto_mode_picks_join_for_large_kd(spark):
     for line in tree.splitlines():
         node = line.split("- ")[-1]
         assert not node.startswith("Exchange hashpartitioning"), tree
+
+
+def _adversarial_blob_df(spark, centers, per, spread=0.05, dim=8, seed=13):
+    """Blobs with ids ordered so the first k points ALL sit in blob 0 —
+    the layout that breaks fixed first-k init."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = 0
+    for c in centers:
+        base = np.zeros(dim)
+        base[c % dim] = float(c + 1) * 3.0
+        for _ in range(per):
+            v = base + rng.uniform(-spread, spread, dim)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def _inertia(rows):
+    return sum(r.dist2 for r in rows)
+
+
+def test_kmeansll_recovers_blobs_where_first_k_merges(spark):
+    """ids 0..19 are all blob 0, so first_k puts every seed in one
+    blob and Lloyd's converges with clusters merged; kmeans|| seeds
+    across the space and recovers the three id ranges exactly."""
+    from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+        kmeans,
+    )
+
+    df = _adversarial_blob_df(spark, centers=[0, 3, 6], per=20)
+    fixed = kmeans(df, "vec", "id", k=3, iterations=6).collect()
+    seeded = kmeans(
+        df, "vec", "id", k=3, iterations=6, init="kmeans||"
+    ).collect()
+
+    by_cluster: dict[int, set[int]] = {}
+    for r in seeded:
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    groups = sorted(sorted(s) for s in by_cluster.values())
+    assert groups == [
+        list(range(0, 20)), list(range(20, 40)), list(range(40, 60))
+    ]
+    # the seeded solution is strictly better (fixed init merges blobs:
+    # its inertia carries at least one whole blob's spread to a far
+    # centroid)
+    assert _inertia(seeded) < _inertia(fixed) / 10
+
+
+def test_kmeansll_deterministic(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+        kmeans,
+    )
+
+    df = _adversarial_blob_df(spark, centers=[1, 5], per=15, spread=0.4)
+    r1 = sorted(map(tuple, kmeans(
+        df, "vec", "id", k=2, iterations=4, init="kmeans||"
+    ).collect()))
+    r2 = sorted(map(tuple, kmeans(
+        df, "vec", "id", k=2, iterations=4, init="kmeans||"
+    ).collect()))
+    assert r1 == r2
+
+
+def test_kmeansll_init_returns_k_distinct_spread_seeds(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+        kmeansll_init,
+    )
+
+    df = _adversarial_blob_df(spark, centers=[0, 3, 6], per=20)
+    seeds = kmeansll_init(df, "vec", "id", k=3)
+    assert len(seeds) == 3
+    # one seed per true blob: the dominant coordinate differs
+    dims = sorted(int(np.argmax(np.abs(s))) for s in seeds)
+    assert dims == [0, 3, 6]

@@ -240,3 +240,72 @@ def test_image_ahash_and_neardup_pairs(spark):
     pairs = image_neardup_pairs(df, "id", max_hamming=6).collect()
     assert {(p.id_l, p.id_r) for p in pairs} == {(1, 2)}
     assert pairs[0].hamming == 0
+
+
+def test_audio_fingerprint_and_neardup_pairs(spark):
+    """The energy-envelope fingerprint is volume-invariant (integer
+    cross-product comparison) and the banded Hamming join finds the
+    planted 2x-volume twin and nothing else; non-audio -> NULL."""
+    import numpy as np
+
+    from jsonl_dataingestion_pipeline_spark.functions.media import encode_wav
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        MEDIA_STRUCT,
+        audio_fingerprint,
+        audio_neardup_pairs,
+    )
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(-1000, 1001, 2048).astype(np.float64)
+    loud = base * 2.0
+    other = rng.integers(-1000, 1001, 2048).astype(np.float64)
+
+    def wav(pcm):
+        return {"data": encode_wav(pcm / 32767.0, 8000), "mime": "audio/wav",
+                "width": None, "height": None, "duration_ms": 256}
+
+    rows = [
+        (1, wav(base)), (2, wav(loud)), (3, wav(other)),
+        (4, {"data": b"not audio", "mime": "text/plain",
+             "width": None, "height": None, "duration_ms": None}),
+    ]
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()),
+         T.StructField("media", MEDIA_STRUCT)]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    fps = {r.id: r.afp for r in audio_fingerprint(df).collect()}
+    assert fps[4] is None
+    assert fps[1] == fps[2]            # volume scaling: same bits
+    assert fps[1] != fps[3]
+
+    pairs = audio_neardup_pairs(df, "id", max_hamming=6).collect()
+    assert {(p.id_l, p.id_r) for p in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
+
+
+def test_energy_hash64_matches_integer_replay():
+    """Pure-python replay of the integer cross-product definition."""
+    import numpy as np
+
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        _energy_hash64,
+    )
+
+    rng = np.random.default_rng(4)
+    mag = rng.integers(0, 2000, 1024).astype(np.int64)
+    got = _energy_hash64(mag)
+    n, total = 1024, int(mag.sum())
+    bits = []
+    for w in range(64):
+        s = int(mag[w * 16:(w + 1) * 16].sum())
+        bits.append(1 if s * n > total * 16 else 0)
+    exp = 0
+    for b in bits:
+        exp = (exp << 1) | b
+    exp = exp - (1 << 64) if exp >= (1 << 63) else exp
+    assert got == exp
+    # scale invariance
+    assert _energy_hash64(mag * 3) == got

@@ -418,9 +418,33 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q137_fuzzy_decontam": q137_scaled,
     }
     out = {}
+    import logging as _logging
+
+    class _DropCapture(_logging.Handler):
+        """Collects the max_bucket cap's dropped bucket/pair counts so
+        the linearity report can assert drops stay PROPORTIONAL to the
+        data (superlinear drop growth = candidate blowup the cap is
+        papering over)."""
+
+        def __init__(self):
+            super().__init__()
+            self.buckets = 0
+            self.pairs = 0
+
+        def emit(self, record):
+            a = record.args or ()
+            if len(a) == 4 and "dropped" in str(record.msg):
+                self.buckets += int(a[2])
+                self.pairs += int(a[3])
+
+    _dedup_log = _logging.getLogger(
+        "jsonl_dataingestion_pipeline_spark.operators.dedup"
+    )
     for name, fn in runs.items():
         if only and not any(name.startswith(p) for p in only):
             continue
+        cap = _DropCapture()
+        _dedup_log.addHandler(cap)
         t0 = time.time()
         df = fn(spark, sf_dir)
         if name in ("q90_corpus_pipeline", "q118_web_pipeline"):
@@ -443,7 +467,13 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         else:
             n = df.count()
             out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
-        print(f"#   x{k} {name}: rows={n} in {out[name]['sec']}s", flush=True)
+        _dedup_log.removeHandler(cap)
+        if cap.buckets:
+            out[name]["dropped_buckets"] = cap.buckets
+            out[name]["dropped_pairs"] = cap.pairs
+        print(f"#   x{k} {name}: rows={n} in {out[name]['sec']}s"
+              + (f" (cap dropped {cap.buckets} buckets / ~{cap.pairs} pairs)"
+                 if cap.buckets else ""), flush=True)
     return out
 
 
@@ -485,13 +515,18 @@ def main() -> int:
     for q in base:
         rows1 = base[q]["rows"]
         sec1 = base[q]["sec"]
-        report["linearity"][q] = {
-            f"x{k}": {
+        report["linearity"][q] = {}
+        for k in scales:
+            row = {
                 "rows_ratio": round(results[f"x{k}"][q]["rows"] / max(rows1, 1), 3),
                 "sec_ratio": round(results[f"x{k}"][q]["sec"] / max(sec1, 1e-9), 2),
             }
-            for k in scales
-        }
+            dk = results[f"x{k}"][q].get("dropped_pairs")
+            if dk is not None:
+                row["dropped_pairs_ratio"] = round(
+                    dk / max(base[q].get("dropped_pairs", 0), 1), 3
+                )
+            report["linearity"][q][f"x{k}"] = row
     print(json.dumps(report))
     spark.stop()
     return 0
