@@ -8346,3 +8346,91 @@ _ORACLE_SHAPES["q141_audio_neardup_pairs"] = (
 _UNION_MERGES["q31_media_stats"].append(
     ("audio_neardup", "q141_audio_neardup_pairs")
 )
+
+
+# ---------------------------------------------------------------------------
+# q142: distributed Bloom-filter membership (operators/membership.py) — the
+# crawl-frontier "URL seen?" primitive. Build = two aggregates into a ONE-ROW
+# dense array<long> bitmap (never touches the driver); probe = zero-shuffle
+# one-row-broadcast crossJoin + bitwise projection. Positions are md5-derived
+# so DuckDB computes the identical bitmap — the oracle replays membership
+# (all k positions in the inserted-position set == all k bits set) and even
+# the FALSE POSITIVES match bit-for-bit. m=2048/k=3 is sized so the sf0.01
+# fixture actually produces false positives (~3% FPR at n=270 members),
+# proving the probabilistic side cross-engine, while misses stay exact.
+
+
+def q142_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom build over big-spender custkeys, probe over every customer:
+    (bloom_custkey, bloom_maybe, bloom_is_member, bloom_false_positive)."""
+    from jsonl_dataingestion_pipeline_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_totalprice") > 490000)
+        .select(F.col("o_custkey").alias("v"))
+        .distinct()
+    )
+    bloom = bloom_build(members, "v", m_bits=2048, k=3)
+    probed = bloom_probe(
+        cust.select("c_custkey"), "c_custkey", bloom,
+        m_bits=2048, k=3, out_col="bloom_maybe",
+    )
+    exact = members.select(
+        F.col("v").alias("c_custkey"), F.lit(True).alias("__m")
+    )
+    out = probed.join(exact, on="c_custkey", how="left")
+    is_member = F.coalesce(F.col("__m"), F.lit(False))
+    return out.select(
+        F.col("c_custkey").alias("bloom_custkey"),
+        F.col("bloom_maybe"),
+        is_member.alias("bloom_is_member"),
+        (F.col("bloom_maybe") & ~is_member).alias("bloom_false_positive"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q142_bloom_membership"] = q142_bloom_membership
+
+_ORACLE_DEDUP_SIM["q142_bloom_membership"] = """
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS v FROM orders
+        WHERE o_totalprice > 490000
+    ), setpos AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '#'
+                                       || CAST(i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2048 AS p
+        FROM members, generate_series(0, 2) t(i)
+    ), cpos AS (
+        SELECT c_custkey,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#'
+                                       || CAST(i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2048 AS p
+        FROM customer, generate_series(0, 2) t(i)
+    ), hit AS (
+        SELECT c_custkey,
+               COUNT(*) FILTER (WHERE p IN (SELECT p FROM setpos)) AS nhit,
+               COUNT(*) AS ntot
+        FROM cpos GROUP BY c_custkey
+    )
+    SELECT h.c_custkey AS bloom_custkey,
+           h.nhit = h.ntot AS bloom_maybe,
+           (h.c_custkey IN (SELECT v FROM members)) AS bloom_is_member,
+           (h.nhit = h.ntot
+            AND h.c_custkey NOT IN (SELECT v FROM members))
+               AS bloom_false_positive
+    FROM hit h
+"""
+
+_ORACLE_SHAPES["q142_bloom_membership"] = (
+    ("bloom_custkey", "BIGINT"), ("bloom_maybe", "BOOLEAN"),
+    ("bloom_is_member", "BOOLEAN"), ("bloom_false_positive", "BOOLEAN"),
+)
+
+_UNION_MERGES["q06_set_ops_battery"].append(
+    ("bloom", "q142_bloom_membership")
+)
