@@ -242,6 +242,19 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return kmeans(e, "embedding", "vec_id", k=8, iterations=3)
 
+    def q133_largek_scaled(spark, sf_dir):
+        # the round-5 large-k path: k=128 at d=64 puts k*d=8192 over
+        # AUTO_JOIN_KD, so assignment runs through the one-row
+        # broadcast centroid array (BroadcastNestedLoopJoin) instead
+        # of codegen literals. rows = points (k-linear); wall linear
+        # iff the broadcast assignment stays a single scan.
+        from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+            kmeans,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return kmeans(e, "embedding", "vec_id", k=128, iterations=2)
+
     def q134_scaled(spark, sf_dir):
         # classifier inference over the FULL scaled corpus (the
         # registered q134 caps doc_id for the oracle gate): the weight
@@ -412,6 +425,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q116_pagerank_replicas": q116_scaled,
         "q118_web_pipeline": q118_scaled,
         "q133_kmeans": q133_scaled,
+        "q133_largek": q133_largek_scaled,
         "q134_classifier": q134_scaled,
         "q135_link_graph": q135_scaled,
         "q136_keep_best": q136_scaled,
