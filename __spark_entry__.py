@@ -8434,3 +8434,81 @@ _ORACLE_SHAPES["q142_bloom_membership"] = (
 _UNION_MERGES["q06_set_ops_battery"].append(
     ("bloom", "q142_bloom_membership")
 )
+
+
+# ---------------------------------------------------------------------------
+# q143: training sequence packing (operators/packing.py) — the GPT-style
+# concat-and-cut dataloader transform. The Spark side computes the global
+# token offsets with the distributed two-phase prefix sum (bucketed window +
+# broadcast bucket-prefix join — no unpartitioned global window anywhere);
+# the oracle runs the naive single-window SQL the two-phase plan must equal.
+
+
+def q143_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packing coordinates in the doc_id-ordered token stream
+    cut every 512 tokens (bucket_size=100 -> multiple prefix buckets
+    on the fixture, exercising the cross-bucket stitch)."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        token_count,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("__nt")
+    )
+    out = pack_sequences(
+        d, "__nt", "doc_id", seq_len=512, bucket_size=100
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").alias("pack_n_tokens"),
+        F.col("tok_start").alias("pack_tok_start"),
+        F.col("seq_first").alias("pack_seq_first"),
+        F.col("seq_last").alias("pack_seq_last"),
+        F.col("n_seqs").alias("pack_n_seqs"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q143_sequence_packing"] = q143_sequence_packing
+
+_ORACLE_DEDUP_SIM["q143_sequence_packing"] = """
+    WITH n AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(TRIM(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                    END AS BIGINT) AS nt
+        FROM documents
+    ), o AS (
+        SELECT doc_id, nt,
+               CAST(COALESCE(SUM(nt) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_start
+        FROM n
+    )
+    SELECT doc_id,
+           nt AS pack_n_tokens,
+           tok_start AS pack_tok_start,
+           CASE WHEN nt > 0 THEN CAST(FLOOR(tok_start / 512) AS BIGINT)
+                END AS pack_seq_first,
+           CASE WHEN nt > 0
+                THEN CAST(FLOOR((tok_start + nt - 1) / 512) AS BIGINT)
+                END AS pack_seq_last,
+           CAST(COALESCE(
+               CAST(FLOOR((tok_start + nt - 1) / 512) AS BIGINT)
+               - CAST(FLOOR(tok_start / 512) AS BIGINT) + 1, 0
+           ) AS BIGINT) AS pack_n_seqs
+    FROM o
+"""
+
+_ORACLE_SHAPES["q143_sequence_packing"] = (
+    ("doc_id", "BIGINT"), ("pack_n_tokens", "BIGINT"),
+    ("pack_tok_start", "BIGINT"), ("pack_seq_first", "BIGINT"),
+    ("pack_seq_last", "BIGINT"), ("pack_n_seqs", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("packing", "q143_sequence_packing")
+)
