@@ -1,0 +1,154 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) and the
+matching segmenter — the learn-the-vocabulary half of the pipeline's
+token accounting (``functions.textstats.bpe_token_count`` is the
+tokenizer-free approximation; this learns real merges from the corpus).
+
+Scale shape — the classic trick is that BPE training never iterates
+over the corpus, only over the DISTINCT-WORD frame (vocabulary-scale,
+millions of rows at web scale, not trillions):
+
+- one corpus pass builds (word, count) — the only corpus-sized job;
+- each merge iteration is ONE shuffle on the word frame: explode each
+  word's adjacent symbol pairs weighted by word count, partial-sum per
+  pair (map-side combine), and collect exactly ONE row — the argmax
+  pair (ties broken (count DESC, a ASC, b ASC) for determinism);
+- the merge itself is a narrow codegen array fold (greedy left-to-right
+  non-overlapping, the BPE contract) — no shuffle;
+- lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+  merges so n_merges chained folds never blow up the analyzer.
+
+Driver traffic is one (a, b, count) row per merge — the same
+driver-scalar class as k-means centroids and PageRank's |V|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+END = "</w>"  # word-end marker (lets word-final merges stay distinct)
+
+
+def _merge_expr(sym_col, a: str, b: str):
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    symbol pair (a, b) by their concatenation, as a pure array fold."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a)
+            & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _word_frame(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = (
+        df.select(F.explode(tokens(t)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    chars = F.filter(F.split(F.col("__w"), ""), lambda x: x != "")
+    return words.select(
+        F.concat(chars, F.array(F.lit(END))).alias("__s"),
+        F.col("__cnt"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 50,
+    min_count: int = 2,
+    lowercase: bool = True,
+    checkpoint_every: int = 8,
+) -> list:
+    """Learn up to ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list ``[(a, b, pair_count), ...]`` (stops early when
+    no pair reaches ``min_count``). See module note for the plan shape
+    and determinism contract."""
+    frame = _word_frame(df, text_col, lowercase).localCheckpoint(
+        eager=True
+    )
+    merges: list = []
+    for i in range(n_merges):
+        pair = F.explode(
+            F.zip_with(
+                F.slice(F.col("__s"), 1, F.size(F.col("__s")) - 1),
+                F.slice(F.col("__s"), 2, F.size(F.col("__s")) - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("__p")
+        top = (
+            frame.filter(F.size(F.col("__s")) >= 2)
+            .select("__cnt", pair)
+            .groupBy("__p")
+            .agg(F.sum("__cnt").alias("__n"))
+            .filter(F.col("__n") >= min_count)
+            .orderBy(
+                F.col("__n").desc(),
+                F.col("__p.a").asc(),
+                F.col("__p.b").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["__p"]["a"], top[0]["__p"]["b"], top[0]["__n"]
+        merges.append((a, b, int(n)))
+        frame = frame.withColumn("__s", _merge_expr(F.col("__s"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            frame = frame.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list,
+    *,
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Apply a learned merge list to every document: appends ``out_col``
+    (array<string> of word-piece symbols, ``</w>``-terminated words,
+    document order preserved). Standard BPE encode: each merge is
+    replayed in learned order as the same greedy fold used in training
+    — narrow codegen, no UDF, no shuffle."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    word_syms = F.transform(
+        F.filter(tokens(t), lambda w: w != ""),
+        lambda w: F.concat(
+            F.filter(F.split(w, ""), lambda x: x != ""),
+            F.array(F.lit(END)),
+        ),
+    )
+    def _apply(a: str, b: str):
+        # bind via factory: extra defaulted lambda params would change
+        # the arity PySpark infers for the higher-order function
+        return lambda s: _merge_expr(s, a, b)
+
+    out = df.withColumn("__ws", word_syms)
+    for i, (a, b, _n) in enumerate(merges):
+        out = out.withColumn(
+            "__ws", F.transform(F.col("__ws"), _apply(a, b))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=True)
+    return out.withColumn(out_col, F.flatten(F.col("__ws"))).drop("__ws")

@@ -1,0 +1,114 @@
+"""BPE training: differential vs a pure-Python Sennrich reference,
+determinism, segmenter roundtrip properties."""
+from __future__ import annotations
+
+import collections
+import re
+
+from jsonl_dataingestion_pipeline_spark.operators.bpe import (
+    END,
+    bpe_segment,
+    bpe_train,
+)
+
+CORPUS = [
+    "the hug was a big hug",
+    "hugs and pugs in the pub",
+    "the pug hugged the bug",
+    "big bugs hug snug pugs",
+    "the the the hug hug pug",
+]
+
+
+def _py_bpe(texts, n_merges, min_count):
+    """Independent reference: Sennrich's algorithm, greedy left-to-right
+    merge, ties (count DESC, a ASC, b ASC)."""
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + [END]): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        cand = [(c, a, b) for (a, b), c in pairs.items() if c >= min_count]
+        if not cand:
+            break
+        c, a, b = max(cand, key=lambda t: (t[0], [-ord(ch) for ch in t[1]],
+                                           [-ord(ch) for ch in t[2]]))
+        # max on (count, then LEXICOGRAPHICALLY SMALLEST a, b):
+        best = sorted(cand, key=lambda t: (-t[0], t[1], t[2]))[0]
+        c, a, b = best
+        merges.append((a, b, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "id long, text string"
+    )
+
+
+def test_bpe_train_matches_python_reference(spark):
+    got = bpe_train(_df(spark), "text", n_merges=12, min_count=2)
+    exp, _ = _py_bpe(CORPUS, 12, 2)
+    assert got == exp
+    # sanity: 'hug' family should have merged something useful
+    merged_syms = {a + b for a, b, _ in got}
+    assert any("hug" in s or "ug" in s for s in merged_syms)
+
+
+def test_bpe_train_deterministic(spark):
+    a = bpe_train(_df(spark), "text", n_merges=8)
+    b = bpe_train(_df(spark), "text", n_merges=8)
+    assert a == b
+
+
+def test_bpe_segment_applies_merges_like_reference(spark):
+    merges = bpe_train(_df(spark), "text", n_merges=10, min_count=2)
+    out = {
+        r.id: r.bpe_tokens
+        for r in bpe_segment(_df(spark), "text", merges).collect()
+    }
+
+    def py_encode(text):
+        toks = []
+        for w in re.split(r"\s+", text.strip().lower()):
+            if not w:
+                continue
+            syms = list(w) + [END]
+            for a, b, _c in merges:
+                ns = []
+                for x in syms:
+                    if ns and ns[-1] == a and x == b:
+                        ns[-1] = a + b
+                    else:
+                        ns.append(x)
+                syms = ns
+            toks.extend(syms)
+        return toks
+
+    for i, t in enumerate(CORPUS):
+        assert out[i] == py_encode(t), (i, out[i], py_encode(t))
+
+
+def test_bpe_segment_roundtrip_reconstructs_text(spark):
+    merges = bpe_train(_df(spark), "text", n_merges=15)
+    out = bpe_segment(_df(spark), "text", merges).collect()
+    for r in out:
+        joined = "".join(r.bpe_tokens).replace(END, " ").strip()
+        assert joined == " ".join(CORPUS[r.id].lower().split())
