@@ -322,7 +322,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The COMPLETE internal registry: one entry per individual operator
-    query (97 of them). The driver-facing ``queries()`` (defined at the end
+    query (143 of them). The driver-facing ``queries()`` (defined at the end
     of this file) folds these into <=50 composed entries because the
     driver's correctness gate records at most the first 50 registry rows;
     bench.py and tests keep using this full registry by name."""

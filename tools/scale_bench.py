@@ -365,6 +365,25 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         ).localCheckpoint(eager=True)
         return dedup_keep_best(corpus, pairs, "id", "ntok")
 
+    def q143_scaled(spark, sf_dir):
+        # sequence packing over the FULL scaled corpus: one row per
+        # doc (k-linear); the two-phase prefix sum must stay scan-
+        # speed — a hidden global-sort window would show up as
+        # superlinear wall immediately.
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            token_count,
+        )
+        from jsonl_dataingestion_pipeline_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", token_count(F.col("text")).alias("__nt"))
+        return pack_sequences(
+            d, "__nt", "doc_id", seq_len=2048, bucket_size=100_000
+        )
+
     def q137_scaled(spark, sf_dir):
         # fuzzy decontamination: benchmark = replica-0 docs (every
         # other replica's word-suffixed text shares ZERO shingles with
@@ -430,6 +449,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q135_link_graph": q135_scaled,
         "q136_keep_best": q136_scaled,
         "q137_fuzzy_decontam": q137_scaled,
+        "q143_packing": q143_scaled,
     }
     out = {}
     import logging as _logging
