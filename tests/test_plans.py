@@ -312,3 +312,14 @@ def test_q137_fuzzy_decontamination_benchmark_broadcast_only(spark):
         if "SortMergeJoin" in l.split("- ")[-1]
     ]
     assert len(smj) == 1 and "LeftOuter" in smj[0], tree
+
+
+def test_q140_q141_banded_join_no_cartesian(spark):
+    """q140/q141: the shared hash64 banded-Hamming join must generate
+    candidates via the (band, key) equi-join — never a CartesianProduct
+    or nested-loop over the hashed relation."""
+    for q in (em.q140_image_neardup_pairs, em.q141_audio_neardup_pairs):
+        tree = _tree(_formatted(spark, q(spark, SF)))
+        assert "CartesianProduct" not in tree, tree
+        assert "BroadcastNestedLoopJoin" not in tree, tree
+        assert "Join" in tree  # the band equi-join exists
