@@ -365,6 +365,27 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         ).localCheckpoint(eager=True)
         return dedup_keep_best(corpus, pairs, "id", "ntok")
 
+    def qbpe_scaled(spark, sf_dir):
+        # BPE training: 10 merges over the distinct-word frame. The
+        # suffix construction multiplies the vocabulary by k (every
+        # word gains a replica tag), so the per-merge pair-count
+        # shuffle sees k x the words; output rows = n_merges (const) —
+        # the check is that WALL grows at most ~k. (Merge CHOICES
+        # diverge across scales because replica tags fragment pair
+        # counts; that is expected and does not affect the cost shape.)
+        from jsonl_dataingestion_pipeline_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("text")
+        merges = bpe_train(d, "text", n_merges=10, min_count=2)
+        return spark.createDataFrame(
+            [(a, b, n) for a, b, n in merges],
+            "a string, b string, n long",
+        )
+
     def q143_scaled(spark, sf_dir):
         # sequence packing over the FULL scaled corpus: one row per
         # doc (k-linear); the two-phase prefix sum must stay scan-
@@ -450,6 +471,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q136_keep_best": q136_scaled,
         "q137_fuzzy_decontam": q137_scaled,
         "q143_packing": q143_scaled,
+        "qbpe_train": qbpe_scaled,
     }
     out = {}
     import logging as _logging
