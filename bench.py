@@ -64,6 +64,8 @@ HEADLINE = [
     "q135_link_graph",
     "q137_fuzzy_decontamination",
     "q140_image_neardup_pairs",
+    "q142_bloom_membership",
+    "q143_sequence_packing",
 ]
 
 

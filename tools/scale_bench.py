@@ -365,6 +365,18 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         ).localCheckpoint(eager=True)
         return dedup_keep_best(corpus, pairs, "id", "ntok")
 
+    def qkmeansll_scaled(spark, sf_dir):
+        # kmeans|| seeding + Lloyd's: per seeding round = one scan +
+        # a 1-row sum + a ~l-row collect; rows = points (k-linear).
+        from jsonl_dataingestion_pipeline_spark.operators.clustering import (
+            kmeans,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return kmeans(
+            e, "embedding", "vec_id", k=8, iterations=2, init="kmeans||"
+        )
+
     def qbpe_scaled(spark, sf_dir):
         # BPE training: 10 merges over the distinct-word frame. The
         # suffix construction multiplies the vocabulary by k (every
@@ -472,6 +484,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q137_fuzzy_decontam": q137_scaled,
         "q143_packing": q143_scaled,
         "qbpe_train": qbpe_scaled,
+        "qkmeansll": qkmeansll_scaled,
     }
     out = {}
     import logging as _logging
