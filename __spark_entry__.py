@@ -8512,3 +8512,62 @@ _ORACLE_SHAPES["q143_sequence_packing"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("packing", "q143_sequence_packing")
 )
+
+
+# ---------------------------------------------------------------------------
+# q144: exact triangle counting (operators/graph.py::triangle_count) over the
+# co-purchase graph (two parts are adjacent when some order contains both).
+# Spark runs the degree-oriented wedge join (out-degree bounded ~sqrt(2|E|)
+# even under celebrity skew); the oracle brute-forces the canonical
+# a<b<c three-way edge join — same exact count, no orientation trick.
+
+
+def q144_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(other, on="l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(
+            F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+        )
+    )
+    return triangle_count(edges).select(
+        F.col("n_triangles").alias("tri_n_triangles")
+    )
+
+
+_DEDUP_SIM_QUERIES["q144_triangle_count"] = q144_triangle_count
+
+_ORACLE_DEDUP_SIM["q144_triangle_count"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    ), e AS (
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS tri_n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+_ORACLE_SHAPES["q144_triangle_count"] = (("tri_n_triangles", "BIGINT"),)
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("triangles", "q144_triangle_count")
+)

@@ -77,3 +77,58 @@ def test_pagerank_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, pagerank(e, iterations=6).collect()))
     r2 = sorted(map(tuple, pagerank(e, iterations=6).collect()))
     assert r1 == r2
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _count(spark, edges):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._count(spark, k4) == 4
+
+    def test_path_and_star_have_none(self, spark):
+        assert self._count(spark, [(0, 1), (1, 2), (2, 3)]) == 0
+        assert self._count(spark, [(0, i) for i in range(1, 6)]) == 0
+
+    def test_direction_duplicates_self_loops_ignored(self, spark):
+        # triangle given twice with mixed directions + a self-loop
+        e = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (1, 1)]
+        assert self._count(spark, e) == 1
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(5)
+        edges = {(a, b) for a in range(20) for b in range(a + 1, 20)
+                 if rng.random() < 0.3}
+        adj = set(edges)
+        brute = sum(
+            1 for a, b, c in itertools.combinations(range(20), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        assert self._count(spark, sorted(edges)) == brute
+
+    def test_plan_no_cartesian(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+        )
+        out = triangle_count(df)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        tree = plan.split("\n\n")[0]
+        assert "CartesianProduct" not in tree, tree
+        assert "BroadcastNestedLoopJoin" not in tree, tree
