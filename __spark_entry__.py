@@ -8571,3 +8571,102 @@ _ORACLE_SHAPES["q144_triangle_count"] = (("tri_n_triangles", "BIGINT"),)
 _UNION_MERGES["q51_neardup_clusters_battery"].append(
     ("triangles", "q144_triangle_count")
 )
+
+
+# ---------------------------------------------------------------------------
+# q145: k-core decomposition (operators/graph.py::k_core) over the same
+# co-purchase graph as q144. Spark peels iteratively to the fixpoint (the
+# k-core is UNIQUE, so there is no tie-breaking to replay); the oracle
+# unrolls six peeling rounds in SQL — more than the fixture's measured
+# peeling depth (3), and extra rounds past the fixpoint are no-ops, so the
+# unrolled form equals the fixpoint exactly.
+
+
+def q145_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.graph import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(other, on="l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return k_core(edges, 6).select(
+        F.col("a").alias("core_a"), F.col("b").alias("core_b")
+    )
+
+
+_DEDUP_SIM_QUERIES["q145_k_core"] = q145_k_core
+
+_ORACLE_DEDUP_SIM["q145_k_core"] = """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), d0 AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+        ) GROUP BY v
+    ), e1 AS MATERIALIZED (
+        SELECT a, b FROM e0
+        WHERE a IN (SELECT v FROM d0 WHERE d >= 6)
+          AND b IN (SELECT v FROM d0 WHERE d >= 6)
+    ), d1 AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1
+        ) GROUP BY v
+    ), e2 AS MATERIALIZED (
+        SELECT a, b FROM e1
+        WHERE a IN (SELECT v FROM d1 WHERE d >= 6)
+          AND b IN (SELECT v FROM d1 WHERE d >= 6)
+    ), d2 AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2
+        ) GROUP BY v
+    ), e3 AS MATERIALIZED (
+        SELECT a, b FROM e2
+        WHERE a IN (SELECT v FROM d2 WHERE d >= 6)
+          AND b IN (SELECT v FROM d2 WHERE d >= 6)
+    ), d3 AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3
+        ) GROUP BY v
+    ), e4 AS MATERIALIZED (
+        SELECT a, b FROM e3
+        WHERE a IN (SELECT v FROM d3 WHERE d >= 6)
+          AND b IN (SELECT v FROM d3 WHERE d >= 6)
+    ), d4 AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e4 UNION ALL SELECT b AS v FROM e4
+        ) GROUP BY v
+    ), e5 AS MATERIALIZED (
+        SELECT a, b FROM e4
+        WHERE a IN (SELECT v FROM d4 WHERE d >= 6)
+          AND b IN (SELECT v FROM d4 WHERE d >= 6)
+    ), d5 AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e5 UNION ALL SELECT b AS v FROM e5
+        ) GROUP BY v
+    ), e6 AS MATERIALIZED (
+        SELECT a, b FROM e5
+        WHERE a IN (SELECT v FROM d5 WHERE d >= 6)
+          AND b IN (SELECT v FROM d5 WHERE d >= 6)
+    )
+    SELECT a AS core_a, b AS core_b FROM e6
+"""
+
+_ORACLE_SHAPES["q145_k_core"] = (("core_a", "BIGINT"), ("core_b", "BIGINT"))
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("kcore", "q145_k_core")
+)

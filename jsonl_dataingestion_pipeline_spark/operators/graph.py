@@ -203,3 +203,58 @@ def triangle_count(
     return tri.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Edges of the k-core: the maximal subgraph where every vertex has
+    degree >= k — the classic web-graph curation peel (link farms and
+    orphan pages fall out of the core; PageRank/crawl budgets focus on
+    what remains). Undirected semantics: direction/duplicates ignored,
+    self-loops dropped. Returns normalized edges (a < b).
+
+    Iterative peeling to the fixpoint: each round is one degree
+    aggregate + two semi-joins (edges whose BOTH endpoints survive);
+    rounds needed = peeling depth (typically a handful — removing a
+    vertex only decrements its neighbors). Per-round driver traffic is
+    the single surviving-edge count used for the convergence test;
+    lineage is cut each round so the plan never nests. Deterministic:
+    the k-core is unique (no tie-breaking exists to get wrong)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+    for _ in range(max_iterations):
+        if n == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        e2 = (
+            e.join(keep.withColumnRenamed("v", "a"), on="a", how="leftsemi")
+            .join(keep.withColumnRenamed("v", "b"), on="b", how="leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n:
+            break
+        n = n2
+    return e

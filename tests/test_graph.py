@@ -132,3 +132,51 @@ class TestTriangleCount:
         tree = plan.split("\n\n")[0]
         assert "CartesianProduct" not in tree, tree
         assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+class TestKCore:
+    @staticmethod
+    def _core(spark, edges, k):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            k_core,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return sorted(
+            (r.a, r.b) for r in k_core(df, k).collect()
+        )
+
+    def test_k4_with_pendant_chain(self, spark):
+        """K4 plus a chain hanging off it: 3-core = exactly the K4
+        (the chain peels away in cascading rounds — depth > 1)."""
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        chain = [(3, 10), (10, 11), (11, 12)]
+        assert self._core(spark, k4 + chain, 3) == k4
+
+    def test_whole_graph_survives_when_k_small(self, spark):
+        tri = [(0, 1), (1, 2), (0, 2)]
+        assert self._core(spark, tri, 2) == sorted(tri)
+
+    def test_everything_peels_when_k_too_large(self, spark):
+        tri = [(0, 1), (1, 2), (0, 2)]
+        assert self._core(spark, tri, 3) == []
+
+    def test_matches_python_peel_on_random_graph(self, spark):
+        import collections
+        import random
+
+        rng = random.Random(11)
+        edges = sorted({(a, b) for a in range(25) for b in range(a + 1, 25)
+                        if rng.random() < 0.18})
+        e = set(edges)
+        while True:
+            deg = collections.Counter()
+            for a, b in e:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {v for v, d in deg.items() if d >= 3}
+            e2 = {(a, b) for a, b in e if a in keep and b in keep}
+            if e2 == e:
+                break
+            e = e2
+        assert self._core(spark, edges, 3) == sorted(e)
