@@ -230,6 +230,57 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         )
         return pagerank(rep, iterations=6)
 
+    def _copurchase_replicas(spark, sf_dir):
+        # k disjoint suffix-tagged copies of the q144/q145 co-purchase
+        # graph: components are independent, so true triangle counts
+        # and k-core edge sets are exactly k * (x1 values).
+        li = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .filter(F.col("l_orderkey") % 7 == 0)
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        other = li.select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+        )
+        edges = (
+            li.join(other, on="l_orderkey")
+            .filter(F.col("l_partkey") < F.col("p2"))
+            .select(
+                F.col("l_partkey").cast("string").alias("src"),
+                F.col("p2").cast("string").alias("dst"),
+            )
+        )
+        return edges.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        ).select(
+            F.concat("src", F.lit("~"), F.col("__r").cast("string")).alias(
+                "src"
+            ),
+            F.concat("dst", F.lit("~"), F.col("__r").cast("string")).alias(
+                "dst"
+            ),
+        )
+
+    def q144_scaled(spark, sf_dir):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            triangle_count,
+        )
+
+        # output is 1 row; record the triangle COUNT as rows so the
+        # k-linearity check runs on it
+        n = triangle_count(
+            _copurchase_replicas(spark, sf_dir)
+        ).collect()[0]["n_triangles"]
+        return spark.range(n)
+
+    def q145_scaled(spark, sf_dir):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            k_core,
+        )
+
+        return k_core(_copurchase_replicas(spark, sf_dir), 6)
+
     def q133_scaled(spark, sf_dir):
         # Lloyd's k-means over the full scaled embedding table: output
         # rows = points = k-linear by construction; the check is that
@@ -485,6 +536,8 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q143_packing": q143_scaled,
         "qbpe_train": qbpe_scaled,
         "qkmeansll": qkmeansll_scaled,
+        "q144_triangles": q144_scaled,
+        "q145_kcore": q145_scaled,
     }
     out = {}
     import logging as _logging
