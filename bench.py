@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+The FINAL stdout line is a COMPACT JSON object (< 200 chars — the
+driver captures only the last 2,000 chars of stdout, and round 5's
+34-query single-line headline outgrew that window, recording nothing):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "runs_per_query": 2, "sf": <sf>}
+   "queries": {...}, "runs_per_query": 2, "sf": <sf>}
+where "queries" on the final line is kept compact; the FULL per-query
+and first_run dicts are printed on their own earlier stdout lines
+(prefixed ``#detail``) and written to ``bench_detail.json`` next to
+this script.
 
 Timing excludes SparkSession/JVM startup (one warmup action runs first)
 and measures full query execution to a driver-side materialization.
@@ -64,8 +70,11 @@ HEADLINE = [
     "q135_link_graph",
     "q137_fuzzy_decontamination",
     "q140_image_neardup_pairs",
+    "q141_audio_neardup_pairs",
     "q142_bloom_membership",
     "q143_sequence_packing",
+    "q144_triangle_count",
+    "q145_k_core",
 ]
 
 
@@ -144,7 +153,11 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    out = {
+    # Full-precision detail goes to a sidecar file + stderr — NOT the
+    # final stdout line (driver tail capture is 2,000 chars; VERDICT r5
+    # item #1: the 34-query single-line JSON outgrew it and BENCH_r05
+    # parsed null).
+    detail = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
@@ -153,7 +166,26 @@ def main() -> int:
         "first_run": first_run,
         "sf": sf,
     }
-    print(json.dumps(out))
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print("#detail " + json.dumps(detail), file=sys.stderr)
+
+    # FINAL stdout line: compact. queries rounded to centiseconds, no
+    # first_run. Hard guard: if it still exceeds the tail budget, drop
+    # the queries dict entirely rather than emit an unparseable line.
+    out = {
+        "metric": "headline_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "runs_per_query": runs_per_query,
+        "sf": sf,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out.pop("queries")
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 

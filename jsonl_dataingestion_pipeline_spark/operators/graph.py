@@ -146,11 +146,18 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    with_wedges: bool = False,
 ) -> DataFrame:
     """Exact global triangle count over an undirected graph given as an
     edge list (direction and duplicates ignored; self-loops dropped).
-    Returns ONE row: (n_triangles BIGINT).
+    Returns ONE row: (n_triangles BIGINT); with ``with_wedges=True``
+    also (n_wedges BIGINT) — the oriented-wedge candidate count, the
+    quantity whose growth the degree-orientation bound controls (the
+    scale harness asserts it stays replica-linear).
 
     The 100 TB shape is the standard degree-orientation trick (e.g.
     Suri & Vassilvitskii 2011): orient every undirected edge from its
@@ -199,6 +206,21 @@ def triangle_count(
     wedges = o1.join(o2, on="u").filter(F.col("w1") < F.col("w2"))
     # a wedge closes iff the (w1, w2) UNDIRECTED edge exists
     closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    if with_wedges:
+        # left join instead of semi (e is distinct and both sides are
+        # a<b-normalized, so at most one match): count wedges AND
+        # closed wedges in one aggregate
+        flagged = wedges.join(
+            closing.withColumn("__closed", F.lit(1)),
+            on=["w1", "w2"],
+            how="left",
+        )
+        return flagged.agg(
+            F.sum(F.coalesce(F.col("__closed"), F.lit(0)))
+            .cast("long")
+            .alias("n_triangles"),
+            F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        )
     tri = wedges.join(closing, on=["w1", "w2"], how="leftsemi")
     return tri.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
@@ -236,8 +258,10 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n = e.count()
+    converged = n == 0
     for _ in range(max_iterations):
         if n == 0:
+            converged = True
             break
         deg = (
             e.select(F.col("a").alias("v"))
@@ -255,6 +279,18 @@ def k_core(
         n2 = e2.count()
         e = e2
         if n2 == n:
+            converged = True
             break
         n = n2
+    if not converged:
+        # Peeling depth can be O(|V|) (a path graph at k=2 peels one
+        # vertex per round from each end); returning here would hand
+        # back a SUPERGRAPH of the k-core — fail loudly instead of
+        # silently (VERDICT r5 item #6).
+        raise RuntimeError(
+            f"k_core: no fixpoint after max_iterations={max_iterations} "
+            f"rounds ({n} edges still shrinking) — the result would be a "
+            "supergraph of the k-core. Raise max_iterations (peel depth "
+            "can be O(|V|) on path-like graphs)."
+        )
     return e

@@ -106,3 +106,15 @@ def test_registry_headroom_policy(entrymod):
     """The driver records exactly 50 rows; the registry must never exceed
     it. New queries MUST fold into an existing battery (COVERAGE.md)."""
     assert len(entrymod.queries()) <= 50
+
+
+def test_registry_count_matches_coverage_doc(entrymod):
+    """COVERAGE.md's headline query count must track the live registry
+    (VERDICT r5 item #7: the doc said 143 while the registry held 145).
+    Update BOTH when adding queries."""
+    n = len(entrymod.queries_full())
+    with open("/root/repo/COVERAGE.md") as f:
+        doc = f.read()
+    assert f"{n} verified queries" in doc, (
+        f"registry holds {n} queries; COVERAGE.md headline disagrees"
+    )

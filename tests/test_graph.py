@@ -180,3 +180,21 @@ class TestKCore:
                 break
             e = e2
         assert self._core(spark, edges, 3) == sorted(e)
+
+    def test_nonconvergence_raises_not_supergraph(self, spark):
+        """A path graph at k=2 peels one vertex per round from each
+        end — O(|V|) rounds. With max_iterations too small for that,
+        k_core must RAISE, not silently return the partially-peeled
+        supergraph (VERDICT r5 item #6)."""
+        import pytest
+
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            k_core,
+        )
+
+        path = [(i, i + 1) for i in range(20)]  # needs ~10 peel rounds
+        df = spark.createDataFrame(path, "src long, dst long")
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            k_core(df, 2, max_iterations=3)
+        # and with enough rounds the same graph fully peels to empty
+        assert k_core(df, 2, max_iterations=25).count() == 0

@@ -74,3 +74,52 @@ def test_all_driver_oracles_bind_in_duckdb(entrymod, con):
         except Exception as e:  # noqa: BLE001 — report all binder errors
             failures.append((name, str(e).splitlines()[0]))
     assert not failures, failures
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q145_fixture_peel_depth_within_oracle_margin(sf_dir):
+    """The q145 oracle unrolls SIX peeling rounds; it equals the true
+    k-core only while the fixture graph's peel depth stays <= 6. Pin
+    depth <= 4 (two rounds of safety margin) at both the local test SF
+    and the driver's correctness SF, so testdata drift fails HERE, not
+    at the driver (VERDICT r5 item #6). Pure DuckDB + Python peel —
+    independent of both the Spark operator and the SQL oracle."""
+    import collections
+
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    if not os.path.exists(p):
+        pytest.skip(f"no testdata at {sf_dir}")
+    c = duckdb.connect()
+    edges = c.sql(
+        f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM read_parquet('{p}') WHERE l_orderkey % 7 = 0
+        )
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        """
+    ).fetchall()
+    e = set(map(tuple, edges))
+    depth = 0
+    while True:
+        deg = collections.Counter()
+        for a, b in e:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= 6}
+        e2 = {(a, b) for a, b in e if a in keep and b in keep}
+        if e2 == e:
+            break
+        e = e2
+        depth += 1
+    assert depth <= 4, (
+        f"q145 fixture peel depth grew to {depth} at {sf_dir}; the "
+        "6-round unrolled oracle is only exact while depth <= 6 — "
+        "regenerate the oracle with more rounds before this margin "
+        "erodes further."
+    )

@@ -298,14 +298,16 @@ def test_q133_kmeans_assignment_is_scan_plus_project(spark):
 
 def test_q137_fuzzy_decontamination_benchmark_broadcast_only(spark):
     """q137 (PLANS.md): every join against the benchmark side is a
-    BroadcastHashJoin (shingle candidates, set sizes, hot-shingle
-    anti-join); the single SortMergeJoin is the per-doc LeftOuter
-    join-back of scores onto corpus ids. The corpus must never
-    self-join or sort-merge against the benchmark."""
+    BroadcastHashJoin (shingle candidates, set sizes); the hot-shingle
+    cap is a collected-literal filter, NOT a join or a separate eager
+    job (round 6 — VERDICT r5 item #2 removed the per-call hot.count()
+    action and the LeftAnti); the single SortMergeJoin is the per-doc
+    LeftOuter join-back of scores onto corpus ids. The corpus must
+    never self-join or sort-merge against the benchmark."""
     df = em.q137_fuzzy_decontamination(spark, SF)
     tree = _tree(_formatted(spark, df))
     assert "BroadcastHashJoin Inner BuildRight" in tree, tree
-    assert "BroadcastHashJoin LeftAnti BuildRight" in tree, tree
+    assert "LeftAnti" not in tree, tree  # cap is a literal filter now
     assert "CartesianProduct" not in tree, tree
     smj = [
         l for l in tree.splitlines()

@@ -83,11 +83,13 @@ PICKS = [
      "which broadcast-join back — no global-sort window over data"),
     ("q137_fuzzy_decontamination",
      "the benchmark side enters ONLY as BroadcastExchange / "
-     "BroadcastHashJoin (shingles + set sizes); the corpus side is "
-     "exploded once and its shuffles are the bounded candidate-pair "
-     "and per-doc aggregates; the single SortMergeJoin is the "
-     "per-doc LeftOuter join-back of scores onto corpus ids — the "
-     "corpus never self-joins"),
+     "BroadcastHashJoin (shingles + set sizes); the hot-shingle cap "
+     "is a collected-literal NOT-IN filter (no LeftAnti join, no "
+     "separate count job — round 6); the corpus side is exploded "
+     "once and its shuffles are the bounded candidate-pair and "
+     "per-doc aggregates; the single SortMergeJoin is the per-doc "
+     "LeftOuter join-back of scores onto corpus ids — the corpus "
+     "never self-joins"),
 ]
 
 

@@ -267,12 +267,13 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             triangle_count,
         )
 
-        # output is 1 row; record the triangle COUNT as rows so the
-        # k-linearity check runs on it
-        n = triangle_count(
-            _copurchase_replicas(spark, sf_dir)
-        ).collect()[0]["n_triangles"]
-        return spark.range(n)
+        # 1-row result; the run loop records n_triangles as rows (for
+        # the k-linearity check) AND n_wedges — the degree-orientation
+        # candidate count, the one quantity with a plausible
+        # superlinear failure mode (VERDICT r5 item #8)
+        return triangle_count(
+            _copurchase_replicas(spark, sf_dir), with_wedges=True
+        )
 
     def q145_scaled(spark, sf_dir):
         from jsonl_dataingestion_pipeline_spark.operators.graph import (
@@ -449,6 +450,27 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             "a string, b string, n long",
         )
 
+    def qbpe_deep_scaled(spark, sf_dir):
+        # the incremental pair-maintenance path at REALISTIC merge
+        # depth (n_merges=200): per merge = one argmax on the running
+        # pair-count frame + one affected-slice delta, never a full
+        # vocab recount (VERDICT r5 item #5). rows = n_merges (const);
+        # the check is that WALL grows ~k with the vocab.
+        from jsonl_dataingestion_pipeline_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("text")
+        merges = bpe_train(
+            d, "text", n_merges=200, min_count=2, incremental=True
+        )
+        return spark.createDataFrame(
+            [(a, b, n) for a, b, n in merges],
+            "a string, b string, n long",
+        )
+
     def q143_scaled(spark, sf_dir):
         # sequence packing over the FULL scaled corpus: one row per
         # doc (k-linear); the two-phase prefix sum must stay scan-
@@ -535,6 +557,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q137_fuzzy_decontam": q137_scaled,
         "q143_packing": q143_scaled,
         "qbpe_train": qbpe_scaled,
+        "qbpe_deep": qbpe_deep_scaled,
         "qkmeansll": qkmeansll_scaled,
         "q144_triangles": q144_scaled,
         "q145_kcore": q145_scaled,
@@ -573,6 +596,14 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             rows = {r["stage"]: r["n_docs"] for r in df.collect()}
             n = len(rows)
             out[name] = {"sec": round(time.time() - t0, 2), "rows": n, "stages": rows}
+        elif name == "q144_triangles":
+            row = df.collect()[0]
+            n = int(row["n_triangles"])
+            out[name] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": n,
+                "n_wedges": int(row["n_wedges"]),
+            }
         elif name == "q135_link_graph":
             # census rows are k-invariant by construction; linearity
             # shows in the total link volume
