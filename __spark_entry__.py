@@ -8670,3 +8670,127 @@ _ORACLE_SHAPES["q145_k_core"] = (("core_a", "BIGINT"), ("core_b", "BIGINT"))
 _UNION_MERGES["q51_neardup_clusters_battery"].append(
     ("kcore", "q145_k_core")
 )
+
+
+# ---------------------------------------------------------------------------
+# q146: DSIR-style data selection via importance resampling (operators/
+# dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =
+# every 5th document (the "looks like my high-quality set" proxy). Hashed
+# unigram+bigram features (512 buckets, the q134 md5 idiom), add-1
+# smoothed log-ratio weights, Gumbel top-100 sample keyed on
+# md5(doc_id, seed) — every step exact cross-engine, so the oracle
+# replays weights AND the selection bit-for-bit.
+
+
+def q146_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.dsir import (
+        dsir_select,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.filter(F.col("doc_id") < 400)
+    target = d.filter(F.col("doc_id") % 5 == 0)
+    out = dsir_select(
+        raw, target, "text", "doc_id", n=100, n_features=512, seed=13
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_feats").alias("dsir_n_feats"),
+        F.col("weight").alias("dsir_weight"),
+        F.col("sample_key").alias("dsir_key"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q146_dsir_select"] = q146_dsir_select
+
+_ORACLE_DEDUP_SIM["q146_dsir_select"] = r"""
+    WITH rawd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), tgt AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), toksR AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '') AS t
+        FROM rawd
+    ), toksT AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '') AS t
+        FROM tgt
+    ), termsR AS (
+        SELECT doc_id, UNNEST(t) AS term FROM toksR
+        UNION ALL
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+               )) AS term
+        FROM toksR
+    ), termsT AS (
+        SELECT doc_id, UNNEST(t) AS term FROM toksT
+        UNION ALL
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+               )) AS term
+        FROM toksT
+    ), fR AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 512
+                   AS bucket
+        FROM termsR
+    ), fT AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 512
+                   AS bucket
+        FROM termsT
+    ), cntR AS (
+        SELECT bucket, COUNT(*) AS c FROM fR GROUP BY bucket
+    ), cntT AS (
+        SELECT bucket, COUNT(*) AS c FROM fT GROUP BY bucket
+    ), nR AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fR
+    ), nT AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fT
+    ), lr AS (
+        SELECT b.b AS bucket,
+               ROUND(
+                   LN((COALESCE(ct.c, 0) + 1.0) / (nT.n + 512.0))
+                   - LN((COALESCE(cr.c, 0) + 1.0) / (nR.n + 512.0)),
+                   6) AS lr
+        FROM (SELECT UNNEST(generate_series(0, 511)) AS b) b
+        LEFT JOIN cntR cr ON cr.bucket = b.b
+        LEFT JOIN cntT ct ON ct.bucket = b.b
+        CROSS JOIN nR CROSS JOIN nT
+    ), w AS (
+        SELECT fR.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(SUM(lr.lr), 6) AS wgt
+        FROM fR JOIN lr USING (bucket) GROUP BY fR.doc_id
+    ), scored AS (
+        SELECT d.doc_id,
+               COALESCE(w.n_feats, 0) AS dsir_n_feats,
+               COALESCE(w.wgt, 0.0) AS dsir_weight,
+               ROUND(
+                   COALESCE(w.wgt, 0.0)
+                   - LN(-LN(
+                       (CAST('0x' || substr(
+                            md5(d.doc_id || ':13'), 1, 15) AS BIGINT)
+                        + 1) / 1152921504606846977.0)),
+                   6) AS dsir_key
+        FROM (SELECT doc_id FROM rawd) d
+        LEFT JOIN w USING (doc_id)
+    )
+    SELECT doc_id, dsir_n_feats, dsir_weight, dsir_key
+    FROM scored
+    ORDER BY dsir_key DESC, doc_id ASC
+    LIMIT 100
+"""
+
+_ORACLE_SHAPES["q146_dsir_select"] = (
+    ("doc_id", "BIGINT"), ("dsir_n_feats", "BIGINT"),
+    ("dsir_weight", "DOUBLE"), ("dsir_key", "DOUBLE"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(("dsir", "q146_dsir_select"))

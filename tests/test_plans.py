@@ -307,13 +307,20 @@ def test_q137_fuzzy_decontamination_benchmark_broadcast_only(spark):
     df = em.q137_fuzzy_decontamination(spark, SF)
     tree = _tree(_formatted(spark, df))
     assert "BroadcastHashJoin Inner BuildRight" in tree, tree
-    assert "LeftAnti" not in tree, tree  # cap is a literal filter now
+    assert "LeftAnti" not in tree, tree  # cap is an in-plan filter now
     assert "CartesianProduct" not in tree, tree
+    # the per-doc score join-back is the ONLY outer join; round 6's
+    # (shingle -> [bids]) candidate shape turned it into a broadcast
+    # LeftOuter, leaving no SortMergeJoin at all — allow at most the
+    # one LeftOuter SMJ in case stats push it back over the threshold
+    assert "LeftOuter" in tree, tree
     smj = [
         l for l in tree.splitlines()
         if "SortMergeJoin" in l.split("- ")[-1]
     ]
-    assert len(smj) == 1 and "LeftOuter" in smj[0], tree
+    assert len(smj) == 0 or (
+        len(smj) == 1 and "LeftOuter" in smj[0]
+    ), tree
 
 
 def test_q140_q141_banded_join_no_cartesian(spark):

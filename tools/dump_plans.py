@@ -82,14 +82,14 @@ PICKS = [
      "exchange carries the per-bucket totals (rows = n_buckets), "
      "which broadcast-join back — no global-sort window over data"),
     ("q137_fuzzy_decontamination",
-     "the benchmark side enters ONLY as BroadcastExchange / "
-     "BroadcastHashJoin (shingles + set sizes); the hot-shingle cap "
-     "is a collected-literal NOT-IN filter (no LeftAnti join, no "
-     "separate count job — round 6); the corpus side is exploded "
-     "once and its shuffles are the bounded candidate-pair and "
-     "per-doc aggregates; the single SortMergeJoin is the per-doc "
-     "LeftOuter join-back of scores onto corpus ids — the corpus "
-     "never self-joins"),
+     "the benchmark side enters ONLY as one (shingle -> [bids], df) "
+     "aggregate broadcast into the candidate join; the hot-shingle "
+     "cap is an in-plan filter on df (no LeftAnti, no per-call count "
+     "job — its census is memoized per benchmark plan, round 6); the "
+     "corpus side is exploded once and its shuffles are the bounded "
+     "candidate-pair and per-doc aggregates; the per-doc LeftOuter "
+     "score join-back broadcasts too — no SortMergeJoin anywhere, "
+     "and the corpus never self-joins"),
 ]
 
 
