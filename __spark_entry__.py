@@ -8794,3 +8794,62 @@ _ORACLE_SHAPES["q146_dsir_select"] = (
 )
 
 _UNION_MERGES["q53_sampling_suite"].append(("dsir", "q146_dsir_select"))
+
+
+# ---------------------------------------------------------------------------
+# q147: contrastive hard-negative mining (operators/similarity.py::
+# hard_negative_mining) — per anchor, the top-5 corpus vectors by cosine
+# within [0.2, 0.4): informative negatives for embedding-model training,
+# with the near-dup band >= 0.4 EXCLUDED (unlabeled positives poison the
+# contrastive loss). Oracle replays the exact batch-mining plan (anchors
+# broadcast against the streaming corpus); the IVF-bucketed scale variant
+# is pytest-compared for recall.
+
+
+def q147_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 40 == 0)
+    corpus = e.filter(F.col("vec_id") % 40 != 0)
+    return hard_negative_mining(
+        corpus, anchors, k=5, lo=0.2, hi=0.4, exact=True
+    )
+
+
+_DEDUP_SIM_QUERIES["q147_hard_negatives"] = q147_hard_negatives
+
+_ORACLE_DEDUP_SIM["q147_hard_negatives"] = """
+    WITH a AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 40 = 0
+    ), c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 40 <> 0
+    ), s AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+               ROUND(list_cosine_similarity(a.v, c.v), 6) AS neg_sim
+        FROM a, c
+    )
+    SELECT anchor_id, negative_id, neg_sim,
+           CAST(neg_rank AS INT) AS neg_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id
+            ORDER BY neg_sim DESC, negative_id ASC) AS neg_rank
+        FROM s
+        WHERE neg_sim >= 0.2 AND neg_sim < 0.4
+          AND anchor_id <> negative_id
+    ) WHERE neg_rank <= 5
+"""
+
+_ORACLE_SHAPES["q147_hard_negatives"] = (
+    ("anchor_id", "BIGINT"), ("negative_id", "BIGINT"),
+    ("neg_sim", "DOUBLE"), ("neg_rank", "INTEGER"),
+)
+
+_UNION_MERGES["q38_cosine_verify"].append(
+    ("hard_negatives", "q147_hard_negatives")
+)

@@ -75,6 +75,7 @@ HEADLINE = [
     "q143_sequence_packing",
     "q144_triangle_count",
     "q145_k_core",
+    "q146_dsir_select",
 ]
 
 

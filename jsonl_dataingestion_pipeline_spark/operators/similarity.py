@@ -417,6 +417,99 @@ def ivf_topk(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.2,
+    hi: float = 0.4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    exact: bool = False,
+    scale: int = 6,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor, the top-k
+    corpus vectors by cosine WITHIN ``[lo, hi)`` — similar enough to be
+    informative negatives for embedding-model training, but excluding
+    the near-dup band ``>= hi`` (those are unlabeled positives — using
+    them as negatives poisons the contrastive loss). Returns
+    (anchor_id, negative_id, neg_sim DOUBLE, neg_rank INT), ties broken
+    by negative id.
+
+    ``exact=True``: the anchor batch BROADCASTS against the streaming
+    corpus — one corpus scan, per-anchor top-k via window. This is the
+    right plan when anchors are a training batch (thousands) against a
+    corpus shard, and it is the oracle-replayable path (q147).
+    ``exact=False`` (default): candidates restricted to each anchor's
+    ``nprobe`` nearest IVF cells — the sublinear scale path for mining
+    against the full corpus; recall < 1 by design (same contract as
+    :func:`ivf_topk`, pytest-compared against exact)."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__av")
+    )
+    if exact:
+        cand = corpus.crossJoin(F.broadcast(a)).select(
+            "anchor_id",
+            F.col(id_col).alias("negative_id"),
+            cosine(F.col("__av"), F.col(vec_col), scale=scale).alias(
+                "neg_sim"
+            ),
+        )
+    else:
+        centroids = make_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assign_cells(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        )
+        cts = centroids.select(
+            F.col("cell_id"), F.col(vec_col).alias("__ctv")
+        )
+        acells = (
+            a.crossJoin(F.broadcast(cts))
+            .select(
+                "anchor_id",
+                "__av",
+                "cell_id",
+                cosine(F.col("__av"), F.col("__ctv"), scale=9).alias(
+                    "__sim"
+                ),
+            )
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("anchor_id").orderBy(
+                        F.col("__sim").desc(), F.col("cell_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("__rk") <= nprobe)
+            .select("anchor_id", "__av", "cell_id")
+        )
+        cand = assigned.join(F.broadcast(acells), on="cell_id").select(
+            "anchor_id",
+            F.col(id_col).alias("negative_id"),
+            cosine(F.col("__av"), F.col(vec_col), scale=scale).alias(
+                "neg_sim"
+            ),
+        )
+    banded = cand.filter(
+        (F.col("neg_sim") >= lo) & (F.col("neg_sim") < hi)
+        & (F.col("anchor_id") != F.col("negative_id"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("neg_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        banded.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "negative_id", "neg_sim", "neg_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (int8) — 4x memory/IO reduction for the 100 TB path
 # ---------------------------------------------------------------------------

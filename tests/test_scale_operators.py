@@ -450,3 +450,82 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
     # all 10 twin-originals plus the 20 singletons possible survivors;
     # sign-LSH with 8 planes on near-identical vectors has recall ~1
     assert 25 <= len(ids) <= 30
+
+
+def test_hard_negative_mining_exact_and_band(spark, embeddings):
+    """Exact path: every returned sim is inside [lo, hi); per-anchor at
+    most k rows, rank contiguous from 1; excluded near-dup band
+    verified against a brute-force replay."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        cosine,
+        hard_negative_mining,
+    )
+
+    anch = embeddings.filter(F.col("vec_id") % 7 == 0)
+    corp = embeddings.filter(F.col("vec_id") % 7 != 0)
+    out = hard_negative_mining(
+        corp, anch, k=3, lo=0.1, hi=0.5, exact=True
+    ).collect()
+    per = {}
+    for r in out:
+        assert 0.1 <= r.neg_sim < 0.5, r
+        per.setdefault(r.anchor_id, []).append(r.neg_rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # brute replay of one anchor's candidate list
+    a0 = min(per)
+    av = {r.vec_id: r.embedding for r in anch.collect()}[a0]
+    brute = []
+    for r in corp.collect():
+        import math
+
+        dotv = sum(x * y for x, y in zip(av, r.embedding))
+        na = math.sqrt(sum(x * x for x in av))
+        nb = math.sqrt(sum(x * x for x in r.embedding))
+        s = round(dotv / (na * nb), 6) if na and nb else 0.0
+        if 0.1 <= s < 0.5:
+            brute.append((-s, r.vec_id))
+    brute.sort()
+    exp = [v for _s, v in brute[:3]]
+    got = [
+        r.negative_id
+        for r in sorted(out, key=lambda r: r.neg_rank)
+        if r.anchor_id == a0
+    ]
+    assert got == exp
+
+
+def test_hard_negative_mining_ivf_recall(spark, embeddings):
+    """IVF path: nprobe = n_cells degenerates to exact (recall 1);
+    nprobe=8 of 16 keeps a usable share of the exact set (the mid-band
+    spreads candidates across cells, so recall is inherently lower
+    than top-k IVF — the documented tradeoff)."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    anch = embeddings.filter(F.col("vec_id") % 7 == 0)
+    corp = embeddings.filter(F.col("vec_id") % 7 != 0)
+    ex = {
+        (r.anchor_id, r.negative_id)
+        for r in hard_negative_mining(
+            corp, anch, k=3, lo=0.1, hi=0.5, exact=True
+        ).collect()
+    }
+    full = {
+        (r.anchor_id, r.negative_id)
+        for r in hard_negative_mining(
+            corp, anch, k=3, lo=0.1, hi=0.5,
+            exact=False, n_cells=8, nprobe=8,
+        ).collect()
+    }
+    assert full == ex  # probing every cell == exact
+    part = {
+        (r.anchor_id, r.negative_id)
+        for r in hard_negative_mining(
+            corp, anch, k=3, lo=0.1, hi=0.5,
+            exact=False, n_cells=8, nprobe=4,
+        ).collect()
+    }
+    assert len(part & ex) / max(len(ex), 1) >= 0.4
