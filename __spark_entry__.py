@@ -8853,3 +8853,138 @@ _ORACLE_SHAPES["q147_hard_negatives"] = (
 _UNION_MERGES["q38_cosine_verify"].append(
     ("hard_negatives", "q147_hard_negatives")
 )
+
+
+# ---------------------------------------------------------------------------
+# q148: maximal-marginal-relevance selection (operators/similarity.py::
+# mmr_select) — greedy diverse exemplar picking: k rounds, each round
+# argmax of lam*relevance - (1-lam)*max_sim_to_selected. The oracle
+# replays all k rounds as unrolled CTEs (same pattern as the k-means /
+# PageRank unrolled oracles); rounded sims + id tie-breaks make the
+# trace bit-exact.
+
+
+def q148_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    return mmr_select(
+        e.filter(F.col("vec_id") > 0), qvec, k=8, lam=0.7
+    )
+
+
+def _mmr_oracle(k: int, lam: float) -> str:
+    lam_r, inv_r = repr(float(lam)), repr(1.0 - float(lam))
+    ctes = [
+        """q AS MATERIALIZED (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    )""",
+        """cand AS MATERIALIZED (
+        SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS rel
+        FROM embeddings e, q WHERE e.vec_id > 0
+    )""",
+        f"""s1 AS MATERIALIZED (
+        SELECT id, v, rel, CAST(1 AS INT) AS sel_rank,
+               ROUND({lam_r}*rel - {inv_r}*0.0, 6) AS mmr_score
+        FROM cand ORDER BY ROUND({lam_r}*rel - {inv_r}*0.0, 6) DESC, id ASC
+        LIMIT 1
+    )""",
+        "sel1 AS MATERIALIZED (SELECT * FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT id, v, rel, CAST({i} AS INT) AS sel_rank, mmr_score FROM (
+            SELECT c.id, c.v, c.rel,
+                   ROUND({lam_r}*c.rel - {inv_r}*MAX(ROUND(
+                       list_cosine_similarity(c.v, s.v), 6)), 6) AS mmr_score
+            FROM cand c CROSS JOIN sel{i - 1} s
+            WHERE c.id NOT IN (SELECT id FROM sel{i - 1})
+            GROUP BY c.id, c.v, c.rel
+        ) ORDER BY mmr_score DESC, id ASC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"sel{i} AS MATERIALIZED "
+            f"(SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT id AS sel_id, sel_rank, rel AS relevance, mmr_score
+    FROM sel{k}
+"""
+    )
+
+
+_DEDUP_SIM_QUERIES["q148_mmr_select"] = q148_mmr_select
+_ORACLE_DEDUP_SIM["q148_mmr_select"] = _mmr_oracle(k=8, lam=0.7)
+_ORACLE_SHAPES["q148_mmr_select"] = (
+    ("sel_id", "BIGINT"), ("sel_rank", "INTEGER"),
+    ("relevance", "DOUBLE"), ("mmr_score", "DOUBLE"),
+)
+_UNION_MERGES["q28_ann_topk"].append(("mmr", "q148_mmr_select"))
+
+
+# ---------------------------------------------------------------------------
+# q149: document novelty scoring (operators/dedup.py::novelty_scores) —
+# per doc, the fraction of its distinct 3-gram shingles FIRST seen (min
+# doc_id) in that doc: marginal-contribution data selection, the
+# complement of pairwise dedup. The oracle replays the shingle
+# construction (the proven q24 CTE), the 60-bit md5 key, and both
+# aggregates.
+
+
+def q149_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    return novelty_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_k=3
+    )
+
+
+_DEDUP_SIM_QUERIES["q149_novelty_scores"] = q149_novelty_scores
+
+_ORACLE_DEDUP_SIM["q149_novelty_scores"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(toks) - 2, 1)),
+                   i -> concat_ws(' ',
+                        COALESCE(toks[CAST(i AS INT)], ''),
+                        COALESCE(toks[CAST(i AS INT) + 1], ''),
+                        COALESCE(toks[CAST(i AS INT) + 2], '')))) AS shs
+        FROM base
+    ), pairs AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS k
+        FROM (SELECT doc_id, UNNEST(shs) AS s FROM sh)
+    ), firsts AS (
+        SELECT k, MIN(doc_id) AS first_id FROM pairs GROUP BY k
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS INT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END)
+                AS INT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0
+                          END) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM pairs p JOIN firsts f USING (k)
+    GROUP BY p.doc_id
+"""
+
+_ORACLE_SHAPES["q149_novelty_scores"] = (
+    ("doc_id", "BIGINT"), ("n_shingles", "INTEGER"),
+    ("n_novel", "INTEGER"), ("novelty", "DOUBLE"),
+)
+_UNION_MERGES["q23_dedup_stats"].append(("novelty", "q149_novelty_scores"))

@@ -1080,3 +1080,68 @@ def prefix_jaccard_pairs(
             "id_l", "id_r", F.round(F.col("__jraw"), scale).alias("jaccard")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document novelty scoring — per-doc contribution of first-seen shingles
+# ---------------------------------------------------------------------------
+def novelty_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    hash_key: bool = True,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct word
+    ``shingle_k``-gram shingles whose FIRST occurrence in the corpus
+    (minimum ``id_col``) is this document. Boilerplate-heavy and
+    near-duplicate documents score near 0; genuinely new content scores
+    near 1 — a cheap, fully deterministic data-selection signal that
+    complements pairwise dedup (it quantifies marginal contribution
+    instead of membership in a duplicate pair). With ids assigned in
+    crawl/ingest order this is exactly "novel vs everything ingested
+    before me".
+
+    Returns (doc_id, n_shingles INT, n_novel INT, novelty DOUBLE
+    rounded to 6).
+
+    Scale shape: one distinct (doc, shingle) explode, one min-aggregate
+    keyed on the shingle (map-side partial combine), one join back on
+    the same key — no pairwise anything, cost is O(total distinct
+    shingles). ``hash_key=True`` (default) reduces the shuffle key to a
+    60-bit md5-derived integer (the engine's standard replayable hash,
+    cf. ``_shingle_hash``) so the two shuffles move 8-byte keys instead
+    of raw shingle strings; collisions (~n^2/2^60) can only mark a novel
+    shingle as seen-earlier, and identically so in the DuckDB oracle.
+    """
+    sh = F.explode(
+        F.array_distinct(_shingles(F.col(text_col), shingle_k))
+    ).alias("__sh")
+    pairs = df.select(F.col(id_col).alias("doc_id"), sh)
+    if hash_key:
+        key = F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        key = F.col("__sh")
+    pairs = pairs.select("doc_id", key.alias("__k"))
+    first = pairs.groupBy("__k").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        pairs.join(first, on="__k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(
+                (F.col("__first") == F.col("doc_id")).cast("int")
+            ).cast("int").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )

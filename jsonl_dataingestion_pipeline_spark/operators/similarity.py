@@ -510,6 +510,88 @@ def hard_negative_mining(
     )
 
 
+def mmr_select(
+    candidates: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+    scale: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance greedy selection (Carbonell &
+    Goldstein 1998): pick ``k`` vectors one at a time, each round
+    maximizing ``lam * rel - (1 - lam) * max_sim_to_already_selected``
+    — relevance to ``query_vec`` traded against redundancy with what
+    was already picked. The standard tool for building a DIVERSE
+    exemplar set (few-shot prompts, eval suites, annotation batches)
+    out of a large candidate pool, where plain top-k returns k copies
+    of the same cluster.
+
+    Returns k rows (sel_id, sel_rank INT, relevance DOUBLE, mmr_score
+    DOUBLE) in selection order; ties broken by id. Deterministic:
+    relevance and pairwise sims round to ``scale`` decimals before the
+    argmax (the same contract that lets the DuckDB oracle replay the
+    run bit-for-bit, q148).
+
+    Scale shape: the candidate pool is scanned once per round with the
+    selected set carried as ``<= k`` literal vectors inside the codegen
+    projection (the k-means literal-centroid pattern — selection state
+    is k*d driver floats, never a shuffle), and the per-round argmax is
+    a TakeOrdered (limit 1), not a sort. Total cost = k scans; k is
+    small by use-case (tens), the pool is the big side."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = candidates.select(
+        F.col(id_col).alias("sel_id"),
+        F.col(vec_col).alias("__v"),
+        cosine(F.col(vec_col), qlit, scale=scale).alias("relevance"),
+    ).cache()
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    selected: list[tuple] = []  # (id, vec, relevance, score)
+    for rank in range(1, k + 1):
+        if selected:
+            sel_arr = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in vec])
+                    for _id, vec, _r, _s in selected
+                ]
+            )
+            pen = F.array_max(
+                F.transform(sel_arr, lambda s: cosine(F.col("__v"), s, scale=scale))
+            )
+            pool = base.filter(
+                ~F.col("sel_id").isin([i for i, *_ in selected])
+            )
+        else:
+            pen = F.lit(0.0)
+            pool = base
+        score = F.round(
+            lam_c * F.col("relevance") - inv_c * pen, scale
+        ).alias("mmr_score")
+        top = (
+            pool.select("sel_id", "__v", "relevance", score)
+            .orderBy(F.col("mmr_score").desc(), F.col("sel_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # pool exhausted before k
+        r = top[0]
+        selected.append(
+            (r["sel_id"], list(r["__v"]), r["relevance"], r["mmr_score"])
+        )
+    base.unpersist()
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [
+            (int(i), int(rk + 1), float(rel), float(sc))
+            for rk, (i, _v, rel, sc) in enumerate(selected)
+        ],
+        "sel_id bigint, sel_rank int, relevance double, mmr_score double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (int8) — 4x memory/IO reduction for the 100 TB path
 # ---------------------------------------------------------------------------
