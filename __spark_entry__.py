@@ -8988,3 +8988,101 @@ _ORACLE_SHAPES["q149_novelty_scores"] = (
     ("n_novel", "INTEGER"), ("novelty", "DOUBLE"),
 )
 _UNION_MERGES["q23_dedup_stats"].append(("novelty", "q149_novelty_scores"))
+
+
+# ---------------------------------------------------------------------------
+# q150: deterministic global shuffle sharding (operators/partitioning.py::
+# shuffle_shards) — the pre-training dataloader contract (shuffle the
+# corpus once, globally, reproducibly, sharded for parallel export)
+# without the global-ORDER-BY anti-pattern: shard = md5-coin mod n,
+# pos = per-shard rank. The oracle replays coin, shard, and rank.
+
+
+def q150_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.partitioning import (
+        shuffle_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shards(d, "doc_id", n_shards=16, seed=7)
+    return out.select(
+        "doc_id",
+        F.col("shard").alias("shuf_shard"),
+        F.col("pos").alias("shuf_pos"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q150_shuffle_shards"] = q150_shuffle_shards
+
+_ORACLE_DEDUP_SIM["q150_shuffle_shards"] = """
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS coin
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(coin % 16 AS INT) AS shuf_shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY coin % 16 ORDER BY coin ASC, doc_id ASC
+           ) AS INT) AS shuf_pos
+    FROM h
+"""
+
+_ORACLE_SHAPES["q150_shuffle_shards"] = (
+    ("doc_id", "BIGINT"), ("shuf_shard", "INTEGER"),
+    ("shuf_pos", "INTEGER"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("shuffle", "q150_shuffle_shards")
+)
+
+
+# ---------------------------------------------------------------------------
+# q151: distributed PCA covariance (operators/pca.py::covariance_matrix)
+# — the corpus-sized half of PCA (the d x d eigh stays on the driver
+# where it belongs). The oracle replays the upper-triangle population
+# covariance with the identical explicit formula; the eigh + projection
+# halves are differential-tested vs numpy in tests/test_pca.py.
+
+
+def q151_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.pca import (
+        covariance_matrix,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = covariance_matrix(e, "embedding", dim=64, method="explode")
+    return out.select(
+        F.col("i").alias("cov_i"),
+        F.col("j").alias("cov_j"),
+        F.col("cov").alias("cov_val"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q151_pca_covariance"] = q151_pca_covariance
+
+_ORACLE_DEDUP_SIM["q151_pca_covariance"] = """
+    WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ii AS (
+        SELECT UNNEST(generate_series(0, 63)) AS i
+    ), cell AS (
+        SELECT ii.i AS i, jj.i AS j,
+               v[ii.i + 1] AS xi, v[jj.i + 1] AS xj
+        FROM e, ii, ii jj
+        WHERE jj.i >= ii.i
+    )
+    SELECT CAST(i AS INT) AS cov_i, CAST(j AS INT) AS cov_j,
+           ROUND(SUM(xi * xj) / COUNT(*)
+                 - (SUM(xi) / COUNT(*)) * (SUM(xj) / COUNT(*)),
+                 6) AS cov_val
+    FROM cell GROUP BY i, j
+"""
+
+_ORACLE_SHAPES["q151_pca_covariance"] = (
+    ("cov_i", "INTEGER"), ("cov_j", "INTEGER"), ("cov_val", "DOUBLE"),
+)
+
+_UNION_MERGES["q28_ann_topk"].append(("pca_cov", "q151_pca_covariance"))

@@ -13,10 +13,13 @@
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ColumnOrName = Union[Column, str]
 
 
 def salted_join(
@@ -157,4 +160,51 @@ def write_zordered(
         .drop("__zk")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: ColumnOrName,
+    *,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-data shuffle, sharded for parallel
+    export: every row gets a ``(shard, pos)`` coordinate such that
+    reading shard 0..n-1 each in ``pos`` order yields a fixed
+    pseudo-random permutation of the corpus — the pre-training
+    dataloader contract (shuffle once, globally, reproducibly), without
+    ever running the global-ORDER-BY anti-pattern.
+
+    Both coordinates derive from the same md5 coin as the sampling
+    kernels (pure function of ``key`` and ``seed``): shard =
+    ``hash32 mod n_shards``, pos = rank of ``(hash32, key)`` within the
+    shard. A re-run, a different partitioning, or another engine
+    (the DuckDB oracle) produces the identical permutation.
+
+    Scale shape: ONE shuffle keyed on the shard (the per-shard
+    ``row_number`` window), never a global sort — with ``n_shards``
+    sized to the cluster (hundreds+), each window partition is
+    corpus/n_shards rows and all shards rank in parallel. Epoch
+    re-shuffles are free: bump ``seed``. Collisions on the 32-bit coin
+    fall back to ``key`` order, so ties are still deterministic."""
+    if shard_col in df.columns or pos_col in df.columns:
+        raise ValueError(
+            f"shuffle_shards adds {shard_col!r}/{pos_col!r}; input "
+            "already has one — rename it first"
+        )
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        _bucket32,
+        _col,
+    )
+
+    k = _col(key)
+    coin = _bucket32(k, seed)
+    w = Window.partitionBy(F.col(shard_col)).orderBy(coin.asc(), k.asc())
+    return (
+        df.withColumn(shard_col, (coin % n_shards).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w))
     )

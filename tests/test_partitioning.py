@@ -75,3 +75,32 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
         zorder_key([F.col(c) for c in ("a", "b", "c", "d")], bits=16)
     # 4 dims fit at bits=15 (60 bits)
     zorder_key([F.col(c) for c in ("a", "b", "c", "d")], bits=15)
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.partitioning import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shuffle_shards(df, "doc_id", n_shards=8, seed=1).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    # deterministic across runs / repartitionings
+    again = shuffle_shards(
+        df.repartition(7), "doc_id", n_shards=8, seed=1
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different seed -> different permutation (epoch reshuffle)
+    other = shuffle_shards(df, "doc_id", n_shards=8, seed=2).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    with pytest.raises(ValueError):
+        shuffle_shards(out and df.withColumn("shard", df.doc_id) or df,
+                       "doc_id", n_shards=8)
