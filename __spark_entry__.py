@@ -9086,3 +9086,187 @@ _ORACLE_SHAPES["q151_pca_covariance"] = (
 )
 
 _UNION_MERGES["q28_ann_topk"].append(("pca_cov", "q151_pca_covariance"))
+
+
+# ---------------------------------------------------------------------------
+# q152/q153: product quantization (operators/pq.py) — PQ codebook
+# training (all m sub-quantizers in one distributed job per Lloyd
+# iteration), code assignment, and ADC top-k. The oracles replay the
+# ENTIRE pipeline — unrolled training iterations (the q133 pattern,
+# extended with the subvector key), code argmins, the query lookup
+# table, and the m-term ADC sums — bit-for-bit under the shared
+# round-9/round-6 contract.
+
+_PQ_DIM, _PQ_M, _PQ_NC, _PQ_IT = 64, 4, 4, 2
+_PQ_DSUB = _PQ_DIM // _PQ_M
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    from jsonl_dataingestion_pipeline_spark.operators.pq import pq_train
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return e, pq_train(
+        e, "embedding", "vec_id",
+        dim=_PQ_DIM, m=_PQ_M, n_codes=_PQ_NC, iterations=_PQ_IT,
+    )
+
+
+def q152_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.pq import pq_encode
+
+    e, cbs = _pq_trained(spark, sf_dir)
+    out = pq_encode(e, "embedding", cbs, dim=_PQ_DIM)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("pq_codes"),
+    )
+
+
+def q153_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.pq import adc_topk
+
+    e, cbs = _pq_trained(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+    out = adc_topk(e, qvec, cbs, k=10)
+    return out.select(
+        F.col("id").alias("adc_id"), "adc_rank", "adc_dist2"
+    )
+
+
+def _pq_ctes() -> str:
+    """Shared WITH-prefix: pts, subvectors, unrolled training to
+    c{IT}, final assignment afin."""
+    m, nc, it, dsub = _PQ_M, _PQ_NC, _PQ_IT, _PQ_DSUB
+    sq = (
+        "ROUND(list_sum(list_transform(list_zip(p.sv, c.cv), "
+        "q -> (q[1]-q[2])*(q[1]-q[2]))), 6)"
+    )
+    ctes = [
+        """pts AS MATERIALIZED (
+        SELECT vec_id AS id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x, 9)) AS v
+        FROM embeddings WHERE vec_id > 0
+    )""",
+        f"""subs AS (
+        SELECT UNNEST(generate_series(0, {m - 1})) AS s
+    )""",
+        f"""sub AS MATERIALIZED (
+        SELECT id, subs.s AS s,
+               v[subs.s * {dsub} + 1 : (subs.s + 1) * {dsub}] AS sv
+        FROM pts, subs
+    )""",
+        f"""c0 AS MATERIALIZED (
+        SELECT s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1
+                    AS INT) AS code,
+               sv AS cv
+        FROM sub
+        WHERE id IN (SELECT id FROM pts ORDER BY id LIMIT {nc})
+    )""",
+    ]
+    for i in range(it):
+        ctes.append(
+            f"""d{i} AS (
+        SELECT p.id, p.s, c.code, {sq} AS dd
+        FROM sub p JOIN c{i} c ON p.s = c.s
+    )"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT id, s, code FROM (
+            SELECT id, s, code, ROW_NUMBER() OVER (
+                PARTITION BY id, s ORDER BY dd, code) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""n{i} AS (
+        SELECT s, code, list(mu ORDER BY j) AS cv FROM (
+            SELECT a.s, a.code, dims.j, ROUND(AVG(p.sv[dims.j]), 9) AS mu
+            FROM a{i} a JOIN sub p ON a.id = p.id AND a.s = p.s
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dsub})) AS j)
+                 dims
+            GROUP BY a.s, a.code, dims.j
+        ) GROUP BY s, code
+    )"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS MATERIALIZED (
+        SELECT c.s, c.code, COALESCE(n.cv, c.cv) AS cv
+        FROM c{i} c LEFT JOIN n{i} n
+             ON c.s = n.s AND c.code = n.code
+    )"""
+        )
+    ctes.append(
+        f"""dfin AS (
+        SELECT p.id, p.s, c.code, {sq} AS dd
+        FROM sub p JOIN c{it} c ON p.s = c.s
+    )"""
+    )
+    ctes.append(
+        """afin AS MATERIALIZED (
+        SELECT id, s, code FROM (
+            SELECT id, s, code, ROW_NUMBER() OVER (
+                PARTITION BY id, s ORDER BY dd, code) AS rn
+            FROM dfin
+        ) WHERE rn = 1
+    )"""
+    )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_DEDUP_SIM_QUERIES["q152_pq_codes"] = q152_pq_codes
+_ORACLE_DEDUP_SIM["q152_pq_codes"] = _pq_ctes() + """
+    SELECT id AS vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ',')
+               AS pq_codes
+    FROM afin GROUP BY id
+"""
+_ORACLE_SHAPES["q152_pq_codes"] = (
+    ("vec_id", "BIGINT"), ("pq_codes", "VARCHAR"),
+)
+
+_DEDUP_SIM_QUERIES["q153_pq_adc"] = q153_pq_adc
+_ORACLE_DEDUP_SIM["q153_pq_adc"] = _pq_ctes() + f""",
+    qv AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x, 9)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ), qsub AS (
+        SELECT subs.s AS s,
+               v[subs.s * {_PQ_DSUB} + 1 : (subs.s + 1) * {_PQ_DSUB}]
+                   AS sv
+        FROM qv, subs
+    ), lut AS (
+        SELECT c.s, c.code,
+               ROUND(list_sum(list_transform(list_zip(p.sv, c.cv),
+                   q -> (q[1]-q[2])*(q[1]-q[2]))), 6) AS dd
+        FROM c{_PQ_IT} c JOIN qsub p ON c.s = p.s
+    ), adc AS (
+        SELECT a.id, ROUND(SUM(l.dd), 6) AS adc_dist2
+        FROM afin a JOIN lut l ON a.s = l.s AND a.code = l.code
+        GROUP BY a.id
+    )
+    SELECT id AS adc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY adc_dist2, id) AS INT)
+               AS adc_rank,
+           adc_dist2
+    FROM adc ORDER BY adc_dist2, id LIMIT 10
+"""
+_ORACLE_SHAPES["q153_pq_adc"] = (
+    ("adc_id", "BIGINT"), ("adc_rank", "INTEGER"),
+    ("adc_dist2", "DOUBLE"),
+)
+
+_UNION_MERGES["q28_ann_topk"].append(("pq_codes", "q152_pq_codes"))
+_UNION_MERGES["q28_ann_topk"].append(("pq_adc", "q153_pq_adc"))
