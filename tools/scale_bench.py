@@ -534,6 +534,130 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         )
         return stats
 
+    def q146_scaled(spark, sf_dir):
+        # DSIR against a replica-0 target slice: the log-ratio table is
+        # bounded (2 * n_features rows) and the corpus side is one
+        # weight scan -> rows = n selected (const), wall must track k.
+        from jsonl_dataingestion_pipeline_spark.operators.dsir import (
+            dsir_select,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        target = d.filter(
+            (F.col("doc_id") < ID_OFFSET) & (F.col("doc_id") % 20 == 0)
+        )
+        return dsir_select(d, target, "text", "doc_id", n=500)
+
+    def q147_scaled(spark, sf_dir):
+        # hard-negative mining, 16 replica-0 anchors broadcast against
+        # the full scaled corpus: per-anchor top-k rows are ~const, the
+        # corpus scan is the k-linear part.
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            hard_negative_mining,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        anchors = e.filter(
+            (F.col("vec_id") < 32) & (F.col("vec_id") % 2 == 0)
+        )
+        return hard_negative_mining(
+            e, anchors, k=5, lo=0.2, hi=0.4, exact=True
+        )
+
+    def q148_scaled(spark, sf_dir):
+        # MMR: 8 greedy rounds, each one scan of the k-linear pool with
+        # driver-literal selection state -> rows = 8 const, wall ~ 8
+        # scans. Superlinear wall would mean selection state leaked
+        # into a shuffle.
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            mmr_select,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        return mmr_select(
+            e.filter(F.col("vec_id") > 0), qvec, k=8, lam=0.7
+        )
+
+    def q149_scaled(spark, sf_dir):
+        # word-suffixing is a bijection on shingles within a replica
+        # and disjoint across replicas -> every replica reproduces the
+        # x1 novelty profile exactly; rows = k * docs.
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            novelty_scores,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        return novelty_scores(d, "text", "doc_id")
+
+    def q150_scaled(spark, sf_dir):
+        # global-shuffle coordinates: rows = k * docs exactly; the
+        # wall check is that the per-shard window (n_shards=64) stays
+        # shuffle-bound — a hidden global sort would blow up here.
+        from jsonl_dataingestion_pipeline_spark.operators.partitioning import (
+            shuffle_shards,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id")
+        return shuffle_shards(d, "doc_id", n_shards=64, seed=1)
+
+    def q151_scaled(spark, sf_dir):
+        # PCA covariance over the scaled corpus: rows = d(d+1)/2 const
+        # (the POINT of the operator — output never grows with data);
+        # wall is one aggregate pass and must track k.
+        from jsonl_dataingestion_pipeline_spark.operators.pca import (
+            covariance_matrix,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return covariance_matrix(e, "embedding", dim=64, method="explode")
+
+    def q152_scaled(spark, sf_dir):
+        # PQ: train on the replica-0 slice (driver-held codebooks,
+        # const cost), encode the FULL corpus -> rows = k * vectors
+        # exactly, encode is a zero-shuffle projection.
+        from jsonl_dataingestion_pipeline_spark.operators.pq import (
+            pq_encode,
+            pq_train,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base = e.filter(F.col("vec_id") < ID_OFFSET)
+        cbs = pq_train(
+            base, "embedding", "vec_id",
+            dim=64, m=4, n_codes=16, iterations=2,
+        )
+        return pq_encode(e, "embedding", cbs, dim=64)
+
+    def q153_scaled(spark, sf_dir):
+        # ADC top-k over the full scaled corpus: rows = 10 const, the
+        # scan of m-term LUT sums is the k-linear part.
+        from jsonl_dataingestion_pipeline_spark.operators.pq import (
+            adc_topk,
+            pq_train,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base = e.filter(F.col("vec_id") < ID_OFFSET)
+        cbs = pq_train(
+            base, "embedding", "vec_id",
+            dim=64, m=4, n_codes=16, iterations=2,
+        )
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        return adc_topk(e, qvec, cbs, k=10)
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -561,6 +685,14 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "qkmeansll": qkmeansll_scaled,
         "q144_triangles": q144_scaled,
         "q145_kcore": q145_scaled,
+        "q146_dsir": q146_scaled,
+        "q147_hardneg": q147_scaled,
+        "q148_mmr": q148_scaled,
+        "q149_novelty": q149_scaled,
+        "q150_shuffle": q150_scaled,
+        "q151_pca_cov": q151_scaled,
+        "q152_pq_encode": q152_scaled,
+        "q153_pq_adc": q153_scaled,
     }
     out = {}
     import logging as _logging
