@@ -76,6 +76,13 @@ HEADLINE = [
     "q144_triangle_count",
     "q145_k_core",
     "q146_dsir_select",
+    "q147_hard_negatives",
+    "q148_mmr_select",
+    "q149_novelty_scores",
+    "q150_shuffle_shards",
+    "q151_pca_covariance",
+    "q152_pq_codes",
+    "q153_pq_adc",
 ]
 
 
