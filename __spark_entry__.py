@@ -8939,8 +8939,9 @@ _UNION_MERGES["q28_ann_topk"].append(("mmr", "q148_mmr_select"))
 # per doc, the fraction of its distinct 3-gram shingles FIRST seen (min
 # doc_id) in that doc: marginal-contribution data selection, the
 # complement of pairwise dedup. The oracle replays the shingle
-# construction (the proven q24 CTE), the 60-bit md5 key, and both
-# aggregates.
+# construction (the proven q24 CTE), the 60-bit md5 key, the min-agg,
+# the agg-over-agg novel count, and the doc-keyed left join — the same
+# join-free shape as the engine (no shingle-keyed join on either side).
 
 
 def q149_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8972,15 +8973,16 @@ _ORACLE_DEDUP_SIM["q149_novelty_scores"] = f"""
         FROM (SELECT doc_id, UNNEST(shs) AS s FROM sh)
     ), firsts AS (
         SELECT k, MIN(doc_id) AS first_id FROM pairs GROUP BY k
+    ), novel AS (
+        SELECT first_id, CAST(COUNT(*) AS INT) AS n_novel
+        FROM firsts GROUP BY first_id
     )
-    SELECT p.doc_id,
-           CAST(COUNT(*) AS INT) AS n_shingles,
-           CAST(SUM(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END)
-                AS INT) AS n_novel,
-           ROUND(CAST(SUM(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0
-                          END) AS DOUBLE) / COUNT(*), 6) AS novelty
-    FROM pairs p JOIN firsts f USING (k)
-    GROUP BY p.doc_id
+    SELECT s.doc_id,
+           CAST(len(s.shs) AS INT) AS n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS INT) AS n_novel,
+           ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / len(s.shs),
+                 6) AS novelty
+    FROM sh s LEFT JOIN novel n ON s.doc_id = n.first_id
 """
 
 _ORACLE_SHAPES["q149_novelty_scores"] = (

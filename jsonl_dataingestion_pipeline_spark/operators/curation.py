@@ -908,13 +908,21 @@ def fuzzy_decontaminate(
     BOOLEAN; matched_bench BIGINT — the argmax benchmark id, ties ->
     smallest, NULL when not contaminated).
     """
-    from ..functions.textstats import shingles
+    from ..functions.textstats import shingles_from_tokens, tokens
 
     def sh(df, out_id):
+        # token split materialized in its own projection: it is
+        # multi-referenced inside the shingle transform lambda, where
+        # Catalyst does not CSE (functions/expr.py)
         return df.select(
             F.col(id_col).alias(out_id),
+            tokens(F.col(text_col)).alias("__t"),
+        ).select(
+            out_id,
             F.explode(
-                F.array_distinct(shingles(F.col(text_col), shingle_k))
+                F.array_distinct(
+                    shingles_from_tokens(F.col("__t"), shingle_k)
+                )
             ).alias("__sh"),
         )
 

@@ -27,7 +27,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..functions.expr import let as _let
 from ..functions.textstats import shingles as _shingles
+from ..functions.textstats import shingles_from_tokens as _shingles_from_tokens
 from ..functions.textstats import tokens as _tokens
 
 
@@ -159,10 +161,18 @@ def shingle_base(
       bandwidth-bound cluster).
     """
     if strategy == "narrow":
+        # token split in its own projection: multi-referenced inside the
+        # shingle transform lambda, where Catalyst does not CSE
+        # (functions/expr.py)
         return _pipeline_break(
             df.select(
                 F.col(id_col).alias("__id"),
-                F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+                _tokens(F.col(text_col)).alias("__t"),
+            ).select(
+                "__id",
+                F.array_distinct(
+                    _shingles_from_tokens(F.col("__t"), shingle_k)
+                ).alias("__sh"),
             ),
             reliable,
         )
@@ -337,16 +347,22 @@ def minhash_signature(
         h1, h2 = _minhash_h1h2(s)
         return F.struct(h1.alias("h1"), h2.alias("h2"))
 
-    pairs = F.transform(sh, _pair)
     seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    return F.transform(
-        seeds,
-        lambda seed: F.array_min(
-            F.transform(
-                pairs,
-                lambda p: (p["h1"] + seed.cast("long") * p["h2"])
-                % MINHASH_PRIME,
-            )
+    # let-bind the hashed-pair array: referenced from inside the seeds
+    # lambda, it would otherwise re-run the md5 pipeline over every
+    # shingle once PER PERMUTATION (num_perm x) — Catalyst does not CSE
+    # through higher-order-function lambdas (functions/expr.py).
+    return _let(
+        F.transform(sh, _pair),
+        lambda pairs: F.transform(
+            seeds,
+            lambda seed: F.array_min(
+                F.transform(
+                    pairs,
+                    lambda p: (p["h1"] + seed.cast("long") * p["h2"])
+                    % MINHASH_PRIME,
+                )
+            ),
         ),
     )
 
@@ -1103,45 +1119,67 @@ def novelty_scores(
     crawl/ingest order this is exactly "novel vs everything ingested
     before me".
 
-    Returns (doc_id, n_shingles INT, n_novel INT, novelty DOUBLE
-    rounded to 6).
+    Returns (doc_id, n_shingles INT — distinct shingles in the doc,
+    n_novel INT — distinct keys whose corpus-wide first occurrence is
+    this doc, novelty DOUBLE rounded to 6).
 
-    Scale shape: one distinct (doc, shingle) explode, one min-aggregate
-    keyed on the shingle (map-side partial combine), one join back on
-    the same key — no pairwise anything, cost is O(total distinct
-    shingles). ``hash_key=True`` (default) reduces the shuffle key to a
-    60-bit md5-derived integer (the engine's standard replayable hash,
-    cf. ``_shingle_hash``) so the two shuffles move 8-byte keys instead
-    of raw shingle strings; collisions (~n^2/2^60) can only mark a novel
-    shingle as seen-earlier, and identically so in the DuckDB oracle.
+    Scale shape — NO shingle-keyed join: ``n_novel`` is an aggregate of
+    an aggregate (min-doc per shingle key, then count per winning doc),
+    and ``n_shingles`` is a pure per-row projection, so the only wide
+    ops are the shingle-keyed min-agg (map-side partial combine) and a
+    doc-keyed join of two doc-sized frames (AQE broadcasts the novel
+    side when small). The first cut joined the exploded pair frame back
+    onto the min-agg on the shingle key — that re-shuffled every pair
+    row AND re-computed the shingle explode on both sides of the join;
+    this shape is 5.5x faster at sf0.1 (19.0s -> 3.4s) and moves
+    corpus-scale data through exactly one exchange. ``hash_key=True``
+    (default) reduces the shuffle key to a 60-bit md5-derived integer
+    (the engine's standard replayable hash, cf. ``_shingle_hash``) so
+    it moves 8-byte keys instead of raw shingle strings; a collision
+    (~n^2/2^60) can only merge two shingle keys — identically so in the
+    DuckDB oracle, which replays the same hash.
     """
-    sh = F.explode(
-        F.array_distinct(_shingles(F.col(text_col), shingle_k))
-    ).alias("__sh")
-    pairs = df.select(F.col(id_col).alias("doc_id"), sh)
+    sh_arr = F.array_distinct(
+        _shingles_from_tokens(F.col("__toks"), shingle_k)
+    )
+    # materialize the token split once (multi-referenced inside the
+    # shingle transform lambda — functions/expr.py)
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
     if hash_key:
         key = F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast(
             "long"
         )
     else:
         key = F.col("__sh")
-    pairs = pairs.select("doc_id", key.alias("__k"))
-    first = pairs.groupBy("__k").agg(F.min("doc_id").alias("__first"))
-    per_doc = (
-        pairs.join(first, on="__k")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_shingles"),
-            F.sum(
-                (F.col("__first") == F.col("doc_id")).cast("int")
-            ).cast("int").alias("n_novel"),
-        )
+    pairs = toked.select(
+        "doc_id", F.explode(sh_arr).alias("__sh")
+    ).select("doc_id", key.alias("__k"))
+    novel = (
+        pairs.groupBy("__k")
+        .agg(F.min("doc_id").alias("__first"))
+        .groupBy("__first")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_novel"))
     )
-    return per_doc.select(
-        "doc_id",
-        "n_shingles",
-        "n_novel",
-        F.round(
-            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
-        ).alias("novelty"),
+    per_doc = toked.select(
+        "doc_id", F.size(sh_arr).cast("int").alias("n_shingles")
+    )
+    return (
+        per_doc.join(
+            novel, per_doc.doc_id == novel.__first, "left"
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("int").alias(
+                "n_novel"
+            ),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("novelty"),
+        )
     )

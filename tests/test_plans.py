@@ -332,3 +332,63 @@ def test_q140_q141_banded_join_no_cartesian(spark):
         assert "CartesianProduct" not in tree, tree
         assert "BroadcastNestedLoopJoin" not in tree, tree
         assert "Join" in tree  # the band equi-join exists
+
+
+def test_q147_hard_negatives_broadcast_anchor_cross(spark):
+    """q147: exact hard-negative mining broadcasts the anchor batch
+    against the streaming corpus (BroadcastNestedLoopJoin, the
+    broadcast cross of a deliberately small anchor side) — never an
+    unbroadcast CartesianProduct, which would shuffle the corpus."""
+    tree = _tree(_formatted(spark, em.q147_hard_negatives(spark, SF)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_q149_novelty_single_explode_no_shingle_join(spark):
+    """q149: novelty is agg-over-agg (min-doc per shingle key, then
+    count per winning doc) plus a doc-keyed join of two doc-sized
+    frames. The shingle explode must appear exactly ONCE: the first cut
+    joined the exploded pair frame back onto the min-agg on the shingle
+    key, which recomputed the explode on both sides and re-shuffled
+    every pair row — 5.5x slower at sf0.1 (19.0s -> 3.4s cold)."""
+    tree = _tree(_formatted(spark, em.q149_novelty_scores(spark, SF)))
+    assert tree.count("Generate") == 1, tree
+
+
+def test_q150_shuffle_shards_no_global_sort(spark):
+    """q150: the dataloader global shuffle is ONE hash exchange on the
+    shard column plus a per-shard local sort — never a
+    rangepartitioning exchange (the global-ORDER-BY anti-pattern this
+    operator exists to avoid)."""
+    tree = _tree(_formatted(spark, em.q150_shuffle_shards(spark, SF)))
+    assert "rangepartitioning" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_q151_covariance_single_scan_no_join(spark):
+    """q151: the covariance pass (explode method) is one parquet scan
+    -> cell explode -> partial agg -> ONE exchange on (i, j) -> final
+    agg. No join and no second scan of the embeddings."""
+    tree = _tree(_formatted(spark, em.q151_pca_covariance(spark, SF)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_q152_pq_encode_zero_shuffle(spark):
+    """q152: PQ encoding is a pure projection against codebook
+    literals (the codebooks are driver-held after training, k is data
+    not plan) — one scan, zero Exchange, zero Join."""
+    tree = _tree(_formatted(spark, em.q152_pq_codes(spark, SF)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_q153_adc_topk_is_take_ordered(spark):
+    """q153: ADC top-k ends in TakeOrderedAndProject (sort+limit fused,
+    never a global sort) with the per-query lookup table folded into
+    literals — no join anywhere."""
+    tree = _tree(_formatted(spark, em.q153_pq_adc(spark, SF)))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Join" not in tree, tree
