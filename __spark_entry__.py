@@ -8673,6 +8673,91 @@ _UNION_MERGES["q51_neardup_clusters_battery"].append(
 
 
 # ---------------------------------------------------------------------------
+# q154: community detection by synchronous label propagation (operators/
+# graph.py::label_propagation) over the q144/q145 co-purchase graph.
+# Deterministic variant: every vertex simultaneously adopts the most
+# frequent neighbor label, ties -> smallest label, for a FIXED number of
+# rounds — fully replayable, so the oracle unrolls the rounds in SQL
+# (argmax via ROW_NUMBER over the per-(v,label) counts). Spark runs the
+# argmax as a single min(struct(-count, label)) aggregate — no window,
+# no sort — with labels broadcast so the adjacency is never shuffled.
+
+
+def q154_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(other, on="l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return label_propagation(edges, rounds=3).select(
+        F.col("node_id").alias("lpa_node"),
+        F.col("label").alias("lpa_label"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q154_label_propagation"] = q154_label_propagation
+
+
+def _lpa_round(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS MATERIALIZED (
+        SELECT v, label FROM (
+            SELECT adj.v, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY adj.v
+                       ORDER BY COUNT(*) DESC, l.label ASC
+                   ) AS rn
+            FROM adj JOIN {prev} l ON adj.u = l.v
+            GROUP BY adj.v, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+_ORACLE_DEDUP_SIM["q154_label_propagation"] = (
+    """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    ), e AS MATERIALIZED (
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), adj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM e
+        UNION ALL SELECT b AS v, a AS u FROM e
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT v, v AS label FROM adj
+    ),"""
+    + _lpa_round("l0", "l1") + ","
+    + _lpa_round("l1", "l2") + ","
+    + _lpa_round("l2", "l3")
+    + """
+    SELECT v AS lpa_node, label AS lpa_label FROM l3
+"""
+)
+
+_ORACLE_SHAPES["q154_label_propagation"] = (
+    ("lpa_node", "BIGINT"), ("lpa_label", "BIGINT"),
+)
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("lpa", "q154_label_propagation")
+)
+
+
+# ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =
 # every 5th document (the "looks like my high-quality set" proxy). Hashed

@@ -198,3 +198,63 @@ class TestKCore:
             k_core(df, 2, max_iterations=3)
         # and with enough rounds the same graph fully peels to empty
         assert k_core(df, 2, max_iterations=25).count() == 0
+
+
+class TestLabelPropagation:
+    def _lpa(self, spark, edges, rounds):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node_id: r.label
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+
+    def test_two_cliques_with_bridge(self, spark):
+        """Two K4s joined by one bridge edge: after a few rounds each
+        clique converges to its own min-id label."""
+        k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+        k4b = [(a + 10, b + 10) for a, b in k4a]
+        out = self._lpa(spark, k4a + k4b + [(3, 10)], rounds=4)
+        assert {out[v] for v in range(4)} == {0}
+        assert {out[v + 10] for v in range(4)} == {10}
+
+    def test_tie_breaks_toward_smallest_label(self, spark):
+        # star center 5 with leaves 1..4: round 1, the center sees four
+        # distinct labels (count 1 each) -> adopts the SMALLEST (1);
+        # every leaf sees only {5} -> adopts 5.
+        star = [(5, leaf) for leaf in (1, 2, 3, 4)]
+        out = self._lpa(spark, star, rounds=1)
+        assert out[5] == 1
+        assert all(out[leaf] == 5 for leaf in (1, 2, 3, 4))
+
+    def test_matches_python_replay_on_random_graph(self, spark):
+        """Differential: the synchronous min-label update replayed in
+        plain Python must agree vertex-for-vertex after each round."""
+        import collections
+        import random
+
+        rng = random.Random(7)
+        edges = sorted({(a, b) for a in range(30) for b in range(a + 1, 30)
+                        if rng.random() < 0.12})
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        labels = {v: v for v in adj}
+        for rounds in (1, 2, 3):
+            nxt = {}
+            for v, neigh in adj.items():
+                counts = collections.Counter(labels[u] for u in neigh)
+                best = min(((-c, l) for l, c in counts.items()))[1]
+                nxt[v] = best
+            labels = nxt
+            assert self._lpa(spark, edges, rounds=rounds) == labels
+
+    def test_deterministic_across_runs(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4)]
+        assert self._lpa(spark, edges, rounds=3) == self._lpa(
+            spark, edges, rounds=3
+        )
