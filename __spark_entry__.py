@@ -9357,3 +9357,271 @@ _ORACLE_SHAPES["q153_pq_adc"] = (
 
 _UNION_MERGES["q28_ann_topk"].append(("pq_codes", "q152_pq_codes"))
 _UNION_MERGES["q28_ann_topk"].append(("pq_adc", "q153_pq_adc"))
+
+
+# q155/q156: IVF-PQ / IVFADC (operators/pq.py) — coarse quantizer
+# (pq_train with m=1 = plain Lloyd's over full vectors) partitions the
+# corpus into inverted lists; PQ encodes each vector's RESIDUAL
+# v - centroid[cell]; search probes the nprobe nearest cells with a
+# per-cell residual lookup table. The oracles replay BOTH training
+# levels unrolled (coarse Lloyd rounds, residual computation, residual
+# PQ rounds), the cell probe ranking, the per-cell query LUT, and the
+# m-term ADC sums — bit-for-bit under the shared determinism contract
+# (round 9 coords/updates, round 6 distances, ties on id).
+
+_IPQ_DIM, _IPQ_CELLS, _IPQ_CIT = 64, 4, 1
+_IPQ_M, _IPQ_NCODES, _IPQ_PIT = 4, 4, 2
+_IPQ_DSUB = _IPQ_DIM // _IPQ_M
+_IPQ_NPROBE, _IPQ_K = 2, 10
+
+
+def _ivfpq_trained(spark: SparkSession, sf_dir: str):
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        ivfpq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    coarse, cbs = ivfpq_train(
+        e, "embedding", "vec_id",
+        dim=_IPQ_DIM, n_cells=_IPQ_CELLS, m=_IPQ_M,
+        n_codes=_IPQ_NCODES,
+        coarse_iterations=_IPQ_CIT, pq_iterations=_IPQ_PIT,
+    )
+    return e, coarse, cbs
+
+
+def q155_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        ivfpq_encode,
+    )
+
+    e, coarse, cbs = _ivfpq_trained(spark, sf_dir)
+    out = ivfpq_encode(e, "embedding", coarse, cbs, dim=_IPQ_DIM)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("pq_codes"),
+    )
+
+
+def q156_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+    )
+
+    e, coarse, cbs = _ivfpq_trained(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+    out = ivfpq_topk(
+        e, qvec, coarse, cbs, nprobe=_IPQ_NPROBE, k=_IPQ_K
+    )
+    return out.select(
+        F.col("id").alias("adc_id"), "cell", "adc_rank", "adc_dist2"
+    )
+
+
+def _ivfpq_ctes() -> str:
+    """Shared WITH-prefix replaying IVF-PQ training: pts, coarse Lloyd
+    rounds to cc{CIT}, final cell assignment, residuals, residual-PQ
+    rounds to p{PIT}, final code assignment pafin."""
+    nc, cit = _IPQ_CELLS, _IPQ_CIT
+    m, ncodes, pit, dsub = _IPQ_M, _IPQ_NCODES, _IPQ_PIT, _IPQ_DSUB
+    sqv = (
+        "ROUND(list_sum(list_transform(list_zip(p.v, c.cv), "
+        "q -> (q[1]-q[2])*(q[1]-q[2]))), 6)"
+    )
+    sqs = (
+        "ROUND(list_sum(list_transform(list_zip(p.sv, c.cv), "
+        "q -> (q[1]-q[2])*(q[1]-q[2]))), 6)"
+    )
+    ctes = [
+        """pts AS MATERIALIZED (
+        SELECT vec_id AS id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x, 9)) AS v
+        FROM embeddings WHERE vec_id > 0
+    )""",
+        f"""cc0 AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+                   AS cell,
+               v AS cv
+        FROM pts
+        WHERE id IN (SELECT id FROM pts ORDER BY id LIMIT {nc})
+    )""",
+    ]
+    for i in range(cit):
+        ctes.append(
+            f"""ca{i} AS MATERIALIZED (
+        SELECT id, cell FROM (
+            SELECT p.id, c.cell, ROW_NUMBER() OVER (
+                PARTITION BY p.id ORDER BY {sqv}, c.cell) AS rn
+            FROM pts p CROSS JOIN cc{i} c
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""cn{i} AS (
+        SELECT cell, list(mu ORDER BY j) AS cv FROM (
+            SELECT a.cell, dims.j, ROUND(AVG(p.v[dims.j]), 9) AS mu
+            FROM ca{i} a JOIN pts p ON a.id = p.id
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {_IPQ_DIM}))
+                        AS j) dims
+            GROUP BY a.cell, dims.j
+        ) GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""cc{i + 1} AS MATERIALIZED (
+        SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+        FROM cc{i} c LEFT JOIN cn{i} n ON c.cell = n.cell
+    )"""
+        )
+    ctes.append(
+        f"""cellfin AS MATERIALIZED (
+        SELECT id, cell FROM (
+            SELECT p.id, c.cell, ROW_NUMBER() OVER (
+                PARTITION BY p.id ORDER BY {sqv}, c.cell) AS rn
+            FROM pts p CROSS JOIN cc{cit} c
+        ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""res AS MATERIALIZED (
+        SELECT p.id, f.cell,
+               list_transform(list_zip(p.v, c.cv),
+                              q -> ROUND(q[1] - q[2], 9)) AS rv
+        FROM pts p JOIN cellfin f ON p.id = f.id
+        JOIN cc{cit} c ON f.cell = c.cell
+    )"""
+    )
+    ctes.append(
+        f"""subs AS (
+        SELECT UNNEST(generate_series(0, {m - 1})) AS s
+    )"""
+    )
+    ctes.append(
+        f"""rsub AS MATERIALIZED (
+        SELECT id, subs.s AS s,
+               rv[subs.s * {dsub} + 1 : (subs.s + 1) * {dsub}] AS sv
+        FROM res, subs
+    )"""
+    )
+    ctes.append(
+        f"""p0 AS MATERIALIZED (
+        SELECT s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1
+                    AS INT) AS code,
+               sv AS cv
+        FROM rsub
+        WHERE id IN (SELECT id FROM res ORDER BY id LIMIT {ncodes})
+    )"""
+    )
+    for i in range(pit):
+        ctes.append(
+            f"""pa{i} AS MATERIALIZED (
+        SELECT id, s, code FROM (
+            SELECT p.id, p.s, c.code, ROW_NUMBER() OVER (
+                PARTITION BY p.id, p.s ORDER BY {sqs}, c.code) AS rn
+            FROM rsub p JOIN p{i} c ON p.s = c.s
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""pn{i} AS (
+        SELECT s, code, list(mu ORDER BY j) AS cv FROM (
+            SELECT a.s, a.code, dims.j, ROUND(AVG(p.sv[dims.j]), 9)
+                       AS mu
+            FROM pa{i} a JOIN rsub p ON a.id = p.id AND a.s = p.s
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dsub}))
+                        AS j) dims
+            GROUP BY a.s, a.code, dims.j
+        ) GROUP BY s, code
+    )"""
+        )
+        ctes.append(
+            f"""p{i + 1} AS MATERIALIZED (
+        SELECT c.s, c.code, COALESCE(n.cv, c.cv) AS cv
+        FROM p{i} c LEFT JOIN pn{i} n
+             ON c.s = n.s AND c.code = n.code
+    )"""
+        )
+    ctes.append(
+        f"""pafin AS MATERIALIZED (
+        SELECT id, s, code FROM (
+            SELECT p.id, p.s, c.code, ROW_NUMBER() OVER (
+                PARTITION BY p.id, p.s ORDER BY {sqs}, c.code) AS rn
+            FROM rsub p JOIN p{pit} c ON p.s = c.s
+        ) WHERE rn = 1
+    )"""
+    )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_DEDUP_SIM_QUERIES["q155_ivfpq_codes"] = q155_ivfpq_codes
+_ORACLE_DEDUP_SIM["q155_ivfpq_codes"] = _ivfpq_ctes() + """
+    SELECT r.id AS vec_id, CAST(r.cell AS INT) AS cell,
+           array_to_string(list(CAST(a.code AS VARCHAR) ORDER BY a.s),
+                           ',') AS pq_codes
+    FROM pafin a JOIN res r ON a.id = r.id
+    GROUP BY r.id, r.cell
+"""
+_ORACLE_SHAPES["q155_ivfpq_codes"] = (
+    ("vec_id", "BIGINT"), ("cell", "INTEGER"), ("pq_codes", "VARCHAR"),
+)
+
+_DEDUP_SIM_QUERIES["q156_ivfpq_adc"] = q156_ivfpq_adc
+_ORACLE_DEDUP_SIM["q156_ivfpq_adc"] = _ivfpq_ctes() + f""",
+    qv AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x, 9)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ), probe AS MATERIALIZED (
+        SELECT cell, cv FROM (
+            SELECT c.cell, c.cv, ROW_NUMBER() OVER (ORDER BY
+                ROUND(list_sum(list_transform(list_zip(q.v, c.cv),
+                    x -> (x[1]-x[2])*(x[1]-x[2]))), 6), c.cell) AS rn
+            FROM cc{_IPQ_CIT} c CROSS JOIN qv q
+        ) WHERE rn <= {_IPQ_NPROBE}
+    ), qres AS (
+        SELECT p.cell,
+               list_transform(list_zip(q.v, p.cv),
+                              x -> x[1] - x[2]) AS rv
+        FROM probe p CROSS JOIN qv q
+    ), qrsub AS (
+        SELECT cell, subs.s AS s,
+               rv[subs.s * {_IPQ_DSUB} + 1 :
+                  (subs.s + 1) * {_IPQ_DSUB}] AS sv
+        FROM qres, subs
+    ), lut AS MATERIALIZED (
+        SELECT p.cell, c.s, c.code,
+               ROUND(list_sum(list_transform(list_zip(p.sv, c.cv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS dd
+        FROM p{_IPQ_PIT} c JOIN qrsub p ON c.s = p.s
+    ), adc AS (
+        SELECT r.id, r.cell, ROUND(SUM(l.dd), 6) AS adc_dist2
+        FROM pafin a
+        JOIN res r ON a.id = r.id
+        JOIN lut l ON l.cell = r.cell AND a.s = l.s
+             AND a.code = l.code
+        GROUP BY r.id, r.cell
+    )
+    SELECT id AS adc_id, CAST(cell AS INT) AS cell,
+           CAST(ROW_NUMBER() OVER (ORDER BY adc_dist2, id) AS INT)
+               AS adc_rank,
+           adc_dist2
+    FROM adc ORDER BY adc_dist2, id LIMIT {_IPQ_K}
+"""
+_ORACLE_SHAPES["q156_ivfpq_adc"] = (
+    ("adc_id", "BIGINT"), ("cell", "INTEGER"),
+    ("adc_rank", "INTEGER"), ("adc_dist2", "DOUBLE"),
+)
+
+_UNION_MERGES["q28_ann_topk"].append(("ivfpq_codes", "q155_ivfpq_codes"))
+_UNION_MERGES["q28_ann_topk"].append(("ivfpq_adc", "q156_ivfpq_adc"))

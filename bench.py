@@ -83,6 +83,8 @@ HEADLINE = [
     "q151_pca_covariance",
     "q152_pq_codes",
     "q153_pq_adc",
+    "q154_label_propagation",
+    "q156_ivfpq_adc",
 ]
 
 

@@ -177,6 +177,209 @@ def pq_encode(
     return df.withColumn(code_col, codes)
 
 
+def _coarse_lit(coarse: List[List[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+
+
+def _with_cell_residual(
+    df: DataFrame,
+    vec_col: str,
+    coarse: List[List[float]],
+    *,
+    cell_col: str = "__cell",
+    res_col: str = "__res",
+) -> DataFrame:
+    """Append the nearest-coarse-cell id and the residual vector
+    ``round(v - centroid[cell], 9)``. Pure projection — the coarse
+    codebook rides as literals, zero shuffle."""
+    carr = _coarse_lit(coarse)
+    v9 = F.transform(
+        F.col(vec_col).cast("array<double>"), lambda x: F.round(x, 9)
+    )
+    out = df.withColumn("__v9", v9)
+    out = out.withColumn(cell_col, _assign(F.col("__v9"), carr)["code"])
+    out = out.withColumn(
+        res_col,
+        F.zip_with(
+            F.col("__v9"),
+            F.element_at(carr, F.col(cell_col) + 1),
+            lambda a, b: F.round(a - b, 9),
+        ),
+    )
+    return out.drop("__v9")
+
+
+def ivfpq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    dim: int,
+    n_cells: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    coarse_iterations: int = 1,
+    pq_iterations: int = 2,
+):
+    """IVF-PQ / IVFADC training (Jégou et al. 2011, §IV): a coarse
+    quantizer partitions the corpus into ``n_cells`` inverted lists,
+    and product quantization encodes each vector's RESIDUAL
+    ``v - centroid[cell]`` — residual energy is far smaller than raw
+    vector energy, so the same code budget quantizes much finer.
+
+    The coarse quantizer IS :func:`pq_train` with ``m=1`` (a single
+    full-width sub-quantizer = plain Lloyd's over whole vectors) —
+    one training implementation serves both levels, and both inherit
+    the deterministic round/tie-break contract that makes q155/q156's
+    DuckDB oracles bit-replayable.
+
+    Returns ``(coarse, codebooks)``: ``coarse`` is [n_cells][dim],
+    ``codebooks`` is [m][n_codes][dim/m] — both driver-small.
+    """
+    coarse = pq_train(
+        df, vec_col, id_col,
+        dim=dim, m=1, n_codes=n_cells, iterations=coarse_iterations,
+    )[0]
+    res = _with_cell_residual(
+        df.select(id_col, vec_col), vec_col, coarse
+    )
+    codebooks = pq_train(
+        res, "__res", id_col,
+        dim=dim, m=m, n_codes=n_codes, iterations=pq_iterations,
+    )
+    return coarse, codebooks
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    dim: int,
+    cell_col: str = "cell",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Append (cell, m-code array): nearest coarse cell, then PQ codes
+    of the residual. Zero-shuffle projection — at 100 TB the encoded
+    table is written partitioned/bucketed by ``cell`` so queries prune
+    to their probed cells at the file level."""
+    m = len(codebooks)
+    cb = _cb_lit(codebooks)
+    out = _with_cell_residual(
+        df, vec_col, coarse, cell_col=cell_col, res_col="__res"
+    )
+    codes = F.transform(
+        _slices(F.col("__res"), dim, m),
+        lambda sv, s: _assign(sv, F.element_at(cb, s + 1))["code"],
+    )
+    return out.withColumn(code_col, codes).drop("__res")
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` coarse cells nearest the
+    query, and within them score candidates by ADC against the
+    RESIDUAL lookup table of each probed cell (the query residual
+    differs per cell, so each probed cell gets its own m x n_codes
+    table — nprobe * m * n_codes driver floats, embedded as literals).
+
+    The unprobed corpus is never touched: the cell filter is a pushed-
+    down predicate on the encode projection (partition-pruning when
+    the encoded table is stored bucketed by cell). Scoring is an
+    m-term literal-table lookup per candidate; top-k is sort+limit
+    (TakeOrderedAndProject), rank assigned over the k cut rows only.
+
+    Returns (id, cell INT, adc_rank INT, adc_dist2 DOUBLE).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    n_codes = len(codebooks[0])
+    q = [round(float(x), 9) for x in query_vec]
+    cd = sorted(
+        (
+            round(sum((q[j] - c[j]) ** 2 for j in range(dim)), 6),
+            ci,
+        )
+        for ci, c in enumerate(coarse)
+    )
+    probed = [ci for _, ci in cd[:nprobe]]
+    luts = {}
+    for ci in probed:
+        qr = [q[j] - coarse[ci][j] for j in range(dim)]
+        luts[ci] = [
+            [
+                round(
+                    sum(
+                        (qr[s * dsub + t] - cc[t]) ** 2
+                        for t in range(dsub)
+                    ),
+                    6,
+                )
+                for cc in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+    zero = [[0.0] * n_codes for _ in range(m)]
+    lut_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in row])
+                    for row in luts.get(ci, zero)
+                ]
+            )
+            for ci in range(len(coarse))
+        ]
+    )
+    enc = ivfpq_encode(
+        df, vec_col, coarse, codebooks,
+        dim=dim, cell_col="__cell", code_col="__codes",
+    ).filter(F.col("__cell").isin([int(c) for c in probed]))
+    dist = F.round(
+        F.aggregate(
+            F.transform(
+                F.col("__codes"),
+                lambda c, s: F.element_at(
+                    F.element_at(
+                        F.element_at(lut_lit, F.col("__cell") + 1),
+                        s + 1,
+                    ),
+                    c + 1,
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    top = (
+        enc.select(
+            F.col(id_col).alias("id"),
+            F.col("__cell").cast("int").alias("cell"),
+            dist.alias("adc_dist2"),
+        )
+        .orderBy(F.col("adc_dist2").asc(), F.col("id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("adc_dist2").asc(), F.col("id").asc())
+    return top.withColumn(
+        "adc_rank", F.row_number().over(w).cast("int")
+    ).select("id", "cell", "adc_rank", "adc_dist2")
+
+
 def adc_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -8,6 +8,9 @@ import pytest
 
 from jsonl_dataingestion_pipeline_spark.operators.pq import (
     adc_topk,
+    ivfpq_encode,
+    ivfpq_topk,
+    ivfpq_train,
     pq_encode,
     pq_train,
 )
@@ -107,6 +110,114 @@ def test_adc_recall_vs_exact(spark):
     assert len(got & set(int(i) for i in exact)) >= 5
     # the query point itself (dist 0) must quantize into the top set
     assert 0 in got
+
+
+def _clustered_df(spark, n=120, seed=3):
+    """Vectors drawn around 3 well-separated anchors, so the coarse
+    quantizer has real cells to find and residuals are small."""
+    rng = np.random.RandomState(seed)
+    anchors = rng.normal(size=(3, DIM)) * 6.0
+    x = np.zeros((n, DIM))
+    for i in range(n):
+        x[i] = anchors[i % 3] + rng.normal(size=DIM) * 0.3
+    x = np.round(x, 9)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        x,
+    )
+
+
+def test_ivfpq_encode_shapes_and_residual_argmin(spark):
+    df, x = _clustered_df(spark)
+    coarse, cbs = ivfpq_train(
+        df, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    assert len(coarse) == 3 and len(coarse[0]) == DIM
+    assert len(cbs) == M and len(cbs[0]) == 4 and len(cbs[0][0]) == DSUB
+    enc = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in ivfpq_encode(df, "embedding", coarse, cbs, dim=DIM)
+        .collect()
+    }
+    ca = np.array(coarse)
+    cells_seen = set()
+    for i in range(x.shape[0]):
+        cell, codes = enc[i]
+        cells_seen.add(cell)
+        # cell is the true coarse argmin
+        dd = np.round(((x[i] - ca) ** 2).sum(axis=1), 6)
+        assert cell == int(dd.argmin())
+        # each code is the argmin over the RESIDUAL subvector
+        res = np.round(x[i] - ca[cell], 9)
+        for s in range(M):
+            sub = res[s * DSUB : (s + 1) * DSUB]
+            sd = np.round(((sub - np.array(cbs[s])) ** 2).sum(axis=1), 6)
+            assert codes[s] == int(sd.argmin())
+    # the 3-anchor structure should occupy every coarse cell
+    assert cells_seen == {0, 1, 2}
+
+
+def test_ivfpq_search_probes_only_and_finds_self(spark):
+    df, x = _clustered_df(spark)
+    coarse, cbs = ivfpq_train(
+        df, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    q = [float(v) for v in x[9]]
+    got = ivfpq_topk(df, q, coarse, cbs, nprobe=1, k=10).collect()
+    assert [r.adc_rank for r in got] == list(range(1, len(got) + 1))
+    # nprobe=1: every hit comes from the single probed cell
+    ca = np.array(coarse)
+    qcell = int(np.round(((np.array(q) - ca) ** 2).sum(axis=1), 6).argmin())
+    assert {r.cell for r in got} == {qcell}
+    # the query point itself (residual quantizes to its own codes)
+    # must appear in the top set
+    assert 9 in {r.id for r in got}
+    # residual quantization keeps neighbors from the same anchor:
+    # anchor of id 9 is 9 % 3 — the majority of hits share it
+    same = sum(1 for r in got if r.id % 3 == 9 % 3)
+    assert same >= len(got) * 0.7
+
+
+def test_ivfpq_residual_beats_raw_pq_distortion(spark):
+    # the IVFADC selling point: quantizing residuals yields lower
+    # reconstruction error than raw PQ at the same code budget
+    df, x = _clustered_df(spark)
+    coarse, cbs = ivfpq_train(
+        df, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    raw_cbs = pq_train(
+        df, "embedding", "vec_id", dim=DIM, m=M, n_codes=4, iterations=2
+    )
+    ca = np.array(coarse)
+
+    def recon_err_ivf():
+        enc = ivfpq_encode(df, "embedding", coarse, cbs, dim=DIM).collect()
+        tot = 0.0
+        for r in enc:
+            rec = ca[r.cell].copy()
+            for s, c in enumerate(r.codes):
+                rec[s * DSUB : (s + 1) * DSUB] += np.array(cbs[s][c])
+            tot += float(((x[r.vec_id] - rec) ** 2).sum())
+        return tot
+
+    def recon_err_raw():
+        enc = pq_encode(df, "embedding", raw_cbs, dim=DIM).collect()
+        tot = 0.0
+        for r in enc:
+            rec = np.concatenate(
+                [np.array(raw_cbs[s][c]) for s, c in enumerate(r.codes)]
+            )
+            tot += float(((x[r.vec_id] - rec) ** 2).sum())
+        return tot
+
+    assert recon_err_ivf() < recon_err_raw()
 
 
 def test_pq_errors(spark):
