@@ -658,6 +658,60 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         ]
         return adc_topk(e, qvec, cbs, k=10)
 
+    def q154_scaled(spark, sf_dir):
+        # LPA over k disjoint graph replicas: communities are replica-
+        # local, so labeled-vertex rows = k * (x1 rows) exactly; wall
+        # linear iff the per-round label join never re-shuffles the
+        # checkpointed adjacency.
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            label_propagation,
+        )
+
+        return label_propagation(
+            _copurchase_replicas(spark, sf_dir), rounds=4
+        )
+
+    def q155_scaled(spark, sf_dir):
+        # IVF-PQ: train BOTH levels on the replica-0 slice (driver-held
+        # coarse codebook + residual codebooks, const cost), encode the
+        # FULL corpus -> rows = k * vectors exactly; cell + residual +
+        # codes are one zero-shuffle projection.
+        from jsonl_dataingestion_pipeline_spark.operators.pq import (
+            ivfpq_encode,
+            ivfpq_train,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base = e.filter(F.col("vec_id") < ID_OFFSET)
+        coarse, cbs = ivfpq_train(
+            base, "embedding", "vec_id",
+            dim=64, n_cells=4, m=4, n_codes=16,
+            coarse_iterations=1, pq_iterations=2,
+        )
+        return ivfpq_encode(e, "embedding", coarse, cbs, dim=64)
+
+    def q156_scaled(spark, sf_dir):
+        # IVFADC search over the full scaled corpus: rows = 10 const;
+        # the k-linear part is the probed-cell scan of m-term LUT sums
+        # (nprobe/n_cells of the corpus, never all of it).
+        from jsonl_dataingestion_pipeline_spark.operators.pq import (
+            ivfpq_topk,
+            ivfpq_train,
+        )
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base = e.filter(F.col("vec_id") < ID_OFFSET)
+        coarse, cbs = ivfpq_train(
+            base, "embedding", "vec_id",
+            dim=64, n_cells=4, m=4, n_codes=16,
+            coarse_iterations=1, pq_iterations=2,
+        )
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        return ivfpq_topk(e, qvec, coarse, cbs, nprobe=2, k=10)
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -693,6 +747,9 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q151_pca_cov": q151_scaled,
         "q152_pq_encode": q152_scaled,
         "q153_pq_adc": q153_scaled,
+        "q154_lpa": q154_scaled,
+        "q155_ivfpq_encode": q155_scaled,
+        "q156_ivfpq_adc": q156_scaled,
     }
     out = {}
     import logging as _logging
