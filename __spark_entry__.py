@@ -8757,6 +8757,102 @@ _UNION_MERGES["q51_neardup_clusters_battery"].append(
 )
 
 
+# q157: multi-source BFS hop distances (operators/graph.py::
+# bfs_distances) over the q144/q145/q154 co-purchase graph, seeded at
+# the graph's two smallest vertex ids. BFS distances are unique (no
+# tie-breaks exist), so the oracle simply unrolls the frontier rounds:
+# each round = neighbors of the frontier EXCEPT the visited set.
+
+
+_BFS_DEPTH = 4
+
+
+def q157_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(other, on="l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    seeds = [
+        r[0]
+        for r in edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .orderBy("v")
+        .limit(2)
+        .collect()
+    ]
+    return bfs_distances(edges, seeds, max_depth=_BFS_DEPTH).select(
+        F.col("node_id").alias("bfs_node"),
+        F.col("dist").alias("bfs_dist"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q157_bfs_distances"] = q157_bfs_distances
+
+
+def _bfs_round(i: int) -> str:
+    return f"""
+    f{i} AS MATERIALIZED (
+        SELECT v, {i} AS dist FROM (
+            SELECT DISTINCT adj.u AS v
+            FROM adj JOIN f{i - 1} f ON adj.v = f.v
+            EXCEPT SELECT v FROM d{i - 1}
+        )
+    ),
+    d{i} AS MATERIALIZED (
+        SELECT v, dist FROM d{i - 1}
+        UNION ALL SELECT v, dist FROM f{i}
+    )"""
+
+
+_ORACLE_DEDUP_SIM["q157_bfs_distances"] = (
+    """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    ), e AS MATERIALIZED (
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), adj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM e
+        UNION ALL SELECT b AS v, a AS u FROM e
+    ), f0 AS MATERIALIZED (
+        SELECT v, 0 AS dist FROM (
+            SELECT DISTINCT v FROM adj ORDER BY v LIMIT 2
+        )
+    ), d0 AS MATERIALIZED (
+        SELECT v, dist FROM f0
+    ),"""
+    + ",".join(_bfs_round(i) for i in range(1, _BFS_DEPTH + 1))
+    + """
+    SELECT v AS bfs_node, CAST(dist AS INT) AS bfs_dist FROM d"""
+    + str(_BFS_DEPTH)
+    + "\n"
+)
+
+_ORACLE_SHAPES["q157_bfs_distances"] = (
+    ("bfs_node", "BIGINT"), ("bfs_dist", "INTEGER"),
+)
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("bfs", "q157_bfs_distances")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

@@ -299,6 +299,75 @@ def label_propagation(
     return labels.select(F.col("v").alias("node_id"), "label")
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Multi-source BFS hop distances — the seed-expansion primitive of
+    web curation: distance-from-trusted-seeds ranking (the seed-set half
+    of TrustRank), crawl-frontier budgeting by hop count, or bounding a
+    contamination neighborhood around known-bad hosts.
+
+    Undirected semantics (direction/duplicates ignored, self-loops
+    dropped). ``sources`` is a sequence of vertex ids; each reachable
+    vertex gets the hop count to its NEAREST source (sources themselves
+    = 0). Vertices further than ``max_depth`` hops (or unreachable) are
+    absent from the result; source ids absent from the edge set are
+    ignored. BFS distances are unique, so there is no tie-breaking to
+    get wrong — fully deterministic and oracle-replayable by unrolling
+    the rounds.
+
+    100 TB shape: the adjacency is built ONCE and checkpointed; each
+    round is one equi-join of the current frontier against it, a
+    distinct, and an anti-join against the visited set — all frames
+    carry vertex ids only, never payloads, and the frontier/visited
+    sides are orders of magnitude smaller than the edge table (AQE
+    broadcasts them while they fit). Early exit on an empty frontier:
+    at most ``max_depth`` rounds, each cut from lineage.
+
+    Returns (node_id, dist INT).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        adj.select("v")
+        .distinct()
+        .filter(F.col("v").isin(list(sources)))
+        .select("v", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("v")
+    for depth in range(1, max_depth + 1):
+        new = (
+            adj.join(frontier, on="v")
+            .select(F.col("u").alias("v"))
+            .distinct()
+            .join(dist, on="v", how="left_anti")
+            .select("v", F.lit(depth).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.select("v")
+    return dist.select(F.col("v").alias("node_id"), "dist")
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -242,9 +242,14 @@ def ivfpq_train(
         df, vec_col, id_col,
         dim=dim, m=1, n_codes=n_cells, iterations=coarse_iterations,
     )[0]
+    # materialize the residuals ONCE: every residual-PQ training job
+    # (seed collect + one per Lloyd iteration) re-scans its input, and
+    # without the checkpoint each scan would re-run the coarse
+    # assignment argmin chain (values are identical either way — this
+    # is purely a recompute cut)
     res = _with_cell_residual(
         df.select(id_col, vec_col), vec_col, coarse
-    )
+    ).localCheckpoint(eager=True)
     codebooks = pq_train(
         res, "__res", id_col,
         dim=dim, m=m, n_codes=n_codes, iterations=pq_iterations,

@@ -258,3 +258,67 @@ class TestLabelPropagation:
         assert self._lpa(spark, edges, rounds=3) == self._lpa(
             spark, edges, rounds=3
         )
+
+
+class TestBfsDistances:
+    def _bfs(self, spark, edges, sources, max_depth=6):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            bfs_distances,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node_id: r.dist
+            for r in bfs_distances(
+                df, sources, max_depth=max_depth
+            ).collect()
+        }
+
+    def test_path_graph(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        assert self._bfs(spark, edges, [0]) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_max_depth_cuts_tail(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        assert self._bfs(spark, edges, [0], max_depth=2) == {
+            0: 0, 1: 1, 2: 2
+        }
+
+    def test_multi_source_takes_nearest(self, spark):
+        # 0-1-2-3-4 with sources at both ends: middle vertex is 2 hops
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        assert self._bfs(spark, edges, [0, 4]) == {
+            0: 0, 1: 1, 2: 2, 3: 1, 4: 0
+        }
+
+    def test_unreachable_and_absent_seed(self, spark):
+        # two components; a seed id not in the graph is ignored
+        edges = [(0, 1), (5, 6)]
+        assert self._bfs(spark, edges, [0, 99]) == {0: 0, 1: 1}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        edges = [(1, 0), (0, 1), (1, 2), (2, 2)]
+        assert self._bfs(spark, edges, [0]) == {0: 0, 1: 1, 2: 2}
+
+    def test_matches_python_replay_on_random_graph(self, spark):
+        import collections
+        import random
+
+        rng = random.Random(13)
+        edges = sorted({(a, b) for a in range(40) for b in range(a + 1, 40)
+                        if rng.random() < 0.08})
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        sources = [v for v in (0, 7) if v in adj]
+        want, frontier = {v: 0 for v in sources}, set(sources)
+        depth = 0
+        while frontier and depth < 6:
+            depth += 1
+            frontier = {
+                u for v in frontier for u in adj[v] if u not in want
+            }
+            for u in frontier:
+                want[u] = depth
+        assert self._bfs(spark, edges, sources, max_depth=6) == want
