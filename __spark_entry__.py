@@ -8853,6 +8853,205 @@ _UNION_MERGES["q51_neardup_clusters_battery"].append(
 )
 
 
+# q158: hybrid retrieval by reciprocal-rank fusion (operators/
+# retrieval.py::rrf_fuse — Cormack et al. 2009): lexical BM25 top-20
+# for a fixed 3-term query fused with dense cosine top-20 for the
+# vec_id=0 query vector (doc_id and vec_id share a key space in the
+# test tables). With exactly two lists the per-doc sum 1/(60+r_lex) +
+# 1/(60+r_dense) has a single association, so the fused scores replay
+# bit-for-bit; ranks feeding the fusion are themselves oracle-proven
+# deterministic (q61/q28 contracts).
+
+_RRF_N, _RRF_K, _RRF_TOPK = 20, 60, 10
+
+
+def q158_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        bm25_scores,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hits = bm25_scores(d, "text", "doc_id").filter(
+        F.col("term").isin("the", "data", "of")
+    )
+    lex_top = (
+        hits.groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_N)
+    )
+    lex = lex_top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank")
+
+    e = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        e, e.filter(F.col("vec_id") == 0), k=_RRF_N
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+
+    return rrf_fuse(
+        [lex, dense], id_col="doc_id", k=_RRF_K, topk=_RRF_TOPK
+    ).select("doc_id", "rrf_score", "fused_rank")
+
+
+_DEDUP_SIM_QUERIES["q158_rrf_fusion"] = q158_rrf_fusion
+
+_ORACLE_DEDUP_SIM["q158_rrf_fusion"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   regexp_split_to_array(TRIM(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) / COUNT(*) FROM dl) AS avgdl
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN stats
+        WHERE tf.term IN ('the', 'data', 'of')
+    ), lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+                   ORDER BY bm25 DESC, doc_id ASC) AS r
+        FROM (
+            SELECT doc_id, ROUND(SUM(score), 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_N}
+        )
+    ), dense AS (
+        SELECT neighbor_id AS doc_id, r FROM (
+            SELECT e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+                ORDER BY ROUND(list_cosine_similarity(
+                    CAST(q.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                    e.vec_id ASC) AS r
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding FROM embeddings
+                        WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ) WHERE r <= {_RRF_N}
+    ), contrib AS (
+        SELECT doc_id, 1.0 / ({_RRF_K} + r) AS c FROM lex
+        UNION ALL
+        SELECT doc_id, 1.0 / ({_RRF_K} + r) AS c FROM dense
+    ), fused AS (
+        SELECT doc_id, ROUND(SUM(c), 9) AS rrf_score
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOPK}
+"""
+
+_ORACLE_SHAPES["q158_rrf_fusion"] = (
+    ("doc_id", "BIGINT"), ("rrf_score", "DOUBLE"),
+    ("fused_rank", "INTEGER"),
+)
+
+_UNION_MERGES["q38_cosine_verify"].append(("rrf", "q158_rrf_fusion"))
+
+
+# q159: corpus distribution-drift report (functions/textstats.py::
+# corpus_divergence) — the tokens driving the symmetric KL divergence
+# between the en and fr document slices' smoothed unigram
+# distributions. No multi-term float summation anywhere (the ranking
+# is per-token), so probabilities, ln products, and ranks replay
+# bit-for-bit.
+
+_DIV_TOPK = 20
+
+
+def q159_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        corpus_divergence,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus_divergence(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") == "fr"),
+        "text",
+        smoothing=1.0,
+        topk=_DIV_TOPK,
+    )
+    return out.select(
+        F.col("token").alias("div_token"), "p_a", "p_b", "sym_kl"
+    )
+
+
+_DEDUP_SIM_QUERIES["q159_corpus_divergence"] = q159_corpus_divergence
+
+_ORACLE_DEDUP_SIM["q159_corpus_divergence"] = f"""
+    WITH ca AS (
+        SELECT t AS token, CAST(COUNT(*) AS DOUBLE) AS ca FROM (
+            SELECT UNNEST(list_filter(
+                regexp_split_to_array(TRIM(lower(text)), '\\s+'),
+                t -> t <> '')) AS t
+            FROM documents WHERE lang = 'en'
+        ) GROUP BY t
+    ), cb AS (
+        SELECT t AS token, CAST(COUNT(*) AS DOUBLE) AS cb FROM (
+            SELECT UNNEST(list_filter(
+                regexp_split_to_array(TRIM(lower(text)), '\\s+'),
+                t -> t <> '')) AS t
+            FROM documents WHERE lang = 'fr'
+        ) GROUP BY t
+    ), merged AS (
+        SELECT COALESCE(ca.token, cb.token) AS token,
+               COALESCE(ca.ca, 0.0) AS ca,
+               COALESCE(cb.cb, 0.0) AS cb
+        FROM ca FULL JOIN cb ON ca.token = cb.token
+    ), stats AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM merged
+    ), scored AS (
+        SELECT token,
+               ROUND((ca + 1.0) / (na + 1.0 * v), 9) AS p_a,
+               ROUND((cb + 1.0) / (nb + 1.0 * v), 9) AS p_b,
+               ROUND((ca + 1.0) / (na + 1.0 * v)
+                     * ln(((ca + 1.0) / (na + 1.0 * v))
+                          / ((cb + 1.0) / (nb + 1.0 * v)))
+                   + (cb + 1.0) / (nb + 1.0 * v)
+                     * ln(((cb + 1.0) / (nb + 1.0 * v))
+                          / ((ca + 1.0) / (na + 1.0 * v))), 9) AS sym_kl
+        FROM merged CROSS JOIN stats
+    )
+    SELECT token AS div_token, p_a, p_b, sym_kl
+    FROM scored ORDER BY sym_kl DESC, token ASC LIMIT {_DIV_TOPK}
+"""
+
+_ORACLE_SHAPES["q159_corpus_divergence"] = (
+    ("div_token", "VARCHAR"), ("p_a", "DOUBLE"),
+    ("p_b", "DOUBLE"), ("sym_kl", "DOUBLE"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("divergence", "q159_corpus_divergence")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

@@ -85,6 +85,9 @@ HEADLINE = [
     "q153_pq_adc",
     "q154_label_propagation",
     "q156_ivfpq_adc",
+    "q157_bfs_distances",
+    "q158_rrf_fusion",
+    "q159_corpus_divergence",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Mapping, Sequence, Union
 
 import pandas as pd  # module-level: pandas_udf resolves string type hints
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .expr import let
@@ -623,3 +623,74 @@ def normalize_unicode(c: ColumnOrName, form: str = "NFC"):
         )
 
     return _norm(_col(c))
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    *,
+    smoothing: float = 1.0,
+    topk: int = 20,
+    scale: int = 9,
+) -> DataFrame:
+    """Distribution-drift report between two corpus slices: the tokens
+    driving the symmetric KL divergence of their (add-``smoothing``
+    smoothed) unigram distributions — the "what changed between these
+    two snapshots / sources / crawls" monitor a training-data pipeline
+    runs before mixing or refreshing corpora.
+
+    Both unigram distributions are smoothed over the UNION vocabulary
+    (size V): ``p(t) = (count(t) + s) / (N + s*V)``, so tokens absent
+    from one side still get finite probability and every per-token
+    contribution ``p_a*ln(p_a/p_b) + p_b*ln(p_b/p_a)`` is well-defined
+    and >= 0. Returns the ``topk`` tokens by contribution
+    (token, p_a, p_b, sym_kl), ties broken on token.
+
+    100 TB shape: two token-count aggregates (map-side partials, one
+    narrow shuffle each) full-outer-merged on token; the three scalar
+    stats (N_a, N_b, V) ride a one-row broadcast crossJoin; ranking is
+    sort+limit over the merged vocab (vocab-sized, not corpus-sized).
+    Determinism: counts are exact, the probability divisions and ln
+    products are IEEE-identical across engines at the 1e-9 round —
+    no multi-term float summation appears anywhere (the scalar total
+    would be association-sensitive; rank per-token contributions
+    instead, which is also the more actionable output).
+    """
+    s = float(smoothing)
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        # lowercase BEFORE splitting — the exact q61/BM25 tokenization,
+        # so the oracle replays token-for-token
+        t = tokens(F.lower(F.col(text_col)))
+        return (
+            df.select(F.explode(t).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("double").alias(out))
+        )
+
+    ca = counts(a, "__ca")
+    cb = counts(b, "__cb")
+    merged = ca.join(cb, on="token", how="full").select(
+        "token",
+        F.coalesce(F.col("__ca"), F.lit(0.0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0.0)).alias("__cb"),
+    )
+    stats = merged.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    pa = (F.col("__ca") + F.lit(s)) / (F.col("__na") + F.lit(s) * F.col("__v"))
+    pb = (F.col("__cb") + F.lit(s)) / (F.col("__nb") + F.lit(s) * F.col("__v"))
+    sym = pa * F.log(pa / pb) + pb * F.log(pb / pa)
+    scored = merged.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.round(pa, scale).alias("p_a"),
+        F.round(pb, scale).alias("p_b"),
+        F.round(sym, scale).alias("sym_kl"),
+    )
+    return scored.orderBy(
+        F.col("sym_kl").desc(), F.col("token").asc()
+    ).limit(topk)

@@ -1,0 +1,112 @@
+"""RRF fusion and corpus-divergence report tests."""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+    corpus_divergence,
+)
+from jsonl_dataingestion_pipeline_spark.operators.retrieval import rrf_fuse
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
+class TestRrfFuse:
+    def test_two_list_fusion_matches_formula(self, spark):
+        lex = _ranking(spark, [(1, 1), (2, 2), (3, 3)])
+        dense = _ranking(spark, [(3, 1), (1, 2), (4, 3)])
+        out = {
+            r.doc_id: (r.rrf_score, r.fused_rank)
+            for r in rrf_fuse([lex, dense], k=60, topk=10).collect()
+        }
+        want = {
+            1: 1 / 61 + 1 / 62,
+            2: 1 / 62,
+            3: 1 / 63 + 1 / 61,
+            4: 1 / 63,
+        }
+        assert set(out) == set(want)
+        for d, s in want.items():
+            assert out[d][0] == pytest.approx(round(s, 9), abs=1e-12)
+        # doc 1 (ranks 1+2) beats doc 3 (ranks 3+1): same pair of
+        # contributions -> equal score, tie broken on id
+        assert out[1][1] == 1 and out[3][1] == 2
+
+    def test_topk_cut_and_rank_sequence(self, spark):
+        lex = _ranking(spark, [(i, i) for i in range(1, 8)])
+        got = rrf_fuse([lex], topk=3).collect()
+        assert [r.fused_rank for r in got] == [1, 2, 3]
+        assert [r.doc_id for r in got] == [1, 2, 3]
+
+    def test_per_query_fusion_with_by(self, spark):
+        rows = [(q, d, r) for q in (10, 20) for d, r in ((1, 1), (2, 2))]
+        a = spark.createDataFrame(
+            rows, "query_id long, doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(10, 2, 1), (20, 1, 1)],
+            "query_id long, doc_id long, rank int",
+        )
+        got = {
+            (r.query_id, r.doc_id): r.fused_rank
+            for r in rrf_fuse(
+                [a, b], by=["query_id"], topk=1
+            ).collect()
+        }
+        # query 10: doc 2 has 1/62 + 1/61 > doc 1's 1/61 -> wins
+        assert got == {(10, 2): 1, (20, 1): 1}
+
+    def test_empty_rankings_rejected(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+
+
+class TestCorpusDivergence:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(t,) for t in texts], "text string"
+        )
+
+    def test_matches_python_replay(self, spark):
+        a = self._df(spark, ["the cat sat", "the dog ran", "the cat"])
+        b = self._df(spark, ["le chat", "le chien", "the chat"])
+        got = {
+            r.token: (r.p_a, r.p_b, r.sym_kl)
+            for r in corpus_divergence(a, b, "text", topk=100).collect()
+        }
+        import collections
+
+        ca = collections.Counter(
+            w for t in ["the cat sat", "the dog ran", "the cat"]
+            for w in t.lower().split()
+        )
+        cb = collections.Counter(
+            w for t in ["le chat", "le chien", "the chat"]
+            for w in t.lower().split()
+        )
+        vocab = set(ca) | set(cb)
+        na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+        for tok in vocab:
+            pa = (ca[tok] + 1.0) / (na + v)
+            pb = (cb[tok] + 1.0) / (nb + v)
+            sym = pa * math.log(pa / pb) + pb * math.log(pb / pa)
+            assert got[tok][0] == pytest.approx(pa, abs=1e-9)
+            assert got[tok][1] == pytest.approx(pb, abs=1e-9)
+            assert got[tok][2] == pytest.approx(sym, abs=1e-9)
+
+    def test_identical_corpora_zero_divergence(self, spark):
+        a = self._df(spark, ["alpha beta gamma", "beta gamma"])
+        out = corpus_divergence(a, a, "text", topk=10).collect()
+        assert all(r.sym_kl == 0.0 for r in out)
+
+    def test_driver_token_ranks_first(self, spark):
+        # 'only_a' appears heavily in A and never in B -> top driver
+        a = self._df(spark, ["only_a only_a only_a shared", "shared"])
+        b = self._df(spark, ["shared shared", "shared"])
+        top = corpus_divergence(a, b, "text", topk=1).collect()[0]
+        assert top.token == "only_a"
+        assert top.sym_kl > 0
