@@ -392,3 +392,49 @@ def test_q153_adc_topk_is_take_ordered(spark):
     tree = _tree(_formatted(spark, em.q153_pq_adc(spark, SF)))
     assert "TakeOrderedAndProject" in tree, tree
     assert "Join" not in tree, tree
+
+
+def test_q155_ivfpq_encode_zero_shuffle(spark):
+    """q155: IVF-PQ encoding (cell assignment + residual + codes) is a
+    pure projection against the driver-held coarse + residual codebook
+    literals — one scan, zero Exchange, zero Join. At 100 TB this is
+    the property that lets the encoded table be written straight out
+    bucketed by cell."""
+    tree = _tree(_formatted(spark, em.q155_ivfpq_codes(spark, SF)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_q156_ivfpq_adc_prunes_and_take_ordered(spark):
+    """q156: IVFADC search is a cell-filtered scan (the nprobe cell
+    predicate is an in-plan filter on the encode projection — no join)
+    ending in TakeOrderedAndProject; the per-cell lookup tables ride as
+    literals."""
+    tree = _tree(_formatted(spark, em.q156_ivfpq_adc(spark, SF)))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Join" not in tree, tree
+    assert "Exchange" not in tree.replace(
+        "TakeOrderedAndProject", ""
+    ), tree
+
+
+def test_q158_rrf_fusion_take_ordered_no_presort(spark):
+    """q158: the fused list is cut by TakeOrderedAndProject over the
+    groupBy-sum of contributions; the only windows in the plan run
+    AFTER a limit (ranks over already-cut rows) or compile to
+    WindowGroupLimit (the dense ranker's per-query top-k). No global
+    Sort of an uncut relation anywhere."""
+    tree = _tree(_formatted(spark, em.q158_rrf_fusion(spark, SF)))
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_q159_divergence_broadcast_stats_single_rank_cut(spark):
+    """q159: the scalar stats (N_a, N_b, V) join back as a one-row
+    BroadcastNestedLoopJoin; the report cut is TakeOrderedAndProject
+    over the vocab-sized merged frame — never a global window."""
+    tree = _tree(_formatted(spark, em.q159_corpus_divergence(spark, SF)))
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Window" not in tree, tree

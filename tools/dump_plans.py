@@ -81,6 +81,26 @@ PICKS = [
      "prefix bucket (hashpartitioning(__b)); the only SinglePartition "
      "exchange carries the per-bucket totals (rows = n_buckets), "
      "which broadcast-join back — no global-sort window over data"),
+    ("q155_ivfpq_codes",
+     "IVF-PQ encoding (cell assignment + residual + m code argmins) is "
+     "a single pure-Project pipeline over ONE parquet scan — zero "
+     "Exchange, zero join; both quantizer levels ride as literals, so "
+     "at scale the encoded table writes straight out bucketed by cell"),
+    ("q156_ivfpq_adc",
+     "IVFADC search: the nprobe cell predicate is an in-plan filter on "
+     "the encode projection (partition-pruning when the table is "
+     "stored bucketed by cell), per-cell lookup tables are literals, "
+     "and the cut is TakeOrderedAndProject — no join, no global sort"),
+    ("q158_rrf_fusion",
+     "RRF fusion: contributions union into one groupBy-sum and the "
+     "fused cut is TakeOrderedAndProject; the dense ranker's per-query "
+     "top-k compiles to WindowGroupLimit — no global Sort of an uncut "
+     "relation anywhere"),
+    ("q159_corpus_divergence",
+     "corpus divergence: two token-count aggregates full-outer-merge "
+     "on token; the scalar stats row joins back as a one-row "
+     "BroadcastNestedLoopJoin; the report cut is TakeOrderedAndProject "
+     "over the vocab-sized frame — never a global window"),
     ("q137_fuzzy_decontamination",
      "the benchmark side enters ONLY as one (shingle -> [bids], df) "
      "aggregate broadcast into the candidate join; the hot-shingle "

@@ -712,6 +712,83 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         ]
         return ivfpq_topk(e, qvec, coarse, cbs, nprobe=2, k=10)
 
+    def q157_scaled(spark, sf_dir):
+        # BFS over k disjoint graph replicas, seeded at each replica's
+        # copy of the x1 seed vertex: reached sets are replica-local,
+        # so result rows = k * (x1 rows) exactly; wall linear iff each
+        # round's frontier join re-uses the checkpointed adjacency.
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            bfs_distances,
+        )
+
+        edges = _copurchase_replicas(spark, sf_dir)
+        base_seed = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .filter(F.col("l_orderkey") % 7 == 0)
+            .agg(F.min("l_partkey"))
+            .head()[0]
+        )
+        seeds = [f"{base_seed}~{r}" for r in range(k)]
+        return bfs_distances(edges, seeds, max_depth=3)
+
+    def q158_scaled(spark, sf_dir):
+        # RRF fusion over the scaled corpus: rows = 10 const; the
+        # k-linear parts are the BM25 token aggregates and the dense
+        # scan — both single-pass with map-side partials.
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            bm25_scores,
+        )
+        from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+            rrf_fuse,
+        )
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            cosine_topk,
+        )
+        from pyspark.sql import Window as W
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        hits = bm25_scores(d, "text", "doc_id")
+        # word-suffixed replicas change every token, so match the x1
+        # query terms by their replica-0 forms plus suffix wildcard:
+        # use startswith on the three common stems
+        hits = hits.filter(
+            F.col("term").rlike("^(the|data|of)~")
+            | F.col("term").isin("the", "data", "of")
+        )
+        lex_top = (
+            hits.groupBy("doc_id")
+            .agg(F.round(F.sum("score"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+        lex = lex_top.withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        ).select("doc_id", "rank")
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        dense = cosine_topk(
+            e, e.filter(F.col("vec_id") == 0), k=20
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        return rrf_fuse([lex, dense], id_col="doc_id", topk=10)
+
+    def q159_scaled(spark, sf_dir):
+        # divergence report between the en and fr slices of the scaled
+        # corpus: rows = 20 const; the k-linear part is the two token
+        # aggregates over a vocab that itself grows ~k (word suffixing).
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            corpus_divergence,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return corpus_divergence(
+            d.filter(F.col("lang") == "en"),
+            d.filter(F.col("lang") == "fr"),
+            "text",
+            topk=20,
+        )
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -750,6 +827,9 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q154_lpa": q154_scaled,
         "q155_ivfpq_encode": q155_scaled,
         "q156_ivfpq_adc": q156_scaled,
+        "q157_bfs": q157_scaled,
+        "q158_rrf": q158_scaled,
+        "q159_divergence": q159_scaled,
     }
     out = {}
     import logging as _logging
