@@ -9052,6 +9052,85 @@ _UNION_MERGES["q19_corpus_stats"].append(
 )
 
 
+# q160: incremental connected components (operators/dedup.py::
+# incremental_connected_components) over the co-purchase graph, split
+# deterministically into a base (80%: (src+dst) % 5 != 0) and an
+# arriving batch (20%). The Spark side folds the batch into the base
+# labeling via the contract-to-component-graph path; the oracle simply
+# computes components of the UNION graph from scratch (recursive
+# min-reachability) — min-id labels are canonical, so the incremental
+# and from-scratch labelings must be bit-identical. This makes the
+# maintenance path's correctness a theorem the driver re-proves on
+# every run.
+
+
+def q160_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    other = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(other, on="l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("id_l"), F.col("p2").alias("id_r"))
+        .distinct()
+    )
+    base_edges = edges.filter((F.col("id_l") + F.col("id_r")) % 5 != 0)
+    batch_edges = edges.filter((F.col("id_l") + F.col("id_r")) % 5 == 0)
+    base_nodes = (
+        base_edges.select(F.col("id_l").alias("id"))
+        .unionAll(base_edges.select(F.col("id_r").alias("id")))
+        .distinct()
+    )
+    base = connected_components(base_nodes, base_edges)
+    out = incremental_connected_components(base, batch_edges)
+    return out.select(
+        F.col("id").alias("cc_node"), F.col("comp").alias("cc_comp")
+    )
+
+
+_DEDUP_SIM_QUERIES["q160_incremental_cc"] = q160_incremental_cc
+
+_ORACLE_DEDUP_SIM["q160_incremental_cc"] = """
+    WITH RECURSIVE li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    ), e AS MATERIALIZED (
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), sym AS MATERIALIZED (
+        SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), verts AS MATERIALIZED (
+        SELECT DISTINCT a AS id FROM sym
+    ), reach AS (
+        SELECT id, id AS comp FROM verts
+        UNION
+        SELECT s.b AS id, r.comp
+        FROM reach r JOIN sym s ON s.a = r.id
+    )
+    SELECT id AS cc_node, MIN(comp) AS cc_comp
+    FROM reach GROUP BY id
+"""
+
+_ORACLE_SHAPES["q160_incremental_cc"] = (
+    ("cc_node", "BIGINT"), ("cc_comp", "BIGINT"),
+)
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("inc_cc", "q160_incremental_cc")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

@@ -660,6 +660,101 @@ def connected_components(
     )
 
 
+def incremental_connected_components(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    *,
+    id_col: str = "id",
+    comp_col: str = "comp",
+    src_col: str = "id_l",
+    dst_col: str = "id_r",
+    max_iter: int = 25,
+    reliable: bool = False,
+) -> DataFrame:
+    """Fold a batch of new near-dup edges into an existing component
+    labeling WITHOUT recomputing components from scratch — the
+    maintenance mode that keeps dedup clusters current as a crawl
+    streams in. ``base_labels`` is a (id, comp) frame whose comp values
+    are per-component min ids (the :func:`connected_components`
+    fixpoint — canonical, so incremental and from-scratch labelings are
+    IDENTICAL frames, which is exactly what the q160 oracle checks).
+
+    Algorithm (contract-to-component-graph):
+
+    1. label the batch's vertices: existing comp, or own id for ids the
+       base has never seen;
+    2. translate each new edge into label space — edges whose endpoints
+       already share a component vanish here;
+    3. run full CC on the surviving label graph (bounded by the BATCH
+       size, never the base);
+    4. apply the (old comp -> new comp) mapping — only strictly-changed
+       entries — back over the base labeling.
+
+    100 TB shape: the base frame is never shuffled — every join against
+    it builds on the batch-sized side (vertex semi-join, anti-probe of
+    known ids, final mapping), so AQE broadcasts them and the base
+    streams map-side. Per-batch cost is O(batch) plus one broadcast-
+    mapped pass over the base labels; the inner CC runs on a graph no
+    larger than the batch's endpoint set.
+
+    Returns the complete new labeling (``id_col``, ``comp_col``)
+    covering every base id plus every id the batch introduced.
+    """
+    ids = F.col(id_col)
+    base = base_labels.select(
+        ids.alias("id"), F.col(comp_col).alias("comp")
+    )
+    batch_nodes = (
+        new_edges.select(F.col(src_col).alias("id"))
+        .unionAll(new_edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    batch_nodes = _pipeline_break(batch_nodes, reliable)
+    # labels for batch vertices: base streams, batch broadcasts
+    known = base.join(F.broadcast(batch_nodes), on="id", how="leftsemi")
+    known = _pipeline_break(known, reliable)
+    fresh = batch_nodes.join(
+        F.broadcast(known.select("id")), on="id", how="left_anti"
+    ).select("id", F.col("id").alias("comp"))
+    batch_labels = _pipeline_break(known.unionAll(fresh), reliable)
+
+    lab_l = batch_labels.withColumnsRenamed(
+        {"id": "__sl", "comp": "__cl"}
+    )
+    lab_r = batch_labels.withColumnsRenamed(
+        {"id": "__sr", "comp": "__cr"}
+    )
+    merge_edges = (
+        new_edges.select(
+            F.col(src_col).alias("__sl"), F.col(dst_col).alias("__sr")
+        )
+        .join(F.broadcast(lab_l), on="__sl")
+        .join(F.broadcast(lab_r), on="__sr")
+        .filter(F.col("__cl") != F.col("__cr"))
+        .select(F.col("__cl").alias("id_l"), F.col("__cr").alias("id_r"))
+        .distinct()
+    )
+    merge_nodes = batch_labels.select(F.col("comp").alias("id")).distinct()
+    mapping = connected_components(
+        merge_nodes, merge_edges,
+        max_iter=max_iter, reliable=reliable,
+    ).withColumnsRenamed({"id": "__old", "comp": "__new"})
+    changed = mapping.filter(F.col("__old") != F.col("__new"))
+    changed = _pipeline_break(changed, reliable)
+
+    def apply_mapping(labels: DataFrame) -> DataFrame:
+        return labels.join(
+            F.broadcast(changed),
+            on=labels["comp"] == changed["__old"],
+            how="left",
+        ).select(
+            F.col("id").alias(id_col),
+            F.coalesce("__new", "comp").alias(comp_col),
+        )
+
+    return apply_mapping(base).unionAll(apply_mapping(fresh))
+
+
 def neardup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,

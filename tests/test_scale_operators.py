@@ -529,3 +529,81 @@ def test_hard_negative_mining_ivf_recall(spark, embeddings):
         ).collect()
     }
     assert len(part & ex) / max(len(ex), 1) >= 0.4
+
+
+class TestIncrementalCC:
+    def _full(self, spark, edges):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        e = spark.createDataFrame(edges, "id_l long, id_r long")
+        nodes = (
+            e.select(F.col("id_l").alias("id"))
+            .unionAll(e.select(F.col("id_r").alias("id")))
+            .distinct()
+        )
+        return {
+            r.id: r.comp
+            for r in connected_components(nodes, e).collect()
+        }
+
+    def _incremental(self, spark, base_edges, batch_edges):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            connected_components,
+            incremental_connected_components,
+        )
+
+        be = spark.createDataFrame(base_edges, "id_l long, id_r long")
+        nodes = (
+            be.select(F.col("id_l").alias("id"))
+            .unionAll(be.select(F.col("id_r").alias("id")))
+            .distinct()
+        )
+        base = connected_components(nodes, be)
+        nb = spark.createDataFrame(batch_edges, "id_l long, id_r long")
+        out = incremental_connected_components(base, nb)
+        rows = out.collect()
+        got = {r.id: r.comp for r in rows}
+        assert len(rows) == len(got), "duplicate ids in labeling"
+        return got
+
+    def test_matches_full_recompute_random(self, spark):
+        import random
+
+        rng = random.Random(23)
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(40)
+                for b in range(a + 1, 40)
+                if rng.random() < 0.05
+            }
+        )
+        base = [e for e in edges if (e[0] + e[1]) % 3 != 0]
+        batch = [e for e in edges if (e[0] + e[1]) % 3 == 0]
+        assert batch and base
+        assert self._incremental(spark, base, batch) == self._full(
+            spark, edges
+        )
+
+    def test_batch_introduces_new_nodes(self, spark):
+        base = [(1, 2), (3, 4)]
+        # 100/101 are brand new; 100 bridges into component {1,2}
+        batch = [(2, 100), (100, 101), (200, 201)]
+        got = self._incremental(spark, base, batch)
+        assert got == {
+            1: 1, 2: 1, 100: 1, 101: 1,
+            3: 3, 4: 3,
+            200: 200, 201: 200,
+        }
+
+    def test_batch_merges_two_base_components(self, spark):
+        base = [(1, 2), (10, 11)]
+        got = self._incremental(spark, base, [(2, 10)])
+        assert got == {1: 1, 2: 1, 10: 1, 11: 1}
+
+    def test_redundant_batch_changes_nothing(self, spark):
+        base = [(1, 2), (2, 3)]
+        got = self._incremental(spark, base, [(1, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
