@@ -9131,6 +9131,103 @@ _UNION_MERGES["q51_neardup_clusters_battery"].append(
 )
 
 
+# q161: personalized PageRank (operators/graph.py::pagerank with
+# personalization=seeds) over the q116 supplier-part graph — the
+# TrustRank-style seed-proximity authority score: teleport mass lands
+# only on the seeds, ranks start as the personalization vector. Same
+# per-iteration re-round contract as q116, so the oracle unrolls the
+# personalized iterations bit-for-bit.
+
+_PPR_SEEDS = ["s1", "s2"]
+_PPR_IT = 4
+
+
+def q161_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+    )
+    edges = (
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .union(li.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        .distinct()
+    )
+    out = pagerank(
+        edges, iterations=_PPR_IT, personalization=_PPR_SEEDS
+    )
+    return out.select(
+        F.col("node_id").alias("ppr_node"), F.col("rank").alias("ppr_rank")
+    )
+
+
+def _ppr_oracle(iterations: int, seeds: list) -> str:
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    ns = float(len(seeds))
+    head = f"""
+    WITH ed AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem
+        )
+    ), nodes AS (
+        SELECT DISTINCT src AS node_id FROM ed
+        UNION
+        SELECT DISTINCT dst FROM ed
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src
+    ),
+    pr0 AS (
+        SELECT node_id,
+               ROUND(CASE WHEN node_id IN ({seed_list})
+                          THEN 1.0 / {ns} ELSE 0.0 END, 9) AS rank
+        FROM nodes
+    )"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+    pr{k} AS (
+        SELECT n.node_id,
+               ROUND(CASE WHEN n.node_id IN ({seed_list})
+                          THEN (1 - 0.85) / {ns} ELSE 0.0 END
+                     + 0.85 * COALESCE(s.m, 0), 9) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node_id, SUM(p.rank / d.deg) AS m
+            FROM ed e JOIN pr{k - 1} p ON p.node_id = e.src
+                      JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node_id = n.node_id
+    )""")
+    return (
+        head + "".join(steps)
+        + f"\n    SELECT node_id AS ppr_node, rank AS ppr_rank"
+          f" FROM pr{iterations}"
+    )
+
+
+_DEDUP_SIM_QUERIES["q161_personalized_pagerank"] = (
+    q161_personalized_pagerank
+)
+_ORACLE_DEDUP_SIM["q161_personalized_pagerank"] = _ppr_oracle(
+    _PPR_IT, _PPR_SEEDS
+)
+_ORACLE_SHAPES["q161_personalized_pagerank"] = (
+    ("ppr_node", "VARCHAR"), ("ppr_rank", "DOUBLE"),
+)
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("ppr", "q161_personalized_pagerank")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

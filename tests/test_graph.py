@@ -1,5 +1,6 @@
 """PageRank: hand-checked values, mass conservation, determinism."""
 from __future__ import annotations
+import pytest
 
 from jsonl_dataingestion_pipeline_spark.operators.graph import pagerank
 
@@ -322,3 +323,100 @@ class TestBfsDistances:
             for u in frontier:
                 want[u] = depth
         assert self._bfs(spark, edges, sources, max_depth=6) == want
+
+
+class TestPersonalizedPagerank:
+    def _ppr(self, spark, edges, seeds, iterations=4):
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r.node_id: r.rank
+            for r in pagerank(
+                df, iterations=iterations, personalization=seeds
+            ).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        import collections
+
+        edges = [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+            ("c", "d"), ("d", "c"),
+        ]
+        seeds = ["a"]
+        out_adj = collections.defaultdict(list)
+        for s, d in edges:
+            out_adj[s].append(d)
+        nodes = {v for e in edges for v in e}
+        rank = {v: round(1.0 if v in seeds else 0.0, 9) for v in nodes}
+        for _ in range(4):
+            incoming = collections.defaultdict(float)
+            for s, outs in out_adj.items():
+                for d in outs:
+                    incoming[d] += rank[s] / len(outs)
+            rank = {
+                v: round(
+                    (0.15 if v in seeds else 0.0) + 0.85 * incoming[v], 9
+                )
+                for v in nodes
+            }
+        got = self._ppr(spark, edges, seeds)
+        for v in nodes:
+            assert got[v] == pytest.approx(rank[v], abs=2e-9), v
+
+    def test_seed_proximity_ordering_and_mass(self, spark):
+        # ring a->b->c->d->a, seed at a: rank decays with hop distance
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        got = self._ppr(spark, edges, ["a"], iterations=8)
+        assert got["a"] > got["b"] > got["c"]
+        # no dangling nodes -> total mass stays 1
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    def test_dangling_mass_returns_to_seeds(self, spark):
+        # 'sink' has no out-edges; its mass must teleport to the seed,
+        # keeping total mass at 1 rather than leaking
+        edges = [("a", "sink"), ("a", "b"), ("b", "a")]
+        got = self._ppr(spark, edges, ["a"], iterations=8)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+        assert got["a"] > got["sink"]
+
+    def test_empty_seed_list_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="seeds empty"):
+            self._ppr(spark, [("a", "b")], [])
+
+    def test_none_personalization_unchanged(self, spark):
+        # the uniform path must be byte-identical to the pre-change
+        # semantics: teleport (1-d)/n, init 1/n
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node_id: r.rank
+            for r in pagerank(df, iterations=3).collect()
+        }
+        import collections
+
+        out_adj = collections.defaultdict(list)
+        for s, d in edges:
+            out_adj[s].append(d)
+        nodes = {v for e in edges for v in e}
+        n = len(nodes)
+        rank = {v: round(1.0 / n, 9) for v in nodes}
+        for _ in range(3):
+            incoming = collections.defaultdict(float)
+            for s, outs in out_adj.items():
+                for d in outs:
+                    incoming[d] += rank[s] / len(outs)
+            rank = {
+                v: round(0.15 / n + 0.85 * incoming[v], 9) for v in nodes
+            }
+        for v in nodes:
+            assert got[v] == pytest.approx(rank[v], abs=2e-9), v
