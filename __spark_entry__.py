@@ -9228,6 +9228,140 @@ _UNION_MERGES["q51_neardup_clusters_battery"].append(
 )
 
 
+# q162: PMI collocation mining (functions/textstats.py::
+# pmi_collocations) — the word2phrase-style multiword-unit pass over
+# the documents corpus. Per-bigram values only (counts + one ln), so
+# the oracle replays every probability, PMI, and the rank cut exactly.
+
+_PMI_MIN, _PMI_TOPK = 5, 20
+
+
+def q162_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        pmi_collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(
+        d, "text", min_count=_PMI_MIN, topk=_PMI_TOPK
+    ).select(
+        F.col("bigram").alias("colloc"),
+        "n_pair", "n_left", "n_right", "pmi",
+    )
+
+
+_DEDUP_SIM_QUERIES["q162_pmi_collocations"] = q162_pmi_collocations
+
+_ORACLE_DEDUP_SIM["q162_pmi_collocations"] = f"""
+    WITH base AS (
+        SELECT list_filter(
+                   regexp_split_to_array(TRIM(lower(text)), '\\s+'),
+                   t -> t <> '') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS DOUBLE) AS cw FROM (
+            SELECT UNNEST(toks) AS w FROM base
+        ) GROUP BY w
+    ), bi AS (
+        SELECT wl, wr, CAST(COUNT(*) AS DOUBLE) AS cp FROM (
+            SELECT toks[CAST(i AS INT)] AS wl,
+                   toks[CAST(i AS INT) + 1] AS wr
+            FROM base,
+                 UNNEST(generate_series(1, GREATEST(len(toks) - 1, 0)))
+                     AS u(i)
+        ) GROUP BY wl, wr
+        HAVING COUNT(*) >= {_PMI_MIN}
+    ), stats AS (
+        SELECT (SELECT SUM(cw) FROM uni) AS n,
+               (SELECT SUM(GREATEST(len(toks) - 1, 0)) FROM base)
+                   AS nbi
+    ), scored AS (
+        SELECT bi.wl || ' ' || bi.wr AS colloc,
+               CAST(bi.cp AS BIGINT) AS n_pair,
+               CAST(ul.cw AS BIGINT) AS n_left,
+               CAST(ur.cw AS BIGINT) AS n_right,
+               ROUND(ln((bi.cp / stats.nbi)
+                        / ((ul.cw / stats.n) * (ur.cw / stats.n))), 6)
+                   AS pmi
+        FROM bi
+        JOIN uni ul ON bi.wl = ul.w
+        JOIN uni ur ON bi.wr = ur.w
+        CROSS JOIN stats
+    )
+    SELECT colloc, n_pair, n_left, n_right, pmi
+    FROM scored ORDER BY pmi DESC, colloc ASC LIMIT {_PMI_TOPK}
+"""
+
+_ORACLE_SHAPES["q162_pmi_collocations"] = (
+    ("colloc", "VARCHAR"), ("n_pair", "BIGINT"),
+    ("n_left", "BIGINT"), ("n_right", "BIGINT"), ("pmi", "DOUBLE"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("pmi", "q162_pmi_collocations")
+)
+
+
+# q163: asymmetric containment pairs (operators/dedup.py::
+# containment_pairs) on the planted corpus — the truncated twin is
+# FULLY contained in its original (cont = 1.0) even where Jaccard
+# dips below the near-dup threshold, which is exactly the quote/
+# excerpt signal Jaccard misses. Same sampled-shingle candidate
+# machinery as q25; the oracle replays sampling, candidates, and both
+# containment directions.
+
+
+def q163_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    out = containment_pairs(
+        corpus, "text", "id",
+        shingle_k=3, sample_hex_prefix="0", threshold=0.9,
+        base=_planted_shingle_base(spark, sf_dir),
+    )
+    return out.select("id_l", "id_r", "cont_l_in_r", "cont_r_in_l")
+
+
+_DEDUP_SIM_QUERIES["q163_containment_pairs"] = q163_containment_pairs
+
+_ORACLE_DEDUP_SIM["q163_containment_pairs"] = _NEARDUP_CORPUS_SQL + """
+    , sampled AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h FROM cshingles)
+        WHERE h LIKE '0%'
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM sampled a JOIN sampled b ON a.shash = b.shash AND a.id < b.id
+    ), verified AS (
+        SELECT c.id_l, c.id_r,
+               ROUND(len(list_intersect(sa.sh, sb.sh))
+                     / CAST(GREATEST(len(sa.sh), 1) AS DOUBLE), 6)
+                   AS cont_l_in_r,
+               ROUND(len(list_intersect(sa.sh, sb.sh))
+                     / CAST(GREATEST(len(sb.sh), 1) AS DOUBLE), 6)
+                   AS cont_r_in_l
+        FROM cand c
+        JOIN cshingles sa ON c.id_l = sa.id
+        JOIN cshingles sb ON c.id_r = sb.id
+    )
+    SELECT id_l, id_r, cont_l_in_r, cont_r_in_l
+    FROM verified
+    WHERE GREATEST(cont_l_in_r, cont_r_in_l) >= 0.9
+"""
+
+_ORACLE_SHAPES["q163_containment_pairs"] = (
+    ("id_l", "BIGINT"), ("id_r", "BIGINT"),
+    ("cont_l_in_r", "DOUBLE"), ("cont_r_in_l", "DOUBLE"),
+)
+
+_UNION_MERGES["q25_ngram_jaccard_pairs"].append(
+    ("containment", "q163_containment_pairs")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

@@ -694,3 +694,92 @@ def corpus_divergence(
     return scored.orderBy(
         F.col("sym_kl").desc(), F.col("token").asc()
     ).limit(topk)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    topk: int = 20,
+    scale: int = 6,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    word2phrase-style pass that finds multiword units ("new york",
+    "machine learning") worth fusing before tokenizer training or
+    vocabulary construction. ``PMI(a,b) = ln(p(ab) / (p(a)p(b)))``
+    over adjacent-token bigrams, keeping bigrams seen at least
+    ``min_count`` times (rare pairs produce unreliable, inflated PMI).
+
+    Probabilities use the corpus token count N: p(w) = c(w)/N,
+    p(ab) = c(ab)/N_bigrams. Returns the ``topk`` bigrams by PMI
+    (ties: bigram text asc): (bigram, n_pair, n_left, n_right, pmi).
+
+    100 TB shape: one token-count aggregate + one bigram-count
+    aggregate (both map-side partialed), two broadcast-sized joins of
+    the min_count-surviving bigrams back to unigram counts, scalar Ns
+    on a one-row broadcast, and a sort+limit cut. Per-bigram values
+    only — no association-sensitive float summation anywhere.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.filter(toks, lambda t: t != "").alias("__toks")
+    )
+    uni = (
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cw"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("__toks"), 1,
+                        F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("__toks"), 2,
+                        F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(
+                        a.alias("wl"), b.alias("wr")
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.wl").alias("wl"), F.col("__p.wr").alias("wr"))
+        .groupBy("wl", "wr")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cp"))
+        .filter(F.col("__cp") >= float(min_count))
+    )
+    stats = F.broadcast(
+        uni.agg(F.sum("__cw").alias("__n")).crossJoin(
+            base.select(
+                F.greatest(F.size("__toks") - 1, F.lit(0)).alias("__nb")
+            ).agg(F.sum("__nb").cast("double").alias("__nbi"))
+        )
+    )
+    ul = uni.withColumnsRenamed({"w": "wl", "__cw": "__cl"})
+    ur = uni.withColumnsRenamed({"w": "wr", "__cw": "__cr"})
+    pmi = (
+        F.log(
+            (F.col("__cp") / F.col("__nbi"))
+            / ((F.col("__cl") / F.col("__n")) * (F.col("__cr") / F.col("__n")))
+        )
+    )
+    scored = (
+        bi.join(ul, on="wl")
+        .join(ur, on="wr")
+        .crossJoin(stats)
+        .select(
+            F.concat_ws(" ", "wl", "wr").alias("bigram"),
+            F.col("__cp").cast("long").alias("n_pair"),
+            F.col("__cl").cast("long").alias("n_left"),
+            F.col("__cr").cast("long").alias("n_right"),
+            F.round(pmi, scale).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("bigram").asc()
+    ).limit(topk)

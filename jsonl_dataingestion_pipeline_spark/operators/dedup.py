@@ -577,6 +577,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    sample_hex_prefix: str = "0",
+    threshold: float = 0.8,
+    base: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    reliable: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Jaccard misses the quote/excerpt case — a short document fully
+    copied into a much longer one has high containment but low Jaccard
+    (the union is dominated by the long side). This is the signal for
+    partial-copy dedup, quote detection, and benchmark-passage leakage
+    where the passage rides inside a larger page.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared sampled-
+    shingle candidate generation, ``max_bucket`` cap, eager pipeline
+    breaks); verification computes containment in BOTH directions on
+    the pre-computed distinct-shingle arrays. A pair survives when
+    either direction reaches ``threshold``.
+
+    Returns (id_l, id_r, cont_l_in_r, cont_r_in_l) with id_l < id_r,
+    values rounded to 6.
+    """
+    if base is None:
+        base = shingle_base(
+            df, text_col, id_col, shingle_k=shingle_k, reliable=reliable
+        )
+    sampled = (
+        base.select("__id", F.explode("__sh").alias("s"))
+        .select("__id", F.md5("s").alias("shash"))
+        .filter(F.col("shash").startswith(sample_hex_prefix))
+    )
+    if max_bucket is not None:
+        cand = _pipeline_break(
+            _bucket_pairs(
+                sampled, ["shash"], "__id", max_bucket, reliable,
+                "containment_pairs",
+            ),
+            reliable,
+        )
+    else:
+        cand = _pipeline_break(
+            sampled.alias("a")
+            .join(sampled.alias("b"), on="shash")
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
+            .dropDuplicates(["id_l", "id_r"]),
+            reliable,
+        )
+    sh = base.select(F.col("__id"), F.col("__sh"))
+    joined = (
+        _maybe_floor_candidates(cand, base)
+        .join(sh.withColumnsRenamed({"__id": "id_l", "__sh": "sh_l"}), on="id_l")
+        .join(sh.withColumnsRenamed({"__id": "id_r", "__sh": "sh_r"}), on="id_r")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
+    c_l = F.round(
+        inter / F.greatest(F.size("sh_l"), F.lit(1)).cast("double"), 6
+    )
+    c_r = F.round(
+        inter / F.greatest(F.size("sh_r"), F.lit(1)).cast("double"), 6
+    )
+    return (
+        joined.select(
+            "id_l", "id_r",
+            c_l.alias("cont_l_in_r"), c_r.alias("cont_r_in_l"),
+        )
+        .filter(
+            F.greatest(F.col("cont_l_in_r"), F.col("cont_r_in_l"))
+            >= threshold
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the pair graph
 # ---------------------------------------------------------------------------

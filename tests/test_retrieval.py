@@ -110,3 +110,75 @@ class TestCorpusDivergence:
         top = corpus_divergence(a, b, "text", topk=1).collect()[0]
         assert top.token == "only_a"
         assert top.sym_kl > 0
+
+
+class TestPmiCollocations:
+    def test_matches_python_replay(self, spark):
+        import collections
+        import math
+
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            pmi_collocations,
+        )
+
+        texts = [
+            "new york is big", "i love new york", "new york new york",
+            "big data is fun", "big data big data", "fun with big data",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = {
+            r.bigram: (r.n_pair, r.pmi)
+            for r in pmi_collocations(
+                df, "text", min_count=2, topk=50
+            ).collect()
+        }
+        uni = collections.Counter(
+            w for t in texts for w in t.lower().split()
+        )
+        bi = collections.Counter(
+            (ws[i], ws[i + 1])
+            for t in texts
+            for ws in [t.lower().split()]
+            for i in range(len(ws) - 1)
+        )
+        n = sum(uni.values())
+        nbi = sum(max(len(t.split()) - 1, 0) for t in texts)
+        import pytest as _p
+
+        want = {
+            f"{a} {b}": (
+                c,
+                round(
+                    math.log(
+                        (c / nbi) / ((uni[a] / n) * (uni[b] / n))
+                    ),
+                    6,
+                ),
+            )
+            for (a, b), c in bi.items()
+            if c >= 2
+        }
+        assert set(got) == set(want)
+        for k, (c, pmi) in want.items():
+            assert got[k][0] == c, k
+            assert got[k][1] == _p.approx(pmi, abs=1e-6), k
+        # the designed collocations rank above chance pairings
+        assert got["new york"][1] > 0 and got["big data"][1] > 0
+
+    def test_min_count_prunes_rare_pairs(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            pmi_collocations,
+        )
+
+        df = spark.createDataFrame(
+            [("rare pair",), ("common one common one",),
+             ("one common one common",)],
+            "text string",
+        )
+        got = [
+            r.bigram
+            for r in pmi_collocations(
+                df, "text", min_count=2, topk=10
+            ).collect()
+        ]
+        assert "rare pair" not in got

@@ -607,3 +607,76 @@ class TestIncrementalCC:
         base = [(1, 2), (2, 3)]
         got = self._incremental(spark, base, [(1, 3)])
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestContainmentPairs:
+    def test_excerpt_has_full_containment_low_jaccard(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long_doc = " ".join(f"w{i}" for i in range(60))
+        excerpt = " ".join(f"w{i}" for i in range(10, 22))
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, excerpt), (3, "completely different words here")],
+            "id long, text string",
+        )
+        got = {
+            (r.id_l, r.id_r): (r.cont_l_in_r, r.cont_r_in_l)
+            for r in containment_pairs(
+                df, "text", "id",
+                sample_hex_prefix="", threshold=0.9,
+            ).collect()
+        }
+        # excerpt (id 2) fully contained in the long doc (id 1)
+        assert (1, 2) in got
+        assert got[(1, 2)][1] == 1.0  # cont(R=2 in L=1) per r-side size
+        assert got[(1, 2)][0] < 0.5  # long doc NOT contained in excerpt
+        # Jaccard at the same threshold misses the pair entirely
+        jac = {
+            (r.id_l, r.id_r)
+            for r in ngram_jaccard_pairs(
+                df, "text", "id",
+                sample_hex_prefix="", threshold=0.9,
+            ).collect()
+        }
+        assert (1, 2) not in jac
+
+    def test_matches_python_replay(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        texts = {
+            1: "a b c d e f g h",
+            2: "c d e f g h i j",
+            3: "a b c d e f g h i j k l",
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "id long, text string"
+        )
+        def sh(t, k=3):
+            ws = t.split()
+            n = max(len(ws) - k + 1, 1)
+            return {
+                " ".join((ws + ["", ""])[i:i + k]) for i in range(n)
+            }
+
+        got = {
+            (r.id_l, r.id_r): (r.cont_l_in_r, r.cont_r_in_l)
+            for r in containment_pairs(
+                df, "text", "id", sample_hex_prefix="", threshold=0.0,
+            ).collect()
+        }
+        for a in texts:
+            for b in texts:
+                if a >= b:
+                    continue
+                inter = len(sh(texts[a]) & sh(texts[b]))
+                if inter == 0:
+                    assert (a, b) not in got
+                    continue
+                cl = round(inter / len(sh(texts[a])), 6)
+                cr = round(inter / len(sh(texts[b])), 6)
+                assert got[(a, b)] == (cl, cr), (a, b)
