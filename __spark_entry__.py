@@ -9362,6 +9362,177 @@ _UNION_MERGES["q25_ngram_jaccard_pairs"].append(
 )
 
 
+# q164: per-site boilerplate removal (operators/curation.py::
+# dedup_lines with group_col) — a line is boilerplate only when it
+# repeats within the SAME source (navbars/banners), so common lines
+# shared ACROSS sites survive where q84's global census strips them.
+# Same lined-corpus derivation as q84; the oracle replays the grouped
+# census, anti-join, and order-preserving reassembly.
+
+
+def q164_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        dedup_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = d.select(
+        "doc_id", "source", F.array_join(lines_arr, "\n").alias("text")
+    )
+    out = dedup_lines(
+        lined, "doc_id", "text",
+        sep="\n", min_docs=2, group_col="source",
+    )
+    return out.select(
+        F.col("doc_id").alias("bp_doc"),
+        F.md5(F.col("text")).alias("bp_digest"),
+        F.col("n_lines").alias("bp_n_lines"),
+        F.col("n_kept").alias("bp_n_kept"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q164_site_boilerplate"] = q164_site_boilerplate
+
+_ORACLE_DEDUP_SIM["q164_site_boilerplate"] = f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), lined AS (
+        SELECT doc_id, source, list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                   i -> array_to_string(toks[CAST(i AS INT) * 8 + 1 : CAST(i AS INT) * 8 + 8], ' ')
+               ) AS lines
+        FROM base
+    ), expl AS (
+        SELECT doc_id, source, UNNEST(lines) AS line,
+               UNNEST(generate_series(0, len(lines) - 1)) AS pos
+        FROM lined
+    ), dup AS (
+        SELECT source, line FROM expl GROUP BY source, line
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+        SELECT e.* FROM expl e ANTI JOIN dup d
+            ON e.source = d.source AND e.line = d.line
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id AS bp_doc,
+           md5(COALESCE(r.text, '')) AS bp_digest,
+           CAST(len(l.lines) AS BIGINT) AS bp_n_lines,
+           COALESCE(r.n_kept, 0) AS bp_n_kept
+    FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+"""
+
+_ORACLE_SHAPES["q164_site_boilerplate"] = (
+    ("bp_doc", "BIGINT"), ("bp_digest", "VARCHAR"),
+    ("bp_n_lines", "BIGINT"), ("bp_n_kept", "BIGINT"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("site_boilerplate", "q164_site_boilerplate")
+)
+
+
+# q165: KMV distinct sketch (functions/sketches.py::kmv_sketch) — the
+# k-minimum-values estimator (Bar-Yossef et al. 2002). Unlike HLL
+# (whose register layout is library-private and hence only rows-only
+# checkable), the ENTIRE sketch — hashes, the k-cut, the estimate, AND
+# the mergeability theorem — is md5-deterministic, so the oracle
+# replays the estimate to the digit. est_merged comes from folding
+# per-day sketches through kmv_merge; the oracle computes it from the
+# direct sketch, so the driver re-proves merge == direct every run.
+
+_KMV_K = 64
+
+
+def q165_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    direct = kmv_sketch(e, "user_id", ["event_type"], k=_KMV_K)
+    daily = kmv_sketch(
+        e.withColumn("day", F.to_date("ts")),
+        "user_id", ["event_type", "day"], k=_KMV_K,
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.aggregate(
+            F.collect_list("kmv"),
+            F.array().cast("array<long>"),
+            lambda acc, x: kmv_merge(acc, x, k=_KMV_K),
+        ).alias("kmv_m")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("kmv_exact")
+    )
+    return (
+        direct.join(merged, on="event_type")
+        .join(exact, on="event_type")
+        .select(
+            "event_type",
+            F.size("kmv").cast("int").alias("kmv_size"),
+            kmv_estimate(F.col("kmv"), k=_KMV_K).alias("kmv_est"),
+            kmv_estimate(F.col("kmv_m"), k=_KMV_K).alias("kmv_est_merged"),
+            "kmv_exact",
+        )
+    )
+
+
+_DEDUP_SIM_QUERIES["q165_kmv_distinct"] = q165_kmv_distinct
+
+_ORACLE_DEDUP_SIM["q165_kmv_distinct"] = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h, ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h) AS r
+        FROM h
+    ), sk AS (
+        SELECT event_type, list(h ORDER BY h) AS kmv
+        FROM ranked WHERE r <= {_KMV_K} GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               CAST(len(kmv) AS INT) AS kmv_size,
+               CASE WHEN len(kmv) < {_KMV_K}
+                    THEN CAST(len(kmv) AS DOUBLE)
+                    ELSE ROUND({_KMV_K - 1}.0
+                               / (kmv[{_KMV_K}] / 1152921504606846976.0),
+                               4)
+               END AS kmv_est
+        FROM sk
+    ), exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS kmv_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.kmv_size, e.kmv_est,
+           e.kmv_est AS kmv_est_merged, x.kmv_exact
+    FROM est e JOIN exact x ON e.event_type = x.event_type
+"""
+
+_ORACLE_SHAPES["q165_kmv_distinct"] = (
+    ("event_type", "VARCHAR"), ("kmv_size", "INTEGER"),
+    ("kmv_est", "DOUBLE"), ("kmv_est_merged", "DOUBLE"),
+    ("kmv_exact", "BIGINT"),
+)
+
+_JOIN_MERGES["q82_event_stats"][1].append(("q165_kmv_distinct", {}))
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

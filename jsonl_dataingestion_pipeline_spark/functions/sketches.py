@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,4 +125,73 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), on=["j", "bucket"], how="left")
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002
+# ---------------------------------------------------------------------------
+_KMV_SPACE = float(16 ** 15)  # md5 15-hex-char prefix = 60-bit hash space
+
+
+def _kmv_hash(c: Column) -> Column:
+    """Deterministic 60-bit hash of a value (md5 prefix, as in the
+    minhash/bloom family) — what makes the WHOLE sketch, including its
+    estimate, bit-replayable by the DuckDB oracle (unlike HLL, whose
+    register layout is library-private)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct sketch: the ``k`` smallest distinct hash
+    values of ``value_col``. Returns (``by``..., kmv: array<long>).
+
+    Mergeable by construction — the union's k smallest is computable
+    from the parts' k smallest (:func:`kmv_merge`), which is what makes
+    per-partition/per-day sketches roll up without rescanning. Memory
+    is bounded: after the (group, hash) dedup, the per-group cut is a
+    rank-filter window that compiles to WindowGroupLimit (partial top-k
+    per partition — a billion-member group never materializes).
+    """
+    gcols = list(by)
+    hashed = (
+        df.select(*gcols, _kmv_hash(F.col(value_col)).alias("__h"))
+        .dropDuplicates([*gcols, "__h"])
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("__h").asc())
+    cut = hashed.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    return cut.groupBy(*gcols).agg(
+        F.array_sort(F.collect_list("__h")).alias("kmv")
+    )
+
+
+def kmv_merge(a: Column, b: Column, *, k: int = 64) -> Column:
+    """Merge two KMV arrays: k smallest of the union (distinct)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_estimate(kmv: Column, *, k: int = 64, scale: int = 4) -> Column:
+    """Distinct-count estimate from a KMV array.
+
+    Exact when the group had fewer than ``k`` distinct values (the
+    sketch IS the distinct hash set); otherwise the Bar-Yossef
+    estimator (k-1)/u_k with u_k = kth-smallest hash normalized to
+    (0,1]. Deterministic — the oracle replays the estimate itself.
+    """
+    n = F.size(kmv)
+    # try_element_at: the < k branch leaves no valid kth element, and
+    # when/otherwise does not guarantee lazy branch evaluation
+    u_k = F.try_element_at(kmv, F.lit(k)).cast("double") / F.lit(_KMV_SPACE)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / u_k, scale)
     )

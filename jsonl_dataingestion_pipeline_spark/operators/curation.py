@@ -29,7 +29,7 @@ so every operator here is replayable by the DuckDB oracle.
 from __future__ import annotations
 
 import logging
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -362,6 +362,7 @@ def dedup_lines(
     sep: str = "\n",
     min_docs: int = 2,
     key=None,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
     """Remove every occurrence of a line that appears in >= ``min_docs``
     distinct documents (boilerplate: headers, nav bars, cookie banners),
@@ -389,11 +390,19 @@ def dedup_lines(
     re-join side: the split pattern is ``\\Q..\\E``-quoted (Java
     ``Pattern.quote``), so regex-meaningful separators like ``'.'`` or
     ``'|'`` round-trip correctly.
+
+    ``group_col`` scopes the duplicate census: a line is boilerplate
+    only when it appears in >= ``min_docs`` docs of the SAME group
+    (site/domain) — the RefinedWeb per-site navbar/banner semantics. A
+    line shared across different sites (a common sentence) survives,
+    where the global census would strip it.
     """
     # Pattern.quote(sep): literal \Q..\E quoting, with any embedded \E
     # closed, escaped, and re-opened.
     sep_pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    gcols = [group_col] if group_col is not None else []
     lines = df.select(
+        *gcols,
         F.col(id_col).alias("__id"),
         F.size(F.split(F.col(text_col), sep_pat)).alias("__n"),
         F.posexplode(
@@ -403,12 +412,12 @@ def dedup_lines(
         "__key", key(F.col("__line")) if key is not None else F.col("__line")
     )
     dup = (
-        lines.groupBy("__key")
+        lines.groupBy(*gcols, "__key")
         .agg(F.countDistinct("__id").alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("__key")
+        .select(*gcols, "__key")
     )
-    kept = lines.join(dup, "__key", "left_anti")
+    kept = lines.join(dup, [*gcols, "__key"], "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(

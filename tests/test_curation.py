@@ -913,3 +913,32 @@ def test_fuzzy_decontaminate_hot_shingle_cap_bounds_candidates(spark, caplog):
     assert capped[999].max_jaccard > 0.5
     # cap only shrinks intersections: scores never increase
     assert capped[999].max_jaccard <= uncapped[999].max_jaccard
+
+
+def test_dedup_lines_group_scoped_census(spark):
+    """group_col: a line repeated within ONE site is boilerplate there;
+    the same line appearing once per site across different sites
+    survives everywhere."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        dedup_lines,
+    )
+
+    rows = [
+        (1, "siteA", "nav bar\nreal content one"),
+        (2, "siteA", "nav bar\nreal content two"),
+        (3, "siteB", "nav bar\nother text"),
+        (4, "siteB", "unique line\nmore text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, site string, text string")
+    out = {
+        r.id: (r.text, r.n_kept)
+        for r in dedup_lines(
+            df, "id", "text", min_docs=2, group_col="site"
+        ).collect()
+    }
+    # siteA: 'nav bar' repeats in 2 siteA docs -> stripped there
+    assert out[1] == ("real content one", 1)
+    assert out[2] == ("real content two", 1)
+    # siteB: 'nav bar' appears only once within siteB -> survives
+    assert out[3][0] == "nav bar\nother text"
+    assert out[4][0] == "unique line\nmore text"

@@ -291,3 +291,60 @@ def test_inverted_index_df_bounds_and_sorted_postings(spark):
         for r in inverted_index(df, "text", "id", min_df=2, max_df=2).collect()
     }
     assert pruned == {"cat"}
+
+
+class TestKmvSketch:
+    def test_exact_below_k_and_estimate_above(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        rows = [("small", i) for i in range(10)] + [
+            ("big", i) for i in range(5000)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long")
+        sk = kmv_sketch(df, "v", ["g"], k=64)
+        out = {
+            r.g: (len(r.kmv), r.est)
+            for r in sk.withColumn(
+                "est", kmv_estimate(sk.kmv, k=64)
+            ).collect()
+        }
+        # below k: the sketch IS the distinct set, estimate exact
+        assert out["small"] == (10, 10.0)
+        # above k: sketch holds exactly k, estimate within ~25%
+        assert out["big"][0] == 64
+        assert 3500 < out["big"][1] < 6500
+
+    def test_merge_equals_direct(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+            kmv_merge,
+            kmv_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(i % 7, i * 31 % 997) for i in range(3000)]
+        df = spark.createDataFrame(rows, "part long, v long")
+        direct = kmv_sketch(df, "v", k=64).collect()[0].kmv
+        per_part = kmv_sketch(df, "v", ["part"], k=64)
+        merged = per_part.agg(
+            F.aggregate(
+                F.collect_list("kmv"),
+                F.array().cast("array<long>"),
+                lambda a, b: kmv_merge(a, b, k=64),
+            ).alias("m")
+        ).collect()[0].m
+        assert list(merged) == list(direct)
+
+    def test_deterministic_hash(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "v long")
+        a = kmv_sketch(df, "v", k=32).collect()[0].kmv
+        b = kmv_sketch(
+            df.repartition(7), "v", k=32
+        ).collect()[0].kmv
+        assert list(a) == list(b)
