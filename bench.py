@@ -88,6 +88,12 @@ HEADLINE = [
     "q157_bfs_distances",
     "q158_rrf_fusion",
     "q159_corpus_divergence",
+    "q160_incremental_cc",
+    "q161_personalized_pagerank",
+    "q162_pmi_collocations",
+    "q163_containment_pairs",
+    "q164_site_boilerplate",
+    "q165_kmv_distinct",
 ]
 
 

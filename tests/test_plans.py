@@ -438,3 +438,11 @@ def test_q159_divergence_broadcast_stats_single_rank_cut(spark):
     assert "BroadcastNestedLoopJoin" in tree, tree
     assert "TakeOrderedAndProject" in tree, tree
     assert "Window" not in tree, tree
+
+
+def test_q165_kmv_cut_is_window_group_limit(spark):
+    """q165: the per-group k-cut after the (group, hash) dedup compiles
+    to WindowGroupLimit — partial top-k per partition, so a billion-
+    member group never materializes in one task."""
+    tree = _tree(_formatted(spark, em.q165_kmv_distinct(spark, SF)))
+    assert "WindowGroupLimit" in tree, tree

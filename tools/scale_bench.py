@@ -789,6 +789,97 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             topk=20,
         )
 
+    def q160_scaled(spark, sf_dir):
+        # incremental CC over k disjoint graph replicas with a per-
+        # replica 20% batch: labelings are replica-local, so rows =
+        # k * (x1 rows) exactly; the incremental path's base-side work
+        # must stay one broadcast-mapped pass.
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            connected_components,
+            incremental_connected_components,
+        )
+
+        edges = _copurchase_replicas(spark, sf_dir).select(
+            F.col("src").alias("id_l"), F.col("dst").alias("id_r")
+        )
+        key = F.xxhash64(F.col("id_l"), F.col("id_r"))
+        base_edges = edges.filter(key % 5 != 0)
+        batch_edges = edges.filter(key % 5 == 0)
+        base_nodes = (
+            base_edges.select(F.col("id_l").alias("id"))
+            .unionAll(base_edges.select(F.col("id_r").alias("id")))
+            .distinct()
+        )
+        base = connected_components(base_nodes, base_edges)
+        return incremental_connected_components(base, batch_edges)
+
+    def q161_scaled(spark, sf_dir):
+        # personalized PageRank over k disjoint replicas, seeded at
+        # each replica's copy of the x1 seed: rank mass is replica-
+        # local, rows = k * (x1 rows) exactly.
+        from jsonl_dataingestion_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        edges = _copurchase_replicas(spark, sf_dir)
+        base_seed = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .filter(F.col("l_orderkey") % 7 == 0)
+            .agg(F.min("l_partkey"))
+            .head()[0]
+        )
+        seeds = [f"{base_seed}~{r}" for r in range(k)]
+        return pagerank(edges, iterations=4, personalization=seeds)
+
+    def q162_scaled(spark, sf_dir):
+        # PMI over the suffixed replicas: every x1 bigram exists in k
+        # suffix variants with IDENTICAL counts, so PMI shifts by a
+        # uniform ln(k) and the cut stays topk const; wall rides the
+        # two count aggregates.
+        from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+            pmi_collocations,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return pmi_collocations(d, "text", min_count=5, topk=20)
+
+    def q163_scaled(spark, sf_dir):
+        # containment pairs: word-suffixing is a bijection on shingles,
+        # so per-replica containment profiles equal the x1 profile and
+        # true pairs are k-linear (modulo the 1/16 shingle-sample noise
+        # — same contract as q25).
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        corpus = entry._planted_neardup_corpus(spark, sf_dir)
+        return containment_pairs(
+            corpus, "text", "id",
+            shingle_k=3, sample_hex_prefix="0", threshold=0.9,
+        )
+
+    def q164_scaled(spark, sf_dir):
+        # per-site boilerplate: rows = k * docs exactly; the grouped
+        # census shuffles (site, line) keys with map-side partials.
+        from jsonl_dataingestion_pipeline_spark.operators.curation import (
+            dedup_lines,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+        lines_arr = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        )
+        lined = d.select(
+            "doc_id", "source", F.array_join(lines_arr, "\n").alias("text")
+        )
+        return dedup_lines(
+            lined, "doc_id", "text", sep="\n", min_docs=2,
+            group_col="source",
+        )
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -830,6 +921,11 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q157_bfs": q157_scaled,
         "q158_rrf": q158_scaled,
         "q159_divergence": q159_scaled,
+        "q160_inc_cc": q160_scaled,
+        "q161_ppr": q161_scaled,
+        "q162_pmi": q162_scaled,
+        "q163_containment": q163_scaled,
+        "q164_boilerplate": q164_scaled,
     }
     out = {}
     import logging as _logging
