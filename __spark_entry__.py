@@ -9533,6 +9533,89 @@ _ORACLE_SHAPES["q165_kmv_distinct"] = (
 _JOIN_MERGES["q82_event_stats"][1].append(("q165_kmv_distinct", {}))
 
 
+# q166: interval-overlap join (operators/joins.py::interval_overlap_
+# join) — lineitem delivery windows (shipdate + 7*linenumber days; the
+# test table carries no receiptdate) against 14-day order windows.
+# The Spark side uses the binned equi-join (bin explode -> narrow-key
+# shuffle -> exact filter -> dedup); the oracle is the BRUTE-FORCE
+# theta join, so the driver proves the binning trick loses and invents
+# nothing.
+
+
+def q166_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    epoch = F.lit("1970-01-01").cast("date")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_orderkey").alias("iv_lkey"),
+            F.col("l_linenumber").cast("int").alias("iv_lline"),
+            F.datediff(F.col("l_shipdate"), epoch).alias("iv_ls"),
+            (
+                F.datediff(F.col("l_shipdate"), epoch)
+                + F.col("l_linenumber").cast("int") * 7
+            ).alias("iv_le"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 89 == 1)
+        .select(
+            F.col("o_orderkey").alias("iv_okey"),
+            F.datediff(F.col("o_orderdate"), epoch).alias("iv_rs"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 14).alias("iv_re"),
+        )
+    )
+    out = interval_overlap_join(
+        li, o,
+        l_start="iv_ls", l_end="iv_le",
+        r_start="iv_rs", r_end="iv_re",
+        bin_width=30,
+    )
+    return out.select(
+        "iv_lkey", "iv_lline", "iv_okey",
+        F.col("ov_start").cast("int").alias("iv_ov_start"),
+        F.col("ov_end").cast("int").alias("iv_ov_end"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q166_interval_overlap"] = q166_interval_overlap
+
+_ORACLE_DEDUP_SIM["q166_interval_overlap"] = """
+    WITH l AS (
+        SELECT l_orderkey AS iv_lkey,
+               CAST(l_linenumber AS INT) AS iv_lline,
+               datediff('day', DATE '1970-01-01', l_shipdate) AS ls,
+               datediff('day', DATE '1970-01-01', l_shipdate)
+                   + CAST(l_linenumber AS INT) * 7 AS le
+        FROM lineitem WHERE l_orderkey % 97 = 0
+    ), r AS (
+        SELECT o_orderkey AS iv_okey,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS rs,
+               datediff('day', DATE '1970-01-01', o_orderdate) + 14 AS re
+        FROM orders WHERE o_orderkey % 89 = 1
+    )
+    SELECT l.iv_lkey, l.iv_lline, r.iv_okey,
+           CAST(GREATEST(l.ls, r.rs) AS INT) AS iv_ov_start,
+           CAST(LEAST(l.le, r.re) AS INT) AS iv_ov_end
+    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+"""
+
+_ORACLE_SHAPES["q166_interval_overlap"] = (
+    ("iv_lkey", "BIGINT"), ("iv_lline", "INTEGER"),
+    ("iv_okey", "BIGINT"), ("iv_ov_start", "INTEGER"),
+    ("iv_ov_end", "INTEGER"),
+)
+
+_UNION_MERGES["q44_join_agg_battery"].append(
+    ("interval_overlap", "q166_interval_overlap")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

@@ -266,3 +266,69 @@ def range_join(
         .join(F.broadcast(bands.alias("__b")), left_cmp & right_cmp, how)
         .select("__f.*", *[F.col(f"__b.{c}") for c in bands.columns])
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    suffixes: tuple = ("_l", "_r"),
+) -> DataFrame:
+    """Overlap join between two LARGE interval sets: every (left, right)
+    pair whose [start, end] intervals intersect (closed-closed). The
+    session/availability/validity-window join that a naive theta-join
+    turns into a near-cartesian nested loop.
+
+    Scale shape (the standard distributed interval join): each interval
+    explodes into the fixed-width bins it touches
+    (``floor(start/w) .. floor(end/w)``), the two sides equi-join on
+    the bin id (shuffle on a narrow integer key — never a nested-loop),
+    the exact overlap predicate filters, and pairs spanning several
+    shared bins dedup. ``bin_width`` trades replication (long intervals
+    touch many bins) against bucket size (short bins collect fewer
+    candidates); set it near the typical interval length. Start/end
+    columns must be numeric (cast dates to epoch days first).
+
+    Returns all left columns + all right columns (name collisions get
+    ``suffixes``), plus ``ov_start``/``ov_end`` — the intersection
+    bounds.
+    """
+    if bin_width <= 0:
+        raise ValueError("interval_overlap_join: bin_width must be > 0")
+    common = set(left.columns) & set(right.columns)
+    lft, rgt = left, right
+    ls, le, rs, re_ = l_start, l_end, r_start, r_end
+    for c in common:
+        lft = lft.withColumnRenamed(c, c + suffixes[0])
+        rgt = rgt.withColumnRenamed(c, c + suffixes[1])
+        ls = c + suffixes[0] if ls == c else ls
+        le = c + suffixes[0] if le == c else le
+        rs = c + suffixes[1] if rs == c else rs
+        re_ = c + suffixes[1] if re_ == c else re_
+    w = F.lit(int(bin_width))
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))
+            ),
+        )
+
+    out_cols = [*lft.columns, *rgt.columns]
+    return (
+        binned(lft, ls, le)
+        .join(binned(rgt, rs, re_), on="__bin")
+        .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
+        .dropDuplicates(out_cols)
+        .select(
+            *out_cols,
+            F.greatest(F.col(ls), F.col(rs)).alias("ov_start"),
+            F.least(F.col(le), F.col(re_)).alias("ov_end"),
+        )
+    )

@@ -281,3 +281,65 @@ def test_asof_keyless_forward_duplicate_right_ts_layout_independent(spark):
         assert keyed == results["8"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+class TestIntervalOverlapJoin:
+    def _join(self, spark, left, right, bin_width):
+        from jsonl_dataingestion_pipeline_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        l = spark.createDataFrame(left, "lid long, s long, e long")
+        r = spark.createDataFrame(right, "rid long, s long, e long")
+        return {
+            (x.lid, x.rid): (x.ov_start, x.ov_end)
+            for x in interval_overlap_join(
+                l, r,
+                l_start="s", l_end="e", r_start="s", r_end="e",
+                bin_width=bin_width,
+            ).collect()
+        }
+
+    def test_matches_brute_force_any_bin_width(self, spark):
+        import random
+
+        rng = random.Random(31)
+        left = [
+            (i, a, a + rng.randint(0, 40))
+            for i, a in ((i, rng.randint(0, 300)) for i in range(40))
+        ]
+        right = [
+            (j, a, a + rng.randint(0, 25))
+            for j, a in ((j, rng.randint(0, 300)) for j in range(30))
+        ]
+        want = {
+            (li, rj): (max(ls, rs), min(le, re))
+            for (li, ls, le) in left
+            for (rj, rs, re) in right
+            if ls <= re and rs <= le
+        }
+        # the result must be bin-width INVARIANT: replication changes,
+        # the deduped answer does not
+        for w in (1, 7, 50, 1000):
+            assert self._join(spark, left, right, w) == want, w
+
+    def test_touching_endpoints_count_as_overlap(self, spark):
+        got = self._join(spark, [(1, 0, 10)], [(2, 10, 20)], 7)
+        assert got == {(1, 2): (10, 10)}
+
+    def test_disjoint_produce_nothing(self, spark):
+        assert self._join(spark, [(1, 0, 5)], [(2, 6, 9)], 3) == {}
+
+    def test_bad_bin_width_rejected(self, spark):
+        import pytest as _p
+
+        from jsonl_dataingestion_pipeline_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        l = spark.createDataFrame([(1, 0, 1)], "lid long, s long, e long")
+        with _p.raises(ValueError, match="bin_width"):
+            interval_overlap_join(
+                l, l, l_start="s", l_end="e", r_start="s", r_end="e",
+                bin_width=0,
+            )
