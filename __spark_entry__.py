@@ -9616,6 +9616,105 @@ _UNION_MERGES["q44_join_agg_battery"].append(
 )
 
 
+# q167: training-data EXPORT pipeline (plans/traindata.py) — the
+# downstream half of the q90 flagship: token counting -> sequence
+# packing (two-phase prefix sum) -> deterministic shard+pos. The
+# 4-row stats frame carries an integer checksum per stage (id sum,
+# n_seqs sum, token sum, shard*1e6+pos sum), so the oracle re-proves
+# the COMPOSITION — counts, packing coordinates, the permutation —
+# not just row counts.
+
+_TDX_SEQ, _TDX_SHARDS, _TDX_SEED = 512, 16, 7
+
+
+def q167_traindata_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.plans.traindata import (
+        export_training_data,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    _, stats = export_training_data(
+        d, seq_len=_TDX_SEQ, n_shards=_TDX_SHARDS, seed=_TDX_SEED
+    )
+    return stats.select(
+        F.col("stage").alias("tdx_stage"),
+        F.col("stage_name").alias("tdx_name"),
+        F.col("n_rows").alias("tdx_rows"),
+        F.col("checksum").alias("tdx_checksum"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q167_traindata_export"] = q167_traindata_export
+
+_ORACLE_DEDUP_SIM["q167_traindata_export"] = f"""
+    WITH inp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), n AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(TRIM(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                    END AS BIGINT) AS nt
+        FROM inp
+    ), o AS (
+        SELECT doc_id, nt,
+               CAST(COALESCE(SUM(nt) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_start
+        FROM n
+    ), packed AS (
+        SELECT doc_id, nt,
+               CAST(COALESCE(
+                   CAST(FLOOR((tok_start + nt - 1) / {_TDX_SEQ})
+                        AS BIGINT)
+                   - CAST(FLOOR(tok_start / {_TDX_SEQ}) AS BIGINT) + 1,
+                   0) AS BIGINT) AS n_seqs
+        FROM o
+    ), sh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(
+                   md5('{_TDX_SEED}:' || CAST(doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT) AS coin
+        FROM packed WHERE n_seqs > 0
+    ), sharded AS (
+        SELECT doc_id,
+               CAST(coin % {_TDX_SHARDS} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY coin % {_TDX_SHARDS}
+                   ORDER BY coin ASC, doc_id ASC
+               ) AS INT) AS pos
+        FROM sh
+    )
+    SELECT 1 AS tdx_stage, 'input' AS tdx_name,
+           CAST(COUNT(*) AS BIGINT) AS tdx_rows,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS tdx_checksum
+    FROM inp
+    UNION ALL
+    SELECT 2, 'packed', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_seqs), 0) AS BIGINT)
+    FROM packed WHERE n_seqs > 0
+    UNION ALL
+    SELECT 3, 'sequences',
+           CAST(COALESCE(CEIL(SUM(nt) / {_TDX_SEQ}.0), 0) AS BIGINT),
+           CAST(COALESCE(SUM(nt), 0) AS BIGINT)
+    FROM n
+    UNION ALL
+    SELECT 4, 'sharded', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CAST(shard AS BIGINT) * 1000000 + pos), 0)
+                AS BIGINT)
+    FROM sharded
+"""
+
+_ORACLE_SHAPES["q167_traindata_export"] = (
+    ("tdx_stage", "INTEGER"), ("tdx_name", "VARCHAR"),
+    ("tdx_rows", "BIGINT"), ("tdx_checksum", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("traindata_export", "q167_traindata_export")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =
