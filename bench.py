@@ -94,6 +94,8 @@ HEADLINE = [
     "q163_containment_pairs",
     "q164_site_boilerplate",
     "q165_kmv_distinct",
+    "q166_interval_overlap",
+    "q167_traindata_export",
 ]
 
 

@@ -446,3 +446,25 @@ def test_q165_kmv_cut_is_window_group_limit(spark):
     member group never materializes in one task."""
     tree = _tree(_formatted(spark, em.q165_kmv_distinct(spark, SF)))
     assert "WindowGroupLimit" in tree, tree
+
+
+def test_q166_interval_overlap_is_equi_join_on_bins(spark):
+    """q166: the interval-overlap join must be a hash equi-join on the
+    bin id (SortMergeJoin/ShuffledHashJoin with the overlap predicate
+    as a post-join filter) — never a CartesianProduct or
+    BroadcastNestedLoopJoin over the interval sets."""
+    tree = _tree(_formatted(spark, em.q166_interval_overlap(spark, SF)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "Join" in tree, tree
+
+
+def test_q167_export_single_partition_only_for_bucket_totals(spark):
+    """q167: the packing stage inside the export plan keeps the q143
+    property — the only SinglePartition exchange carries per-bucket
+    totals; document rows flow through hash-partitioned windows. The
+    stats frame reads checkpointed stages (Scan ExistingRDD), so no
+    stage recomputes upstream work."""
+    df = em.q167_traindata_export(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Scan ExistingRDD" in tree, tree

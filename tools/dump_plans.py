@@ -101,6 +101,17 @@ PICKS = [
      "on token; the scalar stats row joins back as a one-row "
      "BroadcastNestedLoopJoin; the report cut is TakeOrderedAndProject "
      "over the vocab-sized frame — never a global window"),
+    ("q166_interval_overlap",
+     "interval-overlap join: both interval sets explode into fixed-"
+     "width bins and hash-equi-join on the bin id (the overlap "
+     "predicate is a post-join filter) — no CartesianProduct, no "
+     "nested loop; multi-bin pairs dedup by key"),
+    ("q167_traindata_export",
+     "training-data export: each stage reads the previous stage's "
+     "checkpoint (Scan ExistingRDD); packing keeps the q143 shape "
+     "(the only SinglePartition exchange carries per-bucket totals); "
+     "the shard window partitions by the md5 coin, never a global "
+     "sort"),
     ("q137_fuzzy_decontamination",
      "the benchmark side enters ONLY as one (shingle -> [bids], df) "
      "aggregate broadcast into the candidate join; the hot-shingle "
