@@ -9715,6 +9715,120 @@ _UNION_MERGES["q19_corpus_stats"].append(
 )
 
 
+# q168: entity-resolution pipeline (plans/entity.py) — mentions are
+# synthetic contact keys (md5 of custkey, 10 hex chars; the test
+# customer table carries no phone column) plus a last-char-perturbed
+# twin; blocking on the 7-char prefix, Levenshtein <= 2 pairs,
+# transitive min-id clustering, majority-vote golden record. The
+# oracle replays blocking, distances, the recursive clustering, and
+# the survivorship tiebreaks.
+
+
+def q168_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.plans.entity import (
+        resolve_entities,
+    )
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    phone = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 10)
+    bumped = F.concat(F.substring(phone, 1, 9), F.lit("z"))
+    nat = F.col("c_nationkey").cast("string")
+    mentions = (
+        c.select(
+            (F.col("c_custkey") * 2).alias("mid"),
+            phone.alias("phone"),
+            nat.alias("nat"),
+        )
+        .unionAll(
+            c.select(
+                (F.col("c_custkey") * 2 + 1).alias("mid"),
+                bumped.alias("phone"),
+                nat.alias("nat"),
+            )
+        )
+    )
+    assignments, golden = resolve_entities(
+        mentions,
+        id_col="mid", name_col="phone", attrs=["nat"],
+        max_distance=2, key_start=1, key_length=7,
+    )
+    return (
+        assignments.join(golden, on="entity")
+        .select(
+            F.col("mid").alias("ent_mention"),
+            F.col("entity").alias("ent_entity"),
+            F.col("phone").alias("ent_phone"),
+            F.col("nat").alias("ent_nation"),
+        )
+    )
+
+
+_DEDUP_SIM_QUERIES["q168_entity_resolution"] = q168_entity_resolution
+
+_ORACLE_DEDUP_SIM["q168_entity_resolution"] = """
+    WITH RECURSIVE c AS (
+        SELECT c_custkey AS ck,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS phone,
+               CAST(c_nationkey AS VARCHAR) AS nat
+        FROM customer WHERE c_custkey <= 600
+    ), m AS MATERIALIZED (
+        SELECT ck * 2 AS mid, phone, nat FROM c
+        UNION ALL
+        SELECT ck * 2 + 1, substr(phone, 1, 9) || 'z', nat FROM c
+    ), bk AS MATERIALIZED (
+        SELECT mid, phone, nat,
+               substr(upper(trim(phone)), 1, 7) AS bk
+        FROM m
+    ), pairs AS MATERIALIZED (
+        SELECT a.mid AS x, b.mid AS y
+        FROM bk a JOIN bk b ON a.bk = b.bk AND a.mid < b.mid
+        WHERE levenshtein(a.phone, b.phone) <= 2
+    ), sym AS MATERIALIZED (
+        SELECT x, y FROM pairs UNION SELECT y AS x, x AS y FROM pairs
+    ), reach AS (
+        SELECT mid AS id, mid AS comp FROM m
+        UNION
+        SELECT s.y AS id, r.comp
+        FROM reach r JOIN sym s ON s.x = r.id
+    ), comp AS MATERIALIZED (
+        SELECT id, MIN(comp) AS entity FROM reach GROUP BY id
+    ), enriched AS (
+        SELECT m.mid, m.phone, m.nat, c2.entity
+        FROM m JOIN comp c2 ON m.mid = c2.id
+    ), gphone AS (
+        SELECT entity, phone FROM (
+            SELECT entity, phone, ROW_NUMBER() OVER (
+                PARTITION BY entity
+                ORDER BY COUNT(*) DESC, phone ASC) AS rk
+            FROM enriched WHERE phone IS NOT NULL
+            GROUP BY entity, phone
+        ) WHERE rk = 1
+    ), gnat AS (
+        SELECT entity, nat FROM (
+            SELECT entity, nat, ROW_NUMBER() OVER (
+                PARTITION BY entity
+                ORDER BY COUNT(*) DESC, nat ASC) AS rk
+            FROM enriched WHERE nat IS NOT NULL
+            GROUP BY entity, nat
+        ) WHERE rk = 1
+    )
+    SELECT e.mid AS ent_mention, e.entity AS ent_entity,
+           g.phone AS ent_phone, n.nat AS ent_nation
+    FROM enriched e
+    JOIN gphone g ON e.entity = g.entity
+    JOIN gnat n ON e.entity = n.entity
+"""
+
+_ORACLE_SHAPES["q168_entity_resolution"] = (
+    ("ent_mention", "BIGINT"), ("ent_entity", "BIGINT"),
+    ("ent_phone", "VARCHAR"), ("ent_nation", "VARCHAR"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("entity_resolution", "q168_entity_resolution")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

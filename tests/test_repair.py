@@ -67,3 +67,50 @@ def test_golden_record_majority_per_field(spark):
     got = {r.cl: r for r in golden_record(df, "cl", ["name", "city"]).collect()}
     assert got[1].name == "Acme" and got[1].city == "NY"
     assert got[2].name is None and got[2].city == "SF"
+
+
+class TestResolveEntities:
+    def test_planted_duplicates_resolve_and_survive(self, spark):
+        from jsonl_dataingestion_pipeline_spark.plans.entity import (
+            resolve_entities,
+        )
+
+        rows = [
+            (1, "acme corp", "US"),
+            (2, "acme corp.", "US"),     # lev 1 from mention 1
+            (3, "acme korp", None),      # lev 1 from mention 1
+            (4, "zenith ltd", "DE"),
+            (5, "zenith ltd", "DE"),     # exact dup
+            (6, "solo gmbh", "FR"),      # singleton
+        ]
+        df = spark.createDataFrame(rows, "mid long, nm string, ctry string")
+        assign, golden = resolve_entities(
+            df, id_col="mid", name_col="nm", attrs=["ctry"],
+            max_distance=2, key_start=1, key_length=4,
+        )
+        a = {r.mid: r.entity for r in assign.collect()}
+        assert a[1] == a[2] == a[3] == 1
+        assert a[4] == a[5] == 4
+        assert a[6] == 6
+        g = {r.entity: (r.nm, r.ctry) for r in golden.collect()}
+        # majority vote with smallest-value tiebreak; nulls ignored
+        assert g[1] == ("acme corp", "US")
+        assert g[4] == ("zenith ltd", "DE")
+        assert g[6] == ("solo gmbh", "FR")
+
+    def test_blocking_prevents_cross_block_matches(self, spark):
+        from jsonl_dataingestion_pipeline_spark.plans.entity import (
+            resolve_entities,
+        )
+
+        # lev("abcd x", "zbcd x") = 1 but block keys (first 4) differ
+        df = spark.createDataFrame(
+            [(1, "abcd x", None), (2, "zbcd x", None)],
+            "mid long, nm string, ctry string",
+        )
+        assign, _ = resolve_entities(
+            df, id_col="mid", name_col="nm", attrs=["ctry"],
+            max_distance=2, key_start=1, key_length=4,
+        )
+        a = {r.mid: r.entity for r in assign.collect()}
+        assert a == {1: 1, 2: 2}
