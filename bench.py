@@ -96,6 +96,7 @@ HEADLINE = [
     "q165_kmv_distinct",
     "q166_interval_overlap",
     "q167_traindata_export",
+    "q168_entity_resolution",
 ]
 
 
