@@ -9829,6 +9829,69 @@ _UNION_MERGES["q23_dedup_stats"].append(
 )
 
 
+# q169: deterministic negative sampling (operators/retrieval.py::
+# negative_samples) — k md5-coin negatives per anchor over a global
+# contiguous rank index built with the q143 two-phase prefix sum (no
+# global sort). The oracle replays the rank (ROW_NUMBER-1), the coin,
+# the mod, and the self-collision drop.
+
+_NEG_K, _NEG_SEED = 4, 11
+
+
+def q169_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+        negative_samples,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    anchors = d.filter(F.col("doc_id") % 17 == 0)
+    out = negative_samples(
+        d, anchors, "doc_id", k=_NEG_K, seed=_NEG_SEED
+    )
+    return out.select(
+        F.col("anchor_id").alias("neg_anchor"),
+        F.col("slot").alias("neg_slot"),
+        F.col("neg_id"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q169_negative_samples"] = q169_negative_samples
+
+_ORACLE_DEDUP_SIM["q169_negative_samples"] = f"""
+    WITH idx AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents
+    ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), cand AS (
+        SELECT a.doc_id AS anchor_id, s.slot,
+               CAST('0x' || substr(md5('{_NEG_SEED}:'
+                        || CAST(a.doc_id AS VARCHAR) || ':'
+                        || CAST(s.slot AS VARCHAR)), 1, 15)
+                    AS BIGINT) % (SELECT n FROM n) AS rnk
+        FROM documents a
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_NEG_K - 1}))
+                    AS slot) s
+        WHERE a.doc_id % 17 = 0
+    )
+    SELECT c.anchor_id AS neg_anchor,
+           CAST(c.slot AS INT) AS neg_slot,
+           i.doc_id AS neg_id
+    FROM cand c JOIN idx i ON c.rnk = i.rnk
+    WHERE i.doc_id <> c.anchor_id
+"""
+
+_ORACLE_SHAPES["q169_negative_samples"] = (
+    ("neg_anchor", "BIGINT"), ("neg_slot", "INTEGER"),
+    ("neg_id", "BIGINT"),
+)
+
+_UNION_MERGES["q38_cosine_verify"].append(
+    ("negatives", "q169_negative_samples")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =

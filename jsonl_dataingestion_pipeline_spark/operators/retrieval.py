@@ -88,3 +88,87 @@ def rrf_fuse(
     return top.withColumn(
         "fused_rank", F.row_number().over(w).cast("int")
     ).select(F.col("__id").alias(id_col), "rrf_score", "fused_rank")
+
+
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    *,
+    k: int = 4,
+    seed: int = 0,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Deterministic random negative sampling for contrastive training:
+    ``k`` pseudo-random corpus rows per anchor, reproducible across
+    runs, partitionings, and engines (md5-coin indexing — the sampling
+    kernels' idiom).
+
+    Spark-first shape: the corpus gets a contiguous 0-based global rank
+    by ``id_col`` WITHOUT a global sort — the q143 two-phase prefix sum
+    (per-bucket row_number + broadcast bucket-offset join). Each
+    (anchor, slot) computes ``md5(seed:anchor:slot) mod N`` and
+    equi-joins the rank index — anchors * k narrow rows against an
+    |corpus|-row integer index, one shuffle. Anchors drawn as their own
+    negative are dropped (deterministically), so callers get <= k
+    negatives per anchor.
+
+    Returns (anchor_id, slot, neg_id).
+    """
+    ids = corpus.select(F.col(id_col).alias("__nid"))
+    b = F.floor(F.col("__nid") / F.lit(int(bucket_size))).cast("long")
+    local_w = Window.partitionBy("__b").orderBy("__nid")
+    local = ids.withColumn("__b", b).withColumn(
+        "__local", F.row_number().over(local_w).cast("long")
+    )
+    totals = local.groupBy("__b").agg(F.count(F.lit(1)).alias("__bt"))
+    prefix_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "__b",
+        F.coalesce(F.sum("__bt").over(prefix_w), F.lit(0)).alias("__pre"),
+    )
+    index = local.join(F.broadcast(prefix), on="__b").select(
+        (F.col("__pre") + F.col("__local") - 1).alias("__rank"),
+        "__nid",
+    )
+    n1 = F.broadcast(ids.agg(F.count(F.lit(1)).alias("__n")))
+    cand = (
+        anchors.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(n1)
+        .select(
+            "anchor_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(k) - 1))
+            ).alias("slot"),
+            F.col("__n"),
+        )
+        .withColumn(
+            "__rank",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(seed)),
+                            F.col("anchor_id").cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.col("__n"),
+        )
+    )
+    return (
+        cand.join(index, on="__rank")
+        .filter(F.col("__nid") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("slot").cast("int").alias("slot"),
+            F.col("__nid").alias("neg_id"),
+        )
+    )

@@ -182,3 +182,57 @@ class TestPmiCollocations:
             ).collect()
         ]
         assert "rare pair" not in got
+
+
+class TestNegativeSamples:
+    def test_matches_python_replay_and_partition_invariant(self, spark):
+        import hashlib
+
+        from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+            negative_samples,
+        )
+
+        ids = sorted({3, 8, 21, 40, 55, 77, 90, 105, 130, 152, 200})
+        corpus = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        anchors = corpus.filter("doc_id % 2 = 1")
+        got = {
+            (r.anchor_id, r.slot): r.neg_id
+            for r in negative_samples(
+                corpus, anchors, "doc_id", k=3, seed=5
+            ).collect()
+        }
+        n = len(ids)
+        want = {}
+        for a in ids:
+            if a % 2 != 1:
+                continue
+            for s in range(3):
+                h = hashlib.md5(f"5:{a}:{s}".encode()).hexdigest()
+                rnk = int(h[:15], 16) % n
+                neg = ids[rnk]
+                if neg != a:
+                    want[(a, s)] = neg
+        assert got == want
+        # partitioning must not change the permutation
+        got2 = {
+            (r.anchor_id, r.slot): r.neg_id
+            for r in negative_samples(
+                corpus.repartition(5), anchors, "doc_id", k=3, seed=5
+            ).collect()
+        }
+        assert got2 == want
+
+    def test_seed_changes_draws(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+            negative_samples,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(50)], "doc_id long"
+        )
+        anchors = corpus.filter("doc_id < 10")
+        a = {(r.anchor_id, r.slot): r.neg_id for r in negative_samples(
+            corpus, anchors, "doc_id", k=4, seed=1).collect()}
+        b = {(r.anchor_id, r.slot): r.neg_id for r in negative_samples(
+            corpus, anchors, "doc_id", k=4, seed=2).collect()}
+        assert a != b
