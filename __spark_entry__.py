@@ -9892,6 +9892,118 @@ _UNION_MERGES["q38_cosine_verify"].append(
 )
 
 
+# q170: approximate-dedup recall AUDIT — the sampled-shingle sim-join
+# (q25 machinery, 1/16 shingle sampling) measured against the EXACT
+# prefix-filtered join (q117) at the same threshold on the same
+# planted corpus. Precision/recall become driver-checked numbers
+# instead of SCALING.md prose: the oracle independently recomputes
+# both pair sets and the confusion counts every run.
+
+_AUDIT_T = 0.9
+
+
+def q170_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir).filter(
+        F.col("id") < 300
+    )
+    exact = prefix_jaccard_pairs(
+        corpus, "text", "id", threshold=_AUDIT_T
+    ).select("id_l", "id_r")
+    approx = ngram_jaccard_pairs(
+        corpus, "text", "id",
+        shingle_k=3, sample_hex_prefix="0", threshold=_AUDIT_T,
+    ).select("id_l", "id_r")
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_common = exact.join(approx, on=["id_l", "id_r"]).count()
+    row = [(
+        int(n_exact), int(n_approx), int(n_common),
+        round(n_common / n_approx, 6) if n_approx else 1.0,
+        round(n_common / n_exact, 6) if n_exact else 1.0,
+    )]
+    return spark.createDataFrame(
+        row,
+        "audit_exact long, audit_approx long, audit_common long, "
+        "audit_precision double, audit_recall double",
+    )
+
+
+_DEDUP_SIM_QUERIES["q170_lsh_recall_audit"] = q170_lsh_recall_audit
+
+# NOTE: token-SET Jaccard (q117's exact join) and distinct-SHINGLE
+# Jaccard (q25's verify) differ; the exact side below replays the
+# prefix-join's token-set semantics, the approx side the shingle
+# pipeline — both verbatim from their green oracles.
+_ORACLE_DEDUP_SIM["q170_lsh_recall_audit"] = _NEARDUP_CORPUS_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id < 150"
+) + rf"""
+    , ctok AS (
+        SELECT id,
+               list_distinct(list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '')) AS st
+        FROM corpus
+    ), ex AS (
+        SELECT id, UNNEST(st) AS tok, len(st) AS n FROM ctok
+    ), shared AS (
+        SELECT a.id AS id_l, b.id AS id_r,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               a.n AS n_l, b.n AS n_r
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+        GROUP BY a.id, b.id, a.n, b.n
+    ), exact AS (
+        SELECT id_l, id_r FROM shared
+        WHERE inter * 1.0 / (n_l + n_r - inter) >= {_AUDIT_T}
+    ), sampled AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h
+              FROM cshingles)
+        WHERE h LIKE '0%'
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM sampled a JOIN sampled b
+            ON a.shash = b.shash AND a.id < b.id
+    ), approx AS (
+        SELECT c.id_l, c.id_r
+        FROM cand c
+        JOIN cshingles sa ON c.id_l = sa.id
+        JOIN cshingles sb ON c.id_r = sb.id
+        WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
+                    / CAST(GREATEST(len(list_distinct(
+                          list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6)
+              >= {_AUDIT_T}
+    ), counts AS (
+        SELECT (SELECT COUNT(*) FROM exact) AS ne,
+               (SELECT COUNT(*) FROM approx) AS na,
+               (SELECT COUNT(*) FROM exact e JOIN approx a
+                ON e.id_l = a.id_l AND e.id_r = a.id_r) AS nc
+    )
+    SELECT CAST(ne AS BIGINT) AS audit_exact,
+           CAST(na AS BIGINT) AS audit_approx,
+           CAST(nc AS BIGINT) AS audit_common,
+           CASE WHEN na = 0 THEN 1.0
+                ELSE ROUND(nc * 1.0 / na, 6) END AS audit_precision,
+           CASE WHEN ne = 0 THEN 1.0
+                ELSE ROUND(nc * 1.0 / ne, 6) END AS audit_recall
+    FROM counts
+"""
+
+_ORACLE_SHAPES["q170_lsh_recall_audit"] = (
+    ("audit_exact", "BIGINT"), ("audit_approx", "BIGINT"),
+    ("audit_common", "BIGINT"), ("audit_precision", "DOUBLE"),
+    ("audit_recall", "DOUBLE"),
+)
+
+_UNION_MERGES["q25_ngram_jaccard_pairs"].append(
+    ("recall_audit", "q170_lsh_recall_audit")
+)
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =
