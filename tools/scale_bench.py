@@ -880,6 +880,84 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             group_col="source",
         )
 
+    def q166_scaled(spark, sf_dir):
+        # interval-overlap join over k disjoint replicas: replica r's
+        # intervals shift by r * 10^5 days, so no cross-replica overlap
+        # exists and true pairs are exactly k * (x1 pairs).
+        from jsonl_dataingestion_pipeline_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        epoch = F.lit("1970-01-01").cast("date")
+        rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__r")
+        off = F.col("__r").cast("long") * 100000
+        li = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .filter(F.col("l_orderkey") % 97 == 0)
+            .select(
+                F.col("l_orderkey").alias("iv_lkey"),
+                F.col("l_linenumber").cast("int").alias("iv_lline"),
+                F.datediff(F.col("l_shipdate"), epoch).alias("__s"),
+                F.col("l_linenumber").cast("int").alias("__ln"),
+                rep,
+            )
+            .select(
+                F.col("iv_lkey"), F.col("iv_lline"), F.col("__r"),
+                (F.col("__s") + off).alias("iv_ls"),
+                (F.col("__s") + off + F.col("__ln") * 7).alias("iv_le"),
+            )
+        )
+        o = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .filter(F.col("o_orderkey") % 89 == 1)
+            .select(
+                F.col("o_orderkey").alias("iv_okey"),
+                F.datediff(F.col("o_orderdate"), epoch).alias("__s"),
+                rep,
+            )
+            .select(
+                F.col("iv_okey"), F.col("__r").alias("__r2"),
+                (F.col("__s") + off).alias("iv_rs"),
+                (F.col("__s") + off + 14).alias("iv_re"),
+            )
+        )
+        return interval_overlap_join(
+            li, o,
+            l_start="iv_ls", l_end="iv_le",
+            r_start="iv_rs", r_end="iv_re",
+            bin_width=30,
+        )
+
+    def q167_scaled(spark, sf_dir):
+        # export plan over the scaled corpus: the stats frame is 4
+        # const rows; record the SHARDED row count instead (stage 4
+        # checksum row carries it) -> use the export frame directly,
+        # rows = k * (x1 sequence-bearing docs).
+        from jsonl_dataingestion_pipeline_spark.plans.traindata import (
+            export_training_data,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        export, _ = export_training_data(
+            d.filter(F.col("doc_id") % 3 != 0),
+            seq_len=512, n_shards=16, seed=7,
+        )
+        return export
+
+    def q169_scaled(spark, sf_dir):
+        # negative sampling over the scaled corpus: anchors scale with
+        # the corpus, k draws each -> rows ~ k_replicas * (x1 rows)
+        # modulo self-collision drops (corpus-size-dependent).
+        from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+            negative_samples,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id")
+        anchors = d.filter(F.col("doc_id") % 17 == 0)
+        return negative_samples(d, anchors, "doc_id", k=4, seed=11)
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -926,6 +1004,9 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q162_pmi": q162_scaled,
         "q163_containment": q163_scaled,
         "q164_boilerplate": q164_scaled,
+        "q166_interval": q166_scaled,
+        "q167_export": q167_scaled,
+        "q169_negatives": q169_scaled,
     }
     out = {}
     import logging as _logging
