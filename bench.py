@@ -97,6 +97,8 @@ HEADLINE = [
     "q166_interval_overlap",
     "q167_traindata_export",
     "q168_entity_resolution",
+    "q169_negative_samples",
+    "q170_lsh_recall_audit",
 ]
 
 

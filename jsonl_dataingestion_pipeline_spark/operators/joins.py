@@ -288,8 +288,12 @@ def interval_overlap_join(
     explodes into the fixed-width bins it touches
     (``floor(start/w) .. floor(end/w)``), the two sides equi-join on
     the bin id (shuffle on a narrow integer key — never a nested-loop),
-    the exact overlap predicate filters, and pairs spanning several
-    shared bins dedup. ``bin_width`` trades replication (long intervals
+    and the exact overlap predicate filters. Pairs meeting in several
+    shared bins are emitted ONCE via the canonical-bin trick — keep
+    only the row whose bin contains the overlap START — rather than a
+    dropDuplicates: no dedup shuffle, and (crucially) genuine duplicate
+    input rows keep their multiplicity, exactly like the theta join the
+    q166 oracle runs. ``bin_width`` trades replication (long intervals
     touch many bins) against bucket size (short bins collect fewer
     candidates); set it near the typical interval length. Start/end
     columns must be numeric (cast dates to epoch days first).
@@ -321,14 +325,18 @@ def interval_overlap_join(
         )
 
     out_cols = [*lft.columns, *rgt.columns]
+    ov_start = F.greatest(F.col(ls), F.col(rs))
     return (
         binned(lft, ls, le)
         .join(binned(rgt, rs, re_), on="__bin")
         .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
-        .dropDuplicates(out_cols)
+        # canonical bin: of all shared bins a pair meets in, keep only
+        # the one containing the overlap start — exactly-once without a
+        # dedup shuffle, multiplicity-preserving for duplicate inputs
+        .filter(F.floor(ov_start / w) == F.col("__bin"))
         .select(
             *out_cols,
-            F.greatest(F.col(ls), F.col(rs)).alias("ov_start"),
+            ov_start.alias("ov_start"),
             F.least(F.col(le), F.col(re_)).alias("ov_end"),
         )
     )

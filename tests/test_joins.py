@@ -343,3 +343,27 @@ class TestIntervalOverlapJoin:
                 l, l, l_start="s", l_end="e", r_start="s", r_end="e",
                 bin_width=0,
             )
+
+
+def test_interval_overlap_preserves_input_multiplicity(spark):
+    """Duplicate input rows (same id, same interval) must each produce
+    their own output pair — theta-join multiplicity, which the q166
+    oracle enforces. The round-6 sf0.1 regression: dropDuplicates
+    collapsed two identical lineitem rows; the canonical-bin filter
+    keeps them."""
+    from jsonl_dataingestion_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    l = spark.createDataFrame(
+        [(1, 0, 100), (1, 0, 100)], "lid long, s long, e long"
+    )
+    r = spark.createDataFrame([(2, 50, 60)], "rid long, s long, e long")
+    out = interval_overlap_join(
+        l, r, l_start="s", l_end="e", r_start="s", r_end="e",
+        bin_width=7,
+    ).collect()
+    # long interval spans many bins; exactly TWO rows survive (one per
+    # duplicate input), not one and not bins-many
+    assert len(out) == 2
+    assert all((x.ov_start, x.ov_end) == (50, 60) for x in out)
