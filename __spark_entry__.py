@@ -9099,8 +9099,39 @@ def q160_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_SIM_QUERIES["q160_incremental_cc"] = q160_incremental_cc
 
-_ORACLE_DEDUP_SIM["q160_incremental_cc"] = """
-    WITH RECURSIVE li AS MATERIALIZED (
+def _cc_pj_rounds(rounds: int) -> str:
+    """Unrolled min-label propagate+jump rounds (the Spark
+    connected_components shape) starting from c0 (id, comp=id) over
+    ``sym``. The recursive-reachability closure used by the small-
+    component oracles is O(sum |component|^2) — on q160's co-purchase
+    graph (ONE 19,680-vertex component at sf0.1) that is ~387M rows,
+    which is why this oracle unrolls instead. Pointer jumping doubles
+    the compression horizon per round, so ``rounds`` = r covers any
+    diameter up to ~2^r; a too-small r yields a LOUD mismatch against
+    Spark's run-to-fixpoint labels, never silent agreement."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT v.id,
+               LEAST(v.comp, COALESCE(m.mn, v.comp)) AS comp
+        FROM c{i - 1} v LEFT JOIN (
+            SELECT s.b AS id, MIN(r.comp) AS mn
+            FROM sym s JOIN c{i - 1} r ON s.a = r.id
+            GROUP BY s.b
+        ) m ON v.id = m.id
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT p.id, LEAST(p.comp, q.comp) AS comp
+        FROM p{i} p JOIN p{i} q ON p.comp = q.id
+    )""")
+    return ",".join(parts)
+
+
+_CC_PJ_ROUNDS = 8
+
+_ORACLE_DEDUP_SIM["q160_incremental_cc"] = f"""
+    WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         WHERE l_orderkey % 7 = 0
     ), e AS MATERIALIZED (
@@ -9110,16 +9141,10 @@ _ORACLE_DEDUP_SIM["q160_incremental_cc"] = """
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
     ), sym AS MATERIALIZED (
         SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
-    ), verts AS MATERIALIZED (
-        SELECT DISTINCT a AS id FROM sym
-    ), reach AS (
-        SELECT id, id AS comp FROM verts
-        UNION
-        SELECT s.b AS id, r.comp
-        FROM reach r JOIN sym s ON s.a = r.id
-    )
-    SELECT id AS cc_node, MIN(comp) AS cc_comp
-    FROM reach GROUP BY id
+    ), c0 AS MATERIALIZED (
+        SELECT DISTINCT a AS id, a AS comp FROM sym
+    ),{_cc_pj_rounds(_CC_PJ_ROUNDS)}
+    SELECT id AS cc_node, comp AS cc_comp FROM c{_CC_PJ_ROUNDS}
 """
 
 _ORACLE_SHAPES["q160_incremental_cc"] = (
