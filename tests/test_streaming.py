@@ -406,3 +406,64 @@ def test_web_extraction_stages_run_on_a_stream(tmp_path, spark):
     ).collect()
     assert [r.page_id for r in got] == [0, 1, 2]
     assert all(r.keep for r in got)
+
+
+def test_stream_incremental_components(spark, tmp_path):
+    """Edge batches arrive as files; after the stream drains, the
+    maintained labeling equals a from-scratch CC over ALL edges (the
+    q160 theorem applied per micro-batch), including a cross-batch
+    merge (edge 2-10 arrives in batch 2 and must fuse two batch-1
+    components)."""
+    import json as _json
+
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        stream_incremental_components,
+    )
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "edges_in")
+    import os
+
+    os.makedirs(in_dir)
+    batch1 = [(1, 2), (10, 11), (20, 21)]
+    batch2 = [(2, 10), (30, 31)]
+    with open(f"{in_dir}/b1.json", "w") as f:
+        for a, b in batch1:
+            f.write(_json.dumps({"id_l": a, "id_r": b}) + "\n")
+    with open(f"{in_dir}/b2.json", "w") as f:
+        for a, b in batch2:
+            f.write(_json.dumps({"id_l": a, "id_r": b}) + "\n")
+
+    stream = (
+        spark.readStream.schema("id_l long, id_r long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    labels_path = str(tmp_path / "labels")
+    q = stream_incremental_components(
+        spark, stream, labels_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.id: r.comp
+        for r in spark.read.parquet(labels_path).collect()
+    }
+    all_edges = spark.createDataFrame(
+        batch1 + batch2, "id_l long, id_r long"
+    )
+    nodes = (
+        all_edges.select(F.col("id_l").alias("id"))
+        .unionAll(all_edges.select(F.col("id_r").alias("id")))
+        .distinct()
+    )
+    want = {
+        r.id: r.comp
+        for r in connected_components(nodes, all_edges).collect()
+    }
+    assert got == want
+    # the cross-batch merge actually happened
+    assert got[11] == got[1] == 1
