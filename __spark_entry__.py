@@ -10029,6 +10029,9 @@ _UNION_MERGES["q25_ngram_jaccard_pairs"].append(
 )
 
 
+
+
+
 # ---------------------------------------------------------------------------
 # q146: DSIR-style data selection via importance resampling (operators/
 # dsir.py — Xie et al. 2023). Raw pool = documents doc_id < 400; target =
@@ -10897,3 +10900,108 @@ _ORACLE_SHAPES["q156_ivfpq_adc"] = (
 
 _UNION_MERGES["q28_ann_topk"].append(("ivfpq_codes", "q155_ivfpq_codes"))
 _UNION_MERGES["q28_ann_topk"].append(("ivfpq_adc", "q156_ivfpq_adc"))
+
+
+# q171: ANN recall AUDIT — IVFADC top-k (q156 pipeline, nprobe=2 of 4
+# cells + residual-PQ quantized distances) measured against the EXACT
+# cosine top-k for the same query. Like q170, approximate-path quality
+# becomes an oracle-verified number the driver re-proves every run.
+
+
+def q171_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.pq import ivfpq_topk
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    e, coarse, cbs = _ivfpq_trained(spark, sf_dir)
+    full = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in full.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    approx = {
+        r.id
+        for r in ivfpq_topk(
+            e, qvec, coarse, cbs, nprobe=_IPQ_NPROBE, k=_IPQ_K
+        ).collect()
+    }
+    exact = {
+        r.neighbor_id
+        for r in cosine_topk(
+            e, full.filter(F.col("vec_id") == 0), k=_IPQ_K
+        ).collect()
+    }
+    common = len(approx & exact)
+    row = [(int(_IPQ_K), int(common), round(common / _IPQ_K, 6))]
+    return spark.createDataFrame(
+        row, "ann_k int, ann_common long, ann_recall double"
+    )
+
+
+_DEDUP_SIM_QUERIES["q171_ann_recall_audit"] = q171_ann_recall_audit
+
+_ORACLE_DEDUP_SIM["q171_ann_recall_audit"] = _ivfpq_ctes() + f""",
+    qv AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x, 9)) AS v,
+               CAST(embedding AS DOUBLE[]) AS rawv
+        FROM embeddings WHERE vec_id = 0
+    ), probe AS MATERIALIZED (
+        SELECT cell, cv FROM (
+            SELECT c.cell, c.cv, ROW_NUMBER() OVER (ORDER BY
+                ROUND(list_sum(list_transform(list_zip(q.v, c.cv),
+                    x -> (x[1]-x[2])*(x[1]-x[2]))), 6), c.cell) AS rn
+            FROM cc{_IPQ_CIT} c CROSS JOIN qv q
+        ) WHERE rn <= {_IPQ_NPROBE}
+    ), qres AS (
+        SELECT p.cell,
+               list_transform(list_zip(q.v, p.cv),
+                              x -> x[1] - x[2]) AS rv
+        FROM probe p CROSS JOIN qv q
+    ), qrsub AS (
+        SELECT cell, subs.s AS s,
+               rv[subs.s * {_IPQ_DSUB} + 1 :
+                  (subs.s + 1) * {_IPQ_DSUB}] AS sv
+        FROM qres, subs
+    ), lut AS MATERIALIZED (
+        SELECT p.cell, c.s, c.code,
+               ROUND(list_sum(list_transform(list_zip(p.sv, c.cv),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS dd
+        FROM p{_IPQ_PIT} c JOIN qrsub p ON c.s = p.s
+    ), adc AS (
+        SELECT r.id, ROUND(SUM(l.dd), 6) AS adc_dist2
+        FROM pafin a
+        JOIN res r ON a.id = r.id
+        JOIN lut l ON l.cell = r.cell AND a.s = l.s
+             AND a.code = l.code
+        GROUP BY r.id, r.cell
+    ), adctop AS (
+        SELECT id FROM adc ORDER BY adc_dist2, id LIMIT {_IPQ_K}
+    ), exact AS (
+        SELECT neighbor_id AS id FROM (
+            SELECT e.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+                ORDER BY ROUND(list_cosine_similarity(
+                    q.rawv, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                    e.vec_id ASC) AS r
+            FROM embeddings e CROSS JOIN qv q
+            WHERE e.vec_id > 0
+        ) WHERE r <= {_IPQ_K}
+    ), counts AS (
+        SELECT (SELECT COUNT(*) FROM adctop a JOIN exact x
+                ON a.id = x.id) AS nc
+    )
+    SELECT CAST({_IPQ_K} AS INT) AS ann_k,
+           CAST(nc AS BIGINT) AS ann_common,
+           ROUND(nc * 1.0 / {_IPQ_K}, 6) AS ann_recall
+    FROM counts
+"""
+
+_ORACLE_SHAPES["q171_ann_recall_audit"] = (
+    ("ann_k", "INTEGER"), ("ann_common", "BIGINT"),
+    ("ann_recall", "DOUBLE"),
+)
+
+_UNION_MERGES["q28_ann_topk"].append(
+    ("ann_recall_audit", "q171_ann_recall_audit")
+)
