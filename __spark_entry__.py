@@ -11005,3 +11005,111 @@ _ORACLE_SHAPES["q171_ann_recall_audit"] = (
 _UNION_MERGES["q28_ann_topk"].append(
     ("ann_recall_audit", "q171_ann_recall_audit")
 )
+
+
+# q172: declarative constraint audit (operators/quality.py — the
+# Deequ / dbt-test shape): six rules over orders/lineitem compile into
+# one conditional-sum scan + one unique groupBy + one FK anti-join.
+# Exact integer counting — the oracle replays every violation count.
+
+
+def q172_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_dataingestion_pipeline_spark.operators.quality import (
+        check_constraints,
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = check_constraints(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0.0, 400000.0),
+            matches("o_orderpriority", r"^[1-5]-"),
+            in_set("o_orderstatus", ["F", "O", "P"]),
+            unique(["o_orderkey"]),
+        ],
+    )
+    fk = check_constraints(
+        li, [foreign_key(["l_orderkey"], o, ["o_orderkey"])]
+    ).select(
+        F.lit(5).cast("int").alias("rule_id"),
+        "rule", "columns", "n_violations", "passed",
+    )
+    return out.unionAll(fk).select(
+        F.col("rule_id").alias("dq_rule_id"),
+        F.col("rule").alias("dq_rule"),
+        F.col("columns").alias("dq_columns"),
+        F.col("n_violations").alias("dq_violations"),
+        F.col("passed").alias("dq_passed"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q172_constraint_audit"] = q172_constraint_audit
+
+_ORACLE_DEDUP_SIM["q172_constraint_audit"] = """
+    SELECT 0 AS dq_rule_id, 'not_null' AS dq_rule,
+           'o_custkey' AS dq_columns,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS dq_violations,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 AS dq_passed
+    FROM orders
+    UNION ALL
+    SELECT 1, 'in_range[0.0,400000.0]', 'o_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                OR o_totalprice < 0.0 OR o_totalprice > 400000.0)
+                AS BIGINT),
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                OR o_totalprice < 0.0 OR o_totalprice > 400000.0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 2, 'matches[^[1-5]-]', 'o_orderpriority',
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+                OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                AS BIGINT),
+           COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+                OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 3, 'in_set[F,O,P]', 'o_orderstatus',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 4, 'unique', 'o_orderkey',
+           CAST(COALESCE((SELECT SUM(n) FROM (
+                SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                HAVING COUNT(*) > 1)), 0) AS BIGINT),
+           COALESCE((SELECT SUM(n) FROM (
+                SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                HAVING COUNT(*) > 1)), 0) = 0
+    UNION ALL
+    SELECT 5, 'foreign_key', 'l_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) = 0
+"""
+
+_ORACLE_SHAPES["q172_constraint_audit"] = (
+    ("dq_rule_id", "INTEGER"), ("dq_rule", "VARCHAR"),
+    ("dq_columns", "VARCHAR"), ("dq_violations", "BIGINT"),
+    ("dq_passed", "BOOLEAN"),
+)
+
+_UNION_MERGES["q44_join_agg_battery"].append(
+    ("constraint_audit", "q172_constraint_audit")
+)
