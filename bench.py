@@ -99,6 +99,7 @@ HEADLINE = [
     "q168_entity_resolution",
     "q169_negative_samples",
     "q170_lsh_recall_audit",
+    "q172_constraint_audit",
 ]
 
 
