@@ -112,6 +112,11 @@ PICKS = [
      "(the only SinglePartition exchange carries per-bucket totals); "
      "the shard window partitions by the md5 coin, never a global "
      "sort"),
+    ("q172_constraint_audit",
+     "constraint audit: the four row-local rules share ONE "
+     "conditional-sum HashAggregate over one scan; unique is a "
+     "keys-only groupBy; the FK check is a single anti-join of "
+     "lineitem keys against deduplicated order keys"),
     ("q137_fuzzy_decontamination",
      "the benchmark side enters ONLY as one (shingle -> [bids], df) "
      "aggregate broadcast into the candidate join; the hot-shingle "
