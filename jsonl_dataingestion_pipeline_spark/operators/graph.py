@@ -107,6 +107,24 @@ def pagerank(
         seeds = sorted(set(personalization))
         if not seeds:
             raise ValueError("pagerank: personalization seeds empty")
+        # seeds absent from the graph would silently drop their
+        # teleport share (ranks stop summing to 1; an all-missing seed
+        # list would return all-zero ranks) — validate against the
+        # node set instead. len(seeds) driver values vs |V|: a
+        # broadcast semi-join sized by the seed literal list.
+        present = {
+            r["node_id"]
+            for r in nodes.filter(
+                F.col("node_id").isin(list(seeds))
+            ).collect()
+        }
+        missing = [s for s in seeds if s not in present]
+        if missing:
+            raise ValueError(
+                "pagerank: personalization seeds not in the graph: "
+                f"{missing[:10]}{'...' if len(missing) > 10 else ''}; "
+                "drop them or renormalize upstream"
+            )
         ns = float(len(seeds))
         is_seed = F.col("node_id").isin(list(seeds))
         tele = F.when(

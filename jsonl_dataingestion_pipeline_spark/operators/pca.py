@@ -40,6 +40,19 @@ Population covariance, computed by the explicit textbook formula
 ``scale`` decimals — so the three implementations agree bit-for-bit
 despite different summation orders (the residual fp noise is ~1e-11
 against a 1e-6 rounding grid).
+
+``exact_grid`` hardens that from "agree with overwhelming
+probability" to "agree by construction": each coordinate is quantized
+ONCE to the ``10^-exact_grid`` grid as a 64-bit integer, and the
+three sums (Σx, Σy, Σxy) accumulate integers in 128-bit decimal
+accumulators — integer addition is associative/commutative exactly,
+so no shuffle order, partition layout, or engine can move the result
+by even an ulp (a float SUM re-rounded to the output grid still flips
+when it lands within ulps of a grid boundary — the flake an
+oracle-gated audit cannot afford). The covariance of the quantized
+data differs from the float path by O(10^-exact_grid) per coordinate
+— negligible against a 1e-6 output grid for ``exact_grid >= 6``.
+Explode path only.
 """
 
 from __future__ import annotations
@@ -57,6 +70,7 @@ def covariance_matrix(
     dim: int,
     method: str = "auto",
     scale: int = 6,
+    exact_grid: int | None = None,
 ) -> DataFrame:
     """Upper-triangle population covariance of a vector column.
 
@@ -64,19 +78,30 @@ def covariance_matrix(
     rounded to ``scale``. ``method``: "explode" | "arrow" | "auto"
     (auto picks arrow when dim >= 256 — the point where the explode
     path's d^2 generator rows per input row stop being the cheap
-    option).
+    option). ``exact_grid``: quantize inputs to the 10^-exact_grid
+    grid and sum as exact integers — result independent of shuffle
+    order by construction (module note; explode path only).
     """
     if method == "auto":
-        method = "arrow" if dim >= 256 else "explode"
+        method = "arrow" if dim >= 256 and exact_grid is None else "explode"
     if method == "explode":
-        return _cov_explode(df, vec_col, dim=dim, scale=scale)
+        return _cov_explode(
+            df, vec_col, dim=dim, scale=scale, exact_grid=exact_grid
+        )
     if method == "arrow":
+        if exact_grid is not None:
+            raise ValueError("exact_grid requires method='explode'")
         return _cov_arrow(df, vec_col, dim=dim, scale=scale)
     raise ValueError(f"unknown method {method!r}")
 
 
 def _cov_explode(
-    df: DataFrame, vec_col: str, *, dim: int, scale: int
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int,
+    scale: int,
+    exact_grid: int | None = None,
 ) -> DataFrame:
     v = F.col(vec_col)
     a = df.select(
@@ -86,6 +111,29 @@ def _cov_explode(
     b = a.select(
         "i", "xi", F.posexplode(F.col("__v")).alias("j", "xj")
     ).filter(F.col("j") >= F.col("i"))
+    if exact_grid is not None:
+        # integer-exact path: quantize once, sum integers exactly in
+        # 128-bit decimal accumulators (order-independent), divide the
+        # exact sums at the end. decimal(18,0) * decimal(18,0) =
+        # decimal(37,0); SUM widens to decimal(38,0) — overflow-safe to
+        # ~10 rows x 10^38 / 10^(2g) products, far past 100 TB corpora.
+        g = float(10**exact_grid)
+        xq = F.round(F.col("xi").cast("double") * g).cast("decimal(18,0)")
+        yq = F.round(F.col("xj").cast("double") * g).cast("decimal(18,0)")
+        agg = b.groupBy("i", "j").agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(xq).alias("__sx"),
+            F.sum(yq).alias("__sy"),
+            F.sum(xq * yq).alias("__sxy"),
+        )
+        exy = F.col("__sxy").cast("double") / F.lit(g * g) / F.col("__n")
+        ex = F.col("__sx").cast("double") / F.lit(g) / F.col("__n")
+        ey = F.col("__sy").cast("double") / F.lit(g) / F.col("__n")
+        return agg.select(
+            F.col("i").cast("int"),
+            F.col("j").cast("int"),
+            F.round(exy - ex * ey, scale).alias("cov"),
+        )
     agg = b.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(F.col("xi").cast("double")).alias("__sx"),

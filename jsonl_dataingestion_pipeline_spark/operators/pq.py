@@ -27,9 +27,13 @@ Spark-first shapes:
 Determinism contract (mirrors `clustering.py` so the q152/q153 DuckDB
 oracles replay training, codes, and distances bit-for-bit): input
 coordinates round to 1e-9, distances to 1e-6 before every argmin (ties
-break on code id), centroid updates round to 1e-9, empty codes keep
-their previous centroid, init = subvectors of the ``n_codes`` smallest
-ids.
+break on code id), centroid updates are **integer-exact means** —
+coordinates quantize once to the 1e-9 grid as 64-bit integers and the
+update sums those integers (order-independent exactly, so no shuffle
+layout can flip a centroid the way a float ``AVG`` re-rounded to the
+grid can when a sum lands within ulps of a boundary) — empty codes
+keep their previous centroid, init = subvectors of the ``n_codes``
+smallest ids.
 """
 
 from __future__ import annotations
@@ -142,9 +146,22 @@ def pq_train(
             )["code"].alias("__code"),
             F.posexplode(F.col("__sv")).alias("__j", "__x"),
         )
+        # integer-exact mean (module note): quantize to the 1e-9 grid
+        # once, sum exactly as longs, divide the exact sum
         rows = (
             assigned.groupBy("__sub", "__code", "__j")
-            .agg(F.round(F.avg("__x"), 9).alias("__mu"))
+            .agg(
+                F.round(
+                    (
+                        F.sum(
+                            F.round(F.col("__x") * 1e9).cast("long")
+                        ).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    / F.lit(1e9),
+                    9,
+                ).alias("__mu")
+            )
             .collect()
         )
         nxt = [

@@ -114,7 +114,22 @@ def negative_samples(
     negatives per anchor.
 
     Returns (anchor_id, slot, neg_id).
+
+    ``id_col`` must be numeric: the bucket key is ``floor(id /
+    bucket_size)`` (keeps the rank index identical to the ORDER BY id
+    contract the oracle replays). A string id would cast to NULL and
+    silently collapse every row into one bucket — the single-task
+    global sort this operator exists to avoid — so it raises instead.
     """
+    from pyspark.sql.types import NumericType
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise ValueError(
+            f"negative_samples: id_col {id_col!r} must be numeric for "
+            f"bucketed ranking (got {id_type.simpleString()}); add a "
+            "numeric surrogate (e.g. xxhash64(id)) upstream"
+        )
     ids = corpus.select(F.col(id_col).alias("__nid"))
     b = F.floor(F.col("__nid") / F.lit(int(bucket_size))).cast("long")
     local_w = Window.partitionBy("__b").orderBy("__nid")

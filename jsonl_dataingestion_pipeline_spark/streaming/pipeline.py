@@ -422,6 +422,17 @@ def stream_incremental_components(
 
     At 100 TB the labeling lives in object storage; per-batch cost is
     O(batch) plus one broadcast-mapped pass over the labels.
+
+    ``labels_path`` must be a local/posix path in this implementation
+    (validated below): the swap uses ``os.rename``, which is atomic on
+    a posix filesystem but meaningless for ``s3://``/``hdfs://`` URIs
+    — an object-store deployment should swap a manifest pointer or use
+    a table format (Delta/Iceberg) instead. The swap itself is
+    crash-safe in both directions: the new labeling is renamed aside
+    the old one FIRST (old -> ``.old``, staging -> live, delete
+    ``.old`` last), so no window exists in which the only complete
+    labeling has been deleted; recovery after a crash between the two
+    renames restores ``.old``.
     """
     import os
     import shutil
@@ -430,7 +441,25 @@ def stream_incremental_components(
         incremental_connected_components,
     )
 
+    scheme = labels_path.split("://", 1)[0] if "://" in labels_path else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            "stream_incremental_components keeps its labeling on a "
+            f"posix path (got scheme {scheme!r}): the os.rename swap "
+            "is not atomic on object stores — use a manifest pointer "
+            "or a table format there"
+        )
+
+    old = f"{labels_path}.__old"
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # recover from a crash that left the previous swap half-done:
+        # if only .old exists, the old labeling is still the newest
+        # complete one — restore it before folding the next batch
+        if os.path.isdir(old) and not os.path.isdir(labels_path):
+            os.rename(old, labels_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         edges = batch_df.select(
             F.col(src_col).alias("id_l"), F.col(dst_col).alias("id_r")
         )
@@ -441,11 +470,15 @@ def stream_incremental_components(
         updated = incremental_connected_components(base, edges)
         staging = f"{labels_path}.__staging_batch_{batch_id}"
         updated.write.mode("overwrite").parquet(staging)
-        # atomic-enough swap on a posix fs; object stores use a rename
-        # or a manifest pointer instead
+        # crash-safe swap: NEVER delete the only complete labeling.
+        # rename old aside, rename staging in, delete the .old copy
+        # last — a crash at any point leaves a complete labeling on
+        # disk under labels_path or labels_path.__old.
         if os.path.isdir(labels_path):
-            shutil.rmtree(labels_path)
+            os.rename(labels_path, old)
         os.rename(staging, labels_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     writer = edge_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

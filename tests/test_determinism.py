@@ -1,0 +1,88 @@
+"""Determinism + audit-quality gates for the ANN battery family
+(VERDICT r6 items 1-2).
+
+Round 6's one red driver row (q28_ann_topk) was a float-boundary
+flip: a shuffle-order-dependent double sum landing within ulps of a
+rounding-grid boundary printed differently between the driver's Spark
+run and the DuckDB oracle, and no fixed local config reproduced it.
+The fix is structural — integer-exact means/sums in kmeans/PQ/PCA
+training and integer micro-unit outputs — and these tests enforce it:
+
+- the STRESS test re-runs each rebalanced ANN battery under several
+  ``spark.sql.shuffle.partitions`` settings with the trained-quantizer
+  cache cleared between runs, and asserts bit-identical multisets —
+  the run-to-run variance the driver box exhibited and a fixed-config
+  pass cannot rule out;
+- the FLOOR tests pin the two recall audits (q170/q171) above 0.5 on
+  their planted corpora, so an LSH-banding or ADC-indexing bug can no
+  longer hide behind an audit that matches the oracle at recall 0.0
+  (measured healthy points: q170 ~0.91-0.94, q171 1.0).
+"""
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def em():
+    spec = importlib.util.spec_from_file_location(
+        "entry_determinism", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _collect_multiset(df):
+    return sorted(tuple(row) for row in df.collect())
+
+
+@pytest.mark.parametrize(
+    "battery",
+    ["q28_ann_topk", "q38_cosine_verify", "q39_embedding_neardup"],
+)
+def test_ann_battery_multiset_stable_across_shuffle_layouts(
+    spark, em, battery
+):
+    """Every shuffle layout must produce the identical multiset: the
+    integer-exact training means and micro-unit outputs make the
+    result independent of partition count by construction."""
+    fn = em.queries()[battery]
+    results = []
+    for parts in ("3", "17", "64"):
+        # force a different shuffle layout AND retrain from scratch —
+        # cached codebooks would hide training-order sensitivity
+        em._TRAINED_CACHE.clear()
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            results.append(_collect_multiset(fn(spark, SF)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert results[0] == results[1] == results[2], (
+        f"{battery}: multiset differs across shuffle layouts"
+    )
+
+
+def test_q170_lsh_recall_audit_floor(spark, em):
+    """The LSH audit must certify real retrieval on the planted
+    corpus: recall >= 0.5 (healthy ~0.91+) and exact/approx non-empty.
+    An empty approximate side now reads precision 0, never 1."""
+    row = em.q170_lsh_recall_audit(spark, SF).collect()[0]
+    assert row.audit_exact > 0
+    assert row.audit_approx > 0
+    assert row.audit_recall_u >= 500000, row
+    assert row.audit_precision_u == 1000000, row  # verify step is exact
+
+
+def test_q171_ann_recall_audit_floor(spark, em):
+    """The ANN audit must retrieve the planted near-neighbors:
+    recall >= 0.5 (healthy 1.0). A broken ADC LUT / cell filter
+    scores ~0 here — the bug class the r6 audit could not see."""
+    em._TRAINED_CACHE.clear()
+    row = em.q171_ann_recall_audit(spark, SF).collect()[0]
+    assert row.ann_k == 10
+    assert row.ann_recall_u >= 500000, row
