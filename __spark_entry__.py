@@ -10570,10 +10570,20 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir, "pq")
     if key not in _TRAINED_CACHE:
         e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+        # train on a core-spread checkpoint: the corpus is one parquet
+        # split at gate sizes, and training distances are interpreted
+        # HOF folds — one fat partition turns each Lloyd job into a
+        # single-task straggler. Safe to repartition freely (the
+        # integer-exact update sums are order-independent); the RAW
+        # parquet frame is returned so encode/ADC keep their
+        # pushdown/zero-shuffle plan contracts.
+        spread = e.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
         _TRAINED_CACHE[key] = (
             e,
             pq_train(
-                e, "embedding", "vec_id",
+                spread, "embedding", "vec_id",
                 dim=_PQ_DIM, m=_PQ_M, n_codes=_PQ_NC, iterations=_PQ_IT,
             ),
         )
@@ -10790,8 +10800,12 @@ def _ivfpq_trained(
     )
     if key not in _TRAINED_CACHE:
         e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+        # same train-on-spread / return-raw split as _pq_trained
+        spread = e.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
         coarse, cbs = ivfpq_train(
-            e, "embedding", "vec_id",
+            spread, "embedding", "vec_id",
             dim=_IPQ_DIM, n_cells=n_cells, m=m, n_codes=n_codes,
             coarse_iterations=coarse_iterations,
             pq_iterations=pq_iterations,
@@ -11121,25 +11135,38 @@ def _aud_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q0 = full.filter(F.col("vec_id") == 0).select("embedding")
-    corpus = e
-    for j in range(_AUD_NPLANT):
-        vec = F.array(
-            *[
-                F.round(
-                    F.element_at(F.col("embedding"), d + 1).cast("double"),
-                    9,
-                )
-                + F.lit(_AUD_DELTAS[j][d])
-                for d in range(64)
-            ]
+    # all planted rows from ONE q0 scan: explode an array of
+    # (id, perturbed-vector) structs instead of unioning ten legs
+    legs = [
+        F.struct(
+            F.lit(_AUD_BASE_ID + j + 1).cast("long").alias("vec_id"),
+            F.array(
+                *[
+                    F.round(
+                        F.element_at(F.col("embedding"), d + 1)
+                        .cast("double"),
+                        9,
+                    )
+                    + F.lit(_AUD_DELTAS[j][d])
+                    for d in range(64)
+                ]
+            ).alias("embedding"),
         )
-        corpus = corpus.unionAll(
-            q0.select(
-                F.lit(_AUD_BASE_ID + j + 1).cast("long").alias("vec_id"),
-                vec.alias("embedding"),
-            )
-        )
-    corpus = corpus.localCheckpoint(eager=True)
+        for j in range(_AUD_NPLANT)
+    ]
+    planted = q0.select(F.explode(F.array(*legs)).alias("s")).select(
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("s.embedding").alias("embedding"),
+    )
+    corpus = e.unionAll(planted)
+    # spread across every core before checkpointing: the union plan is
+    # (one parquet split) + 10 single-row legs = 11 partitions with one
+    # straggler carrying the whole corpus through the interpreted HOF
+    # distance folds (measured 16s -> ~4s at sf0.1). Order-independent
+    # training makes the layout free to choose.
+    corpus = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     _TRAINED_CACHE[key] = corpus
     return corpus
 
@@ -11395,4 +11422,106 @@ _ORACLE_SHAPES["q172_constraint_audit"] = (
 
 _UNION_MERGES["q44_join_agg_battery"].append(
     ("constraint_audit", "q172_constraint_audit")
+)
+
+
+# ===========================================================================
+# Round 7 additions: q173 token-budget mixture planning, q174
+# leakage-safe corpus split, q175 feature-hashed (hashing-trick)
+# similarity. Three training-data-pipeline operators the registry
+# lacked: "how many epochs of each source", "splits that near-dups
+# cannot straddle", and "vectorize without a vocabulary".
+# ===========================================================================
+
+_MIX_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+_MIX_TARGETS = {
+    "src0": 0.55, "src1": 0.25, "src2": 0.10, "src3": 0.07,
+    "src4": 0.03,
+}
+_MIX_EPOCH_CAP = 4.0
+
+
+def q173_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (operators/mixture.py::
+    plan_token_budget): budget = 3x the 5-source token total, so the
+    heavy-weighted src0 (want = 1.65x total ~ 8x its own tokens) hits
+    the 4-epoch repetition cap and the single redistribution round
+    actually redistributes. All int64 math — the oracle replays every
+    floor division bit-for-bit."""
+    from jsonl_dataingestion_pipeline_spark.operators.mixture import (
+        plan_token_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_MIX_SOURCES)
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    total = d.select(F.sum(toks).alias("t")).head()["t"]
+    return plan_token_budget(
+        d, "source", toks,
+        _MIX_TARGETS,
+        budget_tokens=3 * int(total),
+        max_epochs=_MIX_EPOCH_CAP,
+    )
+
+
+_DEDUP_SIM_QUERIES["q173_mixture_plan"] = q173_mixture_plan
+
+_ORACLE_DEDUP_SIM["q173_mixture_plan"] = """
+    WITH toks AS (
+        SELECT source AS mix_source,
+               CAST(len(regexp_split_to_array(TRIM(text), '\\s+'))
+                    AS BIGINT) AS t
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ), avail AS (
+        SELECT mix_source, SUM(t) AS mix_avail
+        FROM toks GROUP BY mix_source
+    ), b AS (
+        SELECT 3 * SUM(t) AS budget FROM toks
+    ), w AS (
+        SELECT * FROM (VALUES
+            ('src0', 550000), ('src1', 250000), ('src2', 100000),
+            ('src3', 70000), ('src4', 30000)
+        ) AS v(mix_source, wu)
+    ), j AS (
+        SELECT a.mix_source, a.mix_avail,
+               CAST(w.wu AS BIGINT) AS wu, b.budget
+        FROM avail a JOIN w USING (mix_source) CROSS JOIN b
+    ), base AS (
+        SELECT mix_source, mix_avail, wu, budget,
+               budget * wu // 1000000 AS mix_want,
+               mix_avail * CAST(4000 AS BIGINT) // 1000 AS cap
+        FROM j
+    ), firsts AS (
+        SELECT *, LEAST(mix_want, cap) AS f,
+               cap - LEAST(mix_want, cap) AS head
+        FROM base
+    ), spread AS (
+        SELECT *,
+               budget - SUM(f) OVER () AS leftover,
+               SUM(CASE WHEN head > 0 THEN wu ELSE 0 END) OVER ()
+                   AS wopen
+        FROM firsts
+    ), fin AS (
+        SELECT mix_source, mix_avail, mix_want,
+               f + CASE WHEN head > 0 AND wopen > 0
+                        THEN LEAST(leftover * wu // wopen, head)
+                        ELSE 0 END AS mix_realized
+        FROM spread
+    )
+    SELECT mix_source, mix_avail, mix_want, mix_realized,
+           mix_realized * CAST(1000000 AS BIGINT) // mix_avail
+               AS mix_epochs_u
+    FROM fin
+"""
+
+_ORACLE_SHAPES["q173_mixture_plan"] = (
+    ("mix_source", "VARCHAR"), ("mix_avail", "BIGINT"),
+    ("mix_want", "BIGINT"), ("mix_realized", "BIGINT"),
+    ("mix_epochs_u", "BIGINT"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(
+    ("mixture_plan", "q173_mixture_plan")
 )

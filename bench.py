@@ -37,6 +37,49 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per operator family, weighted toward the heavy ones.
+#
+# CORE is the FROZEN round-over-round comparison set — the 34 queries
+# benched identically since round 5. Its sum is emitted as
+# ``core_value`` so consecutive rounds diff one number instead of
+# reconstructing a common subset; new operators join HEADLINE (and the
+# per-query dict) but never CORE.
+CORE = [
+    "q01_pricing_summary",
+    "q03_region_revenue",
+    "q05_latest_order_per_customer",
+    "q08_windowed_event_agg",
+    "q10_sessionize",
+    "q12_delay_classify",
+    "q17_text_summaries",
+    "q20_quality_score",
+    "q22_fingerprint",
+    "q24_minhash_signature",
+    "q25_ngram_jaccard_pairs",
+    "q26_minhash_lsh_pairs",
+    "q28_cosine_topk",
+    "q30_doc_pipeline",
+    "q40_shipment_pipeline_full",
+    "q68_decontamination",
+    "q74_resample_locf",
+    "q84_line_dedup",
+    "q85_hll_rollup",
+    "q86_zorder_cells",
+    "q88_profile_columns",
+    "q106_gopher_rules",
+    "q109_html_extract",
+    "q111_lm_perplexity",
+    "q113_cms_heavy_hitters",
+    "q116_pagerank",
+    "q118_web_pipeline",
+    "q133_kmeans",
+    "q134_quality_classifier",
+    "q135_link_graph",
+    "q137_fuzzy_decontamination",
+    "q140_image_neardup_pairs",
+    "q142_bloom_membership",
+    "q143_sequence_packing",
+]
+
 HEADLINE = [
     "q01_pricing_summary",
     "q03_region_revenue",
@@ -99,6 +142,7 @@ HEADLINE = [
     "q168_entity_resolution",
     "q169_negative_samples",
     "q170_lsh_recall_audit",
+    "q171_ann_recall_audit",
     "q172_constraint_audit",
 ]
 
@@ -182,9 +226,12 @@ def main() -> int:
     # final stdout line (driver tail capture is 2,000 chars; VERDICT r5
     # item #1: the 34-query single-line JSON outgrew it and BENCH_r05
     # parsed null).
+    core_total = round(sum(timings[q] for q in CORE if q in timings), 3)
     detail = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
+        "core_value": core_total,
+        "core_queries": len(CORE),
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs_per_query,
@@ -201,6 +248,8 @@ def main() -> int:
     out = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
+        "core_value": core_total,
+        "core_queries": len(CORE),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "runs_per_query": runs_per_query,

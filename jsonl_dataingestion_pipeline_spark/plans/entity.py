@@ -26,6 +26,7 @@ on the cluster key.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -38,32 +39,43 @@ from jsonl_dataingestion_pipeline_spark.operators.dedup import (
 from jsonl_dataingestion_pipeline_spark.operators.fuzzy import block_key
 from jsonl_dataingestion_pipeline_spark.operators.repair import golden_record
 
+_LOG = logging.getLogger(__name__)
 
-def resolve_entities(
-    mentions: DataFrame,
-    *,
-    id_col: str,
-    name_col: str,
-    attrs: Sequence[str] = (),
-    max_distance: int = 2,
-    key_start: int = 1,
-    key_length: int = 4,
-    reliable: bool = False,
-) -> tuple[DataFrame, DataFrame]:
-    """Resolve ``mentions`` into entities.
 
-    Returns ``(assignments, golden)``: every mention labeled with its
-    entity id (``id_col``, entity), and one golden record per entity
-    (entity + the majority-vote value of ``name_col`` and each attr).
-    """
-    m = _pipeline_break(
-        mentions.select(
-            F.col(id_col).alias("__mid"),
-            F.col(name_col).alias("__mname"),
-            block_key(name_col, key_start, key_length).alias("__bk"),
-        ),
-        reliable,
-    )
+def match_pairs(
+    m: DataFrame, max_distance: int, *, max_block: int | None = None
+) -> DataFrame:
+    """Within-block match pairs of a blocked mention frame (``__mid``,
+    ``__mname``, ``__bk``): an EQUI self-join on the block key with the
+    Levenshtein threshold as a post-join filter — the plan contract
+    (asserted in tests/test_plans.py) is that candidate generation is
+    never a cross product; block sizes bound the fan-out.
+
+    ``max_block`` is the skew guard: the self-join is O(block²), so one
+    hot key (measured in SCALING.md: a block holding 10% of mentions is
+    100x the candidates, 30% is 1,100x) goes quadratic at scale. When
+    set, blocks larger than ``max_block`` are DROPPED from candidate
+    generation with a logged mention count — the same drop-and-log
+    contract as ``dedup.py``'s ``max_bucket``, never silent. ``None``
+    (default) keeps the exact semantics the q168 oracle replays."""
+    if max_block is not None:
+        sizes = m.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
+        hot = sizes.filter(F.col("__bn") > max_block)
+        n_hot, n_dropped = 0, 0
+        for r in hot.collect():  # hot keys are few by definition
+            n_hot += 1
+            n_dropped += r["__bn"]
+        if n_hot:
+            _LOG.warning(
+                "match_pairs: max_block=%d dropped %d hot block(s) "
+                "covering %d mention(s) from candidate generation; "
+                "their pairs are not emitted. Pass max_block=None for "
+                "exact semantics.",
+                max_block, n_hot, n_dropped,
+            )
+        m = m.join(
+            F.broadcast(hot.select("__bk")), on="__bk", how="left_anti"
+        )
     a = m.select(
         F.col("__mid").alias("id_l"),
         F.col("__mname").alias("__nl"),
@@ -74,14 +86,45 @@ def resolve_entities(
         F.col("__mname").alias("__nr"),
         "__bk",
     )
-    pairs = _pipeline_break(
+    return (
         a.join(b, on="__bk")
         .filter(F.col("id_l") < F.col("id_r"))
         .filter(
             F.levenshtein(F.col("__nl"), F.col("__nr")) <= max_distance
         )
-        .select("id_l", "id_r"),
+        .select("id_l", "id_r")
+    )
+
+
+def resolve_entities(
+    mentions: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    attrs: Sequence[str] = (),
+    max_distance: int = 2,
+    key_start: int = 1,
+    key_length: int = 4,
+    max_block: int | None = None,
+    reliable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve ``mentions`` into entities.
+
+    Returns ``(assignments, golden)``: every mention labeled with its
+    entity id (``id_col``, entity), and one golden record per entity
+    (entity + the majority-vote value of ``name_col`` and each attr).
+    ``max_block``: skew guard forwarded to :func:`match_pairs`.
+    """
+    m = _pipeline_break(
+        mentions.select(
+            F.col(id_col).alias("__mid"),
+            F.col(name_col).alias("__mname"),
+            block_key(name_col, key_start, key_length).alias("__bk"),
+        ),
         reliable,
+    )
+    pairs = _pipeline_break(
+        match_pairs(m, max_distance, max_block=max_block), reliable
     )
     comp = connected_components(
         m.select(F.col("__mid").alias("id")),

@@ -468,3 +468,84 @@ def test_q167_export_single_partition_only_for_bucket_totals(spark):
     df = em.q167_traindata_export(spark, SF)
     tree = _tree(_formatted(spark, df))
     assert "Scan ExistingRDD" in tree, tree
+
+
+def test_q154_lpa_adjacency_never_reshuffled(spark):
+    """q154 (PLANS.md): the LPA loop reads the adjacency from its
+    checkpoint (Scan ExistingRDD) and joins the label frame to it via
+    broadcast — the edge relation is never sort-merge shuffled, and
+    every shuffle Exchange sits above a HashAggregate (the per-round
+    (v, label) count partials / argmax)."""
+    df = em.q154_label_propagation(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Scan ExistingRDD" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        node = line.split("- ")[-1]
+        if node.startswith("Exchange hashpartitioning"):
+            child = lines[i + 1].split("- ")[-1]
+            assert child.startswith("HashAggregate"), (line, child)
+
+
+def test_q157_bfs_result_is_checkpointed_union(spark):
+    """q157 (PLANS.md): every BFS round is materialized (frontier joins
+    run against the checkpointed adjacency and are cut from lineage),
+    so the returned distance frame is a union of checkpoint scans —
+    re-collecting it must not rescan parquet or replay any join."""
+    df = em.q157_bfs_distances(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Scan ExistingRDD" in tree, tree
+    assert "Scan parquet" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_q160_incremental_cc_base_never_shuffles(spark):
+    """q160 (PLANS.md): folding a batch into the base labeling applies
+    a broadcast (old comp -> new comp) mapping over the base — the base
+    side streams map-side from its checkpoint; no shuffle Exchange and
+    no SortMergeJoin may appear in the fold plan."""
+    df = em.q160_incremental_cc(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Exchange hashpartitioning" not in tree, tree
+
+
+def test_q161_ppr_edges_never_shuffled(spark):
+    """q161 (PLANS.md): personalized PageRank keeps the q116 iteration
+    contract — the rank vector broadcasts to the edge relation, so no
+    SortMergeJoin exists and every shuffle Exchange sits directly above
+    a HashAggregate (the contribution partial sums)."""
+    df = em.q161_personalized_pagerank(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        node = line.split("- ")[-1]
+        if node.startswith("Exchange hashpartitioning"):
+            child = lines[i + 1].split("- ")[-1]
+            assert child.startswith("HashAggregate"), (line, child)
+
+
+def test_q168_entity_match_is_blocked_equi_join(spark):
+    """q168 (PLANS.md): candidate generation for entity matching is an
+    EQUI self-join on the block key with Levenshtein as a post-join
+    filter (plans/entity.py::match_pairs) — never a CartesianProduct /
+    BroadcastNestedLoopJoin over the mention table."""
+    from jsonl_dataingestion_pipeline_spark.operators.fuzzy import block_key
+    from jsonl_dataingestion_pipeline_spark.plans.entity import match_pairs
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").limit(200)
+    m = c.select(
+        F.col("c_custkey").alias("__mid"),
+        F.col("c_name").alias("__mname"),
+        block_key("c_name", 1, 7).alias("__bk"),
+    )
+    tree = _tree(_formatted(spark, match_pairs(m, 2)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "Join" in tree, tree

@@ -114,3 +114,36 @@ class TestResolveEntities:
         )
         a = {r.mid: r.entity for r in assign.collect()}
         assert a == {1: 1, 2: 2}
+
+
+def test_match_pairs_max_block_drops_hot_block_and_logs(spark, caplog):
+    """The skew guard: a block over max_block is dropped from candidate
+    generation (its pairs vanish), healthy blocks are untouched, and
+    the drop is LOGGED — the dedup max_bucket contract, ported to
+    entity matching (SCALING.md round-7 hot-block knee)."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from jsonl_dataingestion_pipeline_spark.plans.entity import match_pairs
+
+    rows = [(i, f"hot {i:02d}", "HOTK") for i in range(10)] + [
+        (100, "acme corp", "ACME"),
+        (101, "acme corp.", "ACME"),
+    ]
+    m = spark.createDataFrame(
+        rows, "mid long, nm string, bk string"
+    ).select(
+        F.col("mid").alias("__mid"),
+        F.col("nm").alias("__mname"),
+        F.col("bk").alias("__bk"),
+    )
+    exact = match_pairs(m, 2).collect()
+    assert len(exact) == 45 + 1  # C(10,2) hot pairs + the acme pair
+    with caplog.at_level(
+        logging.WARNING,
+        logger="jsonl_dataingestion_pipeline_spark.plans.entity",
+    ):
+        capped = match_pairs(m, 2, max_block=5).collect()
+    assert {(r.id_l, r.id_r) for r in capped} == {(100, 101)}
+    assert any("dropped 1 hot block" in r.message for r in caplog.records)

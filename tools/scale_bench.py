@@ -958,6 +958,150 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         anchors = d.filter(F.col("doc_id") % 17 == 0)
         return negative_samples(d, anchors, "doc_id", k=4, seed=11)
 
+    def _er_mentions(spark, sf_dir, hot_fraction=0.0):
+        # entity-resolution mention frame over the scaled corpus: each
+        # doc contributes a planted mention pair (md5 phone + its
+        # last-char bump). The replica id (doc_id // 10**7) is embedded
+        # as a fixed-width prefix INSIDE the 7-char block key, so
+        # blocks never span replicas -> entities and output rows are
+        # exactly replica-linear (rows = 2 * docs). hot_fraction > 0
+        # overrides that fraction of mentions' block prefix with one
+        # constant key — the adversarial hot block whose within-block
+        # self-join goes quadratic (the documented skew knee).
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id")
+        rep = F.lpad((F.col("doc_id") / F.lit(10**7))
+                     .cast("long").cast("string"), 2, "0")
+        h = F.substring(
+            F.md5((F.col("doc_id") % F.lit(10**7)).cast("string")), 1, 9
+        )
+        phone = F.concat(rep, h)
+        if hot_fraction:
+            mod = int(round(1.0 / hot_fraction))
+            phone = F.when(
+                F.col("doc_id") % mod == 0,
+                F.concat(F.lit("ZZHOTKEY"), h),
+            ).otherwise(phone)
+        bumped = F.concat(F.substring(phone, 1, 10), F.lit("z"))
+        return (
+            d.select((F.col("doc_id") * 2).alias("mid"),
+                     phone.alias("phone"))
+            .unionAll(
+                d.select((F.col("doc_id") * 2 + 1).alias("mid"),
+                         bumped.alias("phone"))
+            )
+        )
+
+    def q168_scaled(spark, sf_dir):
+        # rows = assignments (= 2 * docs, exactly replica-linear);
+        # block keys are replica-prefixed so no cross-replica blocks.
+        from jsonl_dataingestion_pipeline_spark.plans.entity import (
+            resolve_entities,
+        )
+
+        assignments, _golden = resolve_entities(
+            _er_mentions(spark, sf_dir),
+            id_col="mid", name_col="phone",
+            max_distance=2, key_start=1, key_length=7,
+        )
+        return assignments
+
+    def q168_hotblock_scaled(spark, sf_dir):
+        # adversarial skew: ~10% of mentions share ONE block key ->
+        # the within-block self-join alone is (0.1 * 2 * docs)^2
+        # candidate pairs. Run at x1 only; the wall vs q168_entity's
+        # x1 documents the quadratic knee and the block-key guidance.
+        from jsonl_dataingestion_pipeline_spark.plans.entity import (
+            resolve_entities,
+        )
+
+        assignments, _golden = resolve_entities(
+            _er_mentions(spark, sf_dir, hot_fraction=0.10),
+            id_col="mid", name_col="phone",
+            max_distance=2, key_start=1, key_length=7,
+        )
+        return assignments
+
+    def q165_scaled(spark, sf_dir):
+        # KMV over the scaled corpus: sketch doc_id per lang + a merge
+        # of per-source sub-sketches, exact countDistinct alongside.
+        # Rows = #langs (const); the sketch is a mergeable bounded-k
+        # aggregate, so wall must track the scan, never the group size.
+        from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+            kmv_estimate,
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        k = 256
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        direct = kmv_sketch(d, "doc_id", ["lang"], k=k)
+        per_src = kmv_sketch(d, "doc_id", ["lang", "source"], k=k)
+        merged = per_src.groupBy("lang").agg(
+            F.aggregate(
+                F.collect_list("kmv"),
+                F.array().cast("array<long>"),
+                lambda acc, x: kmv_merge(acc, x, k=k),
+            ).alias("kmv_m")
+        )
+        exact = d.groupBy("lang").agg(
+            F.countDistinct("doc_id").cast("long").alias("n_exact")
+        )
+        return (
+            direct.join(merged, on="lang").join(exact, on="lang")
+            .select(
+                "lang",
+                kmv_estimate(F.col("kmv"), k=k).alias("est"),
+                kmv_estimate(F.col("kmv_m"), k=k).alias("est_merged"),
+                "n_exact",
+            )
+        )
+
+    def q171_scaled(spark, sf_dir):
+        # ANN recall audit over the scaled embeddings: training is
+        # constant-cost (4 cells / 8 codes over driver-held rounds),
+        # the exact and ADC sides are single scans -> const 1-row
+        # output, wall must track the scan. Clears the trained-
+        # quantizer cache so each scale trains on ITS corpus.
+        entry._TRAINED_CACHE.clear()
+        return entry.q171_ann_recall_audit(spark, sf_dir)
+
+    def q172_scaled(spark, sf_dir):
+        # declarative rule audit over the scaled corpus: the row-local
+        # rules fuse into ONE conditional-sum scan, unique is one
+        # keys-only groupBy, FK probes the embeddings ids — rows =
+        # #rules (const), wall tracks the widest single scan.
+        from jsonl_dataingestion_pipeline_spark.operators.quality import (
+            check_constraints,
+            foreign_key,
+            in_range,
+            in_set,
+            matches,
+            not_null,
+            unique,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        e = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        return check_constraints(
+            d,
+            [
+                not_null("text"),
+                in_range("n_chars", 0, 10**9),
+                matches("lang", r"^[a-z]{2}$"),
+                in_set("source", ["web", "books", "code", "wiki", "news"]),
+                unique(["doc_id"]),
+                foreign_key(
+                    ["doc_id"],
+                    e.select(F.col("vec_id").alias("doc_id")),
+                    ["doc_id"],
+                ),
+            ],
+        )
+
     runs = {
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
@@ -1007,6 +1151,11 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q166_interval": q166_scaled,
         "q167_export": q167_scaled,
         "q169_negatives": q169_scaled,
+        "q165_kmv": q165_scaled,
+        "q168_entity": q168_scaled,
+        "q168_hotblock": q168_hotblock_scaled,
+        "q171_ann_audit": q171_scaled,
+        "q172_rules": q172_scaled,
     }
     out = {}
     import logging as _logging
