@@ -11525,3 +11525,188 @@ _ORACLE_SHAPES["q173_mixture_plan"] = (
 _UNION_MERGES["q53_sampling_suite"].append(
     ("mixture_plan", "q173_mixture_plan")
 )
+
+
+def q174_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are split by their
+    NEAR-DUP CLUSTER id, not their own id, so a near-duplicate pair can
+    never straddle train and eval (the contamination mode a plain
+    per-doc hash split — q105 — cannot prevent). Composition: q25's
+    sampled-shingle pairs on the planted corpus -> connected components
+    (min-id labels, singletons = own id) -> md5 split coin on the
+    cluster id (functions/sampling.py::split_corpus). The emitted
+    ``leak_pairs`` column counts near-dup pairs whose endpoints landed
+    in different splits — 0 by construction, and the oracle + a pytest
+    invariant re-prove it every run."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        split_corpus,
+    )
+
+    corpus = _planted_neardup_corpus(spark, sf_dir).filter(
+        F.col("id") < 300
+    )
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "id",
+        shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+    ).select("id_l", "id_r").localCheckpoint(eager=True)
+    comp = connected_components(
+        corpus.select("id"), pairs
+    )
+    labeled = split_corpus(
+        comp, "comp", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=17
+    )
+    sl = labeled.select(F.col("id").alias("id_l"), F.col("split").alias("__s_l"))
+    sr = labeled.select(F.col("id").alias("id_r"), F.col("split").alias("__s_r"))
+    leak = (
+        pairs.join(sl, on="id_l").join(sr, on="id_r")
+        .filter(F.col("__s_l") != F.col("__s_r"))
+        .count()
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.countDistinct("comp").cast("long").alias("n_clusters"),
+    ).withColumn("leak_pairs", F.lit(int(leak)).cast("long"))
+
+
+_DEDUP_SIM_QUERIES["q174_leakage_safe_split"] = q174_leakage_safe_split
+
+_ORACLE_DEDUP_SIM["q174_leakage_safe_split"] = _NEARDUP_CORPUS_SQL.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1
+).replace(
+    "FROM documents", "FROM documents WHERE doc_id < 150"
+) + """
+    , sampled AS (
+        SELECT DISTINCT id, h AS shash
+        FROM (SELECT id, UNNEST(list_transform(sh, s -> md5(s))) AS h
+              FROM cshingles)
+        WHERE h LIKE '0%'
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_l, b.id AS id_r
+        FROM sampled a JOIN sampled b
+            ON a.shash = b.shash AND a.id < b.id
+    ), pairs AS (
+        SELECT c.id_l, c.id_r
+        FROM cand c
+        JOIN cshingles sa ON c.id_l = sa.id
+        JOIN cshingles sb ON c.id_r = sb.id
+        WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
+                    / CAST(GREATEST(len(list_distinct(
+                          list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6)
+              >= 0.5
+    ), edges AS (
+        SELECT id_l AS a, id_r AS b FROM pairs
+        UNION
+        SELECT id_r AS a, id_l AS b FROM pairs
+    ), reach AS (
+        SELECT id, id AS comp FROM corpus
+        UNION
+        SELECT e.b AS id, r.comp
+        FROM reach r JOIN edges e ON e.a = r.id
+    ), labels AS (
+        SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+    ), coined AS (
+        SELECT id, comp,
+               CASE WHEN CAST('0x' || substr(md5('17:' ||
+                        CAST(comp AS VARCHAR)), 1, 8) AS BIGINT)
+                         < 3435973836 THEN 'train'
+                    WHEN CAST('0x' || substr(md5('17:' ||
+                        CAST(comp AS VARCHAR)), 1, 8) AS BIGINT)
+                         < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM labels
+    ), leak AS (
+        SELECT COUNT(*) AS n FROM pairs p
+        JOIN coined cl ON p.id_l = cl.id
+        JOIN coined cr ON p.id_r = cr.id
+        WHERE cl.split <> cr.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(id) AS BIGINT) AS sum_ids,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
+           CAST((SELECT n FROM leak) AS BIGINT) AS leak_pairs
+    FROM coined GROUP BY split
+"""
+
+_ORACLE_SHAPES["q174_leakage_safe_split"] = (
+    ("split", "VARCHAR"), ("n_docs", "BIGINT"), ("sum_ids", "BIGINT"),
+    ("n_clusters", "BIGINT"), ("leak_pairs", "BIGINT"),
+)
+
+_UNION_MERGES["q51_neardup_clusters_battery"].append(
+    ("leakage_safe_split", "q174_leakage_safe_split")
+)
+
+
+def q175_hashed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed (hashing-trick) cosine top-5 vs document 0
+    (operators/vectorize.py): vocabulary-free vectorization — signed
+    md5 buckets, exact int64 weight sums, one broadcast join for the
+    dot product. Complements q60/q61's vocabulary-based rankers with
+    the stateless path a shard-parallel 100 TB ingest needs."""
+    from jsonl_dataingestion_pipeline_spark.operators.vectorize import (
+        hashed_cosine_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_cosine_topk(
+        d, d.filter(F.col("doc_id") == 0), "text", "doc_id",
+        dim=1024, k=5,
+    )
+
+
+_DEDUP_SIM_QUERIES["q175_hashed_cosine"] = q175_hashed_cosine
+
+_ORACLE_DEDUP_SIM["q175_hashed_cosine"] = r"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               UNNEST(list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   t -> t <> '')) AS tok
+        FROM documents
+    ), ent AS (
+        SELECT id,
+               CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                    % 1024 AS INT) AS bucket,
+               CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT)
+                         % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM toks
+    ), vec AS (
+        SELECT id, bucket, CAST(SUM(s) AS BIGINT) AS w
+        FROM ent GROUP BY id, bucket HAVING SUM(s) <> 0
+    ), q AS (
+        SELECT bucket, w AS qw FROM vec WHERE id = 0
+    ), qn AS (
+        SELECT SUM(qw * qw) AS qn2 FROM q
+    ), norms AS (
+        SELECT id, SUM(w * w) AS n2 FROM vec GROUP BY id
+    ), dots AS (
+        SELECT v.id, SUM(v.w * q.qw) AS dot
+        FROM vec v JOIN q ON v.bucket = q.bucket GROUP BY v.id
+    ), scored AS (
+        SELECT d.id AS ht_id,
+               CAST(ROUND(ROUND(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(n.n2 AS DOUBLE))
+                           * sqrt(CAST(qn.qn2 AS DOUBLE))), 6)
+                    * 1000000.0) AS BIGINT) AS ht_sim_u
+        FROM dots d JOIN norms n ON d.id = n.id CROSS JOIN qn
+        WHERE d.id <> 0
+    )
+    SELECT ht_id, ht_sim_u,
+           CAST(ROW_NUMBER() OVER (ORDER BY ht_sim_u DESC, ht_id)
+                AS INT) AS ht_rank
+    FROM scored ORDER BY ht_sim_u DESC, ht_id LIMIT 5
+"""
+
+_ORACLE_SHAPES["q175_hashed_cosine"] = (
+    ("ht_id", "BIGINT"), ("ht_sim_u", "BIGINT"), ("ht_rank", "INTEGER"),
+)
+
+_UNION_MERGES["q60_text_ranking"].append(
+    ("hashed_cosine", "q175_hashed_cosine")
+)

@@ -144,6 +144,9 @@ HEADLINE = [
     "q170_lsh_recall_audit",
     "q171_ann_recall_audit",
     "q172_constraint_audit",
+    "q173_mixture_plan",
+    "q174_leakage_safe_split",
+    "q175_hashed_cosine",
 ]
 
 

@@ -86,3 +86,12 @@ def test_q171_ann_recall_audit_floor(spark, em):
     row = em.q171_ann_recall_audit(spark, SF).collect()[0]
     assert row.ann_k == 10
     assert row.ann_recall_u >= 500000, row
+
+
+def test_q174_split_never_straddles_neardup_pairs(spark, em):
+    """The leakage-safe split's contract: assignment is by near-dup
+    CLUSTER, so no near-dup pair may straddle splits — leak_pairs must
+    be 0, and the split must cover the whole 300-id audit corpus."""
+    rows = em.q174_leakage_safe_split(spark, SF).collect()
+    assert rows and all(r.leak_pairs == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) == 300

@@ -1,0 +1,106 @@
+"""Token-budget mixture planning: capping, redistribution, integer
+exactness, and input validation (operators/mixture.py)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.operators.mixture import (
+    MAX_PLAN_TOKENS,
+    micro_weights,
+    plan_token_budget,
+)
+
+
+def _corpus(spark):
+    # avail: a=1000, b=1000, c=8000 tokens
+    rows = (
+        [("a", 10) for _ in range(100)]
+        + [("b", 100) for _ in range(10)]
+        + [("c", 80) for _ in range(100)]
+    )
+    return spark.createDataFrame(rows, "src string, toks int")
+
+
+def test_uncapped_plan_matches_targets_exactly(spark):
+    # budget 5000, weights 50/30/20 — no source hits its 4-epoch cap
+    # (a wants 2500 = 2.5 epochs of its 1000)
+    out = {
+        r.mix_source: r
+        for r in plan_token_budget(
+            _corpus(spark), "src", "toks",
+            {"a": 0.5, "b": 0.3, "c": 0.2},
+            budget_tokens=5000,
+        ).collect()
+    }
+    assert out["a"].mix_want == 2500 and out["a"].mix_realized == 2500
+    assert out["b"].mix_realized == 1500
+    assert out["c"].mix_realized == 1000
+    assert out["a"].mix_epochs_u == 2_500_000  # 2.5 epochs exactly
+    assert out["c"].mix_epochs_u == 125_000    # 0.125 epochs
+
+
+def test_cap_binds_and_leftover_redistributes_once(spark):
+    # a wants 40000*0.8 = 32000 but caps at 4 * 1000 = 4000; the 28000
+    # leftover flows to b and c proportionally (b: 28000*1/3 = 9333 ->
+    # caps at 4000 too; c absorbs its share under its 32000 cap)
+    out = {
+        r.mix_source: r
+        for r in plan_token_budget(
+            _corpus(spark), "src", "toks",
+            {"a": 0.8, "b": 0.1, "c": 0.1},
+            budget_tokens=40_000,
+        ).collect()
+    }
+    assert out["a"].mix_realized == 4000       # capped
+    assert out["a"].mix_epochs_u == 4_000_000  # exactly the cap
+    assert out["b"].mix_realized == 4000       # first 4000 (capped)
+    # c: first = 4000, extra = 28000 * wu / wopen clamped to headroom
+    assert out["c"].mix_realized > 4000
+    assert out["c"].mix_realized <= 32_000
+    total = sum(r.mix_realized for r in out.values())
+    assert total <= 40_000
+
+
+def test_sources_missing_from_targets_are_dropped(spark):
+    out = plan_token_budget(
+        _corpus(spark), "src", "toks",
+        {"a": 0.6, "b": 0.4},
+        budget_tokens=1000,
+    ).collect()
+    assert {r.mix_source for r in out} == {"a", "b"}
+
+
+def test_micro_weights_sum_exactly_and_validate():
+    w = micro_weights({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert sum(w.values()) == 1_000_000
+    with pytest.raises(ValueError, match="sum to 1"):
+        micro_weights({"a": 0.5, "b": 0.4})
+
+
+def test_bounds_validation(spark):
+    with pytest.raises(ValueError, match="budget_tokens"):
+        plan_token_budget(
+            _corpus(spark), "src", "toks", {"a": 1.0},
+            budget_tokens=MAX_PLAN_TOKENS + 1,
+        )
+    with pytest.raises(ValueError, match="max_epochs"):
+        plan_token_budget(
+            _corpus(spark), "src", "toks", {"a": 1.0},
+            budget_tokens=100, max_epochs=9.0,
+        )
+
+
+def test_plan_independent_of_shuffle_layout(spark):
+    # int64 floor divisions over exact sums: any partitioning yields
+    # the identical plan (the ANN determinism contract, applied here)
+    df = _corpus(spark)
+    a = sorted(map(tuple, plan_token_budget(
+        df.repartition(1), "src", "toks",
+        {"a": 0.8, "b": 0.1, "c": 0.1}, budget_tokens=40_000,
+    ).collect()))
+    b = sorted(map(tuple, plan_token_budget(
+        df.repartition(16), "src", "toks",
+        {"a": 0.8, "b": 0.1, "c": 0.1}, budget_tokens=40_000,
+    ).collect()))
+    assert a == b

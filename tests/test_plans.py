@@ -549,3 +549,32 @@ def test_q168_entity_match_is_blocked_equi_join(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "Join" in tree, tree
+
+
+def test_q173_mixture_plan_single_scan_no_join(spark):
+    """q173: the corpus is touched ONCE (the per-source token
+    aggregate); all remaining planning math runs on the #sources-row
+    frame (window sums), never a join or a second scan."""
+    tree = _tree(_formatted(spark, em.q173_mixture_plan(spark, SF)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_q174_split_reads_checkpointed_clusters(spark):
+    """q174: the split plan consumes the checkpointed component
+    labeling (Scan ExistingRDD) — no parquet rescan and no sort-merge
+    join replay of the near-dup machinery at collect time."""
+    tree = _tree(_formatted(spark, em.q174_leakage_safe_split(spark, SF)))
+    assert "Scan ExistingRDD" in tree, tree
+    assert "Scan parquet" not in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_q175_hashed_cosine_broadcast_query_take_ordered(spark):
+    """q175: the dot product joins the corpus entries against the
+    BROADCAST query entries (never a shuffle of the corpus onto a
+    <= dim-row side), and the top-k cut is TakeOrderedAndProject."""
+    tree = _tree(_formatted(spark, em.q175_hashed_cosine(spark, SF)))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "CartesianProduct" not in tree, tree

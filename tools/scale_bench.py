@@ -1102,7 +1102,62 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             ],
         )
 
+    def q173_scaled(spark, sf_dir):
+        # source columns replicate unchanged, so each source's token
+        # pool is k * (x1 pool); budget = 3x the 5-source total scales
+        # with the data -> rows = 5 const, the same capping/
+        # redistribution shape at every k, wall tracks the one scan.
+        return entry.q173_mixture_plan(spark, sf_dir)
+
+    def q174_scaled(spark, sf_dir):
+        # leakage-safe split over the FULL scaled corpus (the gate
+        # fixture caps id < 300 for the recursive oracle; the scaled
+        # variant drops the cap): clusters are replica-local (word
+        # suffixes), rows = 3 splits const, docs covered = k * 2 * (x1
+        # docs); leak invariant must hold at every scale.
+        from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+            split_corpus,
+        )
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+        )
+
+        corpus = entry._planted_neardup_corpus(spark, sf_dir)
+        pairs = ngram_jaccard_pairs(
+            corpus, "text", "id",
+            shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+            base=entry._planted_shingle_base(spark, sf_dir),
+        ).select("id_l", "id_r").localCheckpoint(eager=True)
+        comp = connected_components(corpus.select("id"), pairs)
+        labeled = split_corpus(
+            comp, "comp", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=17,
+        )
+        sl = labeled.select(
+            F.col("id").alias("id_l"), F.col("split").alias("__sl")
+        )
+        sr = labeled.select(
+            F.col("id").alias("id_r"), F.col("split").alias("__sr")
+        )
+        n_leak = (
+            pairs.join(sl, on="id_l").join(sr, on="id_r")
+            .filter(F.col("__sl") != F.col("__sr")).count()
+        )
+        assert n_leak == 0, f"leakage-safe split leaked {n_leak} pairs"
+        return labeled.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    def q175_scaled(spark, sf_dir):
+        # hashed cosine vs doc 0 over the scaled corpus: rows = 5
+        # const; the scan + sparse aggregate are the k-linear parts.
+        return entry.q175_hashed_cosine(spark, sf_dir)
+
     runs = {
+        "q173_mixture": q173_scaled,
+        "q174_split": q174_scaled,
+        "q175_hashed_cos": q175_scaled,
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
         "q26_minhash_lsh_pairs": entry.q26_minhash_lsh_pairs,
         "q39_embedding_neardup_planted": q39_scaled,
