@@ -11135,28 +11135,29 @@ def _aud_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q0 = full.filter(F.col("vec_id") == 0).select("embedding")
-    # all planted rows from ONE q0 scan: explode an array of
-    # (id, perturbed-vector) structs instead of unioning ten legs
-    legs = [
-        F.struct(
-            F.lit(_AUD_BASE_ID + j + 1).cast("long").alias("vec_id"),
-            F.array(
-                *[
-                    F.round(
-                        F.element_at(F.col("embedding"), d + 1)
-                        .cast("double"),
-                        9,
-                    )
-                    + F.lit(_AUD_DELTAS[j][d])
-                    for d in range(64)
-                ]
-            ).alias("embedding"),
-        )
-        for j in range(_AUD_NPLANT)
-    ]
-    planted = q0.select(F.explode(F.array(*legs)).alias("s")).select(
-        F.col("s.vec_id").alias("vec_id"),
-        F.col("s.embedding").alias("embedding"),
+    # the deltas ride as DATA (a 10-row frame), not as expressions: an
+    # expression form (10 x 64 round(element_at)+lit terms) blew the
+    # JVM's 64 KB generated-method limit and silently fell back to
+    # interpreted evaluation. One cross join of the 1-row q0 scan
+    # against the 10-row delta frame + a zip_with keeps the plan tiny;
+    # the arithmetic (round(x, 9) + delta) is unchanged.
+    deltas_df = spark.createDataFrame(
+        [
+            (_AUD_BASE_ID + j + 1, _AUD_DELTAS[j])
+            for j in range(_AUD_NPLANT)
+        ],
+        "vec_id long, delta array<double>",
+    )
+    planted = q0.crossJoin(F.broadcast(deltas_df)).select(
+        "vec_id",
+        F.zip_with(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x, 9),
+            ),
+            F.col("delta"),
+            lambda a, b: a + b,
+        ).alias("embedding"),
     )
     corpus = e.unionAll(planted)
     # spread across every core before checkpointing: the union plan is
@@ -11709,4 +11710,65 @@ _ORACLE_SHAPES["q175_hashed_cosine"] = (
 
 _UNION_MERGES["q60_text_ranking"].append(
     ("hashed_cosine", "q175_hashed_cosine")
+)
+
+
+def q176_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile calibration of the q20 quality score
+    (operators/calibrate.py): raw scores are incomparable across
+    sources, so the keep-threshold operates on the WITHIN-SOURCE
+    percentile ("top 20% of every source"). percent_rank has standard
+    tie semantics on both engines and the emitted percentile is an
+    integer micro-unit."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+    from jsonl_dataingestion_pipeline_spark.operators.calibrate import (
+        percentile_calibrate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", ts.quality_score(F.col("text")).alias("__q")
+    )
+    out = percentile_calibrate(scored, "__q", "source", threshold=0.8)
+    return out.select(
+        "doc_id",
+        F.col("source").alias("cal_source"),
+        "cal_pct_u",
+        "cal_pass",
+    )
+
+
+_DEDUP_SIM_QUERIES["q176_score_calibration"] = q176_score_calibration
+
+_ORACLE_DEDUP_SIM["q176_score_calibration"] = _QUALITY_SQL + """
+    , scored AS (
+        SELECT s.doc_id, d.source,
+               FLOOR((
+                   0.4 * LEAST(s.n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(ROUND(s.stop_hits
+                       / CAST(GREATEST(s.n_tokens, 1) AS DOUBLE), 8)
+                       * 4.0, 1.0)
+                 + 0.3 * (s.n_distinct
+                       / GREATEST(CAST(s.n_tokens AS DOUBLE), 1.0))
+               ) * 10000.0) / 10000.0 AS q
+        FROM stats s JOIN documents d USING (doc_id)
+    ), ranked AS (
+        SELECT doc_id, source, 
+               CAST(ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY q ASC
+               ) * 1000000.0) AS BIGINT) AS cal_pct_u
+        FROM scored
+    )
+    SELECT doc_id, source AS cal_source, cal_pct_u,
+           cal_pct_u >= 800000.0 AS cal_pass
+    FROM ranked
+"""
+
+_ORACLE_SHAPES["q176_score_calibration"] = (
+    ("doc_id", "BIGINT"), ("cal_source", "VARCHAR"),
+    ("cal_pct_u", "BIGINT"), ("cal_pass", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q176_score_calibration", {})
 )

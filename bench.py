@@ -147,6 +147,7 @@ HEADLINE = [
     "q173_mixture_plan",
     "q174_leakage_safe_split",
     "q175_hashed_cosine",
+    "q176_score_calibration",
 ]
 
 

@@ -101,8 +101,16 @@ def hashed_cosine_topk(
     """
     from pyspark.sql.window import Window
 
-    corpus = hashed_tf_entries(
-        df, text_col, id_col, dim=dim
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        _pipeline_break,
+    )
+
+    # materialize the sparse entries ONCE: both the norm aggregate and
+    # the dot-product join consume them, and a lazy plan re-runs the
+    # tokenize/explode/aggregate subtree twice (measured ~2x wall at
+    # the x100 tier)
+    corpus = _pipeline_break(
+        hashed_tf_entries(df, text_col, id_col, dim=dim), False
     )
     qent = hashed_tf_entries(query, text_col, id_col, dim=dim).select(
         "bucket", F.col("w").alias("__qw")
