@@ -40,6 +40,22 @@ def tokens(c: ColumnOrName) -> Column:
     return F.split(F.trim(_col(c).cast("string")), r"\s+")
 
 
+def word_counts(df, text_col: str, *, lowercase: bool = True):
+    """Distinct-word frame ``(__w, __cnt)`` — the corpus-to-vocabulary
+    reduction both trained tokenizers (BPE, unigram-LM) iterate over.
+    One corpus pass; shared so word normalization can never silently
+    diverge between the two vocabularies."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return (
+        df.select(F.explode(tokens(t)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
 def token_count(c: ColumnOrName) -> Column:
     t = _col(c)
     return F.when(

@@ -52,15 +52,9 @@ def _merge_expr(sym_col, a: str, b: str):
 
 
 def _word_frame(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
-    t = F.col(text_col)
-    if lowercase:
-        t = F.lower(t)
-    words = (
-        df.select(F.explode(tokens(t)).alias("__w"))
-        .filter(F.col("__w") != "")
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
+    from ..functions.textstats import word_counts
+
+    words = word_counts(df, text_col, lowercase=lowercase)
     chars = F.filter(F.split(F.col("__w"), ""), lambda x: x != "")
     return words.select(
         F.concat(chars, F.array(F.lit(END))).alias("__s"),

@@ -71,6 +71,13 @@ def main() -> int:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
+            # 50 batteries accumulate checkpoint blocks + cached
+            # training state in ONE local JVM; the 1g default heap
+            # OOMs around battery ~30 at sf0.1 (ObjectHashAggregate
+            # percentile buffers were the first casualty)
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "8g"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -429,6 +429,22 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
             e, "embedding", "vec_id", k=8, iterations=2, init="kmeans||"
         )
 
+    def qunigram_scaled(spark, sf_dir):
+        # unigram-LM training (2 hard-EM iterations, vocab 500): every
+        # job runs over the DISTINCT-WORD frame, which the suffix
+        # construction multiplies by k — wall must grow at most ~k;
+        # output rows = vocab size (const cut).
+        from jsonl_dataingestion_pipeline_spark.operators.unigram import (
+            unigram_train,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        model = unigram_train(
+            d, "text", vocab_size=500, seed_size=2000,
+            max_piece_len=6, iterations=2,
+        )
+        return spark.createDataFrame(model, "piece string, logp double")
+
     def qbpe_scaled(spark, sf_dir):
         # BPE training: 10 merges over the distinct-word frame. The
         # suffix construction multiplies the vocabulary by k (every
@@ -1180,6 +1196,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q137_fuzzy_decontam": q137_scaled,
         "q143_packing": q143_scaled,
         "qbpe_train": qbpe_scaled,
+        "qunigram_train": qunigram_scaled,
         "qbpe_deep": qbpe_deep_scaled,
         "qkmeansll": qkmeansll_scaled,
         "q144_triangles": q144_scaled,
