@@ -467,3 +467,98 @@ def test_stream_incremental_components(spark, tmp_path):
     assert got == want
     # the cross-batch merge actually happened
     assert got[11] == got[1] == 1
+
+
+def test_stream_incremental_components_recovers_half_done_swap(
+    spark, tmp_path
+):
+    """Crash-safety of the label swap (ADVICE r6): if a crash lands
+    between 'rename old aside' and 'rename staging in', the newest
+    complete labeling survives under labels_path.__old and the next
+    batch RESTORES it before folding — no window ever exists in which
+    the only complete labeling has been deleted."""
+    import json as _json
+    import os
+
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        stream_incremental_components,
+    )
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "edges_in")
+    os.makedirs(in_dir)
+    batch1 = [(1, 2), (10, 11)]
+    with open(f"{in_dir}/b1.json", "w") as f:
+        for a, b in batch1:
+            f.write(_json.dumps({"id_l": a, "id_r": b}) + "\n")
+    labels_path = str(tmp_path / "labels")
+    stream = (
+        spark.readStream.schema("id_l long, id_r long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = stream_incremental_components(
+        spark, stream, labels_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    # simulate the crash window: old labeling renamed aside, the new
+    # rename never happened
+    os.rename(labels_path, labels_path + ".__old")
+    assert not os.path.isdir(labels_path)
+
+    batch2 = [(2, 10)]
+    with open(f"{in_dir}/b2.json", "w") as f:
+        for a, b in batch2:
+            f.write(_json.dumps({"id_l": a, "id_r": b}) + "\n")
+    stream2 = (
+        spark.readStream.schema("id_l long, id_r long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q2 = stream_incremental_components(
+        spark, stream2, labels_path, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        r.id: r.comp for r in spark.read.parquet(labels_path).collect()
+    }
+    all_edges = spark.createDataFrame(
+        batch1 + batch2, "id_l long, id_r long"
+    )
+    nodes = (
+        all_edges.select(F.col("id_l").alias("id"))
+        .unionAll(all_edges.select(F.col("id_r").alias("id")))
+        .distinct()
+    )
+    want = {
+        r.id: r.comp
+        for r in connected_components(nodes, all_edges).collect()
+    }
+    assert got == want
+    assert not os.path.isdir(labels_path + ".__old")  # cleaned up
+
+
+def test_stream_incremental_components_rejects_object_store_paths(
+    spark, tmp_path
+):
+    """The os.rename swap is posix-only; an s3:// labels path must
+    raise instead of silently breaking atomicity (ADVICE r6)."""
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        stream_incremental_components,
+    )
+
+    stream = (
+        spark.readStream.schema("id_l long, id_r long")
+        .json(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="posix"):
+        stream_incremental_components(
+            spark, stream, "s3://bucket/labels", str(tmp_path / "c")
+        )
