@@ -104,3 +104,40 @@ def test_plan_independent_of_shuffle_layout(spark):
         {"a": 0.8, "b": 0.1, "c": 0.1}, budget_tokens=40_000,
     ).collect()))
     assert a == b
+
+
+def test_plan_invariants_hold_under_random_inputs(spark):
+    """Property test (hypothesis-lite via seeded random): for random
+    weights/budgets/corpora the plan must satisfy the contract —
+    realized <= want-or-cap bounds, epochs <= cap, budget never
+    exceeded, all non-negative, and layout independence."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(6):
+        n_src = rng.randint(1, 6)
+        srcs = [f"s{i}" for i in range(n_src)]
+        rows = []
+        for s in srcs:
+            for _ in range(rng.randint(1, 30)):
+                rows.append((s, rng.randint(1, 500)))
+        df = spark.createDataFrame(rows, "src string, toks int")
+        raw = [rng.random() + 0.01 for _ in srcs]
+        tot = sum(raw)
+        targets = {s: w / tot for s, w in zip(srcs, raw)}
+        budget = rng.randint(100, 2_000_000)
+        max_ep = rng.choice([1.0, 2.5, 4.0, 8.0])
+        out = plan_token_budget(
+            df, "src", "toks", targets,
+            budget_tokens=budget, max_epochs=max_ep,
+        ).collect()
+        assert out, (trial, targets)
+        total_realized = 0
+        for r in out:
+            assert r.mix_avail > 0
+            assert 0 <= r.mix_realized
+            cap = r.mix_avail * int(max_ep * 1000) // 1000
+            assert r.mix_realized <= cap, (trial, r)
+            assert r.mix_epochs_u <= int(max_ep * 1_000_000) + 1, r
+            total_realized += r.mix_realized
+        assert total_realized <= budget, (trial, total_realized, budget)
