@@ -992,6 +992,24 @@ def _planted_shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base
 
 
+def _audit_shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle sets of the id < 300 audit slice, computed once per
+    session: q170's exact AND approximate legs plus q174's pair join
+    all consume the identical base — without sharing, each call pays
+    the dominant explode+distinct+checkpoint step again."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import shingle_base
+
+    key = (id(spark), sf_dir + "#audit_shingles")
+    if key in _PLANTED_CACHE:
+        return _PLANTED_CACHE[key]
+    base = shingle_base(
+        _planted_neardup_corpus(spark, sf_dir).filter(F.col("id") < 300),
+        "text", "id", shingle_k=3,
+    )
+    _PLANTED_CACHE[key] = base
+    return base
+
+
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 MinHash permutations (md5-seeded) per document."""
     from jsonl_dataingestion_pipeline_spark.operators.dedup import minhash_signature
@@ -1128,6 +1146,45 @@ _NEARDUP_CORPUS_SQL = """
         FROM ctoks
     )
 """
+
+def _minhash_band_sql(num_perm: int = 32, bands: int = 8) -> str:
+    """MinHash signature + band-key CTEs over ``cshingles`` — ONE
+    generator for every oracle that replays the banded path (q26's
+    pair oracle and q170's recall audit), so the banding scheme can
+    never silently diverge between them."""
+    rows = num_perm // bands
+    return (
+        ", expl AS (SELECT id, UNNEST(sh) AS s FROM cshingles)"
+        + ", hashed AS (SELECT id,"
+        + "  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h1,"
+        + "  CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647 AS h2"
+        + " FROM expl)"
+        + ", sigs AS (SELECT id, "
+        + ", ".join(
+            f"MIN((h1 + {i} * h2) % 2147483647) AS m{i}"
+            for i in range(num_perm)
+        )
+        + " FROM hashed GROUP BY id)"
+        + ", bandkeys AS (SELECT id, UNNEST(ARRAY["
+        + ", ".join(
+            "md5(concat_ws('|', "
+            + ", ".join(f"m{b * rows + r}" for r in range(rows))
+            + "))"
+            for b in range(bands)
+        )
+        + "]) AS key, UNNEST(ARRAY["
+        + ", ".join(str(b) for b in range(bands))
+        + "]) AS band FROM sigs)"
+    )
+
+
+#: exact distinct-shingle Jaccard between cshingles rows sa/sb — the
+#: shared verify expression of the q26/q170 oracles.
+_AUDIT_JAC = (
+    "ROUND(len(list_intersect(sa.sh, sb.sh))"
+    " / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1)"
+    " AS DOUBLE), 6)"
+)
 
 _ORACLE_DEDUP_SIM: dict[str, str] = {
     "q23_exact_dedup_stats": """
@@ -2579,36 +2636,19 @@ _ORACLE_DEDUP_SIM["q41_approx_distinct"] = """
 # ---------------------------------------------------------------------------
 _ORACLE_DEDUP_SIM["q26_minhash_lsh_pairs"] = (
     _NEARDUP_CORPUS_SQL
-    + ", expl AS (SELECT id, UNNEST(sh) AS s FROM cshingles)"
-    + ", hashed AS (SELECT id,"
-    + "  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h1,"
-    + "  CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647 AS h2"
-    + " FROM expl)"
-    + ", sigs AS (SELECT id, "
-    + ", ".join(f"MIN((h1 + {i} * h2) % 2147483647) AS m{i}" for i in range(32))
-    + " FROM hashed GROUP BY id)"
-    + ", bandkeys AS (SELECT id, "
-    + "UNNEST(ARRAY["
-    + ", ".join(
-        "md5(concat_ws('|', " + ", ".join(f"m{b * 4 + r}" for r in range(4)) + "))"
-        for b in range(8)
-    )
-    + "]) AS key, UNNEST(ARRAY[" + ", ".join(str(b) for b in range(8)) + "]) AS band"
-    + " FROM sigs)"
-    + """
+    + _minhash_band_sql(num_perm=32, bands=8)
+    + f"""
     , cand AS (
         SELECT DISTINCT a.id AS id_l, b.id AS id_r
         FROM bandkeys a JOIN bandkeys b
           ON a.band = b.band AND a.key = b.key AND a.id < b.id
     )
     SELECT c.id_l, c.id_r,
-           ROUND(len(list_intersect(sa.sh, sb.sh))
-                 / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) AS jaccard
+           {_AUDIT_JAC} AS jaccard
     FROM cand c
     JOIN cshingles sa ON c.id_l = sa.id
     JOIN cshingles sb ON c.id_r = sb.id
-    WHERE ROUND(len(list_intersect(sa.sh, sb.sh))
-                / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) AS DOUBLE), 6) >= 0.5
+    WHERE {_AUDIT_JAC} >= 0.5
     """
 )
 
@@ -9976,13 +10016,16 @@ def q170_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_neardup_corpus(spark, sf_dir).filter(
         F.col("id") < 300
     )
+    base = _audit_shingle_base(spark, sf_dir)
     exact = ngram_jaccard_pairs(
         corpus, "text", "id",
         shingle_k=3, sample_hex_prefix="", threshold=_AUDIT_T,
+        base=base,
     ).select("id_l", "id_r").cache()
     approx = minhash_lsh_pairs(
         corpus, "text", "id",
         num_perm=32, bands=8, shingle_k=3, threshold=_AUDIT_T,
+        base=base,
     ).select("id_l", "id_r").cache()
     try:
         n_exact = exact.count()
@@ -10004,42 +10047,6 @@ def q170_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_SIM_QUERIES["q170_lsh_recall_audit"] = q170_lsh_recall_audit
-
-
-def _minhash_band_sql(num_perm: int = 32, bands: int = 8) -> str:
-    """MinHash signature + band-key CTEs over ``cshingles`` (the q26
-    machinery, shared by the q170 audit oracle)."""
-    rows = num_perm // bands
-    return (
-        ", expl AS (SELECT id, UNNEST(sh) AS s FROM cshingles)"
-        + ", hashed AS (SELECT id,"
-        + "  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h1,"
-        + "  CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647 AS h2"
-        + " FROM expl)"
-        + ", sigs AS (SELECT id, "
-        + ", ".join(
-            f"MIN((h1 + {i} * h2) % 2147483647) AS m{i}"
-            for i in range(num_perm)
-        )
-        + " FROM hashed GROUP BY id)"
-        + ", bandkeys AS (SELECT id, UNNEST(ARRAY["
-        + ", ".join(
-            "md5(concat_ws('|', "
-            + ", ".join(f"m{b * rows + r}" for r in range(rows))
-            + "))"
-            for b in range(bands)
-        )
-        + "]) AS key, UNNEST(ARRAY["
-        + ", ".join(str(b) for b in range(bands))
-        + "]) AS band FROM sigs)"
-    )
-
-
-_AUDIT_JAC = (
-    "ROUND(len(list_intersect(sa.sh, sb.sh))"
-    " / CAST(GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1)"
-    " AS DOUBLE), 6)"
-)
 
 _ORACLE_DEDUP_SIM["q170_lsh_recall_audit"] = _NEARDUP_CORPUS_SQL.replace(
     "FROM documents", "FROM documents WHERE doc_id < 150"
@@ -10780,24 +10787,12 @@ _IPQ_DSUB = _IPQ_DIM // _IPQ_M
 _IPQ_NPROBE, _IPQ_K = 2, 10
 
 
-def _ivfpq_trained(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    n_cells: int = _IPQ_CELLS,
-    m: int = _IPQ_M,
-    n_codes: int = _IPQ_NCODES,
-    coarse_iterations: int = _IPQ_CIT,
-    pq_iterations: int = _IPQ_PIT,
-):
+def _ivfpq_trained(spark: SparkSession, sf_dir: str):
     from jsonl_dataingestion_pipeline_spark.operators.pq import (
         ivfpq_train,
     )
 
-    key = (
-        id(spark), sf_dir, "ivfpq",
-        n_cells, m, n_codes, coarse_iterations, pq_iterations,
-    )
+    key = (id(spark), sf_dir, "ivfpq")
     if key not in _TRAINED_CACHE:
         e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
         # same train-on-spread / return-raw split as _pq_trained
@@ -10806,9 +10801,9 @@ def _ivfpq_trained(
         ).localCheckpoint(eager=True)
         coarse, cbs = ivfpq_train(
             spread, "embedding", "vec_id",
-            dim=_IPQ_DIM, n_cells=n_cells, m=m, n_codes=n_codes,
-            coarse_iterations=coarse_iterations,
-            pq_iterations=pq_iterations,
+            dim=_IPQ_DIM, n_cells=_IPQ_CELLS, m=_IPQ_M,
+            n_codes=_IPQ_NCODES,
+            coarse_iterations=_IPQ_CIT, pq_iterations=_IPQ_PIT,
         )
         _TRAINED_CACHE[key] = (e, coarse, cbs)
     return _TRAINED_CACHE[key]
@@ -11553,6 +11548,7 @@ def q174_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         corpus, "text", "id",
         shingle_k=3, sample_hex_prefix="0", threshold=0.5,
+        base=_audit_shingle_base(spark, sf_dir),
     ).select("id_l", "id_r").localCheckpoint(eager=True)
     comp = connected_components(
         corpus.select("id"), pairs

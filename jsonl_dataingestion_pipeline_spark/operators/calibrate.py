@@ -51,12 +51,15 @@ def percentile_calibrate(
     """
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     pct = F.percent_rank().over(w)
+    # integer-vs-integer comparison: a float literal like 1/3 * 1e6
+    # (333333.333...) would flip the exact-boundary row that the
+    # documented 'percentile >= threshold' semantics include
+    thr_u = int(round(float(threshold) * 1e6))
+    pct_u = F.round(pct * 1e6).cast("long")
     return df.select(
         "*",
-        F.round(pct * 1e6).cast("long").alias(f"{out_prefix}_pct_u"),
-        (F.round(pct * 1e6) >= F.lit(float(threshold) * 1e6)).alias(
-            f"{out_prefix}_pass"
-        ),
+        pct_u.alias(f"{out_prefix}_pct_u"),
+        (pct_u >= F.lit(thr_u)).alias(f"{out_prefix}_pass"),
     )
 
 

@@ -235,15 +235,20 @@ def unigram_segment_counts(
     text_col: str,
     model: List[Tuple[str, float]],
     *,
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
     lowercase: bool = True,
     out_col: str = "unigram_tokens",
 ) -> DataFrame:
     """Per-row trained-tokenizer token counts: Viterbi-segment every
     word under ``model`` and sum piece counts. Arrow-batched
     ``mapInPandas`` with the vocab in the closure — the corpus is
-    scanned once, nothing shuffles."""
+    scanned once, nothing shuffles. ``max_piece_len`` defaults to the
+    longest piece IN the model, so segmentation can never silently
+    diverge from training by using a smaller DP window than the vocab
+    was trained with."""
     logp = dict(model)
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p, _ in model), default=1)
     mpl = int(max_piece_len)
     cols = df.columns
 

@@ -59,23 +59,30 @@ def match_pairs(
     contract as ``dedup.py``'s ``max_bucket``, never silent. ``None``
     (default) keeps the exact semantics the q168 oracle replays."""
     if max_block is not None:
-        sizes = m.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
-        hot = sizes.filter(F.col("__bn") > max_block)
-        n_hot, n_dropped = 0, 0
-        for r in hot.collect():  # hot keys are few by definition
-            n_hot += 1
-            n_dropped += r["__bn"]
-        if n_hot:
+        # ONE aggregation pass: collect the (few, by definition) hot
+        # keys with their sizes, log the totals, and filter with the
+        # keys as literals — a broadcast anti-join against the lazy
+        # sizes plan would re-evaluate the whole upstream mention
+        # construction a second time.
+        hot_rows = (
+            m.groupBy("__bk")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_block)
+            .collect()
+        )
+        if hot_rows:
             _LOG.warning(
                 "match_pairs: max_block=%d dropped %d hot block(s) "
                 "covering %d mention(s) from candidate generation; "
                 "their pairs are not emitted. Pass max_block=None for "
                 "exact semantics.",
-                max_block, n_hot, n_dropped,
+                max_block,
+                len(hot_rows),
+                sum(r["__bn"] for r in hot_rows),
             )
-        m = m.join(
-            F.broadcast(hot.select("__bk")), on="__bk", how="left_anti"
-        )
+            m = m.filter(
+                ~F.col("__bk").isin([r["__bk"] for r in hot_rows])
+            )
     a = m.select(
         F.col("__mid").alias("id_l"),
         F.col("__mname").alias("__nl"),

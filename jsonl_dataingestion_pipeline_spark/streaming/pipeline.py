@@ -442,7 +442,12 @@ def stream_incremental_components(
     )
 
     scheme = labels_path.split("://", 1)[0] if "://" in labels_path else ""
-    if scheme and scheme != "file":
+    if scheme == "file":
+        # normalize to the plain posix path: os.path/os.rename treat a
+        # file:// URI as a literal relative path and would crash the
+        # first batch
+        labels_path = labels_path.split("://", 1)[1]
+    elif scheme:
         raise ValueError(
             "stream_incremental_components keeps its labeling on a "
             f"posix path (got scheme {scheme!r}): the os.rename swap "
