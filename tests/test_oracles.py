@@ -2,6 +2,12 @@
 
 Catches registration mistakes (missing oracle, missing shape, SQL that
 DuckDB cannot even bind) in seconds, long before the full gate runs.
+
+The DYNAMIC half of the gate contract lives in
+tests/test_determinism.py (VERDICT r6 item 1): the ANN batteries are
+re-run across shuffle layouts with retraining forced and must produce
+bit-identical multisets, and the two recall audits carry >= 0.5
+floors on their planted corpora.
 """
 from __future__ import annotations
 
