@@ -300,31 +300,15 @@ def ivfpq_encode(
     return out.withColumn(code_col, codes).drop("__res")
 
 
-def ivfpq_topk(
-    df: DataFrame,
+def _probe_and_luts(
     query_vec: Sequence[float],
     coarse: List[List[float]],
     codebooks: Codebooks,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nprobe: int = 2,
-    k: int = 10,
-) -> DataFrame:
-    """IVFADC search: probe the ``nprobe`` coarse cells nearest the
-    query, and within them score candidates by ADC against the
-    RESIDUAL lookup table of each probed cell (the query residual
-    differs per cell, so each probed cell gets its own m x n_codes
-    table — nprobe * m * n_codes driver floats, embedded as literals).
-
-    The unprobed corpus is never touched: the cell filter is a pushed-
-    down predicate on the encode projection (partition-pruning when
-    the encoded table is stored bucketed by cell). Scoring is an
-    m-term literal-table lookup per candidate; top-k is sort+limit
-    (TakeOrderedAndProject), rank assigned over the k cut rows only.
-
-    Returns (id, cell INT, adc_rank INT, adc_dist2 DOUBLE).
-    """
+    nprobe: int,
+):
+    """Driver-side probe selection + per-probed-cell residual lookup
+    tables; returns (probed cell ids, literal LUT column indexed
+    [cell][sub][code])."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     dim = m * dsub
@@ -366,17 +350,27 @@ def ivfpq_topk(
             for ci in range(len(coarse))
         ]
     )
-    enc = ivfpq_encode(
-        df, vec_col, coarse, codebooks,
-        dim=dim, cell_col="__cell", code_col="__codes",
-    ).filter(F.col("__cell").isin([int(c) for c in probed]))
+    return probed, lut_lit
+
+
+def _ivfadc_score(
+    enc: DataFrame,
+    lut_lit,
+    *,
+    id_col: str,
+    cell_col: str,
+    code_col: str,
+    k: int,
+) -> DataFrame:
+    """ADC-score an already-cell-filtered encoded frame and cut the
+    top-k (TakeOrderedAndProject; rank over the k cut rows only)."""
     dist = F.round(
         F.aggregate(
             F.transform(
-                F.col("__codes"),
+                F.col(code_col),
                 lambda c, s: F.element_at(
                     F.element_at(
-                        F.element_at(lut_lit, F.col("__cell") + 1),
+                        F.element_at(lut_lit, F.col(cell_col) + 1),
                         s + 1,
                     ),
                     c + 1,
@@ -390,7 +384,7 @@ def ivfpq_topk(
     top = (
         enc.select(
             F.col(id_col).alias("id"),
-            F.col("__cell").cast("int").alias("cell"),
+            F.col(cell_col).cast("int").alias("cell"),
             dist.alias("adc_dist2"),
         )
         .orderBy(F.col("adc_dist2").asc(), F.col("id").asc())
@@ -400,6 +394,105 @@ def ivfpq_topk(
     return top.withColumn(
         "adc_rank", F.row_number().over(w).cast("int")
     ).select("id", "cell", "adc_rank", "adc_dist2")
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` coarse cells nearest the
+    query, and within them score candidates by ADC against the
+    RESIDUAL lookup table of each probed cell (the query residual
+    differs per cell, so each probed cell gets its own m x n_codes
+    table — nprobe * m * n_codes driver floats, embedded as literals).
+
+    The unprobed corpus is never touched: the cell filter is a pushed-
+    down predicate on the encode projection — or FILE-LEVEL partition
+    pruning when searching a stored index
+    (:func:`ivfpq_topk_from_index`). Scoring is an m-term
+    literal-table lookup per candidate; top-k is sort+limit
+    (TakeOrderedAndProject), rank assigned over the k cut rows only.
+
+    Returns (id, cell INT, adc_rank INT, adc_dist2 DOUBLE).
+    """
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    probed, lut_lit = _probe_and_luts(
+        query_vec, coarse, codebooks, nprobe
+    )
+    enc = ivfpq_encode(
+        df, vec_col, coarse, codebooks,
+        dim=dim, cell_col="__cell", code_col="__codes",
+    ).filter(F.col("__cell").isin([int(c) for c in probed]))
+    return _ivfadc_score(
+        enc, lut_lit,
+        id_col=id_col, cell_col="__cell", code_col="__codes", k=k,
+    )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: (id, codes) parquet PARTITIONED BY
+    cell — the storage layout the module note promises. At 100 TB the
+    index is ~m bytes per vector and a query's ``nprobe`` cell filter
+    prunes at the FILE level (only nprobe of n_cells directories are
+    even listed), so search cost is data-proportional to the probed
+    cells, not the corpus. Codebooks stay driver-side artifacts (k·d
+    floats) — persist them with the caller's model store."""
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    enc = ivfpq_encode(
+        df, vec_col, coarse, codebooks,
+        dim=dim, cell_col="cell", code_col="codes",
+    ).select(id_col, "cell", "codes")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    id_col: str = "vec_id",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVFADC search over a STORED index (:func:`write_ivfpq_index`):
+    no vector math, no encode — the probed-cell predicate becomes a
+    parquet PartitionFilter (plan-asserted in tests/test_pq.py), so
+    only nprobe of n_cells partition directories are scanned, and each
+    candidate costs one m-term LUT sum over its stored codes. Result
+    is identical to :func:`ivfpq_topk` over the source vectors
+    (pytest-proven roundtrip)."""
+    probed, lut_lit = _probe_and_luts(
+        query_vec, coarse, codebooks, nprobe
+    )
+    idx = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(c) for c in probed])
+    )
+    # partition columns read back as the partition-directory type;
+    # normalize for the LUT element_at arithmetic
+    idx = idx.withColumn("cell", F.col("cell").cast("int"))
+    return _ivfadc_score(
+        idx, lut_lit,
+        id_col=id_col, cell_col="cell", code_col="codes", k=k,
+    )
 
 
 def adc_topk(

@@ -228,3 +228,48 @@ def test_pq_errors(spark):
         pq_train(
             df, "embedding", "vec_id", dim=DIM, m=M, n_codes=NC
         )  # only 2 vectors < n_codes
+
+
+def test_stored_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """The stored IVF-PQ index (write partitioned by cell -> search
+    from disk) must return EXACTLY what the in-memory search returns,
+    and the probed-cell predicate must prune at the FILE level: the
+    read plan carries a cell PartitionFilter and only nprobe of
+    n_cells partition directories exist under the path."""
+    import os
+
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+
+    df, x = _clustered_df(spark)
+    coarse, cbs = ivfpq_train(
+        df, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(df, path, coarse, cbs)
+    # one directory per cell on disk
+    cells_on_disk = sorted(
+        d for d in os.listdir(path) if d.startswith("cell=")
+    )
+    assert cells_on_disk == ["cell=0", "cell=1", "cell=2"]
+
+    q = [float(v) for v in x[9]]
+    mem = ivfpq_topk(
+        df, q, coarse, cbs, nprobe=2, k=10
+    ).collect()
+    disk_df = ivfpq_topk_from_index(
+        spark, path, q, coarse, cbs, nprobe=2, k=10
+    )
+    disk = disk_df.collect()
+    assert [tuple(r) for r in disk] == [tuple(r) for r in mem]
+
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = disk_df._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
