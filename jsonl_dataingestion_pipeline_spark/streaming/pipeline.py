@@ -443,10 +443,19 @@ def stream_incremental_components(
 
     scheme = labels_path.split("://", 1)[0] if "://" in labels_path else ""
     if scheme == "file":
-        # normalize to the plain posix path: os.path/os.rename treat a
-        # file:// URI as a literal relative path and would crash the
-        # first batch
-        labels_path = labels_path.split("://", 1)[1]
+        # accept ONLY the empty-authority form file:///abs/path and
+        # normalize to the plain absolute posix path (os.path/os.rename
+        # treat a file:// URI as a literal relative path). A non-empty
+        # authority (file://host/...) would silently strip to the
+        # RELATIVE path 'host/...' — reject it instead.
+        rest = labels_path.split("://", 1)[1]
+        if not rest.startswith("/"):
+            raise ValueError(
+                "stream_incremental_components: file:// labels URIs "
+                "must use the empty-authority form file:///abs/path "
+                f"(got {labels_path!r})"
+            )
+        labels_path = rest
     elif scheme:
         raise ValueError(
             "stream_incremental_components keeps its labeling on a "

@@ -562,3 +562,42 @@ def test_stream_incremental_components_rejects_object_store_paths(
         stream_incremental_components(
             spark, stream, "s3://bucket/labels", str(tmp_path / "c")
         )
+
+
+def test_stream_incremental_components_file_uri_forms(spark, tmp_path):
+    """file:/// normalizes to the absolute posix path and works end to
+    end; the ambiguous authority form file://host/path is rejected
+    (silently stripping it would commit labels to a RELATIVE path)."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        stream_incremental_components,
+    )
+
+    in_dir = str(tmp_path / "edges_in")
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/b1.json", "w") as f:
+        f.write(_json.dumps({"id_l": 1, "id_r": 2}) + "\n")
+    labels_path = str(tmp_path / "labels")
+    stream = (
+        spark.readStream.schema("id_l long, id_r long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = stream_incremental_components(
+        spark, stream, "file://" + labels_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r.id: r.comp for r in spark.read.parquet(labels_path).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+    with pytest.raises(ValueError, match="empty-authority"):
+        stream_incremental_components(
+            spark, stream, "file://somehost/data/labels",
+            str(tmp_path / "ckpt2"),
+        )
