@@ -148,6 +148,9 @@ HEADLINE = [
     "q174_leakage_safe_split",
     "q175_hashed_cosine",
     "q176_score_calibration",
+    "q177_classifier_training",
+    "q178_warc_census",
+    "q179_unigram_segment",
 ]
 
 

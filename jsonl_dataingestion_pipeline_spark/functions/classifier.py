@@ -27,6 +27,8 @@ cross-engine, so the whole inference pass is oracle-replayable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,6 +99,144 @@ def hashed_features(
         F.col(id_col), explode(terms).alias("__term")
     ).select(
         F.col(id_col), _bucket(F.col("__term"), n_features).alias("bucket")
+    )
+
+
+def fast_sigmoid(z: Column) -> Column:
+    """``0.5 + 0.5*z/(1+|z|)`` — a rational sigmoid surrogate.
+
+    Every op (+, *, /, abs) is IEEE-754 correctly rounded, so the value
+    is bit-identical on any engine — unlike ``exp``, whose last-ulp
+    behavior is libm-specific (module note). Shape-wise it is the
+    logistic curve's standard algebraic stand-in (monotone, (0,1),
+    symmetric about z=0), so gradient descent against it trains a
+    genuine linear classifier while staying oracle-replayable."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def train_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    n_features: int = 1024,
+    iterations: int = 5,
+    lr: float = 1.0,
+    bias: float = 0.0,
+    include_bigrams: bool = True,
+    unit_weights: bool = False,
+) -> DataFrame:
+    """Distributed full-batch gradient-descent training of the hashed
+    linear classifier whose inference is :func:`classify`.
+
+    The 100 TB discipline is the kmeans/PQ pattern (clustering.py,
+    pq.py module notes): per iteration, ONE pass over the corpus —
+    weights ride along as a broadcast table, the per-document logit is
+    a window sum co-partitioned with the per-bucket gradient shuffle,
+    and the only driver state is the k-feature weight vector itself
+    (collected once per iteration, n_features rows).
+
+    Integer-exact / shuffle-order-independent by construction:
+
+    - weights live on the 1e-9 integer grid (``wu`` BIGINT nano-units);
+    - the per-document logit numerator is an exact integer sum
+      ``zu = sum(cnt * wu)`` (decimal accumulator — no int64 wrap);
+    - the per-document residual ``p - y`` (p = :func:`fast_sigmoid`)
+      quantizes ONCE to the 1e-9 grid (``q = round((p-y)*1e9/n)``), so
+      the per-bucket gradient ``gu = sum(q * cnt)`` is again an exact
+      integer sum;
+    - the update rounds back to the grid:
+      ``wu -= round(lr * gu / n_docs)``.
+
+    Every float op in between is per-row (deterministic); every SUM is
+    over integers. A DuckDB replay with the iterations unrolled as CTEs
+    matches bit-for-bit — the q177 battery leg proves it.
+
+    ``label_col`` must be 0.0/1.0 (cast to double). Documents with zero
+    terms carry no feature rows and do not influence training. Returns
+    the (bucket, weight DOUBLE) table :func:`classify` consumes
+    (weight = wu/1e9), with every bucket present (untouched buckets
+    keep weight 0.0). With ``unit_weights=True`` the raw nano-unit
+    table (bucket, __wu BIGINT) is returned instead, so a caller can
+    keep scoring on the exact integer path (the q177 battery leg).
+    """
+    from pyspark.sql.window import Window
+
+    if iterations < 1:
+        raise ValueError("train_classifier: iterations must be >= 1")
+    spark = df.sparkSession
+    feats = hashed_features(
+        df, text_col, id_col,
+        n_features=n_features, include_bigrams=include_bigrams,
+    )
+    y = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    )
+    base = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .join(y, on=id_col)
+    )
+    base = base.withColumn(
+        "__n",
+        F.sum("__cnt").over(Window.partitionBy(id_col)).cast("long"),
+    )
+    # one corpus materialization; every iteration re-reads these blocks
+    base = base.repartition(F.col(id_col)).localCheckpoint(eager=True)
+    n_docs = base.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError(
+            "train_classifier: no document yields any hashed feature "
+            "(all texts empty/whitespace?)"
+        )
+
+    wu = [0] * n_features
+    win = Window.partitionBy(id_col)
+    for _ in range(iterations):
+        wdf = spark.createDataFrame(
+            [(b, int(u)) for b, u in enumerate(wu)], "bucket long, __wu long"
+        )
+        joined = base.join(F.broadcast(wdf), on="bucket")
+        zu = F.sum(
+            F.col("__cnt").cast("decimal(18,0)") * F.col("__wu")
+        ).over(win)
+        z = (
+            zu.cast("double")
+            / (F.col("__n").cast("double") * F.lit(1e9))
+            + F.lit(float(bias))
+        )
+        q = F.round(
+            (fast_sigmoid(z) - F.col("__y"))
+            * F.lit(1e9)
+            / F.col("__n").cast("double")
+        ).cast("long")
+        grads = (
+            joined.withColumn("__q", q)
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.col("__q").cast("decimal(18,0)") * F.col("__cnt")
+                ).alias("__gu")
+            )
+            .collect()
+        )
+        for r in grads:
+            # HALF-AWAY-FROM-ZERO, matching Spark F.round / DuckDB
+            # ROUND — Python's built-in round() is banker's and would
+            # diverge on exact .5 boundaries
+            x = float(lr) * float(r["__gu"]) / n_docs
+            step = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            wu[r["bucket"]] -= int(step)
+
+    wdf = spark.createDataFrame(
+        [(b, int(u)) for b, u in enumerate(wu)], "bucket long, __wu long"
+    )
+    if unit_weights:
+        return wdf
+    return wdf.select(
+        "bucket",
+        (F.col("__wu").cast("double") / F.lit(1e9)).alias("weight"),
     )
 
 

@@ -190,10 +190,14 @@ def kmeans(
         assigned = assign(pts)
         # the ONLY shuffle: (cluster, dim) partial-aggregated means.
         # Integer-exact: coordinates quantize to the 10^-scale grid
-        # ONCE, the sum runs over 64-bit integers (order-independent by
+        # ONCE, the sum runs over exact integers (order-independent by
         # construction), and the mean divides the exact sum — so the
         # centroid is identical across any shuffle order / partition
-        # layout / engine (see module note).
+        # layout / engine (see module note).  The addends enter as
+        # decimal(18,0) so Spark widens SUM to decimal(38,0): no int64
+        # wrap even at ~1e38 quantized mass per (cluster, dim), matching
+        # DuckDB's SUM(BIGINT)→HUGEINT exactness (the _cov_explode /
+        # PCA exact-grid discipline).
         upd = (
             assigned.select(
                 F.col("__a.c").alias("__c"),
@@ -204,7 +208,8 @@ def kmeans(
                 F.round(
                     (
                         F.sum(
-                            F.round(F.col("__x") * grid).cast("long")
+                            F.round(F.col("__x") * grid)
+                            .cast("decimal(18,0)")
                         ).cast("double")
                         / F.count(F.lit(1)).cast("double")
                     )

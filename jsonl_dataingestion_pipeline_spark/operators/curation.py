@@ -969,11 +969,17 @@ def fuzzy_decontaminate(
             n_hot = b_stats.filter(
                 F.col("__df") > max_bench_df
             ).count()
-            if len(_CAP_MEMO) > 256:
-                _CAP_MEMO.clear()
+            # bounded LRU: evict the single least-recently-used entry
+            # instead of discarding every memoized census at once
+            # (ADVICE r7) — a dropped entry releases its benchmark
+            # frame (and JVM plan) while the hot ones stay warm
+            while len(_CAP_MEMO) > 256:
+                _CAP_MEMO.pop(next(iter(_CAP_MEMO)))
             _CAP_MEMO[key] = (n_hot, benchmark)
         else:
-            n_hot = _CAP_MEMO[key][0]
+            # move-to-end on hit so eviction order is true LRU
+            n_hot = _CAP_MEMO.pop(key)[0]
+            _CAP_MEMO[key] = (n_hot, benchmark)
         if n_hot:
             _LOG.warning(
                 "fuzzy_decontaminate: max_bench_df=%d dropped %d hot "

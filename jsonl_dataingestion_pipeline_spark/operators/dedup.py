@@ -79,18 +79,9 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Pipeline breaks
 # ---------------------------------------------------------------------------
-def _pipeline_break(df: DataFrame, reliable: bool) -> DataFrame:
-    """Eager materialization barrier between dedup stages.
-
-    ``localCheckpoint`` (default) stores blocks on the executors — fast,
-    but an executor loss mid-job kills the lineage and the job. On a real
-    cluster pass ``reliable=True`` to use a fault-tolerant ``checkpoint``
-    into ``spark.sparkContext.setCheckpointDir(...)`` storage (HDFS/object
-    store), which survives executor loss at the cost of one write+read.
-    """
-    if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+from jsonl_dataingestion_pipeline_spark.operators.common import (  # noqa: E402
+    pipeline_break as _pipeline_break,
+)
 
 
 def _cpu_floor_repartition(df: DataFrame, *cols: str) -> DataFrame:
@@ -911,7 +902,11 @@ def dedup_keep_best(
 # SimHash
 # ---------------------------------------------------------------------------
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """numpy-vectorized SimHash kernel (fallback path, see with_simhash).
+    """numpy-vectorized SimHash REFERENCE kernel.
+
+    No production path calls this anymore (with_simhash always routes
+    through the Column-expression :func:`simhash_agg`); it stays as an
+    independent implementation for differential tests of the agg path.
 
     Per text the 64-bit unpack + majority vote is a single numpy bit-matrix
     reduction; only the per-token md5 stays in Python (hashlib releases the
@@ -1012,14 +1007,22 @@ def with_simhash(
 ) -> DataFrame:
     """64-bit SimHash per document (md5 token hashes, sign-majority bits).
 
-    With ``id_col`` the signature is computed by :func:`simhash_agg` —
-    pure Column expressions, whole-stage codegen, oracle-replayable.
-    Without a join key it falls back to the numpy-vectorized Arrow kernel
-    (still ~50x the old per-bit Python loop).
+    The signature is always computed by :func:`simhash_agg` — pure
+    Column expressions, whole-stage codegen, oracle-replayable (VERDICT
+    r7 item #8: the old no-id path ran a separate Arrow-UDF kernel).
+    Without ``id_col`` a synthetic row id is stamped and dropped; the
+    frame is materialized first (``monotonically_increasing_id`` is
+    nondeterministic, and the agg's join-back would otherwise see
+    different ids on each side of the self-join).
     """
     if id_col is not None:
         return simhash_agg(df, text_col, id_col, out_col=out_col)
-    return df.withColumn(out_col, simhash_udf(F.col(text_col)))
+    stamped = _pipeline_break(
+        df.withColumn("__wsid", F.monotonically_increasing_id()), False
+    )
+    return simhash_agg(
+        stamped, text_col, "__wsid", out_col=out_col
+    ).drop("__wsid")
 
 
 def simhash_near_pairs(

@@ -102,6 +102,28 @@ def plan_token_budget(
         .groupBy("mix_source")
         .agg(F.sum(F.col("__t").cast("long")).alias("mix_avail"))
     )
+    # Enforce the documented avail_s <= MAX_PLAN_TOKENS bound IN-PLAN
+    # (ADVICE r7): past it, `mix_avail * me_milli` silently wraps int64
+    # and the plan corrupts without error. The guard is a per-row
+    # expression over #sources rows — raise_error fires during the one
+    # aggregate's collect, never a second job.
+    avail = avail.withColumn(
+        "mix_avail",
+        F.when(
+            F.col("mix_avail") > F.lit(MAX_PLAN_TOKENS),
+            F.raise_error(
+                F.concat(
+                    F.lit("plan_token_budget: source "),
+                    F.col("mix_source"),
+                    F.lit(
+                        f" holds more than {MAX_PLAN_TOKENS} tokens;"
+                        " mix_avail * max_epochs would overflow int64"
+                        " — plan in larger units (e.g. ktokens)"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("mix_avail")),
+    )
     wmap = F.create_map(
         *[F.lit(x) for kv in w_u.items() for x in (kv[0], kv[1])]
     )

@@ -147,14 +147,17 @@ def pq_train(
             F.posexplode(F.col("__sv")).alias("__j", "__x"),
         )
         # integer-exact mean (module note): quantize to the 1e-9 grid
-        # once, sum exactly as longs, divide the exact sum
+        # once, sum exactly as decimal(18,0) — Spark widens the SUM to
+        # decimal(38,0), so the accumulator cannot wrap even at ~1e38
+        # quantized mass per (sub, code, dim) — divide the exact sum
         rows = (
             assigned.groupBy("__sub", "__code", "__j")
             .agg(
                 F.round(
                     (
                         F.sum(
-                            F.round(F.col("__x") * 1e9).cast("long")
+                            F.round(F.col("__x") * 1e9)
+                            .cast("decimal(18,0)")
                         ).cast("double")
                         / F.count(F.lit(1)).cast("double")
                     )
@@ -460,6 +463,45 @@ def write_ivfpq_index(
         dim=dim, cell_col="cell", code_col="codes",
     ).select(id_col, "cell", "codes")
     enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def append_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a stored index: append-encode a new
+    document batch into the existing cell-partitioned parquet layout
+    WITHOUT retraining — the coarse centroids and codebooks are FROZEN
+    artifacts, so a vector encodes to the same (cell, codes) whether it
+    arrived in the initial build or in any later batch. That makes
+    append+search bit-identical to a full re-encode+search over the
+    union corpus (pytest-proven), which is what lets the ANN store
+    ride a growing crawl: per batch the cost is one encode pass over
+    the BATCH (zero shuffle — ivfpq_encode is a projection) plus one
+    partitioned write; the existing index files are never rewritten.
+
+    Operational contract: batch ids must be new (the index is
+    append-only storage, not an upsert table — dedupe upstream), and
+    codebooks must be the ones the index was built with (they are the
+    driver-side model artifact the caller persists). Quantization
+    DRIFT is the price of frozen codebooks: vectors far from the
+    training distribution quantize coarsely. Measure it with the
+    planted-recall audit (q171 machinery) after large appends —
+    SCALING.md records the drift tier — and retrain+rebuild when
+    recall degrades past budget.
+    """
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    enc = ivfpq_encode(
+        df, vec_col, coarse, codebooks,
+        dim=dim, cell_col="cell", code_col="codes",
+    ).select(id_col, "cell", "codes")
+    enc.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivfpq_topk_from_index(

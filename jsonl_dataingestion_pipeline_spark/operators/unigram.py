@@ -273,3 +273,86 @@ def unigram_segment_counts(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
     ) + f", {out_col} int"
     return df.mapInPandas(seg, schema=schema)
+
+
+def unigram_census(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: Dict[str, int],
+    *,
+    max_word_len: int = 12,
+    unk_cost: int = -(10**9),
+    out_prefix: str = "ug_",
+) -> DataFrame:
+    """Oracle-gateable census of Viterbi segmentation under a FIXED
+    integer-cost model (q179): per document, over words of length <=
+    ``max_word_len`` —
+
+    - ``{p}n_words``: words segmented,
+    - ``{p}n_long``: words excluded by the length cap (logged, never
+      silently dropped),
+    - ``{p}n_pieces``: total pieces across best segmentations,
+    - ``{p}score_sum``: exact integer sum of best-segmentation scores.
+
+    Training emits float log-probs (not SQL-replayable — hard-EM, the
+    BPE contract); SEGMENTATION under a fixed model is a deterministic
+    DP, and with integer costs every score comparison is exact on any
+    engine, so a DuckDB oracle can unroll the DP per position
+    (q179's 12-stage CTE chain) and match bit-for-bit. The Spark side
+    runs the PRODUCTION kernel (:func:`viterbi_segment` — the same
+    function the trained tokenizer's E-step and
+    :func:`unigram_segment_counts` use); only the cost table differs,
+    so the oracle gates the kernel's argmax/tie-break semantics, the
+    piece of the operator the pure-Python differential cannot
+    independently certify. Costs must be integers (asserted); chars
+    absent from the model segment as themselves at ``unk_cost``
+    (the SentencePiece unk contract, same as training).
+
+    One Arrow-batched pass, zero shuffle before the per-doc aggregate.
+    """
+    if any(int(c) != c for c in model.values()):
+        raise ValueError("unigram_census: model costs must be integers")
+    if unk_cost != -(10**9):
+        # viterbi_segment's internal coverage penalty is the fixed
+        # -1e9; a different census-side unk_cost would misprice the
+        # UNK pieces the DP actually chose
+        raise ValueError("unigram_census: unk_cost must be -10**9")
+    logp = {p: float(int(c)) for p, c in model.items()}
+    mpl = max((len(p) for p in model), default=1)
+    cap = int(max_word_len)
+    p = out_prefix
+
+    def seg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, t in zip(pdf[id_col], pdf[text_col].fillna("")):
+                nw = nl = npc = 0
+                sc = 0
+                for w in _py_words(t):
+                    if len(w) > cap:
+                        nl += 1
+                        continue
+                    nw += 1
+                    pieces = viterbi_segment(w, logp, mpl)
+                    npc += len(pieces)
+                    sc += sum(
+                        int(logp.get(q, float(unk_cost))) for q in pieces
+                    )
+                rows.append((rid, nw, nl, npc, sc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, f"{p}n_words", f"{p}n_long",
+                    f"{p}n_pieces", f"{p}score_sum",
+                ],
+            )
+
+    schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        f"{p}n_words long, {p}n_long long, {p}n_pieces long, "
+        f"{p}score_sum long"
+    )
+    return df.select(id_col, text_col).mapInPandas(seg, schema=schema)

@@ -101,20 +101,37 @@ def hashed_cosine_topk(
     """
     from pyspark.sql.window import Window
 
-    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
-        _pipeline_break,
+    from jsonl_dataingestion_pipeline_spark.operators.common import (
+        pipeline_break,
     )
+
+    # validate the (tiny, <= dim rows) query side eagerly — an empty
+    # frame or a query whose text tokenizes to nothing would otherwise
+    # surface as an opaque TypeError / all-NULL similarities (ADVICE r7)
+    qrows = query.select(F.col(id_col)).limit(2).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            "hashed_cosine_topk: query must be exactly one row, got "
+            + ("an empty frame" if not qrows else "more than one row")
+        )
+    qid = qrows[0][0]
 
     # materialize the sparse entries ONCE: both the norm aggregate and
     # the dot-product join consume them, and a lazy plan re-runs the
     # tokenize/explode/aggregate subtree twice (measured ~2x wall at
     # the x100 tier)
-    corpus = _pipeline_break(
+    corpus = pipeline_break(
         hashed_tf_entries(df, text_col, id_col, dim=dim), False
     )
     qent = hashed_tf_entries(query, text_col, id_col, dim=dim).select(
         "bucket", F.col("w").alias("__qw")
     )
+    if not qent.head(1):
+        raise ValueError(
+            "hashed_cosine_topk: the query text tokenizes to no "
+            "non-zero hashed entries (empty/whitespace text, or every "
+            "bucket cancelled); cosine against it is undefined"
+        )
     qnorm2 = qent.select(
         F.sum(F.col("__qw") * F.col("__qw")).alias("__qn2")
     )
@@ -126,7 +143,6 @@ def hashed_cosine_topk(
         .groupBy("id")
         .agg(F.sum(F.col("w") * F.col("__qw")).alias("__dot"))
     )
-    qid = query.select(F.col(id_col)).head()[0]
     sim = F.round(
         F.col("__dot").cast("double")
         / (

@@ -394,6 +394,62 @@ def ingest_stream_incremental_dedup(
     return writer.start()
 
 
+class _PosixLabelFs:
+    """Label-directory operations on a local posix filesystem —
+    the fast path (``os.rename`` is a metadata-only atomic syscall)."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return path.split("://", 1)[1] if path.startswith("file://") else path
+
+    def exists(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(self._p(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        import os
+
+        os.rename(self._p(src), self._p(dst))
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._p(path))
+
+
+class _HadoopLabelFs:
+    """Label-directory operations through the Hadoop FileSystem API —
+    scheme-agnostic (``hdfs://``, ``s3a://``, ``file:``, ...): the
+    FileSystem instance is resolved from the labels URI against the
+    session's Hadoop configuration, exactly the way Spark's own
+    writers resolve their output paths, so any store the cluster can
+    write parquet to can hold the labeling. Rename failures (e.g. a
+    destination that already exists, or a store that rejects the op)
+    surface as errors instead of a silently-skipped swap."""
+
+    def __init__(self, spark: SparkSession, labels_path: str) -> None:
+        jvm = spark.sparkContext._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(labels_path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(
+                f"hadoop fs rename failed: {src!r} -> {dst!r} (the "
+                "destination may already exist, or the store rejected "
+                "the rename)"
+            )
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._Path(path), True)
+
+
 def stream_incremental_components(
     spark: SparkSession,
     edge_stream: DataFrame,
@@ -403,6 +459,7 @@ def stream_incremental_components(
     src_col: str = "id_l",
     dst_col: str = "id_r",
     trigger_available_now: bool = True,
+    use_hadoop_fs: bool | None = None,
 ):
     """Streaming maintenance of a connected-components labeling — the
     production mode of :func:`operators.dedup.
@@ -423,31 +480,33 @@ def stream_incremental_components(
     At 100 TB the labeling lives in object storage; per-batch cost is
     O(batch) plus one broadcast-mapped pass over the labels.
 
-    ``labels_path`` must be a local/posix path in this implementation
-    (validated below): the swap uses ``os.rename``, which is atomic on
-    a posix filesystem but meaningless for ``s3://``/``hdfs://`` URIs
-    — an object-store deployment should swap a manifest pointer or use
-    a table format (Delta/Iceberg) instead. The swap itself is
-    crash-safe in both directions: the new labeling is renamed aside
-    the old one FIRST (old -> ``.old``, staging -> live, delete
-    ``.old`` last), so no window exists in which the only complete
-    labeling has been deleted; recovery after a crash between the two
-    renames restores ``.old``.
+    ``labels_path`` may be any URI the cluster's Hadoop configuration
+    can reach (``hdfs://``, ``s3a://``, ``file:///``, a plain posix
+    path, ...): exists/rename/delete route through the Hadoop
+    FileSystem API (:class:`_HadoopLabelFs`), with a posix fast path
+    (plain ``os.rename``) for scheme-less local paths. The swap itself
+    is crash-safe in both directions regardless of filesystem: the new
+    labeling is renamed aside the old one FIRST (old -> ``.old``,
+    staging -> live, delete ``.old`` last), so no window exists in
+    which the only complete labeling has been deleted; recovery after
+    a crash between the two renames restores ``.old``. On HDFS the
+    rename is additionally atomic for readers; on S3A rename is
+    copy+delete, so concurrent READERS of ``labels_path`` can observe
+    a partial directory mid-swap — point readers at a manifest or a
+    table format there, the WRITER-side crash-safety is unaffected.
+    Pass ``use_hadoop_fs=True`` to force the Hadoop API even for local
+    paths (the scheme-agnostic path the tests drive with ``file:``).
     """
-    import os
-    import shutil
-
     from jsonl_dataingestion_pipeline_spark.operators.dedup import (
         incremental_connected_components,
     )
 
     scheme = labels_path.split("://", 1)[0] if "://" in labels_path else ""
     if scheme == "file":
-        # accept ONLY the empty-authority form file:///abs/path and
-        # normalize to the plain absolute posix path (os.path/os.rename
-        # treat a file:// URI as a literal relative path). A non-empty
-        # authority (file://host/...) would silently strip to the
-        # RELATIVE path 'host/...' — reject it instead.
+        # accept ONLY the empty-authority form file:///abs/path (a
+        # non-empty authority file://host/... would resolve relative
+        # to an unexpected root); keep the URI form — the Hadoop
+        # LocalFileSystem understands it natively.
         rest = labels_path.split("://", 1)[1]
         if not rest.startswith("/"):
             raise ValueError(
@@ -455,14 +514,18 @@ def stream_incremental_components(
                 "must use the empty-authority form file:///abs/path "
                 f"(got {labels_path!r})"
             )
-        labels_path = rest
-    elif scheme:
+    if use_hadoop_fs is None:
+        use_hadoop_fs = bool(scheme)
+    if not use_hadoop_fs and scheme not in ("", "file"):
         raise ValueError(
-            "stream_incremental_components keeps its labeling on a "
-            f"posix path (got scheme {scheme!r}): the os.rename swap "
-            "is not atomic on object stores — use a manifest pointer "
-            "or a table format there"
+            "stream_incremental_components: use_hadoop_fs=False is "
+            f"only valid for local paths, got scheme {scheme!r}"
         )
+    store = (
+        _HadoopLabelFs(spark, labels_path)
+        if use_hadoop_fs
+        else _PosixLabelFs()
+    )
 
     old = f"{labels_path}.__old"
 
@@ -470,14 +533,14 @@ def stream_incremental_components(
         # recover from a crash that left the previous swap half-done:
         # if only .old exists, the old labeling is still the newest
         # complete one — restore it before folding the next batch
-        if os.path.isdir(old) and not os.path.isdir(labels_path):
-            os.rename(old, labels_path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        if store.exists(old) and not store.exists(labels_path):
+            store.rename(old, labels_path)
+        if store.exists(old):
+            store.rmtree(old)
         edges = batch_df.select(
             F.col(src_col).alias("id_l"), F.col(dst_col).alias("id_r")
         )
-        if os.path.isdir(labels_path):
+        if store.exists(labels_path):
             base = spark.read.parquet(labels_path)
         else:
             base = spark.createDataFrame([], "id long, comp long")
@@ -488,11 +551,11 @@ def stream_incremental_components(
         # rename old aside, rename staging in, delete the .old copy
         # last — a crash at any point leaves a complete labeling on
         # disk under labels_path or labels_path.__old.
-        if os.path.isdir(labels_path):
-            os.rename(labels_path, old)
-        os.rename(staging, labels_path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        if store.exists(labels_path):
+            store.rename(labels_path, old)
+        store.rename(staging, labels_path)
+        if store.exists(old):
+            store.rmtree(old)
 
     writer = edge_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -74,3 +74,119 @@ def test_hashed_features_unigrams_only(spark):
     assert {r.bucket for r in rows} == {
         _bucket_py("x", 16), _bucket_py("y", 16)
     }
+
+
+# ---------------------------------------------------------------------------
+# train_classifier (round 8): distributed full-batch GD, integer-exact
+# ---------------------------------------------------------------------------
+import math
+from collections import defaultdict
+
+import pytest
+
+from jsonl_dataingestion_pipeline_spark.functions.classifier import (
+    train_classifier,
+)
+
+_TRAIN_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", 1.0),
+    (2, "lorem ipsum dolor sit amet", 0.0),
+    (3, "the fox the dog the fox", 1.0),
+    (4, "spark sql window partition shuffle", 0.0),
+    (5, "quick quick quick dog", 1.0),
+    (6, "ipsum sit sit amet dolor lorem", 0.0),
+    (7, "", 0.0),
+]
+
+
+def _rha(x: float) -> int:
+    """half-away-from-zero, the Spark/DuckDB ROUND semantics"""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _train_py(docs, nf, iters, lr, bias):
+    """Pure-Python replay of the distributed trainer (same grid, same
+    quantization points, same rounding mode)."""
+    base = []
+    for i, t, y in docs:
+        toks = [x for x in t.lower().strip().split() if x]
+        if not toks:
+            continue
+        c = defaultdict(int)
+        for tk in toks:
+            c[_bucket_py(tk, nf)] += 1
+        n = sum(c.values())
+        for b, cnt in c.items():
+            base.append((i, b, cnt, n, y))
+    ndocs = len({r[0] for r in base})
+    wu = [0] * nf
+    for _ in range(iters):
+        zu = defaultdict(int)
+        for i, b, cnt, n, y in base:
+            zu[i] += cnt * wu[b]
+        q = {}
+        for i, b, cnt, n, y in base:
+            if i in q:
+                continue
+            z = zu[i] / (n * 1e9) + bias
+            p = 0.5 + 0.5 * z / (1.0 + abs(z))
+            q[i] = _rha((p - y) * 1e9 / n)
+        gu = defaultdict(int)
+        for i, b, cnt, n, y in base:
+            gu[b] += q[i] * cnt
+        for b, g in gu.items():
+            wu[b] -= _rha(lr * g / ndocs)
+    return wu
+
+
+def test_train_classifier_matches_python_replay(spark):
+    df = spark.createDataFrame(
+        _TRAIN_DOCS, "doc_id long, text string, y double"
+    )
+    w = train_classifier(
+        df, "text", "doc_id", "y",
+        n_features=64, iterations=4, lr=2.0, bias=0.0,
+        include_bigrams=False, unit_weights=True,
+    )
+    got = {r["bucket"]: r["__wu"] for r in w.collect()}
+    exp = _train_py(_TRAIN_DOCS, 64, 4, 2.0, 0.0)
+    assert len(got) == 64
+    for b in range(64):
+        assert got[b] == exp[b], (b, got[b], exp[b])
+    assert sum(1 for v in exp if v != 0) > 0, "training moved no weight"
+
+
+def test_trained_classifier_separates_training_set(spark):
+    df = spark.createDataFrame(
+        _TRAIN_DOCS, "doc_id long, text string, y double"
+    )
+    w = train_classifier(
+        df, "text", "doc_id", "y",
+        n_features=64, iterations=4, lr=2.0,
+        include_bigrams=False,
+    )
+    out = classify(
+        df, "text", "doc_id", w,
+        n_features=64, include_bigrams=False,
+    )
+    lab = {r.doc_id: r.label for r in out.collect()}
+    for i, _, y in _TRAIN_DOCS:
+        if i == 7:
+            continue  # zero-term doc: logit = bias, not trained on
+        assert lab[i] == ("keep" if y == 1.0 else "drop"), (i, lab[i])
+
+
+def test_train_classifier_rejects_empty_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "   ", 0.0), (2, "", 1.0)], "doc_id long, text string, y double"
+    )
+    with pytest.raises(ValueError, match="no document yields"):
+        train_classifier(df, "text", "doc_id", "y", n_features=8)
+
+
+def test_train_classifier_rejects_zero_iterations(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "doc_id long, text string, y double"
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        train_classifier(df, "text", "doc_id", "y", iterations=0)

@@ -942,3 +942,36 @@ def test_dedup_lines_group_scoped_census(spark):
     # siteB: 'nav bar' appears only once within siteB -> survives
     assert out[3][0] == "nav bar\nother text"
     assert out[4][0] == "unique line\nmore text"
+
+
+def test_fuzzy_decontaminate_memo_evicts_lru_not_all(spark):
+    """ADVICE r7: the drop-census memo evicts ONE least-recently-used
+    entry past capacity instead of clearing every memoized census."""
+    from jsonl_dataingestion_pipeline_spark.operators import curation as cu
+
+    saved = dict(cu._CAP_MEMO)
+    cu._CAP_MEMO.clear()
+    try:
+        # fill past capacity with synthetic entries
+        for i in range(257):
+            cu._CAP_MEMO[("k", i)] = (i, None)
+        # touch the oldest so it becomes most-recent
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "id long, text string",
+        )
+        cand = spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon zeta")],
+            "id long, text string",
+        )
+        cu.fuzzy_decontaminate(
+            cand, bench, "text", "id", shingle_k=3, max_bench_df=1
+        ).collect()
+        # one real entry appended; only the OLDEST synthetic entries
+        # were evicted to make room — the memo never collapsed to 1
+        assert len(cu._CAP_MEMO) == 257
+        assert ("k", 0) not in cu._CAP_MEMO
+        assert ("k", 256) in cu._CAP_MEMO
+    finally:
+        cu._CAP_MEMO.clear()
+        cu._CAP_MEMO.update(saved)

@@ -13,7 +13,10 @@ training and integer micro-unit outputs — and these tests enforce it:
   cache cleared between runs, and asserts bit-identical multisets —
   the run-to-run variance the driver box exhibited and a fixed-config
   pass cannot rule out;
-- the FLOOR tests pin the two recall audits (q170/q171) above 0.5 on
+- the FLOOR tests pin the two recall audits (q170/q171) at their
+  measured operating bands minus a noise margin (VERDICT r7 item #4:
+  a 2x recall regression must redden a test, not hide under a 0.5
+  floor) on
   their planted corpora, so an LSH-banding or ADC-indexing bug can no
   longer hide behind an audit that matches the oracle at recall 0.0
   (measured healthy points: q170 ~0.91-0.94, q171 1.0).
@@ -69,23 +72,25 @@ def test_ann_battery_multiset_stable_across_shuffle_layouts(
 
 def test_q170_lsh_recall_audit_floor(spark, em):
     """The LSH audit must certify real retrieval on the planted
-    corpus: recall >= 0.5 (healthy ~0.91+) and exact/approx non-empty.
-    An empty approximate side now reads precision 0, never 1."""
+    corpus: recall >= 0.85 (SCALING.md measured band 0.91-0.94 minus
+    noise margin) and exact/approx non-empty. An empty approximate
+    side now reads precision 0, never 1."""
     row = em.q170_lsh_recall_audit(spark, SF).collect()[0]
     assert row.audit_exact > 0
     assert row.audit_approx > 0
-    assert row.audit_recall_u >= 500000, row
+    assert row.audit_recall_u >= 850000, row
     assert row.audit_precision_u == 1000000, row  # verify step is exact
 
 
 def test_q171_ann_recall_audit_floor(spark, em):
     """The ANN audit must retrieve the planted near-neighbors:
-    recall >= 0.5 (healthy 1.0). A broken ADC LUT / cell filter
-    scores ~0 here — the bug class the r6 audit could not see."""
+    recall >= 0.9 (SCALING.md measured 1.0 at x1 and x10, minus noise
+    margin). A broken ADC LUT / cell filter scores ~0 here — the bug
+    class the r6 audit could not see."""
     em._TRAINED_CACHE.clear()
     row = em.q171_ann_recall_audit(spark, SF).collect()[0]
     assert row.ann_k == 10
-    assert row.ann_recall_u >= 500000, row
+    assert row.ann_recall_u >= 900000, row
 
 
 def test_q174_split_never_straddles_neardup_pairs(spark, em):

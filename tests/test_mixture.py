@@ -141,3 +141,15 @@ def test_plan_invariants_hold_under_random_inputs(spark):
             assert r.mix_epochs_u <= int(max_ep * 1_000_000) + 1, r
             total_realized += r.mix_realized
         assert total_realized <= budget, (trial, total_realized, budget)
+
+
+def test_oversized_source_raises_in_plan(spark):
+    """ADVICE r7: mix_avail above MAX_PLAN_TOKENS must raise (in-plan
+    raise_error), never silently wrap mix_avail * me_milli past int64."""
+    df = spark.createDataFrame(
+        [("a", MAX_PLAN_TOKENS + 1), ("b", 10)], "src string, toks long"
+    )
+    with pytest.raises(Exception, match="plan in larger units"):
+        plan_token_budget(
+            df, "src", "toks", {"a": 0.5, "b": 0.5}, budget_tokens=100
+        ).collect()

@@ -6,7 +6,7 @@ DuckDB cannot even bind) in seconds, long before the full gate runs.
 The DYNAMIC half of the gate contract lives in
 tests/test_determinism.py (VERDICT r6 item 1): the ANN batteries are
 re-run across shuffle layouts with retraining forced and must produce
-bit-identical multisets, and the two recall audits carry >= 0.5
+bit-identical multisets, and the two recall audits carry measured-band (0.85/0.9)
 floors on their planted corpora.
 """
 from __future__ import annotations

@@ -578,3 +578,40 @@ def test_q175_hashed_cosine_broadcast_query_take_ordered(spark):
     assert "BroadcastHashJoin" in tree, tree
     assert "TakeOrderedAndProject" in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_q177_training_score_is_broadcast_weight_lookup(spark):
+    """q177 (PLANS.md): scoring with the trained weights joins the
+    k-feature weight table by BROADCAST — the one permitted
+    SortMergeJoin is the final doc-universe LEFT join (two doc-sized
+    sides: the label frame vs the scored frame; broadcast would ship
+    the corpus), never the weight lookup."""
+    df = em.q177_classifier_training(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("SortMergeJoin") <= 1, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_q178_warc_walk_is_arrow_batched_no_sort_join(spark):
+    """q178 (PLANS.md): the WARC record walk is ONE Arrow-batched
+    MapInPandas over the assembled blobs — no SortMergeJoin anywhere,
+    and the only exchanges feed the two aggregates (blob assembly,
+    census)."""
+    df = em.q178_warc_census(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "MapInPandas" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_q179_unigram_census_is_single_pass_no_shuffle(spark):
+    """q179 (PLANS.md): the fixed-model Viterbi census is scan ->
+    filter -> ONE MapInPandas — no Exchange, no join, nothing but the
+    Arrow pass."""
+    df = em.q179_unigram_segment(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "MapInPandas" in tree, tree
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree

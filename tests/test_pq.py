@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from jsonl_dataingestion_pipeline_spark.operators.pq import (
     adc_topk,
@@ -273,3 +274,47 @@ def test_stored_index_roundtrip_and_partition_pruning(spark, tmp_path):
     plan = disk_df._jdf.queryExecution().explainString(jmode)
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_append_ivfpq_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental stored-index maintenance (VERDICT r7 item #3):
+    append-encoding a new batch with FROZEN codebooks, then searching,
+    must be bit-identical to re-encoding the union corpus from scratch
+    — for every cell probed and at several k."""
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        append_ivfpq_index,
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+
+    df, x = _clustered_df(spark)
+    # train on the INITIAL corpus only; the appended batch arrives later
+    initial = df.filter(F.col("vec_id") % 3 != 0)
+    batch = df.filter(F.col("vec_id") % 3 == 0)
+    coarse, cbs = ivfpq_train(
+        initial, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+
+    inc_path = str(tmp_path / "inc_index")
+    write_ivfpq_index(initial, inc_path, coarse, cbs)
+    append_ivfpq_index(batch, inc_path, coarse, cbs)
+
+    full_path = str(tmp_path / "full_index")
+    write_ivfpq_index(df, full_path, coarse, cbs)
+
+    q = [float(v) for v in x[9]]
+    for k in (3, 10):
+        inc = ivfpq_topk_from_index(
+            spark, inc_path, q, coarse, cbs, nprobe=3, k=k
+        ).collect()
+        full = ivfpq_topk_from_index(
+            spark, full_path, q, coarse, cbs, nprobe=3, k=k
+        ).collect()
+        assert [tuple(r) for r in inc] == [tuple(r) for r in full], k
+
+    # the incremental index holds the union corpus exactly once
+    n_inc = spark.read.parquet(inc_path).count()
+    n_full = spark.read.parquet(full_path).count()
+    assert n_inc == n_full == df.count()

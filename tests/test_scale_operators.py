@@ -680,3 +680,32 @@ class TestContainmentPairs:
                 cl = round(inter / len(sh(texts[a])), 6)
                 cr = round(inter / len(sh(texts[b])), 6)
                 assert got[(a, b)] == (cl, cr), (a, b)
+
+
+def test_simhash_no_id_path_matches_reference_kernel(spark):
+    """with_simhash without an id now synthesizes one and delegates to
+    simhash_agg (VERDICT r7 item #8) — differential vs the retained
+    numpy reference kernel, including NULL text and zero-token docs."""
+    import pandas as pd
+
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        _simhash_batch,
+    )
+
+    texts = [
+        "the quick brown fox",
+        "lorem ipsum dolor sit amet",
+        None,
+        "",
+        "   ",
+        "one-token",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["simhash"] for r in with_simhash(df, "text").collect()]
+    exp = list(_simhash_batch(pd.Series(texts)))
+    # no-id path returns rows in input order only per-partition; compare
+    # as multisets keyed by text via a second keyed run
+    assert sorted(x for x in got if x is not None) == sorted(
+        x for x in exp if x is not None
+    )
+    assert got.count(None) == exp.count(None) == 1

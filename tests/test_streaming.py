@@ -543,11 +543,12 @@ def test_stream_incremental_components_recovers_half_done_swap(
     assert not os.path.isdir(labels_path + ".__old")  # cleaned up
 
 
-def test_stream_incremental_components_rejects_object_store_paths(
+def test_stream_incremental_components_posix_store_rejects_schemes(
     spark, tmp_path
 ):
-    """The os.rename swap is posix-only; an s3:// labels path must
-    raise instead of silently breaking atomicity (ADVICE r6)."""
+    """Forcing the posix fast path (use_hadoop_fs=False) on an
+    object-store URI must raise — os.rename on 's3a://…' would treat
+    the URI as a literal relative path and silently break the swap."""
     import pytest
 
     from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
@@ -558,10 +559,64 @@ def test_stream_incremental_components_rejects_object_store_paths(
         spark.readStream.schema("id_l long, id_r long")
         .json(str(tmp_path))
     )
-    with pytest.raises(ValueError, match="posix"):
+    with pytest.raises(ValueError, match="only valid for local"):
         stream_incremental_components(
-            spark, stream, "s3://bucket/labels", str(tmp_path / "c")
+            spark, stream, "s3a://bucket/labels", str(tmp_path / "c"),
+            use_hadoop_fs=False,
         )
+
+
+def test_stream_incremental_components_hadoop_fs_swap(spark, tmp_path):
+    """The scheme-agnostic Hadoop FileSystem swap path (VERDICT r7
+    item #1): exists/rename/delete go through
+    org.apache.hadoop.fs.FileSystem resolved from the labels URI —
+    driven here with the ``file:`` filesystem, the same code path an
+    ``hdfs://``/``s3a://`` deployment exercises. Covers the end-to-end
+    fold, half-done-swap crash recovery, and .old cleanup."""
+    import json as _json
+    import os
+
+    from jsonl_dataingestion_pipeline_spark.streaming.pipeline import (
+        stream_incremental_components,
+    )
+
+    in_dir = str(tmp_path / "edges_in")
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/b1.json", "w") as f:
+        f.write(_json.dumps({"id_l": 1, "id_r": 2}) + "\n")
+        f.write(_json.dumps({"id_l": 3, "id_r": 4}) + "\n")
+    labels_path = str(tmp_path / "labels")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("id_l long, id_r long")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir)
+        )
+        q = stream_incremental_components(
+            spark, stream, "file://" + labels_path,
+            str(tmp_path / ckpt), use_hadoop_fs=True,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    got = {
+        r.id: r.comp for r in spark.read.parquet(labels_path).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+    assert not os.path.isdir(labels_path + ".__old")
+
+    # simulate a crash between the two renames: only .old exists —
+    # the next batch (through the Hadoop path) must restore it first
+    os.rename(labels_path, labels_path + ".__old")
+    with open(f"{in_dir}/b2.json", "w") as f:
+        f.write(_json.dumps({"id_l": 2, "id_r": 3}) + "\n")
+    run("ckpt2")
+    got = {
+        r.id: r.comp for r in spark.read.parquet(labels_path).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert not os.path.isdir(labels_path + ".__old")
 
 
 def test_stream_incremental_components_file_uri_forms(spark, tmp_path):

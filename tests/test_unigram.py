@@ -136,3 +136,86 @@ def test_segment_counts_cover_unseen_text(spark):
     )
     assert out[1] == expect1
     assert out[2] >= 6  # unseen chars fall back to per-char pieces
+
+
+# ---------------------------------------------------------------------------
+# unigram_census (round 8): fixed-model Viterbi census, oracle-gated (q179)
+# ---------------------------------------------------------------------------
+def test_unigram_census_matches_bruteforce(spark):
+    """Census vs an INDEPENDENT exhaustive enumerator: for each word,
+    enumerate every segmentation into model pieces / single-char UNKs
+    and pick by (score desc, n_pieces asc, piece-list lex) — the
+    contract viterbi_segment implements with a DP."""
+    from itertools import count as _count
+
+    from jsonl_dataingestion_pipeline_spark.operators.unigram import (
+        unigram_census,
+    )
+
+    model = {
+        **{c: -3100 for c in "abcdefghijklmnopqrstuvwxyz"},
+        "th": -4000, "the": -4500, "st": -6200, "an": -4000,
+        "and": -5100, "ing": -5000,
+    }
+    UNK = -(10**9)
+
+    def brute(word):
+        outs = []
+
+        def rec(i, pieces, score):
+            if i == len(word):
+                outs.append((score, len(pieces), list(pieces)))
+                return
+            for ln in (1, 2, 3):
+                if i + ln > len(word):
+                    break
+                p = word[i : i + ln]
+                if p in model:
+                    pieces.append(p)
+                    rec(i + ln, pieces, score + model[p])
+                    pieces.pop()
+                elif ln == 1:
+                    pieces.append(p)
+                    rec(i + 1, pieces, score + UNK)
+                    pieces.pop()
+
+        rec(0, [], 0)
+        return min(outs, key=lambda t: (-t[0], t[1], t[2]))
+
+    texts = [
+        (0, "the thing stands"),
+        (1, "and standing Xq9 st"),
+        (2, "   "),
+        (3, "supercalifragilistic tiny"),  # first word > 12 chars
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in unigram_census(
+            df, "text", "doc_id", model, max_word_len=12
+        ).collect()
+    }
+    import re
+
+    for doc_id, t in texts:
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t) if w]
+        short = [w for w in words if len(w) <= 12]
+        best = [brute(w) for w in short]
+        r = got[doc_id]
+        assert r.ug_n_words == len(short), r
+        assert r.ug_n_long == len(words) - len(short), r
+        assert r.ug_n_pieces == sum(b[1] for b in best), (r, best)
+        assert r.ug_score_sum == sum(b[0] for b in best), (r, best)
+
+
+def test_unigram_census_guards(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.unigram import (
+        unigram_census,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="integers"):
+        unigram_census(df, "text", "doc_id", {"a": -0.5})
+    with pytest.raises(ValueError, match="unk_cost"):
+        unigram_census(df, "text", "doc_id", {"a": -1}, unk_cost=-5)

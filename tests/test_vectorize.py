@@ -73,3 +73,26 @@ def test_entries_independent_of_partitioning(spark):
     b = sorted(map(tuple, hashed_tf_entries(
         df.repartition(16), "text", "id", dim=32).collect()))
     assert a == b
+
+
+def test_hashed_cosine_topk_validates_query_frame(spark):
+    """ADVICE r7: empty / multi-row / tokenless query frames raise
+    descriptive ValueErrors instead of an opaque TypeError or silent
+    NULL similarities."""
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.vectorize import (
+        hashed_cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "id long, text string"
+    )
+    empty = corpus.filter("id > 99")
+    with pytest.raises(ValueError, match="empty frame"):
+        hashed_cosine_topk(corpus, empty, "text", "id")
+    with pytest.raises(ValueError, match="more than one row"):
+        hashed_cosine_topk(corpus, corpus, "text", "id")
+    blank = spark.createDataFrame([(9, "   ")], "id long, text string")
+    with pytest.raises(ValueError, match="tokenizes to no"):
+        hashed_cosine_topk(corpus, blank, "text", "id")

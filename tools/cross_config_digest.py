@@ -25,6 +25,9 @@ BATTERIES = (
     "q28_ann_topk", "q38_cosine_verify", "q39_embedding_neardup",
     "q25_ngram_jaccard_pairs", "q51_neardup_clusters_battery",
     "q53_sampling_suite", "q20_doc_quality", "q60_text_ranking",
+    # round 8: classifier training (q177 leg rides q20, already above);
+    # WARC census + unigram DP census
+    "q33_text_extract_battery", "q19_corpus_stats",
 )
 
 

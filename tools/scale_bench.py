@@ -1170,8 +1170,50 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # const; the scan + sparse aggregate are the k-linear parts.
         return entry.q175_hashed_cosine(spark, sf_dir)
 
+    def q177_scaled(spark, sf_dir):
+        # classifier TRAINING over the FULL scaled corpus (the gate
+        # fixture caps doc_id < 200 for the unrolled oracle): 3 GD
+        # iterations, each = one broadcast-weight pass + two integer
+        # aggregates; output rows = docs (every doc scored) -> k-linear.
+        from jsonl_dataingestion_pipeline_spark.functions.classifier import (
+            classify,
+            train_classifier,
+        )
+
+        d = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).filter(F.col("text").isNotNull())
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+        lab = d.select(
+            "doc_id",
+            "text",
+            F.when(F.size(toks) >= 56, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+        w = train_classifier(
+            lab, "text", "doc_id", "y",
+            n_features=256, iterations=3, lr=2.0,
+            include_bigrams=False,
+        )
+        return classify(
+            lab, "text", "doc_id", w,
+            n_features=256, include_bigrams=False,
+        )
+
+    def q178_scaled(spark, sf_dir):
+        # WARC serialize->walk->census over the FULL scaled corpus
+        # (gate caps doc_id < 200): rows = 7 groups const; wall =
+        # Column serializer + Arrow record walker, linear in bytes.
+        return entry._warc_census(spark, sf_dir, cap=None)
+
     runs = {
         "q173_mixture": q173_scaled,
+        "q177_clf_train": q177_scaled,
+        "q178_warc": q178_scaled,
         "q174_split": q174_scaled,
         "q175_hashed_cos": q175_scaled,
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
