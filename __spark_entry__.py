@@ -12265,3 +12265,185 @@ _ORACLE_SHAPES["q179_unigram_segment"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("unigram_census", "q179_unigram_segment")
 )
+
+
+def q180_bt_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting (operators/
+    preference.py) over a deterministic comparison log: doc i is
+    compared against doc (i*7+13) mod 400, the longer text wins (byte
+    length; ties -> smaller doc_id). 3 GD iterations with DISTRIBUTED
+    per-item state — strengths never touch the driver — and the
+    integer-grid / fast-sigmoid / exact-integer-gradient discipline of
+    q177, so the oracle unrolls all iterations and matches
+    bit-for-bit. Output: (doc_id, bt_strength_u BIGINT nano-units,
+    bt_rank INT)."""
+    from jsonl_dataingestion_pipeline_spark.operators.preference import (
+        bt_strengths,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 400) & F.col("text").isNotNull())
+        .select("doc_id", F.octet_length("text").cast("long").alias("__ln"))
+    )
+    right = d.select(
+        F.col("doc_id").alias("__j"), F.col("__ln").alias("__lj")
+    )
+    pairs = d.withColumn(
+        "__jk", (F.col("doc_id") * 7 + 13) % 400
+    ).join(right, on=F.col("__jk") == F.col("__j"))
+    w_wins = (F.col("__ln") > F.col("__lj")) | (
+        (F.col("__ln") == F.col("__lj"))
+        & (F.col("doc_id") < F.col("__j"))
+    )
+    comp = pairs.select(
+        F.when(w_wins, F.col("doc_id")).otherwise(F.col("__j")).alias(
+            "__w"
+        ),
+        F.when(w_wins, F.col("__j")).otherwise(F.col("doc_id")).alias(
+            "__l"
+        ),
+    )
+    su = bt_strengths(comp, "__w", "__l", iterations=3, lr=2.0)
+    w = Window.orderBy(F.col("bt_strength_u").desc(), F.col("item").asc())
+    return su.select(
+        F.col("item").alias("doc_id"),
+        "bt_strength_u",
+        F.row_number().over(w).cast("int").alias("bt_rank"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q180_bt_preferences"] = q180_bt_preferences
+
+
+def _bt_dp_sql(iterations: int, lr: float) -> str:
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+    q{k} AS MATERIALIZED (
+        SELECT c.w, c.l,
+               CAST(ROUND((0.5 + 0.5 * z / (1.0 + ABS(z)) - 1.0)
+                          * 1e9) AS BIGINT) AS q
+        FROM (SELECT c.w, c.l,
+                     CAST(sw.su - sl.su AS DOUBLE) / 1e9 AS z
+              FROM comp c
+              JOIN s{k - 1} sw ON c.w = sw.item
+              JOIN s{k - 1} sl ON c.l = sl.item) c
+    ),
+    g{k} AS MATERIALIZED (
+        SELECT item, SUM(q) AS g FROM (
+            SELECT w AS item, q FROM q{k}
+            UNION ALL
+            SELECT l AS item, -q FROM q{k}
+        ) GROUP BY item
+    ),
+    s{k} AS MATERIALIZED (
+        SELECT s.item,
+               s.su - CAST(ROUND({lr} * CAST(COALESCE(g.g, 0) AS DOUBLE)
+                                 / (SELECT n FROM nc))
+                           AS BIGINT) AS su
+        FROM s{k - 1} s LEFT JOIN g{k} g USING (item)
+    )""")
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS ln
+        FROM documents WHERE doc_id < 400 AND text IS NOT NULL
+    ), comp AS MATERIALIZED (
+        SELECT CASE WHEN a.ln > b.ln OR (a.ln = b.ln
+                         AND a.doc_id < b.doc_id)
+                    THEN a.doc_id ELSE b.doc_id END AS w,
+               CASE WHEN a.ln > b.ln OR (a.ln = b.ln
+                         AND a.doc_id < b.doc_id)
+                    THEN b.doc_id ELSE a.doc_id END AS l
+        FROM d a JOIN d b ON b.doc_id = (a.doc_id * 7 + 13) % 400
+    ), nc AS (SELECT COUNT(*) AS n FROM comp
+    ), items AS MATERIALIZED (
+        SELECT w AS item FROM comp UNION SELECT l AS item FROM comp
+    ), s0 AS MATERIALIZED (
+        SELECT item, CAST(0 AS BIGINT) AS su FROM items
+    ),{",".join(its)}
+    SELECT item AS doc_id, su AS bt_strength_u,
+           CAST(ROW_NUMBER() OVER (ORDER BY su DESC, item ASC)
+                AS INT) AS bt_rank
+    FROM s{iterations}
+"""
+
+
+_ORACLE_DEDUP_SIM["q180_bt_preferences"] = _bt_dp_sql(3, 2.0)
+
+_ORACLE_SHAPES["q180_bt_preferences"] = (
+    ("doc_id", "BIGINT"), ("bt_strength_u", "BIGINT"),
+    ("bt_rank", "INTEGER"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(("q180_bt_preferences", {}))
+
+
+def q181_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/quality.py::cohens_kappa) between two
+    deterministic 'annotators' over the corpus: rater A labels a doc
+    'long' at >= 56 whitespace tokens, rater B at >= 300 bytes — the
+    inter-annotator-agreement QA statistic for labeled training data.
+    Pure integer counts; the one float division emits micro-units."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        tokens,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.quality import (
+        cohens_kappa,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(tokens(F.lower(F.col("text"))), lambda x: x != "")
+    lab = d.select(
+        F.when(F.size(toks) >= 56, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("__ra"),
+        F.when(F.octet_length("text") >= 300, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("__rb"),
+    )
+    return cohens_kappa(lab, "__ra", "__rb")
+
+
+_DEDUP_SIM_QUERIES["q181_annotator_agreement"] = q181_annotator_agreement
+
+_ORACLE_DEDUP_SIM["q181_annotator_agreement"] = r"""
+    WITH lab AS (
+        SELECT CASE WHEN len(list_filter(
+                   regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                   x -> x <> '')) >= 56
+               THEN 'long' ELSE 'short' END AS a,
+               CASE WHEN strlen(text) >= 300
+               THEN 'long' ELSE 'short' END AS b
+        FROM documents WHERE text IS NOT NULL
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ka_n,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ka_agree
+        FROM lab
+    ), marg AS (
+        SELECT COALESCE(SUM(x.na * y.nb), 0) AS s
+        FROM (SELECT a, CAST(COUNT(*) AS BIGINT) AS na
+              FROM lab GROUP BY a) x
+        JOIN (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb
+              FROM lab GROUP BY b) y ON x.a = y.b
+    )
+    SELECT ka_n, ka_agree,
+           CAST(ROUND(CAST(s AS DOUBLE)
+               / (CAST(ka_n AS DOUBLE) * CAST(ka_n AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS ka_chance_u,
+           CASE WHEN ka_n * ka_n - s = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(ka_agree * ka_n - s AS DOUBLE)
+                    / CAST(ka_n * ka_n - s AS DOUBLE)
+                    * 1000000.0) AS BIGINT) END AS ka_kappa_u
+    FROM base CROSS JOIN marg
+"""
+
+_ORACLE_SHAPES["q181_annotator_agreement"] = (
+    ("ka_n", "BIGINT"), ("ka_agree", "BIGINT"),
+    ("ka_chance_u", "BIGINT"), ("ka_kappa_u", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("annotator_agreement", "q181_annotator_agreement")
+)

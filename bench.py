@@ -151,6 +151,7 @@ HEADLINE = [
     "q177_classifier_training",
     "q178_warc_census",
     "q179_unigram_segment",
+    "q180_bt_preferences",
 ]
 
 

@@ -131,11 +131,16 @@ def train_classifier(
     linear classifier whose inference is :func:`classify`.
 
     The 100 TB discipline is the kmeans/PQ pattern (clustering.py,
-    pq.py module notes): per iteration, ONE pass over the corpus —
-    weights ride along as a broadcast table, the per-document logit is
-    a window sum co-partitioned with the per-bucket gradient shuffle,
-    and the only driver state is the k-feature weight vector itself
-    (collected once per iteration, n_features rows).
+    pq.py module notes): per iteration, ONE pass over the checkpointed
+    per-(doc, bucket) feature frame — weights ride along as a broadcast
+    table (never a model shuffle), then ONE Exchange: the per-bucket
+    gradient aggregate. The per-document logit window reuses the
+    persisted repartition(id) layout — persist, not localCheckpoint,
+    because the InMemoryRelation advertises its partitioning while a
+    checkpointed LogicalRDD does not (measured: the checkpoint form
+    re-hashed the full feature frame every iteration). The only driver
+    state is the k-feature weight vector itself (collected once per
+    iteration, n_features rows).
 
     Integer-exact / shuffle-order-independent by construction:
 
@@ -182,8 +187,13 @@ def train_classifier(
         "__n",
         F.sum("__cnt").over(Window.partitionBy(id_col)).cast("long"),
     )
-    # one corpus materialization; every iteration re-reads these blocks
-    base = base.repartition(F.col(id_col)).localCheckpoint(eager=True)
+    # one corpus materialization; every iteration re-reads these
+    # blocks. persist (NOT localCheckpoint): the InMemoryRelation
+    # advertises the repartition(id) layout, so the per-doc window
+    # needs no Exchange in any iteration — measured: a checkpointed
+    # base (LogicalRDD, unknown partitioning) re-hashed the full
+    # feature frame every iteration
+    base = base.repartition(F.col(id_col)).persist()
     n_docs = base.select(id_col).distinct().count()
     if n_docs == 0:
         raise ValueError(
@@ -229,6 +239,7 @@ def train_classifier(
             step = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
             wu[r["bucket"]] -= int(step)
 
+    base.unpersist()
     wdf = spark.createDataFrame(
         [(b, int(u)) for b, u in enumerate(wu)], "bucket long, __wu long"
     )

@@ -1,0 +1,133 @@
+"""Bradley-Terry preference-strength fitting over pairwise comparison
+logs — the RLHF / preference-data half of a training-data pipeline
+(rank responses from A/B judgments, build DPO/reward-model pairs,
+detect annotator-inconsistent items).
+
+Model: item i carries strength s_i; P(w beats l) = sigma(s_w - s_l).
+Fitting is full-batch gradient descent, but unlike the hashed
+classifier (functions/classifier.py — k driver-side weights) the state
+here is PER ITEM and stays DISTRIBUTED: strengths live in a DataFrame,
+each iteration joins the comparison log against it twice (winner side,
+loser side — both hash joins on the item key, co-partitioned round to
+round), computes the per-comparison residual, and folds the +/- residual
+pairs back into per-item gradients with one aggregate. Nothing
+item-sized ever reaches the driver — millions of candidate documents
+fit the same plan as 400.
+
+Determinism contract (SCALING.md): strengths live on the 1e-9 integer
+grid (BIGINT nano-units); the per-comparison residual uses the rational
+fast-sigmoid (0.5 + 0.5*z/(1+|z|) — every op IEEE-correctly-rounded,
+no libm exp) and quantizes ONCE to the grid; per-item gradient sums are
+exact integer sums; the update rounds half-away-from-zero via the same
+F.round both engines implement. A DuckDB oracle unrolls the iterations
+as CTEs and matches bit-for-bit (q180).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.functions.classifier import (
+    fast_sigmoid,
+)
+from jsonl_dataingestion_pipeline_spark.operators.common import (
+    pipeline_break,
+)
+
+
+def bt_strengths(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    *,
+    iterations: int = 5,
+    lr: float = 1.0,
+    out_col: str = "bt_strength_u",
+) -> DataFrame:
+    """Fit Bradley-Terry strengths; returns (item, ``out_col`` BIGINT
+    nano-units). Items = every id appearing as winner or loser; all
+    start at strength 0 (the symmetric prior — strengths are
+    identifiable only up to a constant, and zero-sum updates keep the
+    mean at exactly 0).
+
+    Per iteration: z = (su_w - su_l)/1e9 per comparison, residual
+    q = round((fast_sigmoid(z) - 1) * 1e9) BIGINT (<= 0: the winner's
+    predicted shortfall), gradient g_i = sum(q over wins) - sum(q over
+    losses) exact, update su_i = su_i - round(lr * g_i / n_comparisons).
+    Self-comparisons (winner == loser) are rejected — they make the
+    likelihood ill-defined.
+    """
+    if iterations < 1:
+        raise ValueError("bt_strengths: iterations must be >= 1")
+    comp = comparisons.select(
+        F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
+    )
+    comp = pipeline_break(comp.repartition(F.col("__w")), False)
+    n_self = comp.filter(F.col("__w") == F.col("__l")).count()
+    if n_self:
+        raise ValueError(
+            f"bt_strengths: {n_self} self-comparison(s) (winner == "
+            "loser) — drop them upstream, they carry no signal"
+        )
+    n_comp = comp.count()
+    if n_comp == 0:
+        raise ValueError("bt_strengths: empty comparison log")
+    items = (
+        comp.select(F.col("__w").alias("item"))
+        .unionAll(comp.select(F.col("__l").alias("item")))
+        .distinct()
+    )
+    su = pipeline_break(
+        items.select("item", F.lit(0).cast("long").alias("__su")), False
+    )
+    for _ in range(int(iterations)):
+        j = (
+            comp.join(
+                su.select(
+                    F.col("item").alias("__w"),
+                    F.col("__su").alias("__suw"),
+                ),
+                on="__w",
+            )
+            .join(
+                su.select(
+                    F.col("item").alias("__l"),
+                    F.col("__su").alias("__sul"),
+                ),
+                on="__l",
+            )
+        )
+        z = (
+            (F.col("__suw") - F.col("__sul")).cast("double")
+            / F.lit(1e9)
+        )
+        q = F.round((fast_sigmoid(z) - F.lit(1.0)) * F.lit(1e9)).cast(
+            "long"
+        )
+        signed = j.select(
+            F.col("__w").alias("item"), q.alias("__q")
+        ).unionAll(
+            j.select(F.col("__l").alias("item"), (-q).alias("__q"))
+        )
+        grads = signed.groupBy("item").agg(
+            F.sum(F.col("__q").cast("decimal(18,0)")).alias("__g")
+        )
+        su = su.join(grads, on="item", how="left").select(
+            "item",
+            (
+                F.col("__su")
+                - F.coalesce(
+                    F.round(
+                        F.lit(float(lr))
+                        * F.col("__g").cast("double")
+                        / F.lit(int(n_comp))
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            ).alias("__su"),
+        )
+        # cut lineage every round: the strength frame is the loop
+        # state (the graph-family discipline, graph.py)
+        su = pipeline_break(su, False)
+    return su.select("item", F.col("__su").alias(out_col))

@@ -201,3 +201,85 @@ def check_constraints(
     for _, p in pieces:
         out = p if out is None else out.unionAll(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    *,
+    scale: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    inter-annotator agreement statistic a labeled-training-data QA
+    pass runs per (task, annotator-pair).
+
+    kappa = (p_o - p_e)/(1 - p_e) reduces to the pure-INTEGER ratio
+    (agree*n - S) / (n*n - S) with S = sum over categories of
+    n_a(c) * n_b(c) — so the only float op is the ONE final division,
+    rounded to micro-units (the determinism contract: no float sums,
+    no engine-specific math). NULL labels count as their own category
+    (two raters can agree on "unlabelable").
+
+    Plan: one two-column scan feeding (a) the n/agree aggregate and
+    (b) per-category marginal counts for each rater, joined FULL on
+    the category (bounded by the label alphabet, broadcast-small).
+    Returns one row: (ka_n, ka_agree, ka_chance_u, ka_kappa_u) —
+    chance agreement p_e and kappa in micro-units; kappa_u is NULL for
+    the degenerate p_e = 1 case (a single shared category — kappa
+    undefined, surfaced as NULL rather than a crash or a fake 0).
+    """
+    pair = df.select(
+        F.col(rater_a).cast("string").alias("__a"),
+        F.col(rater_b).cast("string").alias("__b"),
+    )
+    base = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("ka_n"),
+        F.sum(
+            F.when(
+                F.col("__a").eqNullSafe(F.col("__b")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("ka_agree"),
+    )
+    na = pair.groupBy("__a").agg(F.count(F.lit(1)).alias("__na"))
+    nb = pair.groupBy("__b").agg(F.count(F.lit(1)).alias("__nb"))
+    s = (
+        na.join(
+            nb, on=na["__a"].eqNullSafe(nb["__b"]), how="inner"
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__na").cast("decimal(18,0)") * F.col("__nb")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__s")
+        )
+    )
+    u = 10**scale
+    joined = base.crossJoin(F.broadcast(s))
+    pe_u = F.round(
+        F.col("__s").cast("double")
+        / (F.col("ka_n").cast("double") * F.col("ka_n").cast("double"))
+        * F.lit(float(u))
+    ).cast("long")
+    denom = (
+        F.col("ka_n").cast("decimal(38,0)") * F.col("ka_n") - F.col("__s")
+    )
+    numer = (
+        F.col("ka_agree").cast("decimal(38,0)") * F.col("ka_n")
+        - F.col("__s")
+    )
+    kappa_u = F.when(
+        denom == 0, F.lit(None).cast("long")
+    ).otherwise(
+        F.round(
+            numer.cast("double") / denom.cast("double") * F.lit(float(u))
+        ).cast("long")
+    )
+    return joined.select(
+        "ka_n",
+        "ka_agree",
+        pe_u.alias("ka_chance_u"),
+        kappa_u.alias("ka_kappa_u"),
+    )

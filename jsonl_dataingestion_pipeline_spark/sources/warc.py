@@ -199,3 +199,41 @@ def read_warc(
         glob=glob or "*.warc*", recursive=recursive, max_bytes=max_bytes,
     )
     return records_from_blobs(blobs)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Structured-Streaming WARC ingestion: crawl shards landing under
+    ``path`` stream through the SAME Arrow-batched record walk as the
+    batch reader — ``readStream.format("binaryFile")`` tracks which
+    files are new (exactly-once per file via the sink's checkpoint),
+    ``mapInPandas`` applies per micro-batch, and quarantine rows flow
+    like any other record. This is the continuous-crawl front door: a
+    fetcher drops ``*.warc.gz`` shards into object storage and the
+    pipeline ingests them as they land, no batch scheduler.
+
+    ``maxFileAge`` defaults apply (7d); callers resuming an old crawl
+    should set ``spark.sql.streaming.fileSource.log.cleanupDelay`` /
+    maxFileAge via session conf. One file = one task, as in batch."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob or "*.warc*")
+        .option("recursiveFileLookup", "true")
+    )
+    blobs = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        blobs = blobs.filter(F.col("length") <= max_bytes)
+    return records_from_blobs(blobs)

@@ -615,3 +615,14 @@ def test_q179_unigram_census_is_single_pass_no_shuffle(spark):
     assert "MapInPandas" in tree, tree
     assert "Exchange" not in tree, tree
     assert "Join" not in tree, tree
+
+
+def test_q180_bt_result_reads_from_checkpoint(spark):
+    """q180 (PLANS.md): the strength frame is the loop's checkpoint
+    (Scan ExistingRDD) — re-collecting never replays the GD joins; the
+    only shuffle is the bounded rank projection."""
+    df = em.q180_bt_preferences(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Scan ExistingRDD" in tree, tree
+    assert "Join" not in tree, tree
+    assert "Scan parquet" not in tree, tree

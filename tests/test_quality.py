@@ -95,3 +95,47 @@ def test_rowlocal_rules_fuse_into_one_scan(spark, frame):
 def test_empty_rules_rejected(spark, frame):
     with pytest.raises(ValueError, match="empty rule"):
         check_constraints(frame, [])
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa (round 8)
+# ---------------------------------------------------------------------------
+def test_cohens_kappa_hand_computed(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.quality import (
+        cohens_kappa,
+    )
+
+    # classic 2x2: a=(y,y,y,n,n,n,y,n,y,y), b=(y,n,y,n,n,y,y,n,y,n)
+    rows = [("y", "y"), ("y", "n"), ("y", "y"), ("n", "n"), ("n", "n"),
+            ("n", "y"), ("y", "y"), ("n", "n"), ("y", "y"), ("y", "n")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n = len(rows)
+    agree = sum(1 for a, b in rows if a == b)
+    from collections import Counter
+
+    ca, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    s = sum(ca[c] * cb.get(c, 0) for c in ca)
+    assert r.ka_n == n and r.ka_agree == agree
+    assert r.ka_kappa_u == round((agree * n - s) / (n * n - s) * 1e6)
+
+
+def test_cohens_kappa_edges(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.quality import (
+        cohens_kappa,
+    )
+
+    # perfect agreement over 2 categories -> kappa 1.0
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "y")], "a string, b string"
+    )
+    assert cohens_kappa(df, "a", "b").collect()[0].ka_kappa_u == 1000000
+    # degenerate: one shared category -> p_e = 1, kappa NULL
+    df1 = spark.createDataFrame([("x", "x")], "a string, b string")
+    assert cohens_kappa(df1, "a", "b").collect()[0].ka_kappa_u is None
+    # NULLs agree with NULLs (their own category)
+    dfn = spark.createDataFrame(
+        [(None, None), ("x", "x"), ("x", None)], "a string, b string"
+    )
+    r = cohens_kappa(dfn, "a", "b").collect()[0]
+    assert r.ka_agree == 2

@@ -138,3 +138,48 @@ def test_walk_warc_rejects_non_warc_bytes():
     got = list(walk_warc_records(b"PK\x03\x04 definitely a zip\r\n\r\n"))
     assert len(got) == 1
     assert got[0][3] is not None and "WARC/" in got[0][3]
+
+
+def test_read_warc_stream_ingests_new_files(spark, tmp_path):
+    """Streaming WARC ingestion: files stream through the same record
+    walk; a second availableNow pass picks up ONLY the new shard
+    (exactly-once per file via the checkpoint)."""
+    import os
+
+    from jsonl_dataingestion_pipeline_spark.sources.warc import (
+        read_warc_stream,
+    )
+
+    in_dir = tmp_path / "crawl"
+    os.makedirs(in_dir)
+    (in_dir / "shard1.warc").write_bytes(_sample_warc())
+    out = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            read_warc_stream(spark, str(in_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 3
+    (in_dir / "shard2.warc.gz").write_bytes(
+        gzip.compress(_sample_warc())
+    )
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert got.filter("rec_ok").count() == 6
+    by_file = {
+        r["f"]: r["n"]
+        for r in got.groupBy(
+            F.element_at(F.split("warc_path", "/"), -1).alias("f")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_file == {"shard1.warc": 3, "shard2.warc.gz": 3}

@@ -1210,10 +1210,52 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # Column serializer + Arrow record walker, linear in bytes.
         return entry._warc_census(spark, sf_dir, cap=None)
 
+    def q180_scaled(spark, sf_dir):
+        # Bradley-Terry over the FULL scaled corpus: comparisons pair
+        # doc b with doc (b*7+13 mod n_base) WITHIN its replica (doc_id
+        # = r*ID_OFFSET + b, b contiguous per replica), winner = longer
+        # text. State is per-item and distributed; rows = items =
+        # k-linear exactly.
+        from jsonl_dataingestion_pipeline_spark.operators.preference import (
+            bt_strengths,
+        )
+
+        d = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.octet_length("text").cast("long").alias("__ln"),
+            )
+        )
+        nb = d.filter(F.col("doc_id") < ID_OFFSET).count()
+        right = d.select(
+            F.col("doc_id").alias("__j"), F.col("__ln").alias("__lj")
+        )
+        base = F.col("doc_id") % ID_OFFSET
+        pairs = d.withColumn(
+            "__jk",
+            (F.col("doc_id") - base) + (base * 7 + 13) % nb,
+        ).join(right, on=F.col("__jk") == F.col("__j"))
+        w_wins = (F.col("__ln") > F.col("__lj")) | (
+            (F.col("__ln") == F.col("__lj"))
+            & (F.col("doc_id") < F.col("__j"))
+        )
+        comp = pairs.filter(F.col("doc_id") != F.col("__j")).select(
+            F.when(w_wins, F.col("doc_id"))
+            .otherwise(F.col("__j"))
+            .alias("w"),
+            F.when(w_wins, F.col("__j"))
+            .otherwise(F.col("doc_id"))
+            .alias("l"),
+        )
+        return bt_strengths(comp, "w", "l", iterations=3, lr=2.0)
+
     runs = {
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
+        "q180_bt": q180_scaled,
         "q174_split": q174_scaled,
         "q175_hashed_cos": q175_scaled,
         "q25_ngram_jaccard_pairs": entry.q25_ngram_jaccard_pairs,
