@@ -12079,10 +12079,12 @@ def _warc_census(spark: SparkSession, sf_dir: str, cap) -> DataFrame:
             .alias("__h200"),
             F.col("content_length").alias("__cl"),
             F.octet_length(F.col("body")).cast("long").alias("__bo"),
-            # 12 hex digits (~2.8e14 max): the per-group SUM of ~29
-            # of these stays far inside int64 (15 digits overflowed
-            # ANSI addExact — caught by the gate)
-            F.conv(F.substring(F.md5(F.col("body")), 1, 12), 16, 10)
+            # 8 hex digits (~4.3e9 max): the per-group SUM stays
+            # inside int64 even UNCAPPED at the x100 tier (~71k
+            # records/group -> ~1.5e14; 12 digits would cross 2^63
+            # there, 15 digits overflowed ANSI addExact at the capped
+            # gate — both caught)
+            F.conv(F.substring(F.md5(F.col("body")), 1, 8), 16, 10)
             .cast("long")
             .alias("__bm"),
         )
@@ -12118,7 +12120,7 @@ _ORACLE_DEDUP_SIM["q178_warc_census"] = r"""
            CAST(SUM(63 + strlen(CAST(bl AS VARCHAR)) + bl) AS BIGINT)
                AS warc_sum_cl,
            CAST(SUM(bl) AS BIGINT) AS warc_sum_body,
-           CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
                AS BIGINT) AS warc_body_md5_sum
     FROM d GROUP BY warc_group
 """

@@ -27,8 +27,6 @@ cross-engine, so the whole inference pass is oracle-replayable.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +97,25 @@ def hashed_features(
         F.col(id_col), explode(terms).alias("__term")
     ).select(
         F.col(id_col), _bucket(F.col("__term"), n_features).alias("bucket")
+    )
+
+
+def round_half_away(x: float) -> int:
+    """Round a double to int with the semantics BOTH engines use for
+    ROUND: Spark rounds ``BigDecimal.valueOf(x)`` (= the shortest
+    round-trip decimal repr, same as Python ``repr``) HALF_UP; DuckDB
+    rounds the binary value half-away-from-zero. The two agree for
+    every double (a non-0.5 double and its shortest repr can never
+    straddle .5 — 0.5 is exactly representable, so any other double is
+    a full ulp away while its repr is within half an ulp). Python's
+    built-in ``round`` is banker's, and the classic
+    ``floor(x + 0.5)`` trick is WRONG one ulp below .5
+    (0.49999999999999994 + 0.5 == 1.0 in binary): both would diverge
+    from the engines on boundary values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).to_integral_value(rounding=ROUND_HALF_UP)
     )
 
 
@@ -232,12 +249,8 @@ def train_classifier(
             .collect()
         )
         for r in grads:
-            # HALF-AWAY-FROM-ZERO, matching Spark F.round / DuckDB
-            # ROUND — Python's built-in round() is banker's and would
-            # diverge on exact .5 boundaries
             x = float(lr) * float(r["__gu"]) / n_docs
-            step = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
-            wu[r["bucket"]] -= int(step)
+            wu[r["bucket"]] -= round_half_away(x)
 
     base.unpersist()
     wdf = spark.createDataFrame(

@@ -969,11 +969,13 @@ def fuzzy_decontaminate(
             n_hot = b_stats.filter(
                 F.col("__df") > max_bench_df
             ).count()
-            # bounded LRU: evict the single least-recently-used entry
-            # instead of discarding every memoized census at once
-            # (ADVICE r7) — a dropped entry releases its benchmark
-            # frame (and JVM plan) while the hot ones stay warm
-            while len(_CAP_MEMO) > 256:
+            # bounded LRU: evict least-recently-used entries to make
+            # room BEFORE inserting (>= so steady-state capacity is
+            # exactly 256, not 257) instead of discarding every
+            # memoized census at once (ADVICE r7) — a dropped entry
+            # releases its benchmark frame (and JVM plan) while the
+            # hot ones stay warm
+            while len(_CAP_MEMO) >= 256:
                 _CAP_MEMO.pop(next(iter(_CAP_MEMO)))
             _CAP_MEMO[key] = (n_hot, benchmark)
         else:

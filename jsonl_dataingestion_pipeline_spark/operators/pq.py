@@ -456,13 +456,20 @@ def write_ivfpq_index(
     even listed), so search cost is data-proportional to the probed
     cells, not the corpus. Codebooks stay driver-side artifacts (k·d
     floats) — persist them with the caller's model store."""
+    _write_index(df, path, coarse, codebooks, id_col, vec_col, "overwrite")
+
+
+def _write_index(df, path, coarse, codebooks, id_col, vec_col, mode):
+    """One encode+write body for build AND append — the stored layout
+    (projection, partition column, codes) can never diverge between
+    the two paths."""
     m = len(codebooks)
     dim = m * len(codebooks[0][0])
     enc = ivfpq_encode(
         df, vec_col, coarse, codebooks,
         dim=dim, cell_col="cell", code_col="codes",
     ).select(id_col, "cell", "codes")
-    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    enc.write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def append_ivfpq_index(
@@ -495,13 +502,7 @@ def append_ivfpq_index(
     SCALING.md records the drift tier — and retrain+rebuild when
     recall degrades past budget.
     """
-    m = len(codebooks)
-    dim = m * len(codebooks[0][0])
-    enc = ivfpq_encode(
-        df, vec_col, coarse, codebooks,
-        dim=dim, cell_col="cell", code_col="codes",
-    ).select(id_col, "cell", "codes")
-    enc.write.mode("append").partitionBy("cell").parquet(path)
+    _write_index(df, path, coarse, codebooks, id_col, vec_col, "append")
 
 
 def ivfpq_topk_from_index(

@@ -47,9 +47,10 @@ def bt_strengths(
 ) -> DataFrame:
     """Fit Bradley-Terry strengths; returns (item, ``out_col`` BIGINT
     nano-units). Items = every id appearing as winner or loser; all
-    start at strength 0 (the symmetric prior — strengths are
-    identifiable only up to a constant, and zero-sum updates keep the
-    mean at exactly 0).
+    start at strength 0 (the symmetric prior). Strengths are
+    identifiable only up to a constant — compare differences or ranks,
+    not absolute values; per-item ROUNDED steps are not exactly
+    zero-sum, so the mean can drift a few nano-units from 0.
 
     Per iteration: z = (su_w - su_l)/1e9 per comparison, residual
     q = round((fast_sigmoid(z) - 1) * 1e9) BIGINT (<= 0: the winner's
@@ -63,7 +64,12 @@ def bt_strengths(
     comp = comparisons.select(
         F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
     )
-    comp = pipeline_break(comp.repartition(F.col("__w")), False)
+    # persist, NOT checkpoint: the InMemoryRelation advertises the
+    # repartition(__w) layout, so the winner-side join reuses it every
+    # iteration (a checkpointed LogicalRDD forgets its partitioning and
+    # re-shuffles the full log each round — the measured pitfall
+    # documented in functions/classifier.py::train_classifier)
+    comp = comp.repartition(F.col("__w")).persist()
     n_self = comp.filter(F.col("__w") == F.col("__l")).count()
     if n_self:
         raise ValueError(
@@ -128,6 +134,9 @@ def bt_strengths(
             ).alias("__su"),
         )
         # cut lineage every round: the strength frame is the loop
-        # state (the graph-family discipline, graph.py)
+        # state (the graph-family discipline, graph.py) — checkpoint
+        # here, not persist: su is rebuilt each round, so layout reuse
+        # buys nothing while unbounded lineage would
         su = pipeline_break(su, False)
+    comp.unpersist()
     return su.select("item", F.col("__su").alias(out_col))

@@ -114,6 +114,12 @@ def walk_warc_records(
         except (KeyError, ValueError):
             yield idx, {}, b"", "missing/invalid Content-Length"
             return
+        if cl < 0:
+            # a negative length would move the cursor BACKWARD and
+            # re-parse the same record forever (untrusted crawl data —
+            # hang + unbounded rows, not just a bad record)
+            yield idx, {}, b"", f"negative Content-Length {cl}"
+            return
         block_start = hdr_end + 4
         if block_start + cl > n:
             yield idx, {}, b"", (

@@ -79,7 +79,6 @@ def test_hashed_features_unigrams_only(spark):
 # ---------------------------------------------------------------------------
 # train_classifier (round 8): distributed full-batch GD, integer-exact
 # ---------------------------------------------------------------------------
-import math
 from collections import defaultdict
 
 import pytest
@@ -100,8 +99,13 @@ _TRAIN_DOCS = [
 
 
 def _rha(x: float) -> int:
-    """half-away-from-zero, the Spark/DuckDB ROUND semantics"""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    # the engines' ROUND semantics (see classifier.round_half_away:
+    # floor(x+0.5) is wrong one ulp below .5)
+    from jsonl_dataingestion_pipeline_spark.functions.classifier import (
+        round_half_away,
+    )
+
+    return round_half_away(x)
 
 
 def _train_py(docs, nf, iters, lr, bias):

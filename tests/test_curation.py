@@ -968,9 +968,11 @@ def test_fuzzy_decontaminate_memo_evicts_lru_not_all(spark):
             cand, bench, "text", "id", shingle_k=3, max_bench_df=1
         ).collect()
         # one real entry appended; only the OLDEST synthetic entries
-        # were evicted to make room — the memo never collapsed to 1
-        assert len(cu._CAP_MEMO) == 257
+        # were evicted to make room (cap is exactly 256) — the memo
+        # never collapsed to 1
+        assert len(cu._CAP_MEMO) == 256
         assert ("k", 0) not in cu._CAP_MEMO
+        assert ("k", 1) not in cu._CAP_MEMO
         assert ("k", 256) in cu._CAP_MEMO
     finally:
         cu._CAP_MEMO.clear()

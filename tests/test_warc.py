@@ -183,3 +183,15 @@ def test_read_warc_stream_ingests_new_files(spark, tmp_path):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert by_file == {"shard1.warc": 3, "shard2.warc.gz": 3}
+
+
+def test_walk_warc_rejects_negative_content_length():
+    """A crafted negative Content-Length must quarantine, not move the
+    cursor backward and loop forever (untrusted crawl data)."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"Content-Length: -33\r\n\r\npayload\r\n\r\n"
+    )
+    got = list(walk_warc_records(rec))
+    assert len(got) == 1
+    assert got[0][3] is not None and "negative Content-Length" in got[0][3]

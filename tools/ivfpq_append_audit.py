@@ -11,9 +11,11 @@ measures what that costs:
 2. APPEND the held-out 1/3 (in-distribution) and re-measure — recall
    must hold (the appended mass quantizes like the training mass);
 3. APPEND an out-of-distribution batch (the held-out vectors scaled
-   x5, far outside the trained cells) with its own planted copies and
-   query INSIDE that batch — the recall drop is the drift signal a
-   retrain threshold should watch.
+   x5, far outside the trained cells) with planted copies of an OOD
+   query vector (vector 0 scaled x5 — like vector 0 itself, NEVER in
+   the index, so no top-k slot is wasted on the query and recall is
+   unbiased) — the recall drop is the drift signal a retrain threshold
+   should watch.
 
 Prints one JSON line; SCALING.md records the tier row.
 """
@@ -40,9 +42,11 @@ from jsonl_dataingestion_pipeline_spark.session import get_spark  # noqa: E402
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = 10
 N_PLANT = 10
+#: OOD scale factor (x5 = far outside the trained cells; x2 = mild)
+OOD_SCALE = float(os.environ.get("IVFPQ_OOD_SCALE", "5.0"))
 
 
-def plant(spark, base_vec_df, base_id, first_planted_id):
+def plant(spark, base_vec_df, first_planted_id):
     """10 near-copies of the given 1-row (embedding) frame, ids
     first_planted_id.. — md5-free here (audit-local, not oracle-gated):
     delta = +/- 1e-4 on alternating dims, distinct per copy."""
@@ -82,7 +86,7 @@ def main() -> int:
 
     initial = e.filter(F.col("vec_id") % 3 != 0)
     heldout = e.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") > 0))
-    planted0 = plant(spark, q0df, 0, 10_000_000)
+    planted0 = plant(spark, q0df, 10_000_000)
     corpus0 = initial.unionByName(planted0)
 
     t0 = time.time()
@@ -105,17 +109,21 @@ def main() -> int:
     t_append = time.time() - t0
     r_after_indist = recall(spark, path, q0, coarse, cbs, p0)
 
-    # out-of-distribution batch: held-out vectors scaled x5, with its
-    # own planted family around one of them; query inside that batch
+    # out-of-distribution batch: held-out vectors scaled x5, plus a
+    # planted family around the (never-indexed) OOD query = q0 * 5
     ood = heldout.select(
         (F.col("vec_id") + 20_000_000).alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x * 5.0).alias(
+        F.transform(F.col("embedding"), lambda x: x * OOD_SCALE).alias(
             "embedding"
         ),
     )
-    qo_df = ood.orderBy("vec_id").limit(1).select("embedding")
+    qo_df = q0df.select(
+        F.transform(F.col("embedding"), lambda x: x * OOD_SCALE).alias(
+            "embedding"
+        )
+    )
     qo = [round(float(x), 9) for x in qo_df.head()[0]]
-    planted_ood = plant(spark, qo_df, 0, 30_000_000)
+    planted_ood = plant(spark, qo_df, 30_000_000)
     append_ivfpq_index(ood.unionByName(planted_ood), path, coarse, cbs)
     po = {30_000_000 + j for j in range(N_PLANT)}
     r_ood = recall(spark, path, qo, coarse, cbs, po)
@@ -126,7 +134,7 @@ def main() -> int:
         "train_sec": round(t_train, 2), "append_sec": round(t_append, 2),
         "recall_initial": r_before,
         "recall_after_indist_append": r_after_indist,
-        "recall_ood_batch": r_ood,
+        "ood_scale": OOD_SCALE, "recall_ood_batch": r_ood,
     }))
     spark.stop()
     return 0
