@@ -12449,3 +12449,142 @@ _ORACLE_SHAPES["q181_annotator_agreement"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("annotator_agreement", "q181_annotator_agreement")
 )
+
+
+def q182_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-as-CP1252 mojibake repair (functions/cleaning.py::
+    fix_mojibake) — the classic crawl-text defect. Documents are
+    deterministically corrupted (a fixed mojibake suffix: 'cafÃ©',
+    'â€"', 'naÃ¯ve', 'Â«', 'â‚¬') and repaired; the census emits the
+    per-doc byte shrink and a checksum of the repaired text, so a
+    single wrong/missing/misordered table entry is a hash mismatch.
+    The oracle applies the IDENTICAL ordered replace chain (generated
+    from the same MOJIBAKE_TABLE constant)."""
+    from jsonl_dataingestion_pipeline_spark.functions.cleaning import (
+        fix_mojibake,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    corrupted = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    fixed = fix_mojibake(corrupted)
+    return d.select(
+        "doc_id",
+        (F.octet_length(corrupted) - F.octet_length(fixed))
+        .cast("long")
+        .alias("moji_bytes_fixed"),
+        F.conv(F.substring(F.md5(fixed), 1, 8), 16, 10)
+        .cast("long")
+        .alias("moji_md5_u"),
+    )
+
+
+#: fixed corruption suffix: 2-byte fixes, a 3-byte dash, and euro
+_MOJI_SUFFIX = " cafÃ© â€” naÃ¯ve Â«quoteÂ» â‚¬9"
+
+_DEDUP_SIM_QUERIES["q182_mojibake_repair"] = q182_mojibake_repair
+
+
+def _moji_sql() -> str:
+    from jsonl_dataingestion_pipeline_spark.functions.cleaning import (
+        MOJIBAKE_TABLE,
+    )
+
+    fixed_expr = "t"
+    for moji, ch in MOJIBAKE_TABLE:
+        m = moji.replace("'", "''")
+        c = ch.replace("'", "''")
+        fixed_expr = f"replace({fixed_expr}, '{m}', '{c}')"
+    suffix = _MOJI_SUFFIX.replace("'", "''")
+    return f"""
+    WITH corr AS (
+        SELECT doc_id, text || '{suffix}' AS t
+        FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+    ), rep AS (
+        SELECT doc_id, t, {fixed_expr} AS f FROM corr
+    )
+    SELECT doc_id,
+           CAST(strlen(t) - strlen(f) AS BIGINT) AS moji_bytes_fixed,
+           CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) AS moji_md5_u
+    FROM rep
+"""
+
+
+_ORACLE_DEDUP_SIM["q182_mojibake_repair"] = _moji_sql()
+
+_ORACLE_SHAPES["q182_mojibake_repair"] = (
+    ("doc_id", "BIGINT"), ("moji_bytes_fixed", "BIGINT"),
+    ("moji_md5_u", "BIGINT"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("mojibake_repair", "q182_mojibake_repair")
+)
+
+
+def q183_group_reward_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style within-group reward normalization
+    (operators/calibrate.py::group_zscore): the q176 quality score in
+    micro-units, z-scored WITHIN each source — the advantage transform
+    an RL-from-feedback data pipeline applies before cross-group
+    weighting. The whole statistic is one exact-integer identity per
+    row (z = (v*n - sum)/sqrt(n*sumsq - sum^2)), so the only float ops
+    are one sqrt + one division — bit-equal on both engines."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+    from jsonl_dataingestion_pipeline_spark.operators.calibrate import (
+        group_zscore,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(ts.quality_score(F.col("text")) * F.lit(1e6))
+        .cast("long")
+        .alias("__vu"),
+    )
+    out = group_zscore(scored, "__vu", "source", out_col="gzn_u")
+    return out.select("doc_id", "gzn_u")
+
+
+_DEDUP_SIM_QUERIES["q183_group_reward_normalize"] = (
+    q183_group_reward_normalize
+)
+
+_ORACLE_DEDUP_SIM["q183_group_reward_normalize"] = _QUALITY_SQL + """
+    , scored AS (
+        SELECT s.doc_id, d.source,
+               FLOOR((
+                   0.4 * LEAST(s.n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(ROUND(s.stop_hits
+                       / CAST(GREATEST(s.n_tokens, 1) AS DOUBLE), 8)
+                       * 4.0, 1.0)
+                 + 0.3 * (s.n_distinct
+                       / GREATEST(CAST(s.n_tokens AS DOUBLE), 1.0))
+               ) * 10000.0) / 10000.0 AS q
+        FROM stats s JOIN documents d USING (doc_id)
+    ), vu AS (
+        SELECT doc_id, source,
+               CAST(ROUND(q * 1000000.0) AS BIGINT) AS v
+        FROM scored
+    ), st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(v) AS s, SUM(v * v) AS ss
+        FROM vu GROUP BY source
+    )
+    SELECT doc_id,
+           CASE WHEN n <= 1 OR n * ss - s * s <= 0 THEN NULL
+                ELSE CAST(ROUND(CAST(v * n - s AS DOUBLE)
+                    / sqrt(CAST(n * ss - s * s AS DOUBLE))
+                    * 1000000.0) AS BIGINT) END AS gzn_u
+    FROM vu JOIN st USING (source)
+"""
+
+_ORACLE_SHAPES["q183_group_reward_normalize"] = (
+    ("doc_id", "BIGINT"), ("gzn_u", "BIGINT"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q183_group_reward_normalize", {})
+)

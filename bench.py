@@ -152,6 +152,9 @@ HEADLINE = [
     "q178_warc_census",
     "q179_unigram_segment",
     "q180_bt_preferences",
+    "q181_annotator_agreement",
+    "q182_mojibake_repair",
+    "q183_group_reward_normalize",
 ]
 
 

@@ -73,3 +73,50 @@ def nonblank(c: ColumnOrName, default: str | None = None) -> Column:
     if default is None:
         return base
     return F.coalesce(base, F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (round 8)
+# ---------------------------------------------------------------------------
+def _mojibake_table() -> list[tuple[str, str]]:
+    """(mojibake, fixed) pairs for the classic UTF-8-bytes-read-as-
+    CP1252 corruption — the single most common crawl-text defect
+    ("café" -> "cafÃ©"). Derived, not hand-typed: for each target char,
+    the mojibake form IS ``char.encode('utf-8').decode('cp1252')``;
+    chars whose UTF-8 bytes hit CP1252's five undefined slots (e.g.
+    the right double quote, 0x9d) are skipped — their corruption is
+    not byte-preserving, so no textual repair can round-trip them.
+    Ordered longest-mojibake-first so 3-byte-char fixes (``â€"`` et
+    al.) never get clipped by a 2-byte rule; the SAME ordered table
+    generates the DuckDB oracle's replace chain."""
+    chars = (
+        "éèêëàâäçôöîïûùüñáíóúãõ«»ß–—‘’“…€"
+    )
+    table = []
+    for ch in chars:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        table.append((moji, ch))
+    table.sort(key=lambda t: (-len(t[0]), t[1]))
+    return table
+
+
+MOJIBAKE_TABLE = _mojibake_table()
+
+
+def fix_mojibake(c: ColumnOrName) -> Column:
+    """Repair UTF-8-as-CP1252 mojibake with one chained literal-replace
+    pass over :data:`MOJIBAKE_TABLE` (longest sequences first).
+
+    Pure codegen projection — zero shuffle, scan-speed at 100 TB, and
+    byte-for-byte replayable in the oracle because the replacement
+    table and its order are shared constants (q182). Single-pass by
+    design: doubly-encoded text (mojibake of mojibake) needs a second
+    application; chained fixes cannot misfire because no repaired char
+    begins a mojibake sequence (all sequences start with Ã/Â/â)."""
+    out = _col(c)
+    for moji, ch in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(moji), F.lit(ch))
+    return out

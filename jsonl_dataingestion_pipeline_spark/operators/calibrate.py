@@ -95,3 +95,58 @@ def bucket_calibrate(
         + F.when(F.col(score_col) > c, F.lit(1)).otherwise(F.lit(0)),
     )
     return joined.withColumn(out_col, idx.cast("int")).drop("__cuts")
+
+
+def group_zscore(
+    df: DataFrame,
+    value_u_col: str,
+    group_col: str,
+    *,
+    out_col: str = "gz_u",
+    scale: int = 6,
+) -> DataFrame:
+    """Within-group z-score normalization of an INTEGER-grid score —
+    the GRPO-style advantage transform (normalize rewards within each
+    prompt/source group before cross-group comparison or RL weighting).
+
+    ``value_u_col`` must already be an integer-grid score (micro-units,
+    the determinism contract); then the whole statistic reduces to ONE
+    exact-integer identity per row:
+
+        z = (v*n - sum) / sqrt(n*sumsq - sum^2)
+
+    numerator and the sqrt argument are exact integer expressions
+    (decimal accumulators — no int64 wrap at any corpus size), so the
+    only float ops are one sqrt and one division per row — bit-equal on
+    any engine and any shuffle layout. Emitted as micro-units.
+
+    Groups with n = 1 or zero variance get NULL (the z-score is
+    undefined — surfaced, never faked as 0). Plan: one per-group
+    aggregate joined back on the group key (broadcast when the group
+    alphabet is small; AQE otherwise), everything else projection.
+    """
+    v = F.col(value_u_col).cast("decimal(18,0)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__gn"),
+        F.sum(v).alias("__gs"),
+        F.sum(v * v).alias("__gss"),
+    )
+    j = df.join(stats, on=group_col)
+    num = (
+        F.col(value_u_col).cast("decimal(38,0)") * F.col("__gn")
+        - F.col("__gs")
+    )
+    den2 = (
+        F.col("__gn").cast("decimal(38,0)") * F.col("__gss")
+        - F.col("__gs").cast("decimal(38,0)") * F.col("__gs")
+    )
+    z_u = F.when(
+        (F.col("__gn") <= 1) | (den2 <= 0), F.lit(None).cast("long")
+    ).otherwise(
+        F.round(
+            num.cast("double")
+            / F.sqrt(den2.cast("double"))
+            * F.lit(float(10**scale))
+        ).cast("long")
+    )
+    return j.withColumn(out_col, z_u).drop("__gn", "__gs", "__gss")

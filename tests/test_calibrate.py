@@ -90,3 +90,51 @@ def test_bucket_path_has_no_sort_in_plan(spark):
     tree = plan.split("\n\n")[0]
     assert "Sort" not in tree, tree
     assert "Window" not in tree, tree
+
+
+# ---------------------------------------------------------------------------
+# group_zscore (round 8)
+# ---------------------------------------------------------------------------
+def test_group_zscore_hand_computed_and_degenerate(spark):
+    import math
+
+    from jsonl_dataingestion_pipeline_spark.operators.calibrate import (
+        group_zscore,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 30),
+        (4, "b", 7), (5, "b", 7),           # zero variance -> NULL
+        (6, "c", 99),                        # n = 1 -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {
+        r.id: r.gz_u for r in group_zscore(df, "v", "g").collect()
+    }
+    # group a: population std over {10,20,30}
+    vs = [10, 20, 30]
+    n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+    for rid, v in [(1, 10), (2, 20), (3, 30)]:
+        exp = round((v * n - s) / math.sqrt(n * ss - s * s) * 1e6)
+        assert got[rid] == exp, (rid, got[rid], exp)
+    assert got[4] is None and got[5] is None and got[6] is None
+
+
+def test_group_zscore_layout_independent(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.calibrate import (
+        group_zscore,
+    )
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 101) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    outs = []
+    for parts in (1, 7):
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in group_zscore(
+                    df.repartition(parts), "v", "g"
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]

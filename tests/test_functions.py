@@ -400,3 +400,30 @@ def test_normalize_unicode_composes_and_propagates_null(spark):
         r.n is None or r.n == unicodedata.normalize("NFKC", t)
         for r, (_i, t) in zip(nfkc, rows)
     )
+
+
+# ---------------------------------------------------------------------------
+# fix_mojibake (round 8)
+# ---------------------------------------------------------------------------
+def test_fix_mojibake_repairs_cp1252_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from jsonl_dataingestion_pipeline_spark.functions.cleaning import (
+        MOJIBAKE_TABLE,
+        fix_mojibake,
+    )
+
+    # every table entry is exactly encode-utf8/decode-cp1252 of its char
+    for moji, ch in MOJIBAKE_TABLE:
+        assert ch.encode("utf-8").decode("cp1252") == moji
+    # longest-first ordering: a 3-byte-char fix never clipped by 2-byte
+    lens = [len(m) for m, _ in MOJIBAKE_TABLE]
+    assert lens == sorted(lens, reverse=True)
+    df = spark.createDataFrame(
+        [("cafÃ© â€” naÃ¯ve Â«okÂ» â‚¬5",), ("plain ascii",), (None,)],
+        "t string",
+    )
+    out = [r[0] for r in df.select(fix_mojibake("t")).collect()]
+    assert out[0] == "café — naïve «ok» €5"
+    assert out[1] == "plain ascii"
+    assert out[2] is None

@@ -626,3 +626,23 @@ def test_q180_bt_result_reads_from_checkpoint(spark):
     assert "Scan ExistingRDD" in tree, tree
     assert "Join" not in tree, tree
     assert "Scan parquet" not in tree, tree
+
+
+def test_q182_mojibake_repair_is_pure_projection(spark):
+    """q182 (PLANS.md): the whole corrupt->repair->census chain is a
+    narrow projection over one scan — zero Exchange, zero join; at
+    100 TB mojibake repair runs at scan speed."""
+    df = em.q182_mojibake_repair(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_q183_group_zscore_has_no_window_or_sort(spark):
+    """q183 (PLANS.md): group normalization is aggregate + join-back +
+    projection — no Window/Sort funneling a group through one task
+    (the q176 contrast)."""
+    df = em.q183_group_reward_normalize(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Window" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
