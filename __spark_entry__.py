@@ -12588,3 +12588,272 @@ _ORACLE_SHAPES["q183_group_reward_normalize"] = (
 _JOIN_MERGES["q20_doc_quality"][1].append(
     ("q183_group_reward_normalize", {})
 )
+
+
+# ===========================================================================
+# Round 8 (cont.): chat/SFT conversation curation (q184), curriculum
+# scheduling (q185), vocabulary-coverage audit (q186).
+# ===========================================================================
+def q184_chat_sft_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT conversation curation (operators/conversations.py):
+    documents are deterministically re-shaped into 4-turn ChatML
+    conversations (contiguous word-quarter slices, roles u/a/u/a), a
+    fixed fraction corrupted in each of the three ways real SFT data
+    rots (doc_id%7: truncated final assistant turn; %11: role of turn
+    3 flipped to assistant — breaks alternation; %13: turn 2 content
+    emptied), then validated with the real higher-order-function
+    kernels and rendered through the chat template. The census emits
+    every rule flag, per-role char volume and a render checksum, so a
+    wrong slice boundary, rule, or template byte is a hash mismatch.
+    The whole pass is a zero-shuffle codegen projection."""
+    from jsonl_dataingestion_pipeline_spark.operators import (
+        conversations as cv,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (~F.col("text").contains("  "))
+        & (F.col("text") == F.trim(F.col("text")))
+    )
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    d = d.filter(F.size("__w") >= 8)
+    n = F.size("__w")
+
+    def _cut(i: int):
+        lo = F.floor(n * F.lit(i - 1) / F.lit(4.0)).cast("int")
+        hi = F.floor(n * F.lit(i) / F.lit(4.0)).cast("int")
+        return F.array_join(F.slice(F.col("__w"), lo + 1, hi - lo), " ")
+
+    did = F.col("doc_id")
+    c1, c3, c4 = _cut(1), _cut(3), _cut(4)
+    c2 = F.when(did % 13 == 0, F.lit("")).otherwise(_cut(2))
+    r3 = F.when(did % 11 == 0, F.lit("assistant")).otherwise(
+        F.lit("user")
+    )
+
+    def _turn(role, content):
+        return F.struct(role.alias("role"), content.alias("content"))
+
+    conv4 = F.array(
+        _turn(F.lit("user"), c1),
+        _turn(F.lit("assistant"), c2),
+        _turn(r3, c3),
+        _turn(F.lit("assistant"), c4),
+    )
+    conv = F.when(did % 7 == 0, F.slice(conv4, 1, 3)).otherwise(conv4)
+    base = d.select("doc_id", conv.alias("__conv"))
+    return base.select(
+        "doc_id",
+        F.size("__conv").alias("n_turns"),
+        cv.roles_alternate("__conv").alias("alternates"),
+        cv.ends_with_assistant("__conv").alias("ends_asst"),
+        cv.no_empty_turns("__conv").alias("no_empty"),
+        cv.conversation_valid("__conv").alias("chat_valid"),
+        cv.turn_stats("__conv", "user").alias("user_chars"),
+        cv.turn_stats("__conv", "assistant").alias("asst_chars"),
+        F.conv(F.substring(F.md5(cv.render_chat("__conv")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("chat_md5_u"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q184_chat_sft_census"] = q184_chat_sft_census
+
+#: The oracle recomputes every flag from the corruption arithmetic
+#: (independent ground truth for the HOF kernels) and rebuilds the
+#: rendered string from the same slice construction.
+_ORACLE_DEDUP_SIM["q184_chat_sft_census"] = """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND text NOT LIKE '%  %'
+          AND text = trim(text)
+          AND len(string_split(text, ' ')) >= 8
+    ), cut AS (
+        SELECT doc_id, n,
+            array_to_string(list_slice(w, 1,
+                CAST(floor(n * 1 / 4.0) AS BIGINT)), ' ') AS c1,
+            CASE WHEN doc_id % 13 = 0 THEN ''
+                 ELSE array_to_string(list_slice(w,
+                     CAST(floor(n * 1 / 4.0) AS BIGINT) + 1,
+                     CAST(floor(n * 2 / 4.0) AS BIGINT)), ' ') END AS c2,
+            array_to_string(list_slice(w,
+                CAST(floor(n * 2 / 4.0) AS BIGINT) + 1,
+                CAST(floor(n * 3 / 4.0) AS BIGINT)), ' ') AS c3,
+            array_to_string(list_slice(w,
+                CAST(floor(n * 3 / 4.0) AS BIGINT) + 1, n), ' ') AS c4,
+            CASE WHEN doc_id % 11 = 0 THEN 'assistant'
+                 ELSE 'user' END AS r3,
+            (doc_id % 7 = 0) AS drop4
+        FROM base
+    ), turns AS (
+        SELECT doc_id,
+            CASE WHEN drop4 THEN 3 ELSE 4 END AS n_turns,
+            (doc_id % 11 <> 0) AS alternates,
+            ((doc_id % 7 <> 0) OR (doc_id % 11 = 0)) AS ends_asst,
+            (doc_id % 13 <> 0) AS no_empty,
+            ((doc_id % 7 <> 0) AND (doc_id % 11 <> 0)
+             AND (doc_id % 13 <> 0)) AS chat_valid,
+            CAST(strlen(c1)
+                 + CASE WHEN r3 = 'user' THEN strlen(c3) ELSE 0 END
+                 AS BIGINT) AS user_chars,
+            CAST(strlen(c2)
+                 + CASE WHEN r3 = 'assistant' THEN strlen(c3) ELSE 0 END
+                 + CASE WHEN drop4 THEN 0 ELSE strlen(c4) END
+                 AS BIGINT) AS asst_chars,
+            '<|im_start|>user' || chr(10) || c1 || '<|im_end|>' || chr(10)
+            || '<|im_start|>assistant' || chr(10) || c2 || '<|im_end|>'
+            || chr(10)
+            || '<|im_start|>' || r3 || chr(10) || c3 || '<|im_end|>'
+            || chr(10)
+            || CASE WHEN drop4 THEN ''
+                    ELSE '<|im_start|>assistant' || chr(10) || c4
+                         || '<|im_end|>' || chr(10) END AS rendered
+        FROM cut
+    )
+    SELECT doc_id, n_turns, alternates, ends_asst, no_empty, chat_valid,
+           user_chars, asst_chars,
+           CAST('0x' || substr(md5(rendered), 1, 8) AS BIGINT)
+               AS chat_md5_u
+    FROM turns
+"""
+
+_ORACLE_SHAPES["q184_chat_sft_census"] = (
+    ("doc_id", "BIGINT"), ("n_turns", "INTEGER"),
+    ("alternates", "BOOLEAN"), ("ends_asst", "BOOLEAN"),
+    ("no_empty", "BOOLEAN"), ("chat_valid", "BOOLEAN"),
+    ("user_chars", "BIGINT"), ("asst_chars", "BIGINT"),
+    ("chat_md5_u", "BIGINT"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("chat_sft", "q184_chat_sft_census")
+)
+
+
+def q185_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum pacing schedule (operators/mixture.py::
+    curriculum_stages): documents bucketed into 4 quality stages by
+    integer micro-unit cut points on the q176/q183 quality score, with
+    per-stage doc/token mass, observed score band and the cumulative
+    token pacing schedule. Stage assignment is pure integer
+    comparisons; the running total's window sorts a <=4-row frame."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+    from jsonl_dataingestion_pipeline_spark.operators.mixture import (
+        curriculum_stages,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.round(ts.quality_score(F.col("text")) * F.lit(1e6))
+        .cast("long")
+        .alias("__vu"),
+        ts.token_count(F.col("text")).cast("long").alias("__ntok"),
+    )
+    return curriculum_stages(
+        scored, "__vu", _CURRICULUM_BOUNDS, "__ntok"
+    )
+
+
+#: ascending micro-unit cut points (score is in [0, 1e6])
+_CURRICULUM_BOUNDS = (300_000, 550_000, 700_000)
+
+_DEDUP_SIM_QUERIES["q185_curriculum_schedule"] = q185_curriculum_schedule
+
+_ORACLE_DEDUP_SIM["q185_curriculum_schedule"] = _QUALITY_SQL + """
+    , scored AS (
+        SELECT doc_id, n_tokens,
+               CAST(ROUND(FLOOR((
+                   0.4 * LEAST(n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(ROUND(stop_hits
+                       / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 8)
+                       * 4.0, 1.0)
+                 + 0.3 * (n_distinct
+                       / GREATEST(CAST(n_tokens AS DOUBLE), 1.0))
+               ) * 10000.0) / 10000.0 * 1000000.0) AS BIGINT) AS v
+        FROM stats
+    ), staged AS (
+        SELECT CAST(1 + CASE WHEN v >= 300000 THEN 1 ELSE 0 END
+                      + CASE WHEN v >= 550000 THEN 1 ELSE 0 END
+                      + CASE WHEN v >= 700000 THEN 1 ELSE 0 END
+                    AS INTEGER) AS stage,
+               CAST(n_tokens AS BIGINT) AS t, v
+        FROM scored
+    ), agg AS (
+        SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(t) AS BIGINT) AS stage_tokens,
+               CAST(MIN(v) AS BIGINT) AS min_score_u,
+               CAST(MAX(v) AS BIGINT) AS max_score_u
+        FROM staged GROUP BY stage
+    )
+    SELECT stage, n_docs, stage_tokens, min_score_u, max_score_u,
+           CAST(SUM(stage_tokens) OVER (
+               ORDER BY stage ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_tokens
+    FROM agg
+"""
+
+_ORACLE_SHAPES["q185_curriculum_schedule"] = (
+    ("stage", "INTEGER"), ("n_docs", "BIGINT"),
+    ("stage_tokens", "BIGINT"), ("min_score_u", "BIGINT"),
+    ("max_score_u", "BIGINT"), ("cum_tokens", "BIGINT"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(
+    ("curriculum", "q185_curriculum_schedule")
+)
+
+
+def q186_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (functions/textstats.py::
+    vocab_coverage): the corpus top-64 words become the vocabulary
+    (count DESC, word ASC — layout-independent), then per-language OOV
+    mass and vocabulary-covered byte mass. One word census + a top-k
+    TakeOrdered + broadcast membership join + one group aggregate."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        vocab_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return vocab_coverage(d, "text", "lang", k=64)
+
+
+_DEDUP_SIM_QUERIES["q186_vocab_coverage"] = q186_vocab_coverage
+
+_ORACLE_DEDUP_SIM["q186_vocab_coverage"] = f"""
+    WITH words AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS w
+        FROM documents WHERE text IS NOT NULL
+    ), nz AS (
+        SELECT lang, w FROM words WHERE w <> ''
+    ), census AS (
+        SELECT w, COUNT(*) AS cnt FROM nz GROUP BY w
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (
+                ORDER BY cnt DESC, w ASC
+            ) AS rk FROM census
+        ) WHERE rk <= 64
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS total_words,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_words,
+           CAST((SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS oov_rate_u,
+           CAST(SUM(CASE WHEN v.w IS NOT NULL THEN strlen(nz.w)
+                    ELSE 0 END) AS BIGINT) AS known_bytes
+    FROM nz LEFT JOIN vocab v ON nz.w = v.w
+    GROUP BY lang
+"""
+
+_ORACLE_SHAPES["q186_vocab_coverage"] = (
+    ("lang", "VARCHAR"), ("total_words", "BIGINT"),
+    ("oov_words", "BIGINT"), ("oov_rate_u", "BIGINT"),
+    ("known_bytes", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("vocab_coverage", "q186_vocab_coverage")
+)

@@ -155,6 +155,9 @@ HEADLINE = [
     "q181_annotator_agreement",
     "q182_mojibake_repair",
     "q183_group_reward_normalize",
+    "q184_chat_sft_census",
+    "q185_curriculum_schedule",
+    "q186_vocab_coverage",
 ]
 
 

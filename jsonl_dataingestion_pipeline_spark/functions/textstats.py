@@ -799,3 +799,64 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("bigram").asc()
     ).limit(topk)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, group_col: str, *, k: int = 64
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: fix the corpus top-``k``
+    words as the vocabulary, then measure per-group OOV mass.
+
+    The question a tokenizer/mixture owner actually asks before
+    training: "if the vocabulary is fit on this corpus, which slices
+    (languages, sources) does it serve worst?" Returned per group:
+    ``total_words``, ``oov_words``, ``oov_rate_u`` (exact integer
+    floor(oov/total * 1e6)) and ``known_bytes`` (byte mass the
+    vocabulary covers — the numerator of bytes-per-known-token).
+
+    Vocabulary selection is deterministic: (count DESC, word ASC) —
+    ties never depend on layout. Case-sensitive by design (the audit
+    measures the tokenizer's actual key space).
+
+    Scale: one word census (hash aggregate with map-side combine — the
+    shuffle is #distinct-words sized, not corpus sized), a top-k
+    TakeOrdered over that census (never a global sort of the corpus),
+    the k-row vocabulary broadcast back onto the exploded words, and
+    one aggregate on the group key. Nothing corpus-sized is ever
+    sorted or re-shuffled beyond the census.
+    """
+    w = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__w"),
+    ).filter(F.col("__w") != "")
+    vocab = (
+        w.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__w").asc())
+        .limit(int(k))
+        .select("__w", F.lit(True).alias("__known"))
+    )
+    agg = (
+        w.join(F.broadcast(vocab), on="__w", how="left")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_words"),
+            F.sum(
+                F.when(F.col("__known").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_words"),
+            F.sum(
+                F.when(
+                    F.col("__known").isNotNull(), F.octet_length("__w")
+                ).otherwise(0)
+            ).cast("long").alias("known_bytes"),
+        )
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "total_words",
+        "oov_words",
+        F.expr("(oov_words * 1000000) div total_words")
+        .cast("long")
+        .alias("oov_rate_u"),
+        "known_bytes",
+    )

@@ -1,0 +1,125 @@
+"""Chat / SFT conversation operators — validation, stats, templating.
+
+Instruction-tuning corpora are lists of ``{role, content}`` turns, not
+flat documents, and the curation pass every SFT pipeline runs is:
+
+  1. validate the turn STRUCTURE (opens with a user turn, roles strictly
+     alternate, no empty turn, closes with an assistant turn — a
+     truncated or role-corrupted transcript silently teaches the model
+     to speak out of turn);
+  2. measure turn-level stats (turn count, per-role volume) for mixture
+     accounting;
+  3. render the surviving transcripts through the chat template into the
+     single training string the tokenizer actually sees.
+
+All three are pure Column expressions over an
+``array<struct<role,content>>`` column — Spark's higher-order functions
+(``forall`` / ``zip_with`` / ``aggregate`` / ``slice``) evaluate
+JVM-side inside whole-stage codegen, so the whole pass is a zero-shuffle
+Project on top of the scan: embarrassingly parallel at 100 TB, filters
+and column pruning push straight through it.
+
+Reference parity: the reference pipeline has no conversation surface
+(its rows are structured shipment records); this module is part of the
+LLM-curation extension alongside dedup / quality / mixture.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+#: ChatML-style template markers used by :func:`render_chat`.
+TURN_OPEN = "<|im_start|>"
+TURN_CLOSE = "<|im_end|>\n"
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def starts_with_user(conv: ColumnOrName) -> Column:
+    """True when the first turn's role is ``user``."""
+    return F.element_at(_col(conv), 1)["role"] == F.lit("user")
+
+
+def ends_with_assistant(conv: ColumnOrName) -> Column:
+    """True when the last turn's role is ``assistant``."""
+    return F.element_at(_col(conv), -1)["role"] == F.lit("assistant")
+
+
+def roles_alternate(conv: ColumnOrName) -> Column:
+    """True when no two ADJACENT turns share a role.
+
+    ``zip_with`` over the conversation and its shift-by-one — both
+    slices have length n-1, so no NULL padding enters the ``forall``.
+    Single-turn conversations alternate vacuously.
+    """
+    c = _col(conv)
+    n = F.size(c)
+    heads = F.slice(c, 1, n - 1)
+    tails = F.slice(c, 2, n - 1)
+    pairs = F.zip_with(heads, tails, lambda a, b: a["role"] != b["role"])
+    return F.forall(pairs, lambda x: x)
+
+
+def no_empty_turns(conv: ColumnOrName) -> Column:
+    """True when every turn's content is non-NULL and non-empty."""
+    return F.forall(
+        _col(conv),
+        lambda t: t["content"].isNotNull()
+        & (F.length(t["content"]) > 0),
+    )
+
+
+def conversation_valid(conv: ColumnOrName) -> Column:
+    """The conjunction of all four structural rules (non-empty conv,
+    opens user, alternates, no empty turn, closes assistant)."""
+    c = _col(conv)
+    return (
+        (F.size(c) > 0)
+        & starts_with_user(c)
+        & roles_alternate(c)
+        & no_empty_turns(c)
+        & ends_with_assistant(c)
+    )
+
+
+def turn_stats(conv: ColumnOrName, role: str) -> Column:
+    """Total content characters across turns with the given role —
+    one ``aggregate`` fold, no explode, no shuffle."""
+    return F.aggregate(
+        _col(conv),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(
+            t["role"] == F.lit(role), F.length(t["content"]).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def render_chat(conv: ColumnOrName) -> Column:
+    """Render the conversation through the ChatML-style template into
+    the single training string:
+
+        <|im_start|>{role}\\n{content}<|im_end|>\\n   per turn.
+
+    One ``aggregate`` fold building the string JVM-side; the training
+    tokenizer's input is exactly this column.
+    """
+    return F.aggregate(
+        _col(conv),
+        F.lit(""),
+        lambda acc, t: F.concat(
+            acc,
+            F.lit(TURN_OPEN),
+            t["role"],
+            F.lit("\n"),
+            t["content"],
+            F.lit(TURN_CLOSE),
+        ),
+    )

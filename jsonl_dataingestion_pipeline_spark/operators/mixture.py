@@ -178,3 +178,64 @@ def plan_token_budget(
         "mix_source", "mix_avail", "mix_want", "mix_realized",
         "mix_epochs_u",
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_u_col: str,
+    boundaries: tuple[int, ...],
+    token_col: str,
+    *,
+    stage_col: str = "stage",
+) -> DataFrame:
+    """Curriculum schedule: bucket documents into ordered training
+    stages by integer-grid quality score and emit the per-stage pacing
+    census a curriculum trainer consumes.
+
+    ``boundaries`` are ascending integer micro-unit cut points;
+    ``stage = 1 + #{b : score_u >= b}`` — stage 1 is the easiest/lowest
+    band, later stages are higher-quality data scheduled later in
+    training (the standard easy-to-hard curriculum, or its inverse —
+    the stage ORDER is the trainer's choice, the census is the same).
+
+    Returned per stage: ``n_docs``, ``stage_tokens``, the score band
+    actually observed (``min_score_u`` / ``max_score_u``) and
+    ``cum_tokens`` — the running token total in stage order, i.e. the
+    pacing schedule ("switch stages at token X").
+
+    Determinism/scale: stage assignment is pure integer comparison
+    (codegen projection, no shuffle); the census is ONE hash aggregate
+    on a key with ≤ ``len(boundaries)+1`` values; the running total is
+    a window over that post-aggregate frame — bounded by the stage
+    alphabet, never by the corpus, so the sort the window implies is
+    over a handful of rows.
+    """
+    if list(boundaries) != sorted(set(int(b) for b in boundaries)):
+        raise ValueError(
+            "curriculum boundaries must be strictly ascending ints: "
+            f"{boundaries!r}"
+        )
+    from pyspark.sql.window import Window
+
+    s = F.col(score_u_col)
+    stage = F.lit(1)
+    for b in boundaries:
+        stage = stage + F.when(s >= F.lit(int(b)), 1).otherwise(0)
+    per = df.select(
+        stage.cast("int").alias(stage_col),
+        F.col(token_col).cast("long").alias("__t"),
+        s.alias("__s"),
+    )
+    agg = per.groupBy(stage_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("stage_tokens"),
+        F.min("__s").cast("long").alias("min_score_u"),
+        F.max("__s").cast("long").alias("max_score_u"),
+    )
+    w = (
+        Window.orderBy(F.col(stage_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return agg.withColumn(
+        "cum_tokens", F.sum("stage_tokens").over(w).cast("long")
+    )

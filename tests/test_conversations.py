@@ -1,0 +1,112 @@
+"""Chat/SFT conversation kernels (operators/conversations.py):
+structural validation rules, per-role stats, and the ChatML render —
+each rule exercised in isolation on handcrafted transcripts."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonl_dataingestion_pipeline_spark.operators import conversations as cv
+
+_SCHEMA = "id long, conv array<struct<role: string, content: string>>"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _flags(spark, conv):
+    df = _df(spark, [(0, conv)])
+    return df.select(
+        cv.starts_with_user("conv").alias("su"),
+        cv.ends_with_assistant("conv").alias("ea"),
+        cv.roles_alternate("conv").alias("alt"),
+        cv.no_empty_turns("conv").alias("ne"),
+        cv.conversation_valid("conv").alias("ok"),
+    ).collect()[0]
+
+
+def test_valid_two_turn(spark):
+    f = _flags(spark, [("user", "hi"), ("assistant", "hello")])
+    assert (f.su, f.ea, f.alt, f.ne, f.ok) == (
+        True, True, True, True, True,
+    )
+
+
+def test_valid_with_longer_alternation(spark):
+    f = _flags(
+        spark,
+        [("user", "a"), ("assistant", "b"), ("user", "c"),
+         ("assistant", "d")],
+    )
+    assert f.ok
+
+
+def test_role_repeat_breaks_alternation_only(spark):
+    f = _flags(
+        spark,
+        [("user", "a"), ("assistant", "b"), ("assistant", "c"),
+         ("assistant", "d")],
+    )
+    assert not f.alt and f.su and f.ea and f.ne and not f.ok
+
+
+def test_truncated_transcript_fails_ends_assistant(spark):
+    f = _flags(spark, [("user", "a"), ("assistant", "b"), ("user", "c")])
+    assert not f.ea and f.alt and not f.ok
+
+
+def test_empty_content_fails_no_empty(spark):
+    f = _flags(spark, [("user", "a"), ("assistant", "")])
+    assert not f.ne and not f.ok
+
+
+def test_null_content_fails_no_empty(spark):
+    f = _flags(spark, [("user", "a"), ("assistant", None)])
+    assert not f.ne and not f.ok
+
+
+def test_single_user_turn_alternates_vacuously_but_invalid(spark):
+    f = _flags(spark, [("user", "a")])
+    assert f.alt and f.su and not f.ea and not f.ok
+
+
+def test_system_opening_fails_starts_user(spark):
+    f = _flags(
+        spark,
+        [("system", "be terse"), ("user", "a"), ("assistant", "b")],
+    )
+    assert not f.su and not f.ok
+
+
+def test_turn_stats_counts_per_role_chars(spark):
+    df = _df(
+        spark,
+        [(0, [("user", "abcd"), ("assistant", "xy"), ("user", "z")])],
+    )
+    r = df.select(
+        cv.turn_stats("conv", "user").alias("u"),
+        cv.turn_stats("conv", "assistant").alias("a"),
+    ).collect()[0]
+    assert (r.u, r.a) == (5, 2)
+
+
+def test_render_chat_exact_template(spark):
+    df = _df(spark, [(0, [("user", "hi"), ("assistant", "yo")])])
+    out = df.select(cv.render_chat("conv").alias("r")).collect()[0].r
+    assert out == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nyo<|im_end|>\n"
+    )
+
+
+def test_whole_pass_is_zero_shuffle(spark):
+    """Validation + stats + render over a conversation column must stay
+    a pure Project on the scan — no Exchange anywhere."""
+    df = _df(spark, [(0, [("user", "a"), ("assistant", "b")])])
+    out = df.select(
+        cv.conversation_valid("conv").alias("ok"),
+        cv.turn_stats("conv", "user").alias("u"),
+        cv.render_chat("conv").alias("r"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -153,3 +153,39 @@ def test_oversized_source_raises_in_plan(spark):
         plan_token_budget(
             df, "src", "toks", {"a": 0.5, "b": 0.5}, budget_tokens=100
         ).collect()
+
+
+def test_curriculum_stage_assignment_and_pacing(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.mixture import (
+        curriculum_stages,
+    )
+
+    # scores straddle the two boundaries: stage 1 (<10), 2 ([10,20)),
+    # 3 (>=20); tokens chosen so each census line is distinct
+    rows = [
+        (1, 5, 100), (2, 9, 50), (3, 10, 7), (4, 19, 3), (5, 25, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, t long")
+    out = {
+        r.stage: r
+        for r in curriculum_stages(df, "s", (10, 20), "t").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_docs, out[1].stage_tokens) == (2, 150)
+    assert (out[2].n_docs, out[2].stage_tokens) == (2, 10)
+    assert (out[3].n_docs, out[3].stage_tokens) == (1, 1)
+    assert (out[1].min_score_u, out[1].max_score_u) == (5, 9)
+    # pacing: cumulative tokens in stage order
+    assert (out[1].cum_tokens, out[2].cum_tokens, out[3].cum_tokens) == (
+        150, 160, 161,
+    )
+
+
+def test_curriculum_rejects_unsorted_boundaries(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.mixture import (
+        curriculum_stages,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1)], "id long, s long, t long")
+    with pytest.raises(ValueError, match="ascending"):
+        curriculum_stages(df, "s", (20, 10), "t")

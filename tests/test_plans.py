@@ -646,3 +646,24 @@ def test_q183_group_zscore_has_no_window_or_sort(spark):
     tree = _tree(_formatted(spark, df))
     assert "Window" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_q184_chat_census_is_pure_projection(spark):
+    """q184 (PLANS.md): conversation assembly + all HOF validation
+    rules + render fold into one Project over the scan — zero
+    Exchange, zero join; SFT curation runs at scan speed."""
+    df = em.q184_chat_sft_census(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_q186_vocab_membership_join_is_broadcast(spark):
+    """q186 (PLANS.md): the 64-row vocabulary joins back onto the
+    exploded corpus as a BroadcastHashJoin — the corpus-sized side is
+    never re-shuffled; no sort-merge join, no cartesian."""
+    df = em.q186_vocab_coverage(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree

@@ -96,3 +96,27 @@ def test_hashed_cosine_topk_validates_query_frame(spark):
     blank = spark.createDataFrame([(9, "   ")], "id long, text string")
     with pytest.raises(ValueError, match="tokenizes to no"):
         hashed_cosine_topk(corpus, blank, "text", "id")
+
+
+def test_vocab_coverage_topk_and_oov(spark):
+    """functions/textstats.py::vocab_coverage — k=2 vocabulary is the
+    two most frequent words (ties by word asc); OOV mass and covered
+    bytes measured per group exactly."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        vocab_coverage,
+    )
+
+    rows = [
+        ("en", "aa bb aa cc"),   # aa x2
+        ("en", "bb aa dd"),      # bb x2 total, aa x3
+        ("de", "cc cc zz"),      # cc x3 total
+    ]
+    # counts: aa=3, cc=3, bb=2, dd=1, zz=1 -> k=2 vocab = {aa, cc}
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.lang: r for r in vocab_coverage(df, "text", "lang", k=2).collect()}
+    en, de = out["en"], out["de"]
+    assert (en.total_words, en.oov_words) == (7, 3)   # bb,bb,dd OOV
+    assert en.known_bytes == 8                        # aa*3 + cc*1
+    assert en.oov_rate_u == 3 * 1_000_000 // 7
+    assert (de.total_words, de.oov_words) == (3, 1)   # zz OOV
+    assert de.known_bytes == 4
