@@ -12857,3 +12857,171 @@ _ORACLE_SHAPES["q186_vocab_coverage"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("vocab_coverage", "q186_vocab_coverage")
 )
+
+
+def q187_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (operators/retrieval.py::
+    rank_metrics): a deterministic judged candidate pool (20 queries,
+    md5-coin scores, doc_id%3 relevance) scored for MRR / hit@10 /
+    precision@10 / nDCG@10. Every per-rank term is quantized to
+    integer micro-units before summation, so the metrics are exact
+    integer sums — the rank<=k cut compiles to WindowGroupLimit, never
+    a global sort."""
+    from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+        rank_metrics,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(
+        (F.col("doc_id") % 20).cast("long").alias("query_id"),
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rank:"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("rel"),
+    )
+    return rank_metrics(cand, "query_id", "doc_id", "score", "rel", k=10)
+
+
+_DEDUP_SIM_QUERIES["q187_rank_metrics"] = q187_rank_metrics
+
+_ORACLE_DEDUP_SIM["q187_rank_metrics"] = """
+    WITH cand AS (
+        SELECT doc_id % 20 AS query_id, doc_id,
+               CAST('0x' || substr(md5('rank:' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS score,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+        FROM documents
+    ), ranked AS (
+        SELECT query_id, rel, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rk
+        FROM cand
+    ), top AS (
+        SELECT * FROM ranked WHERE rk <= 10
+    ), agg AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS hits,
+               MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+               CAST(SUM(CASE WHEN rel = 1
+                    THEN CAST(ROUND(1000000.0 / log2(rk + 1)) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS dcg_u
+        FROM top GROUP BY query_id
+    ), idcg AS (
+        SELECT query_id, hits, first_rel, dcg_u,
+               CASE WHEN hits > 0 THEN COALESCE(list_aggregate(
+                   list_transform(range(1, CAST(hits AS BIGINT) + 1),
+                       i -> CAST(ROUND(1000000.0 / log2(i + 1)) AS BIGINT)),
+                   'sum'), 0) ELSE 0 END AS idcg_u
+        FROM agg
+    )
+    SELECT query_id, hits,
+           CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_u,
+           CAST((hits * 1000000) // 10 AS BIGINT) AS prec_u,
+           dcg_u,
+           CAST(idcg_u AS BIGINT) AS idcg_u,
+           CAST(CASE WHEN idcg_u > 0 THEN (dcg_u * 1000000) // idcg_u
+                ELSE 0 END AS BIGINT) AS ndcg_u
+    FROM idcg
+"""
+
+_ORACLE_SHAPES["q187_rank_metrics"] = (
+    ("query_id", "BIGINT"), ("hits", "BIGINT"), ("mrr_u", "BIGINT"),
+    ("prec_u", "BIGINT"), ("dcg_u", "BIGINT"), ("idcg_u", "BIGINT"),
+    ("ndcg_u", "BIGINT"),
+)
+
+_UNION_MERGES["q60_text_ranking"].append(
+    ("rank_metrics", "q187_rank_metrics")
+)
+
+
+def q188_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/profile.py::psi_report):
+    the quality-score decile distribution of a 'current' snapshot (odd
+    doc_ids, score shifted +0.05 to plant real drift) against the
+    'reference' snapshot (even doc_ids). Per-bucket counts, exact
+    integer micro-unit shares (floored at 1 micro-unit — the zero-
+    bucket guard) and the signed PSI contribution; the only float ops
+    are one ln + one multiply per bucket row."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        psi_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(ts.quality_score(F.col("text")) * F.lit(1e6))
+        .cast("long")
+        .alias("__vu"),
+    )
+    bucket = F.least(F.lit(9).cast("long"), F.expr("__vu div 100000"))
+    shifted = F.least(
+        F.lit(9).cast("long"), F.expr("(__vu + 50000) div 100000")
+    )
+    cur = scored.filter(F.col("doc_id") % 2 == 1).select(
+        shifted.alias("bucket")
+    )
+    ref = scored.filter(F.col("doc_id") % 2 == 0).select(
+        bucket.alias("bucket")
+    )
+    return psi_report(cur, ref, "bucket")
+
+
+_DEDUP_SIM_QUERIES["q188_psi_drift"] = q188_psi_drift
+
+_ORACLE_DEDUP_SIM["q188_psi_drift"] = _QUALITY_SQL + """
+    , scored AS (
+        SELECT doc_id,
+               CAST(ROUND(FLOOR((
+                   0.4 * LEAST(n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(ROUND(stop_hits
+                       / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 8)
+                       * 4.0, 1.0)
+                 + 0.3 * (n_distinct
+                       / GREATEST(CAST(n_tokens AS DOUBLE), 1.0))
+               ) * 10000.0) / 10000.0 * 1000000.0) AS BIGINT) AS v
+        FROM stats
+    ), cur AS (
+        SELECT LEAST(9, (v + 50000) // 100000) AS bucket, COUNT(*) AS cur_n
+        FROM scored WHERE doc_id % 2 = 1 GROUP BY 1
+    ), ref AS (
+        SELECT LEAST(9, v // 100000) AS bucket, COUNT(*) AS ref_n
+        FROM scored WHERE doc_id % 2 = 0 GROUP BY 1
+    ), j AS (
+        SELECT COALESCE(cur.bucket, ref.bucket) AS bucket,
+               COALESCE(cur_n, 0) AS cur_n, COALESCE(ref_n, 0) AS ref_n
+        FROM cur FULL JOIN ref ON cur.bucket = ref.bucket
+    ), tot AS (
+        SELECT SUM(cur_n) AS ct, SUM(ref_n) AS rt FROM j
+    ), shares AS (
+        SELECT bucket, cur_n, ref_n,
+               GREATEST(1, (cur_n * 1000000) // ct) AS cur_p_u,
+               GREATEST(1, (ref_n * 1000000) // rt) AS ref_p_u
+        FROM j, tot
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(cur_n AS BIGINT) AS cur_n, CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_p_u AS BIGINT) AS cur_p_u,
+           CAST(ref_p_u AS BIGINT) AS ref_p_u,
+           CAST(ROUND(CAST(cur_p_u - ref_p_u AS DOUBLE)
+               * ln(CAST(cur_p_u AS DOUBLE) / CAST(ref_p_u AS DOUBLE)))
+               AS BIGINT) AS psi_u
+    FROM shares
+"""
+
+_ORACLE_SHAPES["q188_psi_drift"] = (
+    ("bucket", "BIGINT"), ("cur_n", "BIGINT"), ("ref_n", "BIGINT"),
+    ("cur_p_u", "BIGINT"), ("ref_p_u", "BIGINT"), ("psi_u", "BIGINT"),
+)
+
+_UNION_MERGES["q88_profile_battery"].append(
+    ("psi_drift", "q188_psi_drift")
+)

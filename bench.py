@@ -158,6 +158,8 @@ HEADLINE = [
     "q184_chat_sft_census",
     "q185_curriculum_schedule",
     "q186_vocab_coverage",
+    "q187_rank_metrics",
+    "q188_psi_drift",
 ]
 
 

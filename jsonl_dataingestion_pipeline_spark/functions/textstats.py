@@ -122,19 +122,40 @@ def quality_score(
     Mirrors the common C4/Gopher-style filters: reasonable length, some
     stopword mass (fluent prose), low single-token domination. Fully
     expression-based and oracle-replayable; weights are fixed.
+
+    The regex token split is let-bound once (see ``expr.let``):
+    composed from ``token_count``/``stopword_ratio`` it appears six
+    times in the tree, and Catalyst's subexpression elimination does
+    not hoist it out of the CASE branches — measured 2x on the
+    documents table. Values are bit-identical to the composed form
+    (same ops on the same inputs, just shared evaluation).
     """
-    n = token_count(c).cast("double")
-    length_component = F.least(n / F.lit(64.0), F.lit(1.0))
-    stop_component = F.least(
-        stopword_ratio(c, stopwords, scale=8) * 4.0, F.lit(1.0)
-    )
-    distinct_component = F.size(F.array_distinct(tokens(c))) / F.greatest(
-        n, F.lit(1.0)
-    )
-    return trunc_round(
-        0.4 * length_component + 0.3 * stop_component + 0.3 * distinct_component,
-        scale,
-    )
+    t0 = _col(c).cast("string")
+    empty = F.length(F.trim(t0)) == 0
+    stops = F.array(*[F.lit(s) for s in stopwords])
+
+    def _body(t: Column) -> Column:
+        ncount = F.when(empty, F.lit(0)).otherwise(F.size(t)).cast("int")
+        n = ncount.cast("double")
+        length_component = F.least(n / F.lit(64.0), F.lit(1.0))
+        stop_hits = F.size(
+            F.filter(t, lambda x: F.array_contains(stops, F.lower(x)))
+        ).cast("int")
+        stop_ratio = F.round(
+            stop_hits / F.greatest(ncount, F.lit(1)).cast("double"), 8
+        )
+        stop_component = F.least(stop_ratio * 4.0, F.lit(1.0))
+        distinct_component = F.size(F.array_distinct(t)) / F.greatest(
+            n, F.lit(1.0)
+        )
+        return trunc_round(
+            0.4 * length_component
+            + 0.3 * stop_component
+            + 0.3 * distinct_component,
+            scale,
+        )
+
+    return let(tokens(t0), _body)
 
 
 # Stopword votes per language for the n-gram/stopword language heuristic.

@@ -141,3 +141,61 @@ def mad_outliers(
             "outlier_share"
         ),
     )
+
+
+def psi_report(
+    cur: DataFrame,
+    ref: DataFrame,
+    bucket_col: str,
+    *,
+    out_col: str = "psi_u",
+) -> DataFrame:
+    """Population Stability Index drift report between a CURRENT and a
+    REFERENCE snapshot of the same bucketed statistic — the standard
+    "did this feed's distribution move under us" monitor a corpus
+    pipeline runs between crawls/releases (PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 act).
+
+    Emits one row per bucket: counts, integer micro-unit shares and the
+    bucket's signed PSI contribution ``(p_cur - p_ref) * ln(p_cur /
+    p_ref)`` in micro-units (sum the column for the headline PSI).
+    Shares are exact integer floor divisions floored at one micro-unit
+    (the standard zero-bucket guard, so an empty bucket contributes a
+    large-but-finite term instead of ±inf); the only float ops per
+    bucket are one ln and one multiply — deterministic on any engine
+    and layout.
+
+    Scale: two bucket-key hash aggregates (map-side combine — shuffle
+    volume = #buckets, not snapshot size), a full outer join on the
+    bucket alphabet, and a one-row totals frame broadcast back. Raises
+    (ANSI division) only if a snapshot is empty — an empty snapshot has
+    no distribution to compare.
+    """
+    cagg = cur.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cur_n")
+    )
+    ragg = ref.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).cast("long").alias("ref_n")
+    )
+    j = cagg.join(ragg, on=bucket_col, how="full").fillna(
+        0, ["cur_n", "ref_n"]
+    )
+    tot = j.agg(
+        F.sum("cur_n").alias("__ct"), F.sum("ref_n").alias("__rt")
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    one = F.lit(1).cast("long")
+    pcu = F.greatest(one, F.expr("(cur_n * 1000000) div __ct"))
+    pru = F.greatest(one, F.expr("(ref_n * 1000000) div __rt"))
+    term = F.round(
+        (pcu - pru).cast("double")
+        * F.log(pcu.cast("double") / pru.cast("double"))
+    ).cast("long")
+    return j.select(
+        bucket_col,
+        "cur_n",
+        "ref_n",
+        pcu.alias("cur_p_u"),
+        pru.alias("ref_p_u"),
+        term.alias(out_col),
+    )

@@ -187,3 +187,86 @@ def negative_samples(
             F.col("__nid").alias("neg_id"),
         )
     )
+
+
+def rank_metrics(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality metrics per query — MRR, hit/precision@k and
+    nDCG@k — over a (query, candidate, score, binary relevance) frame.
+
+    The evaluation loop every retrieval stack (BM25 / hashed cosine /
+    ANN) runs against labeled judgments. Ranking is (score DESC, id
+    ASC) — layout-independent under score ties. nDCG's ideal ranking
+    is the relevant-in-top-k reordering (gains from the retrieved set),
+    so both engines derive IDCG from one integer count.
+
+    Determinism: every per-rank term is quantized to integer
+    micro-units BEFORE summation (round(1e6·rel/log2(rank+1))), so the
+    per-query sums are exact integer sums — shuffle-order independent;
+    the only float op per rank is one IEEE log2. Divisions are integer
+    floor divisions.
+
+    Scale: the rank<=k cut compiles to WindowGroupLimit (a partial
+    per-group top-k before and after the query-key shuffle — never a
+    global sort); the metric aggregate then sees at most k rows per
+    query. Candidate lists are whatever the upstream retriever emitted
+    — this operator never joins or re-shuffles the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    top = (
+        df.select(
+            query_col,
+            id_col,
+            score_col,
+            F.col(rel_col).cast("int").alias("__rel"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+    )
+    dcg_term = F.round(
+        F.lit(1e6) * F.col("__rel") / F.log2(F.col("__rk") + 1)
+    ).cast("long")
+    agg = top.groupBy(query_col).agg(
+        F.sum("__rel").cast("long").alias("hits"),
+        F.min(
+            F.when(F.col("__rel") == 1, F.col("__rk"))
+        ).alias("__first_rel"),
+        F.sum(dcg_term).alias("dcg_u"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("hits").cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.round(F.lit(1e6) / F.log2(i + 1)).cast("long"),
+    )
+    staged = agg.select(
+        query_col,
+        "hits",
+        F.coalesce(
+            F.expr("1000000 div __first_rel"), F.lit(0).cast("long")
+        ).alias("mrr_u"),
+        F.expr(f"(hits * 1000000) div {int(k)}").cast("long").alias(
+            "prec_u"
+        ),
+        "dcg_u",
+        F.when(F.col("hits") > 0, idcg)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("idcg_u"),
+    )
+    return staged.withColumn(
+        "ndcg_u",
+        F.when(
+            F.col("idcg_u") > 0, F.expr("(dcg_u * 1000000) div idcg_u")
+        ).otherwise(F.lit(0).cast("long")),
+    )

@@ -49,3 +49,40 @@ def test_key_skew_report_empty_frame(spark):
     df = spark.createDataFrame([], "k long")
     r = key_skew_report(df, "k").first()
     assert r.n_keys == 0 and r.top_share is None
+
+
+def test_psi_report_hand_computed(spark):
+    import math
+
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        psi_report,
+    )
+
+    cur = spark.createDataFrame(
+        [("A",), ("A",), ("B",), ("B",)], "bucket string"
+    )
+    ref = spark.createDataFrame(
+        [("A",), ("A",), ("B",), ("C",)], "bucket string"
+    )
+    out = {r.bucket: r for r in psi_report(cur, ref, "bucket").collect()}
+    # A: 2/4 vs 2/4 -> identical shares, zero contribution
+    assert (out["A"].cur_p_u, out["A"].ref_p_u, out["A"].psi_u) == (
+        500_000, 500_000, 0,
+    )
+    # B: 500000 vs 250000
+    b = out["B"]
+    assert b.psi_u == round((500_000 - 250_000) * math.log(2.0))
+    # C: absent from cur -> floored at 1 micro-unit, finite term
+    c = out["C"]
+    assert (c.cur_n, c.cur_p_u, c.ref_p_u) == (0, 1, 250_000)
+    assert c.psi_u == round((1 - 250_000) * math.log(1 / 250_000))
+
+
+def test_psi_zero_drift_is_all_zero(spark):
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        psi_report,
+    )
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "bucket int")
+    out = psi_report(df, df, "bucket").collect()
+    assert all(r.psi_u == 0 for r in out)

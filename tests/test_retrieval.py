@@ -236,3 +236,67 @@ class TestNegativeSamples:
         b = {(r.anchor_id, r.slot): r.neg_id for r in negative_samples(
             corpus, anchors, "doc_id", k=4, seed=2).collect()}
         assert a != b
+
+
+class TestRankMetrics:
+    def _run(self, spark, rows, k):
+        from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+            rank_metrics,
+        )
+
+        df = spark.createDataFrame(
+            rows, "q string, id long, score double, rel int"
+        )
+        return {
+            r.q: r
+            for r in rank_metrics(df, "q", "id", "score", "rel", k=k)
+            .collect()
+        }
+
+    def test_hand_computed_metrics(self, spark):
+        import math
+
+        # qA ranked by score desc: id3 (rel 0), id1 (rel 1), id2 (rel 0),
+        # id4 (rel 1, cut by k=3)
+        rows = [
+            ("qA", 1, 8.0, 1), ("qA", 2, 5.0, 0),
+            ("qA", 3, 9.0, 0), ("qA", 4, 1.0, 1),
+            ("qB", 1, 3.0, 0), ("qB", 2, 2.0, 0),
+        ]
+        out = self._run(spark, rows, k=3)
+        a = out["qA"]
+        assert a.hits == 1
+        assert a.mrr_u == 500_000          # first relevant at rank 2
+        assert a.prec_u == 1_000_000 // 3
+        dcg = round(1e6 / math.log2(3))    # rel at rank 2 -> log2(2+1)
+        assert a.dcg_u == dcg
+        assert a.idcg_u == 1_000_000       # ideal: that rel at rank 1
+        assert a.ndcg_u == dcg * 1_000_000 // 1_000_000
+        b = out["qB"]                      # nothing relevant retrieved
+        assert (b.hits, b.mrr_u, b.prec_u, b.dcg_u, b.idcg_u, b.ndcg_u) \
+            == (0, 0, 0, 0, 0, 0)
+
+    def test_score_ties_break_by_id_asc(self, spark):
+        # same score everywhere: rank order = id order, rel on id 1
+        rows = [("q", i, 1.0, 1 if i == 1 else 0) for i in range(1, 5)]
+        out = self._run(spark, rows, k=4)
+        assert out["q"].mrr_u == 1_000_000
+
+    def test_perfect_ranking_ndcg_is_one(self, spark):
+        rows = [
+            ("q", 1, 9.0, 1), ("q", 2, 8.0, 1), ("q", 3, 7.0, 0),
+        ]
+        out = self._run(spark, rows, k=3)
+        assert out["q"].ndcg_u == 1_000_000
+
+    def test_topk_cut_compiles_to_window_group_limit(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.retrieval import (
+            rank_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [("q", 1, 1.0, 1)], "q string, id long, score double, rel int"
+        )
+        out = rank_metrics(df, "q", "id", "score", "rel", k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan

@@ -104,9 +104,17 @@ def build_scaled(base_dir: str, k: int) -> str:
         doc_parts.append(rep)
     import pandas as pd
 
+    doc_table = pa.Table.from_pandas(
+        pd.concat(doc_parts, ignore_index=True), preserve_index=False
+    )
+    # parquet splits no finer than a row group: a single big group read
+    # as 1-2 input partitions starved 30 of 32 cores on every per-row-
+    # expression-heavy scaled query (q185 measured 6x slower than the
+    # same plan properly split). 64 groups ~ one per local core.
     pq.write_table(
-        pa.Table.from_pandas(pd.concat(doc_parts, ignore_index=True), preserve_index=False),
+        doc_table,
         os.path.join(out_dir, "documents.parquet"),
+        row_group_size=max(doc_table.num_rows // 64, 2048),
     )
 
     # plant near-dup twins once (same geometry in every replica), then
@@ -135,9 +143,13 @@ def build_scaled(base_dir: str, k: int) -> str:
                 }
             )
         )
+    emb_table = pa.Table.from_pandas(
+        pd.concat(emb_parts, ignore_index=True), preserve_index=False
+    )
     pq.write_table(
-        pa.Table.from_pandas(pd.concat(emb_parts, ignore_index=True), preserve_index=False),
+        emb_table,
         os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=max(emb_table.num_rows // 64, 2048),
     )
 
     # the heavy queries only touch documents/embeddings; link the rest so
@@ -1252,6 +1264,19 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         return bt_strengths(comp, "w", "l", iterations=3, lr=2.0)
 
     runs = {
+        # round-8 cont.: q184 is a zero-shuffle projection (rows =
+        # docs with >= 8 words -> k-linear); q185 emits 4 stage rows
+        # const (k-linear term = the one corpus aggregate); q186 emits
+        # #langs rows const (k-linear term = the word-census shuffle —
+        # distinct words grow ~k under the ~r suffixing).
+        "q184_chat": entry.q184_chat_sft_census,
+        "q185_curriculum": entry.q185_curriculum_schedule,
+        "q186_vocab": entry.q186_vocab_coverage,
+        # q187: 20 query rows const; candidates/query grow ~k, so this
+        # exercises WindowGroupLimit's partial top-k under growth.
+        # q188: <=10 bucket rows const; two bucket aggregates.
+        "q187_rank": entry.q187_rank_metrics,
+        "q188_psi": entry.q188_psi_drift,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
