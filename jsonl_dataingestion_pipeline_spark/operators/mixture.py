@@ -203,6 +203,9 @@ def curriculum_stages(
     ``cum_tokens`` — the running token total in stage order, i.e. the
     pacing schedule ("switch stages at token X").
 
+    NULL scores land in stage 1 (SQL CASE semantics: ``NULL >= b`` is
+    never true) — filter upstream if NULL must be excluded.
+
     Determinism/scale: stage assignment is pure integer comparison
     (codegen projection, no shuffle); the census is ONE hash aggregate
     on a key with ≤ ``len(boundaries)+1`` values; the running total is

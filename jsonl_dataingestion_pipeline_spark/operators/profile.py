@@ -170,6 +170,12 @@ def psi_report(
     bucket alphabet, and a one-row totals frame broadcast back. Raises
     (ANSI division) only if a snapshot is empty — an empty snapshot has
     no distribution to compare.
+
+    Contracts: bucket values must be non-NULL (NULL keys do not equate
+    under a full join, so a NULL bucket would surface as two
+    half-counted rows — coalesce upstream); snapshot row counts must
+    stay <= 9.2e12 so ``count * 1e6`` fits int64 (a 100 TB corpus is
+    ~1e11 docs — three orders of magnitude of headroom).
     """
     cagg = cur.groupBy(bucket_col).agg(
         F.count(F.lit(1)).cast("long").alias("cur_n")

@@ -110,3 +110,11 @@ def test_whole_pass_is_zero_shuffle(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_empty_conversation_is_invalid_not_a_crash(spark):
+    """size-0 arrays flow through every HOF rule (slice lengths clamp,
+    element_at yields NULL) and come out chat_valid = false."""
+    df = _df(spark, [(0, [])])
+    r = df.select(cv.conversation_valid("conv").alias("ok")).collect()[0]
+    assert r.ok is False
