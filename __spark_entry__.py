@@ -12594,22 +12594,12 @@ _JOIN_MERGES["q20_doc_quality"][1].append(
 # Round 8 (cont.): chat/SFT conversation curation (q184), curriculum
 # scheduling (q185), vocabulary-coverage audit (q186).
 # ===========================================================================
-def q184_chat_sft_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chat/SFT conversation curation (operators/conversations.py):
-    documents are deterministically re-shaped into 4-turn ChatML
-    conversations (contiguous word-quarter slices, roles u/a/u/a), a
-    fixed fraction corrupted in each of the three ways real SFT data
-    rots (doc_id%7: truncated final assistant turn; %11: role of turn
-    3 flipped to assistant — breaks alternation; %13: turn 2 content
-    emptied), then validated with the real higher-order-function
-    kernels and rendered through the chat template. The census emits
-    every rule flag, per-role char volume and a render checksum, so a
-    wrong slice boundary, rule, or template byte is a hash mismatch.
-    The whole pass is a zero-shuffle codegen projection."""
-    from jsonl_dataingestion_pipeline_spark.operators import (
-        conversations as cv,
-    )
-
+def _chat_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q184/q189 construction: documents re-shaped into 4-turn
+    ChatML conversations (contiguous word-quarter slices, roles
+    u/a/u/a) with the three deterministic corruption modes (doc_id%7:
+    final turn truncated; %11: turn-3 role flipped to assistant; %13:
+    turn-2 content emptied). Returns (doc_id, __conv)."""
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
         & (~F.col("text").contains("  "))
@@ -12641,7 +12631,26 @@ def q184_chat_sft_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         _turn(F.lit("assistant"), c4),
     )
     conv = F.when(did % 7 == 0, F.slice(conv4, 1, 3)).otherwise(conv4)
-    base = d.select("doc_id", conv.alias("__conv"))
+    return d.select("doc_id", conv.alias("__conv"))
+
+
+def q184_chat_sft_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT conversation curation (operators/conversations.py):
+    documents are deterministically re-shaped into 4-turn ChatML
+    conversations (contiguous word-quarter slices, roles u/a/u/a), a
+    fixed fraction corrupted in each of the three ways real SFT data
+    rots (doc_id%7: truncated final assistant turn; %11: role of turn
+    3 flipped to assistant — breaks alternation; %13: turn 2 content
+    emptied), then validated with the real higher-order-function
+    kernels and rendered through the chat template. The census emits
+    every rule flag, per-role char volume and a render checksum, so a
+    wrong slice boundary, rule, or template byte is a hash mismatch.
+    The whole pass is a zero-shuffle codegen projection."""
+    from jsonl_dataingestion_pipeline_spark.operators import (
+        conversations as cv,
+    )
+
+    base = _chat_frame(spark, sf_dir)
     return base.select(
         "doc_id",
         F.size("__conv").alias("n_turns"),
@@ -13024,4 +13033,119 @@ _ORACLE_SHAPES["q188_psi_drift"] = (
 
 _UNION_MERGES["q88_profile_battery"].append(
     ("psi_drift", "q188_psi_drift")
+)
+
+
+def q189_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans (operators/conversations.py::
+    loss_mask_spans): the byte spans of assistant content inside the
+    rendered ChatML training string, over the same corrupted
+    conversation corpus as q184. The census emits span count, masked
+    byte mass, total render bytes and a checksum of the exact span
+    list, so an off-by-one in any template byte offset is a hash
+    mismatch. The oracle recomputes every span in CLOSED FORM from the
+    slice lengths (block arithmetic — independent of the fold)."""
+    from jsonl_dataingestion_pipeline_spark.operators import (
+        conversations as cv,
+    )
+
+    base = _chat_frame(spark, sf_dir)
+    spans = cv.loss_mask_spans("__conv")
+    spans_str = F.array_join(
+        F.transform(
+            spans,
+            lambda x: F.concat(
+                x["s"].cast("string"), F.lit(":"), x["e"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    masked = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (x["e"] - x["s"]),
+    )
+    return base.select(
+        "doc_id",
+        F.size(spans).alias("n_spans"),
+        masked.alias("masked_bytes"),
+        F.octet_length(cv.render_chat("__conv"))
+        .cast("long")
+        .alias("render_bytes"),
+        F.conv(F.substring(F.md5(spans_str), 1, 8), 16, 10)
+        .cast("long")
+        .alias("spans_md5_u"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q189_loss_mask_spans"] = q189_loss_mask_spans
+
+#: Closed-form block arithmetic: a rendered turn occupies
+#: 12 (<|im_start|>) + len(role) + 1 (newline) + len(content) +
+#: 11 (<|im_end|>\n) bytes; a span starts 12+len(role)+1 into its block.
+_ORACLE_DEDUP_SIM["q189_loss_mask_spans"] = """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND text NOT LIKE '%  %'
+          AND text = trim(text)
+          AND len(string_split(text, ' ')) >= 8
+    ), cut AS (
+        SELECT doc_id,
+            strlen(array_to_string(list_slice(w, 1,
+                CAST(floor(n * 1 / 4.0) AS BIGINT)), ' ')) AS l1,
+            CASE WHEN doc_id % 13 = 0 THEN 0
+                 ELSE strlen(array_to_string(list_slice(w,
+                     CAST(floor(n * 1 / 4.0) AS BIGINT) + 1,
+                     CAST(floor(n * 2 / 4.0) AS BIGINT)), ' ')) END AS l2,
+            strlen(array_to_string(list_slice(w,
+                CAST(floor(n * 2 / 4.0) AS BIGINT) + 1,
+                CAST(floor(n * 3 / 4.0) AS BIGINT)), ' ')) AS l3,
+            strlen(array_to_string(list_slice(w,
+                CAST(floor(n * 3 / 4.0) AS BIGINT) + 1, n), ' ')) AS l4,
+            (doc_id % 11 = 0) AS asst3,
+            (doc_id % 7 = 0) AS drop4
+        FROM base
+    ), blocks AS (
+        SELECT doc_id, l1, l2, l3, l4, asst3, drop4,
+            28 + l1 AS b1,
+            33 + l2 AS b2,
+            24 + CASE WHEN asst3 THEN 9 ELSE 4 END + l3 AS b3,
+            CASE WHEN drop4 THEN 0 ELSE 33 + l4 END AS b4
+        FROM cut
+    ), spans AS (
+        SELECT doc_id,
+            CAST(1 + CASE WHEN asst3 THEN 1 ELSE 0 END
+                   + CASE WHEN drop4 THEN 0 ELSE 1 END AS INTEGER)
+                AS n_spans,
+            CAST(l2 + CASE WHEN asst3 THEN l3 ELSE 0 END
+                    + CASE WHEN drop4 THEN 0 ELSE l4 END AS BIGINT)
+                AS masked_bytes,
+            CAST(b1 + b2 + b3 + b4 AS BIGINT) AS render_bytes,
+            CAST(b1 + 22 AS VARCHAR) || ':'
+                || CAST(b1 + 22 + l2 AS VARCHAR)
+            || CASE WHEN asst3 THEN ',' || CAST(b1 + b2 + 22 AS VARCHAR)
+                 || ':' || CAST(b1 + b2 + 22 + l3 AS VARCHAR)
+                 ELSE '' END
+            || CASE WHEN drop4 THEN ''
+                 ELSE ',' || CAST(b1 + b2 + b3 + 22 AS VARCHAR)
+                 || ':' || CAST(b1 + b2 + b3 + 22 + l4 AS VARCHAR) END
+                AS spans_str
+        FROM blocks
+    )
+    SELECT doc_id, n_spans, masked_bytes, render_bytes,
+           CAST('0x' || substr(md5(spans_str), 1, 8) AS BIGINT)
+               AS spans_md5_u
+    FROM spans
+"""
+
+_ORACLE_SHAPES["q189_loss_mask_spans"] = (
+    ("doc_id", "BIGINT"), ("n_spans", "INTEGER"),
+    ("masked_bytes", "BIGINT"), ("render_bytes", "BIGINT"),
+    ("spans_md5_u", "BIGINT"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("loss_mask", "q189_loss_mask_spans")
 )

@@ -160,6 +160,7 @@ HEADLINE = [
     "q186_vocab_coverage",
     "q187_rank_metrics",
     "q188_psi_drift",
+    "q189_loss_mask_spans",
 ]
 
 

@@ -123,3 +123,47 @@ def render_chat(conv: ColumnOrName) -> Column:
             F.lit(TURN_CLOSE),
         ),
     )
+
+
+def loss_mask_spans(conv: ColumnOrName) -> Column:
+    """Byte spans ``[s, e)`` of ASSISTANT content inside the
+    :func:`render_chat` string — the positions an SFT trainer unmasks
+    (loss on assistant tokens only, the standard instruction-tuning
+    recipe). Returns ``array<struct<s,e>>`` in turn order.
+
+    One ``aggregate`` fold threads the byte offset through the turns
+    (offsets are ``octet_length`` — byte-true for any unicode content),
+    so the whole computation stays a zero-shuffle projection beside the
+    render itself; a downstream packer adds each sequence's global
+    offset (q143's two-phase prefix sum) to shift the spans into the
+    packed buffer.
+    """
+    open_len = len(TURN_OPEN.encode())
+    close_len = len(TURN_CLOSE.encode())
+
+    def _step(acc: Column, t: Column) -> Column:
+        start = (
+            acc["off"]
+            + F.lit(open_len)
+            + F.octet_length(t["role"]).cast("long")
+            + F.lit(1)  # the '\n' between role and content
+        )
+        end = start + F.octet_length(t["content"]).cast("long")
+        span = F.struct(start.alias("s"), end.alias("e"))
+        spans = F.when(
+            t["role"] == F.lit("assistant"),
+            F.concat(acc["spans"], F.array(span)),
+        ).otherwise(acc["spans"])
+        return F.struct(
+            (end + F.lit(close_len)).alias("off"), spans.alias("spans")
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast("array<struct<s: bigint, e: bigint>>").alias(
+            "spans"
+        ),
+    )
+    return F.aggregate(
+        _col(conv), init, _step, lambda acc: acc["spans"]
+    )

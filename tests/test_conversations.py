@@ -118,3 +118,44 @@ def test_empty_conversation_is_invalid_not_a_crash(spark):
     df = _df(spark, [(0, [])])
     r = df.select(cv.conversation_valid("conv").alias("ok")).collect()[0]
     assert r.ok is False
+
+
+class TestLossMaskSpans:
+    def _spans(self, spark, conv):
+        df = _df(spark, [(0, conv)])
+        return df.select(
+            cv.loss_mask_spans("conv").alias("sp"),
+            cv.render_chat("conv").alias("r"),
+        ).collect()[0]
+
+    def test_hand_computed_offsets(self, spark):
+        r = self._spans(
+            spark, [("user", "hi"), ("assistant", "yo ok")]
+        )
+        # turn1 block: 12 + 4 + 1 + 2 + 11 = 30
+        # span starts 30 + 12 + 9 + 1 = 52, ends 52 + 5
+        assert [(x.s, x.e) for x in r.sp] == [(52, 57)]
+        # the span indexes the REAL rendered string
+        assert r.r.encode()[52:57] == b"yo ok"
+
+    def test_multiple_assistant_turns(self, spark):
+        r = self._spans(
+            spark,
+            [("user", "a"), ("assistant", "bb"), ("user", "c"),
+             ("assistant", "dd")],
+        )
+        assert len(r.sp) == 2
+        for x in r.sp:
+            assert r.r.encode()[x.s:x.e] in (b"bb", b"dd")
+
+    def test_no_assistant_turns_empty(self, spark):
+        r = self._spans(spark, [("user", "a"), ("user", "b")])
+        assert list(r.sp) == []
+
+    def test_unicode_offsets_are_byte_true(self, spark):
+        # 'café' is 5 bytes utf-8; offsets must be octet-based
+        r = self._spans(
+            spark, [("user", "café"), ("assistant", "naïve")]
+        )
+        x = r.sp[0]
+        assert r.r.encode()[x.s:x.e].decode() == "naïve"

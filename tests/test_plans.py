@@ -667,3 +667,12 @@ def test_q186_vocab_membership_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_q189_loss_mask_is_pure_projection(spark):
+    """q189 (PLANS.md): span fold + masked-byte fold + render share one
+    zero-shuffle projection over the scan."""
+    df = em.q189_loss_mask_spans(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree

@@ -1275,6 +1275,7 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # q187: 20 query rows const; candidates/query grow ~k, so this
         # exercises WindowGroupLimit's partial top-k under growth.
         # q188: <=10 bucket rows const; two bucket aggregates.
+        "q189_loss_mask": entry.q189_loss_mask_spans,
         "q187_rank": entry.q187_rank_metrics,
         "q188_psi": entry.q188_psi_drift,
         "q173_mixture": q173_scaled,
