@@ -159,3 +159,42 @@ class TestLossMaskSpans:
         )
         x = r.sp[0]
         assert r.r.encode()[x.s:x.e].decode() == "naïve"
+
+
+def test_spans_shift_into_packed_buffer(spark):
+    """The composition the loss_mask_spans docstring promises: add each
+    sequence's global offset (pack_sequences' tok_start over the render
+    byte length) to the spans, and they index the CONCATENATED packed
+    buffer exactly."""
+    from pyspark.sql import functions as F
+
+    from jsonl_dataingestion_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        (1, [("user", "aa"), ("assistant", "bb cc")]),
+        (2, [("user", "d"), ("assistant", "ee"), ("user", "f"),
+             ("assistant", "gg hh")]),
+        (3, [("user", "iii"), ("assistant", "jj")]),
+    ]
+    df = _df(spark, rows)
+    rendered = df.select(
+        "id",
+        cv.render_chat("conv").alias("r"),
+        cv.loss_mask_spans("conv").alias("sp"),
+        F.octet_length(cv.render_chat("conv")).alias("nb"),
+    )
+    coords = pack_sequences(rendered, "nb", "id", seq_len=1 << 20)
+    j = rendered.join(coords.select("id", "tok_start"), on="id")
+    out = j.select("id", "r", "sp", "tok_start").collect()
+    buf = b"".join(
+        r.r.encode() for r in sorted(out, key=lambda x: x.id)
+    )
+    checked = 0
+    for r in out:
+        for x in r.sp:
+            lo, hi = x.s + r.tok_start, x.e + r.tok_start
+            assert buf[lo:hi].decode() == r.r[x.s:x.e]
+            checked += 1
+    assert checked == 4
