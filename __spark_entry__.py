@@ -12704,12 +12704,12 @@ _ORACLE_DEDUP_SIM["q184_chat_sft_census"] = """
             (doc_id % 13 <> 0) AS no_empty,
             ((doc_id % 7 <> 0) AND (doc_id % 11 <> 0)
              AND (doc_id % 13 <> 0)) AS chat_valid,
-            CAST(strlen(c1)
-                 + CASE WHEN r3 = 'user' THEN strlen(c3) ELSE 0 END
+            CAST(length(c1)
+                 + CASE WHEN r3 = 'user' THEN length(c3) ELSE 0 END
                  AS BIGINT) AS user_chars,
-            CAST(strlen(c2)
-                 + CASE WHEN r3 = 'assistant' THEN strlen(c3) ELSE 0 END
-                 + CASE WHEN drop4 THEN 0 ELSE strlen(c4) END
+            CAST(length(c2)
+                 + CASE WHEN r3 = 'assistant' THEN length(c3) ELSE 0 END
+                 + CASE WHEN drop4 THEN 0 ELSE length(c4) END
                  AS BIGINT) AS asst_chars,
             '<|im_start|>user' || chr(10) || c1 || '<|im_end|>' || chr(10)
             || '<|im_start|>assistant' || chr(10) || c2 || '<|im_end|>'
@@ -13069,9 +13069,7 @@ def q189_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(spans).alias("n_spans"),
         masked.alias("masked_bytes"),
-        F.octet_length(cv.render_chat("__conv"))
-        .cast("long")
-        .alias("render_bytes"),
+        cv.render_bytes("__conv").alias("render_bytes"),
         F.conv(F.substring(F.md5(spans_str), 1, 8), 16, 10)
         .cast("long")
         .alias("spans_md5_u"),

@@ -846,6 +846,10 @@ def vocab_coverage(
     one aggregate on the group key. Nothing corpus-sized is ever
     sorted or re-shuffled beyond the census.
     """
+    # shares word_counts' tokenizer (tokens()) so normalization cannot
+    # diverge from the trained vocabularies, but keeps its own census:
+    # the vocabulary must be counted from the SAME exploded
+    # (group, word) frame it then audits, reusing one explode.
     w = df.select(
         F.col(group_col).alias("__g"),
         F.explode(tokens(F.col(text_col))).alias("__w"),

@@ -57,12 +57,14 @@ def roles_alternate(conv: ColumnOrName) -> Column:
 
     ``zip_with`` over the conversation and its shift-by-one — both
     slices have length n-1, so no NULL padding enters the ``forall``.
-    Single-turn conversations alternate vacuously.
+    Single-turn (and empty — the slice length clamps at 0) convs
+    alternate vacuously.
     """
     c = _col(conv)
     n = F.size(c)
-    heads = F.slice(c, 1, n - 1)
-    tails = F.slice(c, 2, n - 1)
+    ln = F.greatest(n - 1, F.lit(0))  # size 0 would pass length -1
+    heads = F.slice(c, 1, ln)
+    tails = F.slice(c, 2, ln)
     pairs = F.zip_with(heads, tails, lambda a, b: a["role"] != b["role"])
     return F.forall(pairs, lambda x: x)
 
@@ -77,8 +79,8 @@ def no_empty_turns(conv: ColumnOrName) -> Column:
 
 
 def conversation_valid(conv: ColumnOrName) -> Column:
-    """The conjunction of all four structural rules (non-empty conv,
-    opens user, alternates, no empty turn, closes assistant)."""
+    """The conjunction of all five structural rules: non-empty conv,
+    opens user, alternates, no empty turn, closes assistant."""
     c = _col(conv)
     return (
         (F.size(c) > 0)
@@ -91,7 +93,12 @@ def conversation_valid(conv: ColumnOrName) -> Column:
 
 def turn_stats(conv: ColumnOrName, role: str) -> Column:
     """Total content characters across turns with the given role —
-    one ``aggregate`` fold, no explode, no shuffle."""
+    one ``aggregate`` fold, no explode, no shuffle.
+
+    A NULL content propagates (the total is NULL) — standard SQL sum
+    semantics; :func:`no_empty_turns` flags those turns, validate
+    before aggregating. Same contract for :func:`render_chat` (a NULL
+    turn renders the whole string NULL)."""
     return F.aggregate(
         _col(conv),
         F.lit(0).cast("long"),
@@ -125,6 +132,22 @@ def render_chat(conv: ColumnOrName) -> Column:
     )
 
 
+def render_bytes(conv: ColumnOrName) -> Column:
+    """Byte length of :func:`render_chat`'s output WITHOUT building the
+    string: each turn occupies ``len(TURN_OPEN) + octet(role) + 1 +
+    octet(content) + len(TURN_CLOSE)`` bytes, so the length is one
+    integer fold — O(#turns) instead of O(rendered bytes)."""
+    fixed = len(TURN_OPEN.encode()) + 1 + len(TURN_CLOSE.encode())
+    return F.aggregate(
+        _col(conv),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.lit(fixed)
+        + F.octet_length(t["role"]).cast("long")
+        + F.octet_length(t["content"]).cast("long"),
+    )
+
+
 def loss_mask_spans(conv: ColumnOrName) -> Column:
     """Byte spans ``[s, e)`` of ASSISTANT content inside the
     :func:`render_chat` string — the positions an SFT trainer unmasks
@@ -137,9 +160,18 @@ def loss_mask_spans(conv: ColumnOrName) -> Column:
     render itself; a downstream packer adds each sequence's global
     offset (q143's two-phase prefix sum) to shift the spans into the
     packed buffer.
+
+    A conversation containing any NULL role/content returns NULL
+    (explicitly — a half-built span struct with a NULL end would
+    mis-slice downstream); validate with :func:`no_empty_turns` first.
     """
     open_len = len(TURN_OPEN.encode())
     close_len = len(TURN_CLOSE.encode())
+    c = _col(conv)
+    all_present = F.forall(
+        c,
+        lambda t: t["role"].isNotNull() & t["content"].isNotNull(),
+    )
 
     def _step(acc: Column, t: Column) -> Column:
         start = (
@@ -164,6 +196,7 @@ def loss_mask_spans(conv: ColumnOrName) -> Column:
             "spans"
         ),
     )
-    return F.aggregate(
-        _col(conv), init, _step, lambda acc: acc["spans"]
+    spans = F.aggregate(c, init, _step, lambda acc: acc["spans"])
+    return F.when(all_present, spans).otherwise(
+        F.lit(None).cast("array<struct<s: bigint, e: bigint>>")
     )

@@ -113,11 +113,18 @@ def test_whole_pass_is_zero_shuffle(spark):
 
 
 def test_empty_conversation_is_invalid_not_a_crash(spark):
-    """size-0 arrays flow through every HOF rule (slice lengths clamp,
-    element_at yields NULL) and come out chat_valid = false."""
+    """size-0 arrays flow through every rule STANDALONE (the alternation
+    slice length is clamped at 0 — review finding: unclamped it passed
+    -1 and raised) and come out chat_valid = false."""
     df = _df(spark, [(0, [])])
-    r = df.select(cv.conversation_valid("conv").alias("ok")).collect()[0]
+    r = df.select(
+        cv.conversation_valid("conv").alias("ok"),
+        cv.roles_alternate("conv").alias("alt"),
+        cv.turn_stats("conv", "user").alias("u"),
+    ).collect()[0]
     assert r.ok is False
+    assert r.alt is True       # vacuous
+    assert r.u == 0
 
 
 class TestLossMaskSpans:
@@ -198,3 +205,48 @@ def test_spans_shift_into_packed_buffer(spark):
             assert buf[lo:hi].decode() == r.r[x.s:x.e]
             checked += 1
     assert checked == 4
+
+
+def test_null_content_spans_are_null_not_malformed(spark):
+    """Review finding: a NULL content used to emit a half-built span
+    struct (s, NULL). The operator now returns NULL for the whole
+    conversation; turn_stats/render propagate NULL per SQL semantics."""
+    from pyspark.sql import functions as F
+
+    df = _df(spark, [(0, [("user", "ab"), ("assistant", None)])])
+    r = df.select(
+        cv.loss_mask_spans("conv").alias("sp"),
+        cv.render_chat("conv").alias("r"),
+        cv.turn_stats("conv", "assistant").alias("a"),
+        cv.no_empty_turns("conv").alias("ne"),
+    ).collect()[0]
+    assert r.sp is None and r.r is None and r.a is None
+    assert r.ne is False       # the validator flags it first
+
+
+def test_render_bytes_matches_real_render_length(spark):
+    """render_bytes (the O(#turns) integer fold) must equal the byte
+    length of the actual rendered string, including multibyte."""
+    from pyspark.sql import functions as F
+
+    df = _df(
+        spark,
+        [(0, [("user", "café"), ("assistant", "naïve x")]),
+         (1, [("user", "a"), ("assistant", "bb"), ("user", "c")])],
+    )
+    rows = df.select(
+        cv.render_bytes("conv").alias("nb"),
+        F.octet_length(cv.render_chat("conv")).alias("real"),
+    ).collect()
+    for r in rows:
+        assert r.nb == r.real
+
+
+def test_turn_stats_counts_characters_not_bytes(spark):
+    """turn_stats' contract is CHARACTERS (F.length); 'café' is 4."""
+    df = _df(spark, [(0, [("user", "café"), ("assistant", "é")])])
+    r = df.select(
+        cv.turn_stats("conv", "user").alias("u"),
+        cv.turn_stats("conv", "assistant").alias("a"),
+    ).collect()[0]
+    assert (r.u, r.a) == (4, 1)
