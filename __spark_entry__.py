@@ -13147,3 +13147,140 @@ _ORACLE_SHAPES["q189_loss_mask_spans"] = (
 _UNION_MERGES["q33_text_extract_battery"].append(
     ("loss_mask", "q189_loss_mask_spans")
 )
+
+
+def q190_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (functions/sketches.py, Beyer et al. 2007): the
+    'how much is new vs the last crawl' question answered from two
+    bounded sketches instead of rescanning either snapshot. Events are
+    split into two snapshots by event_id parity; per event_type the
+    user populations are KMV-sketched, then |A∪B|, |A∩B| and Jaccard
+    are estimated purely from the two k-long arrays. Exact values ride
+    along for audit. Everything is md5-deterministic, so the oracle
+    replays both sketches AND every estimator."""
+    from jsonl_dataingestion_pipeline_spark.functions.sketches import (
+        kmv_intersect_estimate,
+        kmv_jaccard_u,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 == 1)
+    ska = kmv_sketch(a, "user_id", ["event_type"], k=_KMV_K).select(
+        "event_type", F.col("kmv").alias("__ka")
+    )
+    skb = kmv_sketch(b, "user_id", ["event_type"], k=_KMV_K).select(
+        "event_type", F.col("kmv").alias("__kb")
+    )
+    sk = ska.join(skb, on="event_type")
+    est = sk.select(
+        "event_type",
+        kmv_jaccard_u(F.col("__ka"), F.col("__kb"), k=_KMV_K).alias(
+            "kmv_jaccard_u"
+        ),
+        kmv_intersect_estimate(
+            F.col("__ka"), F.col("__kb"), k=_KMV_K
+        ).alias("kmv_inter_est"),
+        kmv_union_estimate(
+            F.col("__ka"), F.col("__kb"), k=_KMV_K
+        ).alias("kmv_union_est"),
+    )
+    ua = a.select("event_type", "user_id").distinct()
+    ub = b.select("event_type", "user_id").distinct()
+    inter = ua.join(ub, on=["event_type", "user_id"]).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("__xi"))
+    union = ua.unionByName(ub).distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__xu")
+    )
+    exact = inter.join(union, on="event_type").select(
+        "event_type",
+        F.expr("(__xi * 1000000) div __xu").cast("long").alias(
+            "exact_jaccard_u"
+        ),
+    )
+    return est.join(exact, on="event_type")
+
+
+_DEDUP_SIM_QUERIES["q190_kmv_set_algebra"] = q190_kmv_set_algebra
+
+_ORACLE_DEDUP_SIM["q190_kmv_set_algebra"] = f"""
+    WITH ha AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events WHERE event_id % 2 = 0
+    ), hb AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events WHERE event_id % 2 = 1
+    ), ska AS (
+        SELECT event_type, list(h ORDER BY h) AS ka FROM (
+            SELECT event_type, h, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY h) AS r FROM ha
+        ) WHERE r <= {_KMV_K} GROUP BY event_type
+    ), skb AS (
+        SELECT event_type, list(h ORDER BY h) AS kb FROM (
+            SELECT event_type, h, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY h) AS r FROM hb
+        ) WHERE r <= {_KMV_K} GROUP BY event_type
+    ), alg AS (
+        SELECT event_type, ka, kb,
+               list_slice(list_sort(list_distinct(ka || kb)), 1,
+                          {_KMV_K}) AS m
+        FROM ska JOIN skb USING (event_type)
+    ), scored AS (
+        SELECT event_type,
+               len(m) AS nm,
+               len(list_filter(m, x -> list_contains(ka, x)
+                   AND list_contains(kb, x))) AS ic,
+               CASE WHEN len(m) < {_KMV_K}
+                    THEN CAST(len(m) AS DOUBLE)
+                    ELSE ROUND({_KMV_K - 1}.0
+                         / (m[{_KMV_K}] / 1152921504606846976.0), 4)
+               END AS union_est4,
+               CASE WHEN len(m) < {_KMV_K}
+                    THEN CAST(len(m) AS DOUBLE)
+                    ELSE ROUND({_KMV_K - 1}.0
+                         / (m[{_KMV_K}] / 1152921504606846976.0), 8)
+               END AS union_est8
+        FROM alg
+    ), ests AS (
+        SELECT event_type,
+               CASE WHEN nm > 0 THEN CAST(FLOOR(
+                   CAST(ic * 1000000 AS DOUBLE) / nm) AS BIGINT)
+               END AS kmv_jaccard_u,
+               ROUND(ic / CAST(GREATEST(nm, 1) AS DOUBLE)
+                     * union_est8, 4) AS kmv_inter_est,
+               union_est4 AS kmv_union_est
+        FROM scored
+    ), ua AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_id % 2 = 0
+    ), ub AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_id % 2 = 1
+    ), xi AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS i
+        FROM ua JOIN ub USING (event_type, user_id) GROUP BY event_type
+    ), xu AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS u FROM (
+            SELECT * FROM ua UNION SELECT * FROM ub
+        ) GROUP BY event_type
+    )
+    SELECT e.event_type, e.kmv_jaccard_u, e.kmv_inter_est,
+           e.kmv_union_est,
+           CAST((xi.i * 1000000) // xu.u AS BIGINT) AS exact_jaccard_u
+    FROM ests e JOIN xi USING (event_type) JOIN xu USING (event_type)
+"""
+
+_ORACLE_SHAPES["q190_kmv_set_algebra"] = (
+    ("event_type", "VARCHAR"), ("kmv_jaccard_u", "BIGINT"),
+    ("kmv_inter_est", "DOUBLE"), ("kmv_union_est", "DOUBLE"),
+    ("exact_jaccard_u", "BIGINT"),
+)
+
+_JOIN_MERGES["q82_event_stats"][1].append(("q190_kmv_set_algebra", {}))

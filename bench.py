@@ -161,6 +161,7 @@ HEADLINE = [
     "q187_rank_metrics",
     "q188_psi_drift",
     "q189_loss_mask_spans",
+    "q190_kmv_set_algebra",
 ]
 
 

@@ -195,3 +195,53 @@ def kmv_estimate(kmv: Column, *, k: int = 64, scale: int = 4) -> Column:
     return F.when(n < k, n.cast("double")).otherwise(
         F.round(F.lit(float(k - 1)) / u_k, scale)
     )
+
+
+def kmv_intersect_count(a: Column, b: Column, *, k: int = 64) -> Column:
+    """|{h in merge(a,b) : h in a AND h in b}| — the agreement count of
+    the Beyer et al. (2007) KMV set-algebra estimators. Pure array
+    expressions over two bounded sketches."""
+    m = kmv_merge(a, b, k=k)
+    return F.size(
+        F.filter(
+            m,
+            lambda x: F.array_contains(a, x) & F.array_contains(b, x),
+        )
+    ).cast("int")
+
+
+def kmv_jaccard_u(a: Column, b: Column, *, k: int = 64) -> Column:
+    """Jaccard similarity estimate of the two sketched sets in integer
+    micro-units: agreement count over merged-sketch size — exact
+    integer arithmetic on two bounded arrays (NULL if both empty)."""
+    m = kmv_merge(a, b, k=k)
+    n = F.size(m)
+    ic = kmv_intersect_count(a, b, k=k).cast("long")
+    # floor of the double ratio is exact here: both operands are exact
+    # ints < 2^53 and a non-integer p/q with q <= 2k can never sit
+    # within a double ulp of an integer
+    ratio = F.floor((ic * F.lit(1_000_000)).cast("double") / n).cast(
+        "long"
+    )
+    return F.when(n > 0, ratio).otherwise(F.lit(None).cast("long"))
+
+
+def kmv_union_estimate(
+    a: Column, b: Column, *, k: int = 64, scale: int = 4
+) -> Column:
+    """|A ∪ B| estimate: the Bar-Yossef estimator applied to the merged
+    sketch (k smallest of the union of distinct hashes)."""
+    return kmv_estimate(kmv_merge(a, b, k=k), k=k, scale=scale)
+
+
+def kmv_intersect_estimate(
+    a: Column, b: Column, *, k: int = 64, scale: int = 4
+) -> Column:
+    """|A ∩ B| estimate = (agreement/|merge|) * |A ∪ B| — the KMV
+    set-algebra composition: both factors come from the same two
+    bounded sketches, no rescan of either snapshot."""
+    m = kmv_merge(a, b, k=k)
+    rho = kmv_intersect_count(a, b, k=k).cast("double") / F.greatest(
+        F.size(m), F.lit(1)
+    ).cast("double")
+    return F.round(rho * kmv_estimate(m, k=k, scale=8), scale)

@@ -28,6 +28,10 @@ BATTERIES = (
     # round 8: classifier training (q177 leg rides q20, already above);
     # WARC census + unigram DP census
     "q33_text_extract_battery", "q19_corpus_stats",
+    # round 8 cont.: PSI drift (q188) rides q88; chat/SFT (q184),
+    # loss-mask spans (q189), vocab (q186), curriculum (q185) and rank
+    # metrics (q187) ride the batteries above
+    "q88_profile_battery",
 )
 
 
