@@ -1276,6 +1276,11 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # exercises WindowGroupLimit's partial top-k under growth.
         # q188: <=10 bucket rows const; two bucket aggregates.
         "q189_loss_mask": entry.q189_loss_mask_spans,
+        # q190: rows = #event_types const; k-linear term = the two
+        # (group, hash) dedups + WindowGroupLimit k-cuts (events table
+        # is not scaled by the harness, but the query exercises the
+        # sketch-build path end to end)
+        "q190_kmv_set": entry.q190_kmv_set_algebra,
         "q187_rank": entry.q187_rank_metrics,
         "q188_psi": entry.q188_psi_drift,
         "q173_mixture": q173_scaled,
