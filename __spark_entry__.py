@@ -806,16 +806,23 @@ def q19_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document composite quality heuristic."""
+    """Per-document composite quality heuristic. The token split is
+    materialized ONCE in a preceding select and shared by all three
+    stat columns via the ``*_from_tokens`` kernels — CollapseProject
+    keeps the multi-referenced alias as its own codegen Project (the
+    fast path per ``expr.let``'s guidance)."""
     from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    toks = F.col("__toks")
+    return d.select("doc_id", "text", ts.tokens(t).alias("__toks")).select(
         F.col("doc_id"),
-        ts.token_count(t).alias("n_tokens"),
-        ts.stopword_ratio(t, ts.DEFAULT_STOPWORDS).alias("stop_ratio"),
-        ts.quality_score(t).alias("quality"),
+        ts.token_count_from_tokens(toks, t).alias("n_tokens"),
+        ts.stopword_ratio_from_tokens(toks, t, ts.DEFAULT_STOPWORDS).alias(
+            "stop_ratio"
+        ),
+        ts.quality_score_from_tokens(toks, t).alias("quality"),
     )
 
 
@@ -3046,7 +3053,10 @@ def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    toks = F.col("__toks")
     return d.select(
+        "doc_id", "lang", "source", "text", ts.tokens(t).alias("__toks")
+    ).select(
         F.col("doc_id"),
         F.concat(
             F.lit("Document "),
@@ -3058,8 +3068,8 @@ def q30_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("]: "),
             F.substring(F.trim(t), 1, 120),
         ).alias("content"),
-        ts.token_count(t).alias("n_tokens"),
-        ts.quality_score(t).alias("quality"),
+        ts.token_count_from_tokens(toks, t).alias("n_tokens"),
+        ts.quality_score_from_tokens(toks, t).alias("quality"),
         content_key(t).alias("content_hash"),
     )
 
@@ -11735,7 +11745,13 @@ def q176_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
-        "doc_id", "source", ts.quality_score(F.col("text")).alias("__q")
+        "doc_id", "source", "text", ts.tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        "source",
+        ts.quality_score_from_tokens(
+            F.col("__toks"), F.col("text")
+        ).alias("__q"),
     )
     out = percentile_calibrate(scored, "__q", "source", threshold=0.8)
     return out.select(
@@ -12538,9 +12554,14 @@ def q183_group_reward_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
+        "doc_id", "source", "text", ts.tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
         "source",
-        F.round(ts.quality_score(F.col("text")) * F.lit(1e6))
+        F.round(
+            ts.quality_score_from_tokens(F.col("__toks"), F.col("text"))
+            * F.lit(1e6)
+        )
         .cast("long")
         .alias("__vu"),
     )
@@ -12755,10 +12776,17 @@ def q185_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
-        F.round(ts.quality_score(F.col("text")) * F.lit(1e6))
+        "text", ts.tokens(F.col("text")).alias("__toks")
+    ).select(
+        F.round(
+            ts.quality_score_from_tokens(F.col("__toks"), F.col("text"))
+            * F.lit(1e6)
+        )
         .cast("long")
         .alias("__vu"),
-        ts.token_count(F.col("text")).cast("long").alias("__ntok"),
+        ts.token_count_from_tokens(F.col("__toks"), F.col("text"))
+        .cast("long")
+        .alias("__ntok"),
     )
     return curriculum_stages(
         scored, "__vu", _CURRICULUM_BOUNDS, "__ntok"
@@ -12922,13 +12950,18 @@ _ORACLE_DEDUP_SIM["q187_rank_metrics"] = """
                     THEN CAST(ROUND(1000000.0 / log2(rk + 1)) AS BIGINT)
                     ELSE 0 END) AS BIGINT) AS dcg_u
         FROM top GROUP BY query_id
+    ), pool AS (
+        SELECT query_id, CAST(SUM(rel) AS BIGINT) AS pool_rel
+        FROM cand GROUP BY query_id
     ), idcg AS (
-        SELECT query_id, hits, first_rel, dcg_u,
-               CASE WHEN hits > 0 THEN COALESCE(list_aggregate(
-                   list_transform(range(1, CAST(hits AS BIGINT) + 1),
+        SELECT a.query_id, hits, first_rel, dcg_u,
+               CASE WHEN LEAST(pool_rel, 10) > 0
+                    THEN COALESCE(list_aggregate(
+                   list_transform(
+                       range(1, CAST(LEAST(pool_rel, 10) AS BIGINT) + 1),
                        i -> CAST(ROUND(1000000.0 / log2(i + 1)) AS BIGINT)),
                    'sum'), 0) ELSE 0 END AS idcg_u
-        FROM agg
+        FROM agg a JOIN pool USING (query_id)
     )
     SELECT query_id, hits,
            CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_u,
@@ -12966,8 +12999,13 @@ def q188_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
+        "doc_id", "text", ts.tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.round(ts.quality_score(F.col("text")) * F.lit(1e6))
+        F.round(
+            ts.quality_score_from_tokens(F.col("__toks"), F.col("text"))
+            * F.lit(1e6)
+        )
         .cast("long")
         .alias("__vu"),
     )
@@ -13195,11 +13233,16 @@ def q190_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = ua.unionByName(ub).distinct().groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("__xu")
     )
-    exact = inter.join(union, on="event_type").select(
+    # LEFT join from the union side: an event_type present in both
+    # snapshots but sharing ZERO users has no `inter` row, and an inner
+    # join would silently drop it — the maximal-drift case a "what's new
+    # vs the last crawl" monitor most needs to show (ADVICE r8). The
+    # coalesce makes it emit exact_jaccard_u = 0 instead.
+    exact = union.join(inter, on="event_type", how="left").select(
         "event_type",
-        F.expr("(__xi * 1000000) div __xu").cast("long").alias(
-            "exact_jaccard_u"
-        ),
+        F.expr(
+            "(coalesce(__xi, CAST(0 AS BIGINT)) * 1000000) div __xu"
+        ).cast("long").alias("exact_jaccard_u"),
     )
     return est.join(exact, on="event_type")
 
@@ -13273,8 +13316,10 @@ _ORACLE_DEDUP_SIM["q190_kmv_set_algebra"] = f"""
     )
     SELECT e.event_type, e.kmv_jaccard_u, e.kmv_inter_est,
            e.kmv_union_est,
-           CAST((xi.i * 1000000) // xu.u AS BIGINT) AS exact_jaccard_u
-    FROM ests e JOIN xi USING (event_type) JOIN xu USING (event_type)
+           CAST((COALESCE(xi.i, 0) * 1000000) // xu.u AS BIGINT)
+               AS exact_jaccard_u
+    FROM ests e JOIN xu USING (event_type)
+    LEFT JOIN xi USING (event_type)
 """
 
 _ORACLE_SHAPES["q190_kmv_set_algebra"] = (

@@ -14,6 +14,16 @@ this script.
 Timing excludes SparkSession/JVM startup (one warmup action runs first)
 and measures full query execution to a driver-side materialization.
 
+The run is SELF-DESCRIBING (round 9, after the round-8 core-set numbers
+proved unattributable): ``bench_detail.json`` records the runtime
+(pyspark / java / python versions, local dir, cpu/mem), a contention
+sentinel (one fixed spark.range sum re-timed at start / middle / end of
+the timed loop — ``sentinel_spread`` > ~1.3x means the run was measured
+under external load and its walls are not comparable across rounds),
+per-query JVM GC-time deltas, and the 1-minute loadavg sampled before
+each query. The final stdout line carries ``sentinel_spread`` so the
+driver's compact record keeps the contamination flag.
+
 Each query runs ``runs_per_query`` times and reports the per-query MIN
 (steady-state wall clock). Rationale, measured in round 4: the first
 execution of a heavy query at the bench SF carries a 1-3s one-time
@@ -165,6 +175,83 @@ HEADLINE = [
 ]
 
 
+def _runtime_info(spark) -> dict:
+    """Self-describing runtime snapshot (VERDICT r8: a 2x core-set swing
+    could not be attributed because no run recorded its environment)."""
+    import platform
+
+    import pyspark
+
+    jvm = spark.sparkContext._jvm
+    info = {
+        "pyspark": pyspark.__version__,
+        "java": jvm.System.getProperty("java.version"),
+        "python": platform.python_version(),
+        "os": platform.platform(),
+        "cpus": os.cpu_count(),
+        "spark_local_dir": spark.conf.get(
+            "spark.local.dir", jvm.System.getProperty("java.io.tmpdir")
+        ),
+    }
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    info["mem_total_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return info
+
+
+def _gc_millis(spark) -> float:
+    """Cumulative JVM GC wall time, summed over all collectors."""
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return float(
+        sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    )
+
+
+def _loadavg() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return -1.0
+
+
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal time (clock ticks) across all CPUs.
+
+    The round-9 attribution of the round-8 'regression': this host is a
+    VM showing nonzero %st under load, so wall clocks include time the
+    hypervisor gave our vCPUs to OTHER tenants. A per-query steal delta
+    turns 'the number looks slow' into 'the number was measured while
+    N seconds of CPU were stolen' — attributable from the artifact.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu: user nice sys idle iowait irq sirq steal
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+def _sentinel(spark) -> float:
+    """Fixed calibration query: a contention canary. The same
+    spark.range sum is re-timed at start / middle / end of the timed
+    loop; a spread > ~1.3x flags the whole run as measured under load
+    (VERDICT r8: driver numbers were up to 5x their clean-session
+    walls with nothing in the artifact to show it)."""
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 3 % 7)"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -217,13 +304,31 @@ def main() -> int:
                     file=sys.stderr,
                 )
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # start the timed loop from a clean heap: the warmup pass built and
+    # dropped 80+ plans; reaping their blocks/broadcasts NOW keeps GC
+    # from landing inside a timed query
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    _sentinel(spark)  # compile the sentinel's own codegen off the clock
+    sentinels: list[float] = [_sentinel(spark)]
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    gc_ms: dict[str, float] = {}
+    load1: dict[str, float] = {}
+    steal_s: dict[str, float] = {}
+    tick_hz = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") \
+        else 100.0
     total = 0.0
-    for name in HEADLINE:
+    mid = len(HEADLINE) // 2
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid:
+            sentinels.append(_sentinel(spark))
         fn = qs[name]
         best = None
         n = 0
+        load1[name] = round(_loadavg(), 2)
+        gc0 = _gc_millis(spark)
+        st0 = _steal_ticks()
         for r in range(runs_per_query):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -232,13 +337,25 @@ def main() -> int:
             if r == 0:
                 first_run[name] = dt
             best = dt if best is None else min(best, dt)
+        gc_ms[name] = round(_gc_millis(spark) - gc0, 1)
+        st1 = _steal_ticks()
+        steal_s[name] = (
+            round((st1 - st0) / tick_hz, 2) if st0 >= 0 and st1 >= 0
+            else -1.0
+        )
         timings[name] = best
         total += best
         print(
             f"# {name}: {n} rows in {best}s"
-            f" (first run {first_run[name]}s)",
+            f" (first run {first_run[name]}s, gc {gc_ms[name]}ms,"
+            f" load1 {load1[name]}, steal {steal_s[name]}s)",
             file=sys.stderr,
         )
+    sentinels.append(_sentinel(spark))
+    sentinel_spread = (
+        round(max(sentinels) / max(min(sentinels), 1e-9), 3)
+        if sentinels else -1.0
+    )
 
     # Full-precision detail goes to a sidecar file + stderr — NOT the
     # final stdout line (driver tail capture is 2,000 chars; VERDICT r5
@@ -255,6 +372,15 @@ def main() -> int:
         "runs_per_query": runs_per_query,
         "first_run": first_run,
         "sf": sf,
+        "runtime": _runtime_info(spark),
+        "sentinel_secs": sentinels,
+        "sentinel_spread": sentinel_spread,
+        "gc_ms": gc_ms,
+        "load1": load1,
+        "steal_s": steal_s,
+        "steal_total_s": round(
+            sum(v for v in steal_s.values() if v > 0), 2
+        ),
     }
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -272,6 +398,10 @@ def main() -> int:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "runs_per_query": runs_per_query,
         "sf": sf,
+        "sentinel_spread": sentinel_spread,
+        "steal_total_s": round(
+            sum(v for v in steal_s.values() if v > 0), 2
+        ),
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:

@@ -63,6 +63,38 @@ def token_count(c: ColumnOrName) -> Column:
     ).otherwise(F.size(tokens(t))).cast("int")
 
 
+def token_count_from_tokens(
+    toks: ColumnOrName, text: ColumnOrName
+) -> Column:
+    """:func:`token_count` over a materialized ``tokens(text)`` column —
+    bit-identical values, one regex split per row shared with every
+    other ``*_from_tokens`` consumer in the same projection."""
+    empty = F.length(F.trim(_col(text).cast("string"))) == 0
+    return F.when(empty, F.lit(0)).otherwise(
+        F.size(_col(toks))
+    ).cast("int")
+
+
+def stopword_ratio_from_tokens(
+    toks: ColumnOrName,
+    text: ColumnOrName,
+    stopwords: Sequence[str],
+    scale: int = 4,
+) -> Column:
+    """:func:`stopword_ratio` over a materialized token column."""
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(
+        F.filter(_col(toks), lambda t: F.array_contains(stops, F.lower(t)))
+    ).cast("int")
+    return F.round(
+        hits
+        / F.greatest(
+            token_count_from_tokens(toks, text), F.lit(1)
+        ).cast("double"),
+        scale,
+    )
+
+
 def char_count(c: ColumnOrName) -> Column:
     return F.length(_col(c).cast("string")).cast("int")
 
@@ -112,6 +144,56 @@ DEFAULT_STOPWORDS: tuple[str, ...] = (
 )
 
 
+def _quality_body(
+    t: Column, empty: Column, stopwords: Sequence[str], scale: int
+) -> Column:
+    """Shared composite-score expression over a token-array reference
+    ``t`` (referenced several times — the CALLER decides how ``t`` is
+    shared: a materialized column, or a let-bound value)."""
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    ncount = F.when(empty, F.lit(0)).otherwise(F.size(t)).cast("int")
+    n = ncount.cast("double")
+    length_component = F.least(n / F.lit(64.0), F.lit(1.0))
+    stop_hits = F.size(
+        F.filter(t, lambda x: F.array_contains(stops, F.lower(x)))
+    ).cast("int")
+    stop_ratio = F.round(
+        stop_hits / F.greatest(ncount, F.lit(1)).cast("double"), 8
+    )
+    stop_component = F.least(stop_ratio * 4.0, F.lit(1.0))
+    distinct_component = F.size(F.array_distinct(t)) / F.greatest(
+        n, F.lit(1.0)
+    )
+    return trunc_round(
+        0.4 * length_component
+        + 0.3 * stop_component
+        + 0.3 * distinct_component,
+        scale,
+    )
+
+
+def quality_score_from_tokens(
+    toks: ColumnOrName,
+    text: ColumnOrName,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+    scale: int = 4,
+) -> Column:
+    """:func:`quality_score` over an already-materialized token array.
+
+    ``toks`` must be a COLUMN REFERENCE to ``tokens(text)`` produced by
+    a preceding ``select``/``withColumn`` — the fast path for plain
+    projections: CollapseProject keeps a multi-referenced non-cheap
+    alias as its own Project, so the regex split runs once per row
+    inside whole-stage codegen (see ``expr.let``'s docstring — codegen
+    beats the interpreted let wrapper; measured round 9: q20
+    0.31s -> 0.22s at sf0.1). ``text`` is the raw text column (only the
+    emptiness check needs it). Values are bit-identical to
+    :func:`quality_score`.
+    """
+    empty = F.length(F.trim(_col(text).cast("string"))) == 0
+    return _quality_body(_col(toks), empty, stopwords, scale)
+
+
 def quality_score(
     c: ColumnOrName,
     stopwords: Sequence[str] = DEFAULT_STOPWORDS,
@@ -123,39 +205,20 @@ def quality_score(
     stopword mass (fluent prose), low single-token domination. Fully
     expression-based and oracle-replayable; weights are fixed.
 
-    The regex token split is let-bound once (see ``expr.let``):
-    composed from ``token_count``/``stopword_ratio`` it appears six
-    times in the tree, and Catalyst's subexpression elimination does
-    not hoist it out of the CASE branches — measured 2x on the
-    documents table. Values are bit-identical to the composed form
-    (same ops on the same inputs, just shared evaluation).
+    The token split appears several times in the tree and Catalyst's
+    subexpression elimination does hoist SOME of it within one codegen
+    stage, but the shared-evaluation guarantee belongs to the caller:
+    in a hot plain projection, materialize ``tokens(c)`` in a preceding
+    ``select`` and use :func:`quality_score_from_tokens` — that stays
+    in whole-stage codegen with one split per row. (A round-8 revision
+    let-bound the split here; the interpreted ``transform`` wrapper
+    measured SLOWER than duplicated codegen on short rows — q20
+    0.23s -> 0.31s, q176 ~2x — so the let is reserved for genuine HOF
+    lambdas per ``expr.let``'s own guidance.)
     """
     t0 = _col(c).cast("string")
     empty = F.length(F.trim(t0)) == 0
-    stops = F.array(*[F.lit(s) for s in stopwords])
-
-    def _body(t: Column) -> Column:
-        ncount = F.when(empty, F.lit(0)).otherwise(F.size(t)).cast("int")
-        n = ncount.cast("double")
-        length_component = F.least(n / F.lit(64.0), F.lit(1.0))
-        stop_hits = F.size(
-            F.filter(t, lambda x: F.array_contains(stops, F.lower(x)))
-        ).cast("int")
-        stop_ratio = F.round(
-            stop_hits / F.greatest(ncount, F.lit(1)).cast("double"), 8
-        )
-        stop_component = F.least(stop_ratio * 4.0, F.lit(1.0))
-        distinct_component = F.size(F.array_distinct(t)) / F.greatest(
-            n, F.lit(1.0)
-        )
-        return trunc_round(
-            0.4 * length_component
-            + 0.3 * stop_component
-            + 0.3 * distinct_component,
-            scale,
-        )
-
-    return let(tokens(t0), _body)
+    return _quality_body(tokens(t0), empty, stopwords, scale)
 
 
 # Stopword votes per language for the n-gram/stopword language heuristic.

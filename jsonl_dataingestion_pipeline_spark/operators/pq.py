@@ -440,6 +440,78 @@ def ivfpq_topk(
     )
 
 
+#: sidecar directory for the training-time quantization-error stats.
+#: The leading underscore makes Spark's parquet reader skip it when the
+#: INDEX ROOT is read, so the sidecar never pollutes search scans.
+DRIFT_STATS_DIR = "_drift_stats"
+
+
+def with_quant_error(
+    df: DataFrame,
+    vec_col: str,
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    *,
+    dim: int,
+    out_col: str = "qerr_u",
+) -> DataFrame:
+    """Append each vector's total residual quantization energy in
+    integer micro-units: sum over the m subspaces of the ASSIGNED
+    code's squared distance to the residual subvector (the ``dd`` the
+    encode argmin already computes — same rounding, same tie-break).
+    Zero-shuffle projection; this is the quantity whose distribution
+    shifts when a batch is out-of-distribution for frozen codebooks.
+    """
+    m = len(codebooks)
+    cb = _cb_lit(codebooks)
+    res = _with_cell_residual(
+        df, vec_col, coarse, cell_col="__qe_cell", res_col="__qe_res"
+    )
+    err = F.aggregate(
+        F.transform(
+            _slices(F.col("__qe_res"), dim, m),
+            lambda sv, s: _assign(sv, F.element_at(cb, s + 1))["dd"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return res.withColumn(
+        out_col, F.round(err * F.lit(1e6)).cast("long")
+    ).drop("__qe_cell", "__qe_res")
+
+
+def _qerr_stats(
+    df: DataFrame,
+    vec_col: str,
+    coarse: List[List[float]],
+    codebooks: Codebooks,
+    dim: int,
+) -> tuple:
+    """(n, mean_qerr_u, std_qerr_u) of the quantization-error energy —
+    ONE exact-integer aggregate (count / sum / sum-of-squares as
+    decimals; sum-of-squares peaks at n·qerr² ≲ 1e12·1e24 = 1e36 <
+    decimal(38,0), so the accumulator cannot wrap at 100 TB row
+    counts), no sort, no percentile collection."""
+    import math
+
+    qe = with_quant_error(df, vec_col, coarse, codebooks, dim=dim)
+    d = F.col("qerr_u").cast("decimal(18,0)")
+    row = qe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(d), F.lit(0).cast("decimal(18,0)")).alias("s"),
+        F.coalesce(
+            F.sum(d * d), F.lit(0).cast("decimal(38,0)")
+        ).alias("ss"),
+    ).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        return 0, 0, 0
+    s, ss = int(row["s"]), int(row["ss"])
+    mean_u = s // n
+    var = max(0, ss // n - mean_u * mean_u)
+    return n, mean_u, math.isqrt(var)
+
+
 def write_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -455,8 +527,26 @@ def write_ivfpq_index(
     prunes at the FILE level (only nprobe of n_cells directories are
     even listed), so search cost is data-proportional to the probed
     cells, not the corpus. Codebooks stay driver-side artifacts (k·d
-    floats) — persist them with the caller's model store."""
+    floats) — persist them with the caller's model store.
+
+    Also writes a 1-row ``_drift_stats`` sidecar (mean/std of the
+    training corpus's quantization-error energy) that
+    :func:`append_ivfpq_index` checks batches against — the in-path
+    version of the retrain rule the round-8 OOD audit documented
+    (in-distribution appends keep recall, OOD collapses it to 0.0).
+    The underscore prefix keeps index reads from ever seeing it."""
     _write_index(df, path, coarse, codebooks, id_col, vec_col, "overwrite")
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    n, mean_u, std_u = _qerr_stats(df, vec_col, coarse, codebooks, dim)
+    import os as _os
+
+    df.sparkSession.createDataFrame(
+        [(int(n), int(mean_u), int(std_u))],
+        "n long, mean_qerr_u long, std_qerr_u long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, DRIFT_STATS_DIR)
+    )
 
 
 def _write_index(df, path, coarse, codebooks, id_col, vec_col, mode):
@@ -480,6 +570,8 @@ def append_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drift_factor: float = 4.0,
+    on_drift: str = "raise",
 ) -> None:
     """Incremental maintenance of a stored index: append-encode a new
     document batch into the existing cell-partitioned parquet layout
@@ -497,11 +589,67 @@ def append_ivfpq_index(
     codebooks must be the ones the index was built with (they are the
     driver-side model artifact the caller persists). Quantization
     DRIFT is the price of frozen codebooks: vectors far from the
-    training distribution quantize coarsely. Measure it with the
-    planted-recall audit (q171 machinery) after large appends —
-    SCALING.md records the drift tier — and retrain+rebuild when
-    recall degrades past budget.
+    training distribution quantize coarsely — the round-8 OOD audit
+    (tools/ivfpq_append_audit.py) measured planted recall collapsing
+    1.0 -> 0.0, not degrading, on an x5-scaled batch.
+
+    That retrain rule is now IN-PATH: before writing, the batch's mean
+    quantization-error energy (one exact-integer aggregate over the
+    batch the append already scans) is compared against the training
+    distribution stored by :func:`write_ivfpq_index`'s ``_drift_stats``
+    sidecar. A batch whose mean exceeds
+    ``train_mean + drift_factor * train_std`` is out-of-distribution
+    for the frozen codebooks: ``on_drift="raise"`` (default) refuses
+    the append with the measured numbers, ``"warn"`` appends but emits
+    a warning, ``"ignore"`` skips the check (as does a pre-round-9
+    index with no sidecar — a warning says so).
     """
+    if on_drift not in ("raise", "warn", "ignore"):
+        raise ValueError(
+            f"on_drift must be raise|warn|ignore, got {on_drift!r}"
+        )
+    if on_drift != "ignore":
+        import os as _os
+        import warnings
+
+        spark = df.sparkSession
+        stats_path = _os.path.join(path, DRIFT_STATS_DIR)
+        try:
+            train = spark.read.parquet(stats_path).collect()[0]
+        except Exception:
+            train = None
+            warnings.warn(
+                f"append_ivfpq_index: no {DRIFT_STATS_DIR} sidecar at "
+                f"{path} (index built before the drift guard?) — "
+                "appending UNCHECKED; rebuild with write_ivfpq_index "
+                "to enable the guard",
+                stacklevel=2,
+            )
+        if train is not None:
+            m = len(codebooks)
+            dim = m * len(codebooks[0][0])
+            n_b, mean_b, _ = _qerr_stats(
+                df, vec_col, coarse, codebooks, dim
+            )
+            limit = int(
+                train["mean_qerr_u"]
+                + drift_factor * train["std_qerr_u"]
+            )
+            if n_b > 0 and mean_b > limit:
+                msg = (
+                    "append_ivfpq_index: batch is out-of-distribution "
+                    "for the frozen codebooks — mean quantization "
+                    f"error {mean_b}u over {n_b} vectors exceeds "
+                    f"train mean {int(train['mean_qerr_u'])}u + "
+                    f"{drift_factor} x std {int(train['std_qerr_u'])}u "
+                    f"= {limit}u. Planted recall collapses on such "
+                    "batches (SCALING.md round-8 audit: 1.0 -> 0.0); "
+                    "retrain+rebuild the index, or pass "
+                    "on_drift='warn' to append anyway."
+                )
+                if on_drift == "raise":
+                    raise ValueError(msg)
+                warnings.warn(msg, stacklevel=2)
     _write_index(df, path, coarse, codebooks, id_col, vec_col, "append")
 
 

@@ -203,9 +203,13 @@ def rank_metrics(
 
     The evaluation loop every retrieval stack (BM25 / hashed cosine /
     ANN) runs against labeled judgments. Ranking is (score DESC, id
-    ASC) — layout-independent under score ties. nDCG's ideal ranking
-    is the relevant-in-top-k reordering (gains from the retrieved set),
-    so both engines derive IDCG from one integer count.
+    ASC) — layout-independent under score ties. nDCG is STANDARD
+    nDCG@k: the ideal ranking places min(k, total relevant in the
+    judged pool) relevant docs first, so a query that retrieves 1 of
+    its 5 judged-relevant docs at rank 1 scores nDCG < 1 (an earlier
+    revision derived IDCG from the retrieved top-k only, which
+    systematically flattered recall failures — ADVICE r8). Both
+    engines still derive IDCG from one integer count.
 
     Determinism: every per-rank term is quantized to integer
     micro-units BEFORE summation (round(1e6·rel/log2(rank+1))), so the
@@ -216,23 +220,23 @@ def rank_metrics(
     Scale: the rank<=k cut compiles to WindowGroupLimit (a partial
     per-group top-k before and after the query-key shuffle — never a
     global sort); the metric aggregate then sees at most k rows per
-    query. Candidate lists are whatever the upstream retriever emitted
-    — this operator never joins or re-shuffles the corpus.
+    query. The pool-relevance count is a second query-keyed aggregate
+    over the same input (map-side partial sums, same shuffle key) —
+    this operator never joins or re-shuffles the corpus.
     """
     from pyspark.sql.window import Window
 
+    judged = df.select(
+        query_col,
+        id_col,
+        score_col,
+        F.col(rel_col).cast("int").alias("__rel"),
+    )
     w = Window.partitionBy(query_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    top = (
-        df.select(
-            query_col,
-            id_col,
-            score_col,
-            F.col(rel_col).cast("int").alias("__rel"),
-        )
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
+    top = judged.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
     )
     dcg_term = F.round(
         F.lit(1e6) * F.col("__rel") / F.log2(F.col("__rk") + 1)
@@ -244,13 +248,25 @@ def rank_metrics(
         ).alias("__first_rel"),
         F.sum(dcg_term).alias("dcg_u"),
     )
+    # standard nDCG@k: IDCG covers min(k, relevant in the FULL judged
+    # pool) positions, counted over the input frame (not the top-k cut)
+    pool = judged.groupBy(query_col).agg(
+        F.sum("__rel").cast("long").alias("__pool_rel")
+    )
+    ideal = F.least(F.col("__pool_rel"), F.lit(int(k)).cast("long"))
+    # sequence upper bound is floored at 1: Spark does not guarantee
+    # when/otherwise branch laziness (see sketches.py kmv_estimate), and
+    # sequence(1, 0) would step DOWN to [1, 0] whose i=1 term divides by
+    # log2(1) = 0 — the when-guard below already zeroes the ideal=0 case
     idcg = F.aggregate(
-        F.sequence(F.lit(1), F.col("hits").cast("int")),
+        F.sequence(
+            F.lit(1), F.greatest(ideal, F.lit(1).cast("long")).cast("int")
+        ),
         F.lit(0).cast("long"),
         lambda acc, i: acc
         + F.round(F.lit(1e6) / F.log2(i + 1)).cast("long"),
     )
-    staged = agg.select(
+    staged = agg.join(pool, on=query_col).select(
         query_col,
         "hits",
         F.coalesce(
@@ -260,7 +276,7 @@ def rank_metrics(
             "prec_u"
         ),
         "dcg_u",
-        F.when(F.col("hits") > 0, idcg)
+        F.when(ideal > 0, idcg)
         .otherwise(F.lit(0).cast("long"))
         .alias("idcg_u"),
     )

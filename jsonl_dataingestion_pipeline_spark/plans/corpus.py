@@ -34,7 +34,10 @@ from pyspark.sql.window import Window
 from jsonl_dataingestion_pipeline_spark.functions.sampling import (
     temperature_sample,
 )
-from jsonl_dataingestion_pipeline_spark.functions.textstats import quality_score
+from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+    quality_score_from_tokens,
+    tokens,
+)
 from jsonl_dataingestion_pipeline_spark.operators.curation import dedup_lines
 from jsonl_dataingestion_pipeline_spark.operators.dedup import (
     _pipeline_break,
@@ -94,8 +97,18 @@ def curate_corpus(
         reliable,
     )
 
-    # -- 2: composite quality filter (length / stopword / repetition)
-    s2 = s1.filter(quality_score(F.col(text_col)) >= quality_min)
+    # -- 2: composite quality filter (length / stopword / repetition).
+    # The token split is materialized in its own select so the score's
+    # several references share ONE regex split per row inside codegen
+    # (per expr.let's guidance), then dropped after the filter.
+    s2 = (
+        s1.withColumn("__qs_toks", tokens(F.col(text_col)))
+        .filter(
+            quality_score_from_tokens(F.col("__qs_toks"), F.col(text_col))
+            >= quality_min
+        )
+        .drop("__qs_toks")
+    )
 
     # -- 3: cross-corpus line dedup over derived fixed-token lines.
     # documents.text is single-line; segment it into ``line_tokens``-token

@@ -423,3 +423,34 @@ class TestKmvSetAlgebra:
             sk.kmv_intersect_estimate(F.col("ka"), F.col("kb")).alias("i"),
         ).collect()[0]
         assert r.j == 0 and r.i == 0.0
+
+    def test_q190_zero_overlap_group_not_dropped(self, spark, tmp_path):
+        """ADVICE r8: an event_type present in both snapshots but
+        sharing ZERO users must still emit a row (exact_jaccard_u = 0)
+        — the maximal-drift case a cross-snapshot monitor exists to
+        show. The pre-fix inner join on the intersection aggregate
+        silently dropped it."""
+        import __spark_entry__ as entrymod
+
+        rows = [
+            # event_type "drift": evens (snapshot A) see users 1/2,
+            # odds (snapshot B) see users 3/4 — zero overlap
+            (0, "drift", 1), (2, "drift", 2),
+            (1, "drift", 3), (3, "drift", 4),
+            # event_type "stable": identical users both sides
+            (4, "stable", 7), (5, "stable", 7),
+            (6, "stable", 8), (7, "stable", 8),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, user_id long"
+        )
+        df.write.parquet(str(tmp_path / "events.parquet"))
+        out = {
+            r.event_type: r
+            for r in entrymod.q190_kmv_set_algebra(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(out) == {"drift", "stable"}
+        assert out["drift"].exact_jaccard_u == 0
+        assert out["stable"].exact_jaccard_u == 1_000_000

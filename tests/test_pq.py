@@ -299,7 +299,12 @@ def test_append_ivfpq_index_equals_full_rebuild(spark, tmp_path):
 
     inc_path = str(tmp_path / "inc_index")
     write_ivfpq_index(initial, inc_path, coarse, cbs)
-    append_ivfpq_index(batch, inc_path, coarse, cbs)
+    # vec_id % 3 aligns with the anchor assignment, so this batch is
+    # ALL of an anchor training never saw — deliberately drift-y, which
+    # is exactly the case bit-equivalence must still hold for (frozen
+    # codebooks encode identically regardless of distribution); opt out
+    # of the round-9 drift POLICY guard, tested separately below
+    append_ivfpq_index(batch, inc_path, coarse, cbs, on_drift="ignore")
 
     full_path = str(tmp_path / "full_index")
     write_ivfpq_index(df, full_path, coarse, cbs)
@@ -318,3 +323,89 @@ def test_append_ivfpq_index_equals_full_rebuild(spark, tmp_path):
     n_inc = spark.read.parquet(inc_path).count()
     n_full = spark.read.parquet(full_path).count()
     assert n_inc == n_full == df.count()
+
+
+def test_append_drift_guard_fires_on_ood_batch(spark, tmp_path):
+    """VERDICT r8 item 2: the documented retrain rule becomes code —
+    an out-of-distribution batch (the audit's x5-scale corruption,
+    which collapses planted recall 1.0 -> 0.0) must be REFUSED by the
+    in-path guard before it silently poisons the index, while an
+    in-distribution batch sails through."""
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    df, x = _clustered_df(spark)
+    # split WITHOUT correlating with the anchor assignment (i % 3):
+    # vec_id % 3 would put one whole anchor in the batch and nothing
+    # of it in training — genuinely OOD, which is not the fixture we
+    # want for the quiet path
+    initial = df.filter(F.col("vec_id") < 90)
+    batch = df.filter(F.col("vec_id") >= 90)
+    coarse, cbs = ivfpq_train(
+        initial, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    path = str(tmp_path / "guarded_index")
+    write_ivfpq_index(initial, path, coarse, cbs)
+    import os
+
+    assert os.path.isdir(os.path.join(path, "_drift_stats"))
+    # the sidecar is INVISIBLE to index reads (underscore prefix)
+    n_before = spark.read.parquet(path).count()
+    assert n_before == initial.count()
+
+    # in-distribution append: guard stays quiet, rows land
+    append_ivfpq_index(batch, path, coarse, cbs)
+    assert spark.read.parquet(path).count() == df.count()
+
+    # OOD append (the audit's x5 scale): guard must refuse BEFORE write
+    ood = batch.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda v: F.round(v * 5.0, 9)
+        ).alias("embedding"),
+    )
+    n_mid = spark.read.parquet(path).count()
+    with pytest.raises(ValueError, match="out-of-distribution"):
+        append_ivfpq_index(ood, path, coarse, cbs)
+    assert spark.read.parquet(path).count() == n_mid  # nothing written
+
+    # on_drift="warn" appends anyway but says so
+    with pytest.warns(UserWarning, match="out-of-distribution"):
+        append_ivfpq_index(ood, path, coarse, cbs, on_drift="warn")
+    assert spark.read.parquet(path).count() == n_mid + ood.count()
+
+
+def test_append_without_sidecar_warns_and_appends(spark, tmp_path):
+    """A pre-round-9 index (no _drift_stats) appends unchecked with a
+    warning — backward compatible, never silently strict."""
+    import shutil
+
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    df, x = _clustered_df(spark)
+    initial = df.filter(F.col("vec_id") % 3 != 0)
+    batch = df.filter(F.col("vec_id") % 3 == 0)
+    coarse, cbs = ivfpq_train(
+        initial, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    path = str(tmp_path / "legacy_index")
+    write_ivfpq_index(initial, path, coarse, cbs)
+    import os
+
+    shutil.rmtree(os.path.join(path, "_drift_stats"))
+    with pytest.warns(UserWarning, match="UNCHECKED"):
+        append_ivfpq_index(batch, path, coarse, cbs)
+    assert spark.read.parquet(path).count() == df.count()

@@ -270,11 +270,32 @@ class TestRankMetrics:
         assert a.prec_u == 1_000_000 // 3
         dcg = round(1e6 / math.log2(3))    # rel at rank 2 -> log2(2+1)
         assert a.dcg_u == dcg
-        assert a.idcg_u == 1_000_000       # ideal: that rel at rank 1
-        assert a.ndcg_u == dcg * 1_000_000 // 1_000_000
-        b = out["qB"]                      # nothing relevant retrieved
+        # standard nDCG@k: qA's judged pool has TWO relevant docs
+        # (id1 retrieved, id4 cut), so the ideal ranking fills
+        # min(2, k) = 2 top slots with them
+        idcg = 1_000_000 + round(1e6 / math.log2(3))
+        assert a.idcg_u == idcg
+        assert a.ndcg_u == dcg * 1_000_000 // idcg
+        b = out["qB"]                      # nothing relevant judged
         assert (b.hits, b.mrr_u, b.prec_u, b.dcg_u, b.idcg_u, b.ndcg_u) \
             == (0, 0, 0, 0, 0, 0)
+
+    def test_recall_failure_not_flattered(self, spark):
+        # the ADVICE r8 case: 1 of 3 judged-relevant docs retrieved at
+        # rank 1 must NOT score a perfect nDCG — the ideal ranking has
+        # min(3, k=2) = 2 relevant in its top-2
+        import math
+
+        rows = [
+            ("q", 1, 9.0, 1), ("q", 2, 8.0, 0),
+            ("q", 3, 1.0, 1), ("q", 4, 0.5, 1),
+        ]
+        out = self._run(spark, rows, k=2)
+        r = out["q"]
+        assert r.hits == 1 and r.dcg_u == 1_000_000
+        idcg = 1_000_000 + round(1e6 / math.log2(3))
+        assert r.idcg_u == idcg
+        assert r.ndcg_u == 1_000_000 * 1_000_000 // idcg < 1_000_000
 
     def test_score_ties_break_by_id_asc(self, spark):
         # same score everywhere: rank order = id order, rel on id 1
