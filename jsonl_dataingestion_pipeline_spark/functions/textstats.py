@@ -943,7 +943,13 @@ def vocab_coverage(
         F.col("__g").alias(group_col),
         "total_words",
         "oov_words",
-        F.expr("(oov_words * 1000000) div total_words")
+        # decimal widen (round-9 accumulator sweep): oov_words is
+        # corpus-word-sized, and a raw int64 x1e6 product would RAISE
+        # under ANSI past ~9.2e12 words per group
+        F.expr(
+            "(CAST(oov_words AS DECIMAL(38,0)) * 1000000)"
+            " div total_words"
+        )
         .cast("long")
         .alias("oov_rate_u"),
         "known_bytes",

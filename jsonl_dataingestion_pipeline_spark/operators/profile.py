@@ -173,9 +173,11 @@ def psi_report(
 
     Contracts: bucket values must be non-NULL (NULL keys do not equate
     under a full join, so a NULL bucket would surface as two
-    half-counted rows — coalesce upstream); snapshot row counts must
-    stay <= 9.2e12 so ``count * 1e6`` fits int64 (a 100 TB corpus is
-    ~1e11 docs — three orders of magnitude of headroom).
+    half-counted rows — coalesce upstream). The share numerators widen
+    to decimal(38,0) before the x1e6 scaling (round-9 accumulator
+    sweep), so no snapshot row count an int64 can even hold gets near
+    an overflow — under ANSI mode a raw int64 product past ~9.2e12
+    rows would RAISE mid-job.
     """
     cagg = cur.groupBy(bucket_col).agg(
         F.count(F.lit(1)).cast("long").alias("cur_n")
@@ -191,8 +193,14 @@ def psi_report(
     )
     j = j.crossJoin(F.broadcast(tot))
     one = F.lit(1).cast("long")
-    pcu = F.greatest(one, F.expr("(cur_n * 1000000) div __ct"))
-    pru = F.greatest(one, F.expr("(ref_n * 1000000) div __rt"))
+    pcu = F.greatest(
+        one,
+        F.expr("(CAST(cur_n AS DECIMAL(38,0)) * 1000000) div __ct"),
+    )
+    pru = F.greatest(
+        one,
+        F.expr("(CAST(ref_n AS DECIMAL(38,0)) * 1000000) div __rt"),
+    )
     term = F.round(
         (pcu - pru).cast("double")
         * F.log(pcu.cast("double") / pru.cast("double"))

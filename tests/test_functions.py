@@ -427,3 +427,25 @@ def test_fix_mojibake_repairs_cp1252_roundtrip(spark):
     assert out[0] == "café — naïve «ok» €5"
     assert out[1] == "plain ascii"
     assert out[2] is None
+
+
+def test_vocab_oov_rate_widening_survives_int64_boundary(spark):
+    """Round-9 accumulator sweep twin of the psi test: the EXACT
+    widened oov-rate expression vocab_coverage emits
+    (textstats.py::vocab_coverage), at a per-group word count where the
+    int64 product raised."""
+    df = spark.createDataFrame(
+        [(30_000_000_000_000, 90_000_000_000_000)],
+        "oov_words long, total_words long",
+    )
+    r = df.select(
+        F.expr(
+            "(CAST(oov_words AS DECIMAL(38,0)) * 1000000)"
+            " div total_words"
+        ).alias("u")
+    ).collect()[0]
+    assert r.u == 333_333
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.select(
+            F.expr("(oov_words * 1000000) div total_words")
+        ).collect()

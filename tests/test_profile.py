@@ -86,3 +86,38 @@ def test_psi_zero_drift_is_all_zero(spark):
     df = spark.createDataFrame([(i % 5,) for i in range(50)], "bucket int")
     out = psi_report(df, df, "bucket").collect()
     assert all(r.psi_u == 0 for r in out)
+
+
+def test_psi_share_widening_survives_int64_product_boundary(spark):
+    """Round-9 accumulator sweep: pins the EXACT widened share
+    expression psi_report uses (profile.py) at a count where the
+    pre-sweep int64 product (count * 1e6) raised ARITHMETIC_OVERFLOW
+    under ANSI — 3e13 rows is a plausible per-bucket count at 100 TB."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(30_000_000_000_000, 70_000_000_000_000)], "cur_n long, __ct long"
+    )
+    r = df.select(
+        F.expr(
+            "(CAST(cur_n AS DECIMAL(38,0)) * 1000000) div __ct"
+        ).alias("p")
+    ).collect()[0]
+    assert r.p == 428_571  # floor(3e13 * 1e6 / 7e13)
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.select(F.expr("(cur_n * 1000000) div __ct")).collect()
+
+
+def test_psi_report_values_unchanged_by_widening(spark):
+    """The widening is value-transparent: hand-checked shares at small
+    counts are identical to the pre-sweep integer path."""
+    from jsonl_dataingestion_pipeline_spark.operators.profile import (
+        psi_report,
+    )
+
+    cur = spark.createDataFrame([(1,)] * 3 + [(2,)] * 1, "bucket long")
+    ref = spark.createDataFrame([(1,)] * 2 + [(2,)] * 2, "bucket long")
+    out = {r.bucket: r for r in psi_report(cur, ref, "bucket").collect()}
+    assert out[1].cur_p_u == 750_000 and out[1].ref_p_u == 500_000
+    assert out[2].cur_p_u == 250_000 and out[2].ref_p_u == 500_000
