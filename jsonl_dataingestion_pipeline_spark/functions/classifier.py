@@ -100,35 +100,17 @@ def hashed_features(
     )
 
 
-def round_half_away(x: float) -> int:
-    """Round a double to int with the semantics BOTH engines use for
-    ROUND: Spark rounds ``BigDecimal.valueOf(x)`` (= the shortest
-    round-trip decimal repr, same as Python ``repr``) HALF_UP; DuckDB
-    rounds the binary value half-away-from-zero. The two agree for
-    every double (a non-0.5 double and its shortest repr can never
-    straddle .5 — 0.5 is exactly representable, so any other double is
-    a full ulp away while its repr is within half an ulp). Python's
-    built-in ``round`` is banker's, and the classic
-    ``floor(x + 0.5)`` trick is WRONG one ulp below .5
-    (0.49999999999999994 + 0.5 == 1.0 in binary): both would diverge
-    from the engines on boundary values."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return int(
-        Decimal(repr(float(x))).to_integral_value(rounding=ROUND_HALF_UP)
-    )
-
-
-def fast_sigmoid(z: Column) -> Column:
-    """``0.5 + 0.5*z/(1+|z|)`` — a rational sigmoid surrogate.
-
-    Every op (+, *, /, abs) is IEEE-754 correctly rounded, so the value
-    is bit-identical on any engine — unlike ``exp``, whose last-ulp
-    behavior is libm-specific (module note). Shape-wise it is the
-    logistic curve's standard algebraic stand-in (monotone, (0,1),
-    symmetric about z=0), so gradient descent against it trains a
-    genuine linear classifier while staying oracle-replayable."""
-    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+# The shared integer-GD contract (fast_sigmoid, round_half_away, the
+# residual/update/accumulator steps) lives in operators/common.py so
+# this loop and operators/preference.py::bt_strengths can never drift
+# apart (VERDICT r8 item 6). Re-exported here for existing importers.
+from jsonl_dataingestion_pipeline_spark.operators.common import (  # noqa: F401,E501
+    decimal_grad_sum,
+    fast_sigmoid,
+    gd_update_scalar,
+    round_half_away,
+    sigmoid_residual_u,
+)
 
 
 def train_classifier(
@@ -233,24 +215,23 @@ def train_classifier(
             / (F.col("__n").cast("double") * F.lit(1e9))
             + F.lit(float(bias))
         )
-        q = F.round(
-            (fast_sigmoid(z) - F.col("__y"))
-            * F.lit(1e9)
-            / F.col("__n").cast("double")
-        ).cast("long")
+        q = sigmoid_residual_u(
+            z, F.col("__y"), over=F.col("__n").cast("double")
+        )
         grads = (
             joined.withColumn("__q", q)
             .groupBy("bucket")
             .agg(
-                F.sum(
-                    F.col("__q").cast("decimal(18,0)") * F.col("__cnt")
+                decimal_grad_sum(
+                    F.col("__q"), weight=F.col("__cnt")
                 ).alias("__gu")
             )
             .collect()
         )
         for r in grads:
-            x = float(lr) * float(r["__gu"]) / n_docs
-            wu[r["bucket"]] -= round_half_away(x)
+            wu[r["bucket"]] = gd_update_scalar(
+                wu[r["bucket"]], r["__gu"], lr, n_docs
+            )
 
     base.unpersist()
     wdf = spark.createDataFrame(

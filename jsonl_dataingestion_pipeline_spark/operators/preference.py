@@ -28,11 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jsonl_dataingestion_pipeline_spark.functions.classifier import (
-    fast_sigmoid,
-)
 from jsonl_dataingestion_pipeline_spark.operators.common import (
+    decimal_grad_sum,
+    gd_update_u,
     pipeline_break,
+    sigmoid_residual_u,
 )
 
 
@@ -108,29 +108,19 @@ def bt_strengths(
             (F.col("__suw") - F.col("__sul")).cast("double")
             / F.lit(1e9)
         )
-        q = F.round((fast_sigmoid(z) - F.lit(1.0)) * F.lit(1e9)).cast(
-            "long"
-        )
+        q = sigmoid_residual_u(z, F.lit(1.0))
         signed = j.select(
             F.col("__w").alias("item"), q.alias("__q")
         ).unionAll(
             j.select(F.col("__l").alias("item"), (-q).alias("__q"))
         )
         grads = signed.groupBy("item").agg(
-            F.sum(F.col("__q").cast("decimal(18,0)")).alias("__g")
+            decimal_grad_sum(F.col("__q")).alias("__g")
         )
         su = su.join(grads, on="item", how="left").select(
             "item",
-            (
-                F.col("__su")
-                - F.coalesce(
-                    F.round(
-                        F.lit(float(lr))
-                        * F.col("__g").cast("double")
-                        / F.lit(int(n_comp))
-                    ).cast("long"),
-                    F.lit(0),
-                )
+            gd_update_u(
+                F.col("__su"), F.col("__g"), lr, n_comp
             ).alias("__su"),
         )
         # cut lineage every round: the strength frame is the loop
