@@ -26,16 +26,97 @@ LLM-curation extension alongside dedup / quality / mixture.
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Mapping, NamedTuple, Optional, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 ColumnOrName = Union[Column, str]
 
-#: ChatML-style template markers used by :func:`render_chat`.
+#: ChatML-style template markers used by the DEFAULT :class:`ChatTemplate`.
 TURN_OPEN = "<|im_start|>"
 TURN_CLOSE = "<|im_end|>\n"
+
+
+class TurnStyle(NamedTuple):
+    """How one turn renders: ``open`` [+ role + ``sep`` when
+    ``show_role``] + content + ``close``. Templates that never print
+    the role (Llama-chat's ``[INST] … [/INST]``) set
+    ``show_role=False``."""
+
+    open: str
+    sep: str = "\n"
+    close: str = ""
+    show_role: bool = True
+
+
+class ChatTemplate:
+    """A chat template: a default :class:`TurnStyle` plus optional
+    per-role overrides (VERDICT r8 item 7 — real pipelines carry
+    per-dataset templates: ChatML, Llama-chat, Gemma, plain
+    ``### User:``). The no-argument constructor IS ChatML, so every
+    existing caller/oracle is unchanged.
+
+    Role resolution compiles to a bounded CASE over the override
+    literals with the default as the fallback — unknown roles always
+    render; everything stays a zero-shuffle codegen projection.
+    """
+
+    __slots__ = ("default", "per_role")
+
+    def __init__(
+        self,
+        default: TurnStyle = TurnStyle(TURN_OPEN, "\n", TURN_CLOSE, True),
+        per_role: "Optional[Mapping[str, TurnStyle]]" = None,
+    ) -> None:
+        self.default = default
+        self.per_role = dict(per_role or {})
+
+    def _resolve(self, role: Column, build) -> Column:
+        """CASE over the per-role overrides; ``build(style)`` makes the
+        branch expression."""
+        expr = build(self.default)
+        for r, st in sorted(self.per_role.items()):
+            expr = F.when(role == F.lit(r), build(st)).otherwise(expr)
+        return expr
+
+    def prefix(self, t: Column) -> Column:
+        """String before the turn's content."""
+        return self._resolve(
+            t["role"],
+            lambda st: F.concat(F.lit(st.open), t["role"], F.lit(st.sep))
+            if st.show_role
+            else F.lit(st.open),
+        )
+
+    def close(self, t: Column) -> Column:
+        """String after the turn's content."""
+        return self._resolve(t["role"], lambda st: F.lit(st.close))
+
+    def prefix_bytes(self, t: Column) -> Column:
+        """Byte length of :meth:`prefix` without building the string."""
+
+        def one(st: TurnStyle) -> Column:
+            base = F.lit(len(st.open.encode())).cast("long")
+            if st.show_role:
+                return (
+                    base
+                    + F.octet_length(t["role"]).cast("long")
+                    + F.lit(len(st.sep.encode())).cast("long")
+                )
+            return base
+
+        return self._resolve(t["role"], one)
+
+    def close_bytes(self, t: Column) -> Column:
+        return self._resolve(
+            t["role"],
+            lambda st: F.lit(len(st.close.encode())).cast("long"),
+        )
+
+
+#: the ChatML default every existing caller renders through
+CHATML = ChatTemplate()
 
 
 def _col(c: ColumnOrName) -> Column:
@@ -109,9 +190,11 @@ def turn_stats(conv: ColumnOrName, role: str) -> Column:
     )
 
 
-def render_chat(conv: ColumnOrName) -> Column:
-    """Render the conversation through the ChatML-style template into
-    the single training string:
+def render_chat(
+    conv: ColumnOrName, template: ChatTemplate = CHATML
+) -> Column:
+    """Render the conversation through ``template`` into the single
+    training string; the default is ChatML:
 
         <|im_start|>{role}\\n{content}<|im_end|>\\n   per turn.
 
@@ -122,51 +205,52 @@ def render_chat(conv: ColumnOrName) -> Column:
         _col(conv),
         F.lit(""),
         lambda acc, t: F.concat(
-            acc,
-            F.lit(TURN_OPEN),
-            t["role"],
-            F.lit("\n"),
-            t["content"],
-            F.lit(TURN_CLOSE),
+            acc, template.prefix(t), t["content"], template.close(t)
         ),
     )
 
 
-def render_bytes(conv: ColumnOrName) -> Column:
+def render_bytes(
+    conv: ColumnOrName, template: ChatTemplate = CHATML
+) -> Column:
     """Byte length of :func:`render_chat`'s output WITHOUT building the
-    string: each turn occupies ``len(TURN_OPEN) + octet(role) + 1 +
-    octet(content) + len(TURN_CLOSE)`` bytes, so the length is one
-    integer fold — O(#turns) instead of O(rendered bytes)."""
-    fixed = len(TURN_OPEN.encode()) + 1 + len(TURN_CLOSE.encode())
+    string: each turn occupies ``prefix_bytes + octet(content) +
+    close_bytes``, so the length is one integer fold — O(#turns)
+    instead of O(rendered bytes)."""
     return F.aggregate(
         _col(conv),
         F.lit(0).cast("long"),
         lambda acc, t: acc
-        + F.lit(fixed)
-        + F.octet_length(t["role"]).cast("long")
-        + F.octet_length(t["content"]).cast("long"),
+        + template.prefix_bytes(t)
+        + F.octet_length(t["content"]).cast("long")
+        + template.close_bytes(t),
     )
 
 
-def loss_mask_spans(conv: ColumnOrName) -> Column:
-    """Byte spans ``[s, e)`` of ASSISTANT content inside the
-    :func:`render_chat` string — the positions an SFT trainer unmasks
-    (loss on assistant tokens only, the standard instruction-tuning
-    recipe). Returns ``array<struct<s,e>>`` in turn order.
+def loss_mask_spans(
+    conv: ColumnOrName,
+    template: ChatTemplate = CHATML,
+    *,
+    unmask_role: str = "assistant",
+) -> Column:
+    """Byte spans ``[s, e)`` of ``unmask_role`` content inside the
+    :func:`render_chat` string (same ``template``) — the positions an
+    SFT trainer unmasks (loss on assistant tokens only, the standard
+    instruction-tuning recipe). Returns ``array<struct<s,e>>`` in turn
+    order.
 
     One ``aggregate`` fold threads the byte offset through the turns
-    (offsets are ``octet_length`` — byte-true for any unicode content),
-    so the whole computation stays a zero-shuffle projection beside the
-    render itself; a downstream packer adds each sequence's global
-    offset (q143's two-phase prefix sum) to shift the spans into the
-    packed buffer.
+    (offsets are ``octet_length`` — byte-true for any unicode content;
+    the block arithmetic is template-length-driven, so any
+    :class:`ChatTemplate` works), so the whole computation stays a
+    zero-shuffle projection beside the render itself; a downstream
+    packer adds each sequence's global offset (q143's two-phase prefix
+    sum) to shift the spans into the packed buffer.
 
     A conversation containing any NULL role/content returns NULL
     (explicitly — a half-built span struct with a NULL end would
     mis-slice downstream); validate with :func:`no_empty_turns` first.
     """
-    open_len = len(TURN_OPEN.encode())
-    close_len = len(TURN_CLOSE.encode())
     c = _col(conv)
     all_present = F.forall(
         c,
@@ -174,20 +258,16 @@ def loss_mask_spans(conv: ColumnOrName) -> Column:
     )
 
     def _step(acc: Column, t: Column) -> Column:
-        start = (
-            acc["off"]
-            + F.lit(open_len)
-            + F.octet_length(t["role"]).cast("long")
-            + F.lit(1)  # the '\n' between role and content
-        )
+        start = acc["off"] + template.prefix_bytes(t)
         end = start + F.octet_length(t["content"]).cast("long")
         span = F.struct(start.alias("s"), end.alias("e"))
         spans = F.when(
-            t["role"] == F.lit("assistant"),
+            t["role"] == F.lit(unmask_role),
             F.concat(acc["spans"], F.array(span)),
         ).otherwise(acc["spans"])
         return F.struct(
-            (end + F.lit(close_len)).alias("off"), spans.alias("spans")
+            (end + template.close_bytes(t)).alias("off"),
+            spans.alias("spans"),
         )
 
     init = F.struct(

@@ -250,3 +250,84 @@ def test_turn_stats_counts_characters_not_bytes(spark):
         cv.turn_stats("conv", "assistant").alias("a"),
     ).collect()[0]
     assert (r.u, r.a) == (4, 1)
+
+
+class TestAlternateTemplates:
+    """VERDICT r8 item 7: the render/bytes/span trio is template-
+    parameterized (ChatML remains the no-argument default)."""
+
+    def _llama(self):
+        # Llama-chat-style: the role NAME never prints; user turns wrap
+        # in [INST] ... [/INST], assistant turns close with </s>
+        return cv.ChatTemplate(
+            default=cv.TurnStyle("", "", "", show_role=False),
+            per_role={
+                "user": cv.TurnStyle(
+                    "[INST] ", "", " [/INST] ", show_role=False
+                ),
+                "assistant": cv.TurnStyle("", "", " </s>", show_role=False),
+            },
+        )
+
+    def test_default_is_chatml_bit_for_bit(self, spark):
+        conv = [("user", "hi"), ("assistant", "hello")]
+        df = _df(spark, [(0, conv)])
+        r = df.select(
+            cv.render_chat("conv").alias("d"),
+            cv.render_chat("conv", cv.CHATML).alias("e"),
+        ).collect()[0]
+        assert r.d == r.e == (
+            "<|im_start|>user\nhi<|im_end|>\n"
+            "<|im_start|>assistant\nhello<|im_end|>\n"
+        )
+
+    def test_llama_style_render_and_spans_agree(self, spark):
+        conv = [
+            ("user", "héllo?"),  # unicode: é is 2 bytes
+            ("assistant", "hi"),
+            ("user", "more"),
+            ("assistant", "done"),
+        ]
+        tpl = self._llama()
+        df = _df(spark, [(0, conv)])
+        r = df.select(
+            cv.render_chat("conv", tpl).alias("s"),
+            cv.render_bytes("conv", tpl).alias("nb"),
+            cv.loss_mask_spans("conv", tpl).alias("spans"),
+        ).collect()[0]
+        assert r.s == (
+            "[INST] héllo? [/INST] hi </s>"
+            "[INST] more [/INST] done </s>"
+        )
+        raw = r.s.encode()
+        assert r.nb == len(raw)
+        # the spans must slice the RENDERED BYTES back to exactly the
+        # assistant contents, in turn order
+        assert [raw[sp.s: sp.e].decode() for sp in r.spans] == [
+            "hi", "done",
+        ]
+
+    def test_plain_hash_template_with_role_names(self, spark):
+        # "### user:\n...\n\n" style — role name printed, custom sep
+        tpl = cv.ChatTemplate(default=cv.TurnStyle("### ", ":\n", "\n\n"))
+        conv = [("user", "q"), ("assistant", "a")]
+        df = _df(spark, [(0, conv)])
+        r = df.select(
+            cv.render_chat("conv", tpl).alias("s"),
+            cv.render_bytes("conv", tpl).alias("nb"),
+            cv.loss_mask_spans("conv", tpl).alias("spans"),
+        ).collect()[0]
+        assert r.s == "### user:\nq\n\n### assistant:\na\n\n"
+        raw = r.s.encode()
+        assert r.nb == len(raw)
+        assert [raw[sp.s: sp.e].decode() for sp in r.spans] == ["a"]
+
+    def test_unmask_role_parameter(self, spark):
+        conv = [("user", "q"), ("assistant", "a")]
+        df = _df(spark, [(0, conv)])
+        r = df.select(
+            cv.loss_mask_spans("conv", unmask_role="user").alias("spans"),
+            cv.render_chat("conv").alias("s"),
+        ).collect()[0]
+        raw = r.s.encode()
+        assert [raw[sp.s: sp.e].decode() for sp in r.spans] == ["q"]
