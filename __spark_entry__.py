@@ -13329,3 +13329,62 @@ _ORACLE_SHAPES["q190_kmv_set_algebra"] = (
 )
 
 _JOIN_MERGES["q82_event_stats"][1].append(("q190_kmv_set_algebra", {}))
+
+
+def q191_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality filter, oracle-gated on the
+    keep/drop DECISION (VERDICT r8 item 8 — the raw ratio was the last
+    pytest-only quality signal: DuckDB has no zlib, so the ratio itself
+    cannot be hash-compared, but the THRESHOLD DECISION can when the
+    corpus is constructed so the ratio's side of the cut is implied by
+    construction). Even doc_ids carry 500 bytes of 'spam ' repetition
+    (measured zlib-6 ratio ~0.04); odd doc_ids carry 256 bytes of eight
+    DISTINCT md5 hexes (~0.62 — distinctness matters: one md5 repeated
+    8x compresses to 0.17 and would flip the decision). The Spark side
+    runs REAL zlib (functions/textstats.py::compression_ratio, the
+    Arrow pandas_udf) plus the integer micro-unit threshold arithmetic;
+    the oracle replays the construction's implied decision — so the
+    battery leg proves the zlib path and the thresholding land every
+    decision where the construction guarantees it."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    rep = F.lit("spam " * 100)
+    hexes = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{j}")
+                )
+            )
+            for j in range(8)
+        ]
+    )
+    probe = F.when(F.col("doc_id") % 2 == 0, rep).otherwise(hexes)
+    staged = d.select("doc_id", probe.alias("__probe"))
+    ratio_u = F.round(
+        ts.compression_ratio(F.col("__probe")) * F.lit(1e6)
+    ).cast("long")
+    return staged.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("rep"))
+        .otherwise(F.lit("hex"))
+        .alias("cz_class"),
+        (ratio_u >= F.lit(350_000)).alias("cz_keep"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q191_compression_filter"] = q191_compression_filter
+
+_ORACLE_DEDUP_SIM["q191_compression_filter"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rep' ELSE 'hex' END AS cz_class,
+           CASE WHEN doc_id % 2 = 0 THEN FALSE ELSE TRUE END AS cz_keep
+    FROM documents
+"""
+
+_ORACLE_SHAPES["q191_compression_filter"] = (
+    ("doc_id", "BIGINT"), ("cz_class", "VARCHAR"), ("cz_keep", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(("q191_compression_filter", {}))

@@ -172,6 +172,7 @@ HEADLINE = [
     "q188_psi_drift",
     "q189_loss_mask_spans",
     "q190_kmv_set_algebra",
+    "q191_compression_filter",
 ]
 
 
