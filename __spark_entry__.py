@@ -13388,3 +13388,103 @@ _ORACLE_SHAPES["q191_compression_filter"] = (
 )
 
 _JOIN_MERGES["q20_doc_quality"][1].append(("q191_compression_filter", {}))
+
+
+#: the planted cross-document boilerplate for q192 — long enough that
+#: content-sampled selection (fp % 4) deterministically catches it
+_Q192_BOILER = (
+    "Subject to the terms and conditions of this License, each "
+    "Contributor hereby grants to You a perpetual, worldwide, "
+    "non-exclusive, no-charge, royalty-free, irrevocable copyright "
+    "license to reproduce and distribute the Work."
+)
+
+
+def q192_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-substring spans (operators/dedup.py::
+    duplicate_substring_spans — the Lee et al. 2021 character-level
+    dedup signal, distributed as content-sampled fingerprinting instead
+    of a single-machine suffix array). Every 7th document gets a
+    license-boilerplate tail planted, so duplicate regions exist by
+    construction; any NATURAL cross-doc duplicates in the corpus are
+    reported too — the oracle replays every stage (per-position md5
+    fingerprints, the fp %% 4 content-keyed selection, the >= 2
+    distinct-doc census, and the SQL-islands span merge) bit-for-bit.
+    """
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.lit(_Q192_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("__t"),
+    )
+    spans = duplicate_substring_spans(
+        probe, "doc_id", "__t", k=24, sample=4
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s").alias("dss_s"),
+        F.col("e").alias("dss_e"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q192_substring_dedup"] = q192_substring_dedup
+
+_ORACLE_DEDUP_SIM["q192_substring_dedup"] = f"""
+    WITH probe AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' || '{_Q192_BOILER}'
+                    ELSE text END AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
+        FROM probe WHERE len(t) >= 24
+    ), fps AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(
+                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
+               ) AS BIGINT) AS fp
+        FROM pos
+    ), sel AS (
+        SELECT * FROM fps WHERE fp % 4 = 0
+    ), dup AS (
+        SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM sel)
+        GROUP BY fp HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT s.doc_id, s.p FROM sel s JOIN dup USING (fp)
+    ), marked AS (
+        SELECT doc_id, p,
+               MAX(p + 24) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM hits
+    ), isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS g
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS dss_s,
+           CAST(MAX(p) + 24 AS BIGINT) AS dss_e
+    FROM isl GROUP BY doc_id, g
+"""
+
+_ORACLE_SHAPES["q192_substring_dedup"] = (
+    ("doc_id", "BIGINT"), ("dss_s", "BIGINT"), ("dss_e", "BIGINT"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("substr_spans", "q192_substring_dedup")
+)

@@ -173,6 +173,7 @@ HEADLINE = [
     "q189_loss_mask_spans",
     "q190_kmv_set_algebra",
     "q191_compression_filter",
+    "q192_substring_dedup",
 ]
 
 

@@ -1361,3 +1361,118 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 40,
+    sample: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate SUBSTRING spans — the character-level
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): verbatim regions repeated across
+    documents (licenses, boilerplate, templated paragraphs) that
+    document-level and even near-dup dedup leave untouched, and that
+    measurably degrade LMs. Returns one row per merged duplicate
+    region: ``(id, s, e)`` with ``[s, e)`` 1-based CHARACTER positions
+    into the document (slice with ``substr(text, s, e - s)``).
+
+    The reference algorithm builds a corpus-wide suffix array — exact,
+    but a single-machine data structure. The distributed-friendly
+    standard is content-sampled fingerprinting (Manber 1994's
+    approximate fingerprints; the mod-p variant of winnowing,
+    Schleimer et al. 2003 §2): fingerprint EVERY k-char window (stride
+    1 — alignment falls out of content addressing, not offsets), keep
+    the deterministic 1/``sample`` subset ``fp % sample == 0``
+    (selection depends only on the WINDOW CONTENT, so the same
+    substring selects the same fingerprints in every document —
+    alignment-robust where fixed-stride sampling is not), census the
+    kept fingerprints for ones appearing in >= ``min_docs`` distinct
+    documents, and merge each document's matched windows into maximal
+    spans with the SQL-islands fold.
+
+    Detection guarantee is probabilistic per CONTENT (not per
+    occurrence): a duplicated region of length L >= k contains
+    L - k + 1 windows and is missed only if none of them selects —
+    P(miss) = (1 - 1/sample)^(L-k+1) for md5-uniform content (k=40,
+    sample=8, L=120: ~2e-5), and deterministically: a given substring
+    either matches in EVERY document that contains it or in none
+    (selection is content-keyed), so the miss never splits a duplicate
+    group. md5 collisions (128-bit) are the usual content-key
+    assumption used repo-wide.
+
+    100 TB shape: Scan -> Generate(positions) -> codegen md5 projection
+    -> the 1/sample filter — one streamed pass, O(corpus chars) rows
+    BEFORE the filter but never materialized (whole-stage codegen
+    pipelines Generate into the filter; only (id, p, fp) survive to the
+    exchange). Then one fp-keyed census (map-side combine), one
+    fp-keyed semi-join back, and one id-keyed window for the islands —
+    three bounded shuffles, no self-join, nothing quadratic. The
+    honest cost of substring-level dedup is the per-character
+    fingerprint pass; the suffix-array alternative is O(bytes) memory
+    on one machine.
+
+    Determinism: md5 fingerprints, integer modulus selection, islands
+    over (id, position) total order — layout-independent end to end;
+    the q192 DuckDB oracle replays every stage bit-for-bit.
+    """
+    if k < 2:
+        raise ValueError("duplicate_substring_spans: k must be >= 2")
+    if sample < 1:
+        raise ValueError("duplicate_substring_spans: sample must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).cast("string").alias("__t"),
+    ).filter(F.length("__t") >= k)
+    pos = base.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1))
+        ).alias("__p"),
+    )
+    fp = F.conv(
+        F.substring(F.md5(F.substring(F.col("__t"), F.col("__p"), k)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    sel = (
+        pos.select("__id", "__p", fp.alias("__fp"))
+        .filter(F.col("__fp") % sample == 0)
+    )
+    dup_fps = (
+        sel.select("__fp", "__id")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__fp")
+    )
+    hits = sel.join(dup_fps, on="__fp", how="leftsemi")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__id").orderBy("__p")
+    prev_end = F.max(F.col("__p") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("__p") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "__isl",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("__id", "__isl")
+        .agg(
+            F.min("__p").cast("long").alias("s"),
+            (F.max("__p") + F.lit(k)).cast("long").alias("e"),
+        )
+        .select(F.col("__id").alias(id_col), "s", "e")
+    )

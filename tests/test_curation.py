@@ -977,3 +977,96 @@ def test_fuzzy_decontaminate_memo_evicts_lru_not_all(spark):
     finally:
         cu._CAP_MEMO.clear()
         cu._CAP_MEMO.update(saved)
+
+
+class TestDuplicateSubstringSpans:
+    def _spans(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            duplicate_substring_spans,
+        )
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = duplicate_substring_spans(df, "id", "text", **kw)
+        texts = dict(rows)
+        spans = {}
+        for r in out.collect():
+            spans.setdefault(r.id, []).append((r.s, r.e))
+        return {i: sorted(v) for i, v in spans.items()}, texts
+
+    def test_planted_shared_region_found_and_slices_identically(
+        self, spark
+    ):
+        shared = (
+            "Permission is hereby granted, free of charge, to any "
+            "person obtaining a copy of this software and associated "
+            "documentation files."
+        )
+        rows = [
+            (1, "Alpha doc leading text here. " + shared + " tail one."),
+            (2, "Completely different opening paragraph! " + shared),
+            (3, "No boilerplate in this document at all, just prose "
+                "that keeps going for a while without repeating."),
+        ]
+        spans, texts = self._spans(spark, rows, k=24, sample=4)
+        # doc 3 has nothing duplicated
+        assert 3 not in spans
+        # docs 1 and 2 each carry exactly one merged span, and the
+        # sliced regions are IDENTICAL text (the planted boilerplate,
+        # possibly trimmed by sampling at the edges)
+        assert len(spans[1]) == 1 and len(spans[2]) == 1
+        (s1, e1), (s2, e2) = spans[1][0], spans[2][0]
+        cut1 = texts[1][s1 - 1: e1 - 1]
+        cut2 = texts[2][s2 - 1: e2 - 1]
+        assert cut1 == cut2
+        assert cut1 in shared or shared in cut1
+        assert len(cut1) >= 24  # at least one window's worth
+
+    def test_content_keyed_selection_is_alignment_robust(self, spark):
+        # the same substring at DIFFERENT offsets still matches: doc 2
+        # shifts the shared region by an odd number of chars (fixed-
+        # stride sampling would miss this; content sampling cannot)
+        shared = "x" * 0 + (
+            "The quick brown fox jumps over the lazy dog repeatedly "
+            "and then does it again for good measure, twice."
+        )
+        rows = [
+            (1, shared + " trailing."),
+            (2, "Seven!! " + shared),
+        ]
+        spans, _ = self._spans(spark, rows, k=24, sample=4)
+        assert 1 in spans and 2 in spans
+
+    def test_within_doc_repetition_alone_does_not_match(self, spark):
+        # min_docs=2 counts DISTINCT docs: a doc repeating its own
+        # paragraph twice must not self-match
+        para = (
+            "This exact paragraph appears twice inside one document "
+            "but in no other document anywhere."
+        )
+        rows = [
+            (1, para + " --- " + para),
+            (2, "Unrelated content that shares nothing with doc one, "
+                "written to be long enough for windows."),
+        ]
+        spans, _ = self._spans(spark, rows, k=24, sample=1)
+        assert spans == {}
+
+    def test_adjacent_windows_merge_into_one_span(self, spark):
+        # sample=1 selects every window; all overlapping windows of the
+        # shared region must merge into ONE maximal island per doc
+        shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"
+        # boundary chars DIFFER between docs (an earlier fixture used
+        # " " on both sides of both docs, and the operator correctly
+        # found the 1-char-wider true common substring)
+        rows = [(1, "L1:" + shared + "#R1"), (2, "L2+" + shared + "!R2")]
+        spans, texts = self._spans(spark, rows, k=24, sample=1)
+        assert len(spans[1]) == 1 and len(spans[2]) == 1
+        (s, e) = spans[1][0]
+        assert texts[1][s - 1: e - 1] == shared
+        (s, e) = spans[2][0]
+        assert texts[2][s - 1: e - 1] == shared
+
+    def test_short_docs_skipped(self, spark):
+        rows = [(1, "tiny"), (2, "tiny")]
+        spans, _ = self._spans(spark, rows, k=24, sample=1)
+        assert spans == {}
