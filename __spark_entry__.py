@@ -13488,3 +13488,130 @@ _ORACLE_SHAPES["q192_substring_dedup"] = (
 _UNION_MERGES["q23_dedup_stats"].append(
     ("substr_spans", "q192_substring_dedup")
 )
+
+
+def q193_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup TRANSFORM (operators/dedup.py::
+    remove_duplicate_substrings): cut all-but-one occurrence of every
+    duplicated region over the same planted corpus as q192. Keeper
+    election is per fingerprint (first (id, p) occurrence protected),
+    so every duplicated window's text provably survives somewhere. The
+    oracle replays fingerprinting, election, islands AND the per-doc
+    text rebuild (string_agg of kept segments); the cleaned text is
+    compared by md5 key so the battery row stays narrow."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        remove_duplicate_substrings,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.lit(_Q192_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("__t"),
+    )
+    out = remove_duplicate_substrings(
+        probe, "doc_id", "__t", k=24, sample=4
+    )
+    return out.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("clean_key"),
+        F.col("n_cut").alias("dss_n_cut"),
+        F.col("cut_chars").alias("dss_cut_chars"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q193_substring_removal"] = q193_substring_removal
+
+_ORACLE_DEDUP_SIM["q193_substring_removal"] = f"""
+    WITH probe AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' || '{_Q192_BOILER}'
+                    ELSE text END AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
+        FROM probe WHERE len(t) >= 24
+    ), fps AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(
+                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
+               ) AS BIGINT) AS fp
+        FROM pos
+    ), sel AS (
+        SELECT * FROM fps WHERE fp % 4 = 0
+    ), dup AS (
+        SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM sel)
+        GROUP BY fp HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT s.doc_id, s.p, s.fp FROM sel s JOIN dup USING (fp)
+    ), unprot AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p, ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY doc_id, p
+            ) AS rn
+            FROM hits
+        ) WHERE rn > 1
+    ), marked AS (
+        SELECT doc_id, p,
+               MAX(p + 24) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM unprot
+    ), isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS g
+        FROM marked
+    ), cuts AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+        FROM isl GROUP BY doc_id, g
+    ), pieces AS (
+        SELECT doc_id, s, e,
+               COALESCE(LAG(e) OVER (
+                   PARTITION BY doc_id ORDER BY s
+               ), 1) AS prev_e
+        FROM cuts
+    ), seg AS (
+        SELECT p.doc_id,
+               string_agg(
+                   substr(pr.t, CAST(p.prev_e AS INT),
+                          CAST(p.s - p.prev_e AS INT)),
+                   '' ORDER BY p.s
+               ) AS head,
+               MAX(p.e) AS last_e,
+               CAST(COUNT(*) AS INT) AS n_cut,
+               CAST(SUM(p.e - p.s) AS BIGINT) AS cut_chars
+        FROM pieces p JOIN probe pr USING (doc_id)
+        GROUP BY p.doc_id
+    )
+    SELECT pr.doc_id,
+           CAST('0x' || substr(md5(
+               CASE WHEN sg.doc_id IS NULL THEN pr.t
+                    ELSE sg.head || substr(
+                        pr.t, CAST(sg.last_e AS INT),
+                        CAST(len(pr.t) - sg.last_e + 1 AS INT))
+               END
+           ), 1, 15) AS BIGINT) AS clean_key,
+           COALESCE(sg.n_cut, 0) AS dss_n_cut,
+           COALESCE(sg.cut_chars, 0) AS dss_cut_chars
+    FROM probe pr LEFT JOIN seg sg USING (doc_id)
+"""
+
+_ORACLE_SHAPES["q193_substring_removal"] = (
+    ("doc_id", "BIGINT"), ("clean_key", "BIGINT"),
+    ("dss_n_cut", "INTEGER"), ("dss_cut_chars", "BIGINT"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("substr_removal", "q193_substring_removal")
+)

@@ -174,6 +174,7 @@ HEADLINE = [
     "q190_kmv_set_algebra",
     "q191_compression_filter",
     "q192_substring_dedup",
+    "q193_substring_removal",
 ]
 
 

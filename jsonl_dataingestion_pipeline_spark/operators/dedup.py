@@ -1420,10 +1420,30 @@ def duplicate_substring_spans(
     over (id, position) total order — layout-independent end to end;
     the q192 DuckDB oracle replays every stage bit-for-bit.
     """
+    hits = _duplicate_positions(
+        df, id_col, text_col, k=k, sample=sample, min_docs=min_docs
+    )
+    return _position_islands(hits, k).select(
+        F.col("__id").alias(id_col), "s", "e"
+    )
+
+
+def _duplicate_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    sample: int,
+    min_docs: int,
+) -> DataFrame:
+    """The shared fingerprint-match stage of the substring-dedup pair:
+    ``(__id, __p, __fp)`` rows for every SELECTED window whose
+    fingerprint appears in >= ``min_docs`` distinct documents."""
     if k < 2:
-        raise ValueError("duplicate_substring_spans: k must be >= 2")
+        raise ValueError("duplicate substring ops: k must be >= 2")
     if sample < 1:
-        raise ValueError("duplicate_substring_spans: sample must be >= 1")
+        raise ValueError("duplicate substring ops: sample must be >= 1")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).cast("string").alias("__t"),
@@ -1452,7 +1472,12 @@ def duplicate_substring_spans(
         .filter(F.col("__nd") >= min_docs)
         .select("__fp")
     )
-    hits = sel.join(dup_fps, on="__fp", how="leftsemi")
+    return sel.join(dup_fps, on="__fp", how="leftsemi")
+
+
+def _position_islands(hits: DataFrame, k: int) -> DataFrame:
+    """SQL-islands merge of matched window positions into maximal
+    ``(__id, s, e)`` spans (windows are [p, p+k))."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("__id").orderBy("__p")
@@ -1468,11 +1493,112 @@ def duplicate_substring_spans(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
-        isl.groupBy("__id", "__isl")
-        .agg(
-            F.min("__p").cast("long").alias("s"),
-            (F.max("__p") + F.lit(k)).cast("long").alias("e"),
+    return isl.groupBy("__id", "__isl").agg(
+        F.min("__p").cast("long").alias("s"),
+        (F.max("__p") + F.lit(k)).cast("long").alias("e"),
+    )
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 40,
+    sample: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The TRANSFORM half of substring dedup: cut every duplicated
+    region from every document EXCEPT one global keeper occurrence —
+    the remove-all-but-one policy of Lee et al. 2021, which deletes
+    the repeated mass while guaranteeing every duplicated window's
+    text still survives somewhere in the corpus.
+
+    Keeper election is per FINGERPRINT, not per merged span: each
+    duplicate fingerprint keeps its first occurrence in (id, p) order
+    (row_number over a total order — layout-independent), a position
+    is PROTECTED if it is the keeper of its fingerprint, and only
+    unprotected matched positions are merged into cut spans. Electing
+    on whole merged spans keyed by content was tried first and is
+    brittle: maximal islands can extend one boundary char differently
+    per document (a shared leading space), splitting what is
+    semantically one duplicate group into singleton groups that each
+    keep themselves — the fingerprint keeper is immune because
+    election happens below the merge.
+
+    Returns one row per INPUT document: ``(id, text <cleaned>, n_cut
+    INT, cut_chars BIGINT)`` — untouched documents pass through with
+    n_cut = 0. The rebuild is one ``aggregate`` fold over the doc's
+    sorted cut list (kept segments concatenated between cuts): one
+    fp-keyed window for the election, one id-keyed islands window, one
+    id-keyed join back to the text — nothing quadratic, same scale
+    shape as :func:`duplicate_substring_spans` plus the rebuild
+    projection.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).cast("string")
+        .alias("__t")
+    )
+    hits = _duplicate_positions(
+        df, id_col, text_col, k=k, sample=sample, min_docs=min_docs
+    )
+    w_fp = Window.partitionBy("__fp").orderBy(
+        F.col("__id").asc(), F.col("__p").asc()
+    )
+    unprotected = (
+        hits.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") > 1)  # rn = 1 is the protected keeper
+        .select("__id", "__p")
+    )
+    spans = _position_islands(unprotected, k)
+    per_doc = spans.groupBy("__id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("s").alias("__s"), F.col("e").alias("__e"))
+            )
+        ).alias("__cuts")
+    )
+    joined = base.join(per_doc, on="__id", how="left")
+
+    def _fold(acc: Column, c: Column) -> Column:
+        piece = F.substring(
+            F.col("__t"),
+            acc["pos"].cast("int"),
+            (c["__s"] - acc["pos"]).cast("int"),
         )
-        .select(F.col("__id").alias(id_col), "s", "e")
+        return F.struct(
+            c["__e"].alias("pos"),
+            F.concat(acc["out"], piece).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("out")
+    )
+    rebuilt = F.aggregate(
+        F.col("__cuts"),
+        init,
+        _fold,
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(
+                F.col("__t"),
+                acc["pos"].cast("int"),
+                (F.length("__t") - acc["pos"] + 1).cast("int"),
+            ),
+        ),
+    )
+    cut_chars = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + (c["__e"] - c["__s"]),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__cuts").isNull(), F.col("__t"))
+        .otherwise(rebuilt)
+        .alias(text_col),
+        F.coalesce(F.size("__cuts"), F.lit(0)).cast("int").alias("n_cut"),
+        F.coalesce(cut_chars, F.lit(0).cast("long")).alias("cut_chars"),
     )

@@ -1070,3 +1070,88 @@ class TestDuplicateSubstringSpans:
         rows = [(1, "tiny"), (2, "tiny")]
         spans, _ = self._spans(spark, rows, k=24, sample=1)
         assert spans == {}
+
+
+class TestRemoveDuplicateSpans:
+    def _run(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            remove_duplicate_substrings,
+        )
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = remove_duplicate_substrings(df, "id", "text", **kw)
+        return {r.id: r for r in out.collect()}
+
+    def test_keeps_one_occurrence_cuts_the_rest(self, spark):
+        shared = (
+            "This boilerplate license paragraph is repeated verbatim "
+            "across several documents in the corpus."
+        )
+        # boundary chars are DISTINCT per doc — shared boundary chars
+        # (a ". " on both sides) correctly widen the true common
+        # substring, which an earlier fixture tripped over twice
+        rows = [
+            (1, "Doc one intro:" + shared + "@doc one outro."),
+            (2, "Doc two says something else, then;" + shared),
+            (3, "Third doc!" + shared + "#done here"),
+            (4, "No duplicates in this document whatsoever, it is "
+                "entirely original prose from start to finish."),
+        ]
+        out = self._run(spark, rows, k=24, sample=1)
+        # doc 1 is the keeper (min id, min s): untouched
+        assert out[1].text == rows[0][1]
+        assert out[1].n_cut == 0
+        # docs 2 and 3 lose the shared region (their local prose stays)
+        assert shared not in out[2].text and shared not in out[3].text
+        assert "Doc two says something else" in out[2].text
+        assert "Third doc!" in out[3].text and "#done here" in out[3].text
+        assert out[2].n_cut == 1 and out[3].n_cut == 1
+        assert out[2].cut_chars == len(shared) == out[3].cut_chars
+        # doc 4 passes through untouched
+        assert out[4].text == rows[3][1] and out[4].n_cut == 0
+
+    def test_multiple_regions_cut_in_one_doc(self, spark):
+        a = "First shared chunk AAAA BBBB CCCC DDDD EEEE FFFF GG."
+        b = "Second shared chunk 1111 2222 3333 4444 5555 6666 77."
+        rows = [
+            (1, a + " and " + b),
+            (2, "x: " + a + " y! " + b + " z."),
+        ]
+        out = self._run(spark, rows, k=24, sample=1)
+        # doc 1 keeps both (keeper for both groups); doc 2 loses both
+        assert out[1].n_cut == 0
+        assert out[2].n_cut == 2
+        assert a not in out[2].text and b not in out[2].text
+        assert out[2].text.startswith("x:") and out[2].text.endswith("z.")
+
+    def test_cut_chars_matches_span_mass(self, spark):
+        # non-self-repeating body: an earlier fixture repeated a 26-char
+        # block INSIDE the shared text, and the operator correctly cut
+        # the second copy out of the keeper doc as a within-corpus dup
+        shared = (
+            "shared-body-0123456789abcdefghijklmnopqrstuvwxyz-ABCDEF"
+        )
+        rows = [(1, "A*" + shared + "*A"), (2, "B~" + shared + "~B")]
+        out = self._run(spark, rows, k=24, sample=1)
+        kept, cut = (1, 2)
+        assert out[kept].n_cut == 0
+        assert out[kept].text == rows[0][1]
+        # the cut mass equals the span length, and the rebuilt text is
+        # exactly the doc minus that span
+        assert out[cut].cut_chars == len(shared)
+        assert len(out[cut].text) == len(rows[1][1]) - out[cut].cut_chars
+
+    def test_within_doc_repeat_cut_even_in_keeper(self, spark):
+        # remove-all-but-one applies at the WINDOW level: a document
+        # repeating a block internally keeps only the first copy, even
+        # when no other document is involved (min_docs counts docs, so
+        # plant the block in a second doc to make it a duplicate)
+        block = "qwertyuiopasdfghjklzxcvbnm123456"
+        rows = [
+            (1, "L<" + block + ">M<" + block + ">R"),
+            (2, "other doc carrying " + block + " once, that is all."),
+        ]
+        out = self._run(spark, rows, k=24, sample=1)
+        # doc 1 keeps its FIRST copy, loses the second
+        assert out[1].text.count(block) == 1
+        assert out[1].n_cut == 1

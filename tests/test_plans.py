@@ -689,3 +689,12 @@ def test_q192_substring_spans_no_cartesian_streamed_generate(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "Generate" in tree, tree  # the stride-1 position explode
+
+
+def test_q193_removal_no_cartesian(spark):
+    """q193 (PLANS.md): fingerprint stage + three bounded-key windows +
+    one id-keyed join back; never a nested loop or cartesian."""
+    df = em.q193_substring_removal(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree

@@ -1283,6 +1283,12 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         "q190_kmv_set": entry.q190_kmv_set_algebra,
         "q187_rank": entry.q187_rank_metrics,
         "q188_psi": entry.q188_psi_drift,
+        # stride-1 fingerprint pass over k*corpus chars; replicas share
+        # no natural substrings (word-suffix bijection) but the PLANTED
+        # boilerplate is global — its census group grows with k while
+        # emitted spans stay exactly one per planted doc, so true rows
+        # are k-linear and the hot-fp census is the measured skew case
+        "q192_substr_spans": entry.q192_substring_dedup,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
