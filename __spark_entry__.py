@@ -13615,3 +13615,105 @@ _ORACLE_SHAPES["q193_substring_removal"] = (
 _UNION_MERGES["q23_dedup_stats"].append(
     ("substr_removal", "q193_substring_removal")
 )
+
+
+#: planted per-script suffixes for q194 (the synthetic corpus is all
+#: Latin, so script routing is exercised by construction) — literal
+#: BMP characters, identical bytes in the Spark lit and the SQL literal
+_Q194_PLANTS = {
+    1: ("cyrillic", "Советские информационные бюллетени"),
+    2: ("cjk", "機械学習のための大規模データ処理"),
+    3: ("arabic", "معالجة البيانات واسعة النطاق"),
+}
+
+
+def q194_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system census (functions/textstats.py::script_char_count
+    / main_script): per-document char counts for five Unicode script
+    classes plus the argmax routing decision — the filter pretraining
+    pipelines run to route documents to per-script processing and to
+    catch mislabeled text. The synthetic corpus is all-Latin, so docs
+    with doc_id %% 5 in {1,2,3} get a Cyrillic/CJK/Arabic suffix
+    planted; identical literal character classes run in Spark (Java
+    regex) and DuckDB (RE2), so the oracle replays the counts and the
+    argmax bit-for-bit."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    probe = F.col("text")
+    for m, (name, s) in _Q194_PLANTS.items():
+        probe = F.when(
+            F.col("doc_id") % 5 == m, F.concat(F.col("text"), F.lit(" " + s))
+        ).otherwise(probe)
+    staged = d.select("doc_id", probe.alias("__t"))
+    t = F.col("__t")
+    return staged.select(
+        "doc_id",
+        ts.script_char_count(t, "latin").alias("sc_latin"),
+        ts.script_char_count(t, "cyrillic").alias("sc_cyrillic"),
+        ts.script_char_count(t, "cjk").alias("sc_cjk"),
+        ts.script_char_count(t, "arabic").alias("sc_arabic"),
+        ts.script_char_count(t, "greek").alias("sc_greek"),
+        ts.main_script(t).alias("main_script"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q194_script_profile"] = q194_script_profile
+
+
+def _q194_oracle() -> str:
+    classes = {
+        "arabic": "؀-ۿ",
+        "cjk": "一-鿿぀-ヿ가-힯",
+        "cyrillic": "Ѐ-ӿ",
+        "greek": "Ͱ-Ͽ",
+        "latin": "A-Za-zÀ-ɏ",
+    }
+    plants = " ".join(
+        f"WHEN doc_id % 5 = {m} THEN text || ' {s}'"
+        for m, (_n, s) in _Q194_PLANTS.items()
+    )
+    cnt = {
+        n: (
+            f"CAST(len(t) - len(regexp_replace(t, '[{c}]', '', 'g'))"
+            " AS INT)"
+        )
+        for n, c in classes.items()
+    }
+    # the same fold main_script uses: iterate scripts in sorted order,
+    # strictly-greater replaces, zero-everything -> 'und'
+    names = sorted(classes)
+    expr = f"CASE WHEN c_{names[0]} > 0 THEN '{names[0]}' ELSE 'und' END"
+    best = f"c_{names[0]}"
+    for n in names[1:]:
+        expr = f"CASE WHEN c_{n} > {best} THEN '{n}' ELSE {expr} END"
+        best = f"GREATEST(c_{n}, {best})"
+    return f"""
+    WITH probe AS (
+        SELECT doc_id, CASE {plants} ELSE text END AS t FROM documents
+    ), counts AS (
+        SELECT doc_id,
+               {cnt['latin']} AS c_latin,
+               {cnt['cyrillic']} AS c_cyrillic,
+               {cnt['cjk']} AS c_cjk,
+               {cnt['arabic']} AS c_arabic,
+               {cnt['greek']} AS c_greek
+        FROM probe
+    )
+    SELECT doc_id, c_latin AS sc_latin, c_cyrillic AS sc_cyrillic,
+           c_cjk AS sc_cjk, c_arabic AS sc_arabic, c_greek AS sc_greek,
+           {expr} AS main_script
+    FROM counts
+    """
+
+
+_ORACLE_DEDUP_SIM["q194_script_profile"] = _q194_oracle()
+
+_ORACLE_SHAPES["q194_script_profile"] = (
+    ("doc_id", "BIGINT"), ("sc_latin", "INTEGER"),
+    ("sc_cyrillic", "INTEGER"), ("sc_cjk", "INTEGER"),
+    ("sc_arabic", "INTEGER"), ("sc_greek", "INTEGER"),
+    ("main_script", "VARCHAR"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(("q194_script_profile", {}))

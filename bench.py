@@ -175,6 +175,7 @@ HEADLINE = [
     "q191_compression_filter",
     "q192_substring_dedup",
     "q193_substring_removal",
+    "q194_script_profile",
 ]
 
 

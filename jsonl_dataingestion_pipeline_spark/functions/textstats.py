@@ -954,3 +954,53 @@ def vocab_coverage(
         .alias("oov_rate_u"),
         "known_bytes",
     )
+
+
+#: Unicode script character classes, written with LITERAL range
+#: endpoints (not engine escapes) so the identical class string works
+#: in Java regex (Spark) and RE2 (DuckDB oracle). BMP ranges only —
+#: both engines count BMP chars identically (Spark's length is UTF-16
+#: code units, DuckDB's is codepoints; they agree below U+10000, and
+#: the corpus contract keeps text in the BMP).
+SCRIPT_CLASSES: Mapping[str, str] = {
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "latin": "A-Za-zÀ-ɏ",
+}
+
+
+def script_char_count(c: ColumnOrName, script: str) -> Column:
+    """Number of characters of ``c`` in the given writing system
+    (:data:`SCRIPT_CLASSES`) — the char-census primitive pretraining
+    curation uses to route documents to per-script pipelines and to
+    catch mislabeled / mixed-script text. Counted as
+    ``length(t) - length(regexp_replace(t, '[class]', ''))`` — one
+    codegen regex pass, no explode."""
+    cls = SCRIPT_CLASSES[script]
+    t = _col(c).cast("string")
+    return (
+        F.length(t) - F.length(F.regexp_replace(t, f"[{cls}]", ""))
+    ).cast("int")
+
+
+def main_script(c: ColumnOrName, default: str = "und") -> Column:
+    """Argmax writing system by character count; ties break to the
+    lexicographically smaller script name (the :func:`lang_id` fold);
+    zero chars in every class -> ``default``."""
+    scored = sorted(SCRIPT_CLASSES)
+    best = None
+    best_name = F.lit(default)
+    for name in scored:
+        cnt = script_char_count(c, name)
+        if best is None:
+            best = cnt
+            best_name = F.when(cnt > 0, F.lit(name)).otherwise(
+                F.lit(default)
+            )
+        else:
+            cond = cnt > best
+            best_name = F.when(cond, F.lit(name)).otherwise(best_name)
+            best = F.when(cond, cnt).otherwise(best)
+    return best_name

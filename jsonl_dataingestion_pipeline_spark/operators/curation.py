@@ -557,7 +557,10 @@ def remove_duplicated_spans(
     Policy: ALL covered tokens are removed, in every document (the
     paper's remove-all-but-one needs a global occurrence order; dropping
     boilerplate everywhere is the common production simplification —
-    RefinedWeb does the same for line dedup, see ``dedup_lines``).
+    RefinedWeb does the same for line dedup, see ``dedup_lines``). For
+    the faithful remove-all-but-one policy at character granularity,
+    use ``operators/dedup.py::remove_duplicate_substrings`` (round 9),
+    which elects a global keeper per fingerprint.
 
     Plan: the shared hot-gram hit relation (semi-join on 8-byte gram
     keys) -> covered token positions via a bounded ``sequence`` explode

@@ -1381,6 +1381,16 @@ def duplicate_substring_spans(
     region: ``(id, s, e)`` with ``[s, e)`` 1-based CHARACTER positions
     into the document (slice with ``substr(text, s, e - s)``).
 
+    Relation to ``operators/curation.py::duplicated_spans``: that
+    operator works at WORD-n-gram granularity with a corpus-wide
+    occurrence count (>= min_count, self-repeats included) and reports
+    token statistics; this one is character-exact (catches duplicates
+    that cross word boundaries or differ in tokenization), counts
+    DISTINCT documents, emits sliceable char spans, and its removal
+    twin :func:`remove_duplicate_substrings` implements the paper's
+    remove-all-but-one policy that the word-gram variant deliberately
+    approximates with remove-everywhere.
+
     The reference algorithm builds a corpus-wide suffix array — exact,
     but a single-machine data structure. The distributed-friendly
     standard is content-sampled fingerprinting (Manber 1994's

@@ -449,3 +449,47 @@ def test_vocab_oov_rate_widening_survives_int64_boundary(spark):
         df.select(
             F.expr("(oov_words * 1000000) div total_words")
         ).collect()
+
+
+class TestScriptProfile:
+    def test_counts_per_script(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions import (
+            textstats as ts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "abc Привет 機械学習 مرحبا αβ 123")], "id long, t string"
+        )
+        r = df.select(
+            ts.script_char_count("t", "latin").alias("lat"),
+            ts.script_char_count("t", "cyrillic").alias("cyr"),
+            ts.script_char_count("t", "cjk").alias("cjk"),
+            ts.script_char_count("t", "arabic").alias("ar"),
+            ts.script_char_count("t", "greek").alias("gr"),
+        ).collect()[0]
+        assert (r.lat, r.cyr, r.cjk, r.ar, r.gr) == (3, 6, 4, 5, 2)
+
+    def test_main_script_argmax_and_ties(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions import (
+            textstats as ts,
+        )
+
+        rows = [
+            (1, "Привет Привет abc"),      # cyrillic dominates
+            (2, "abc"),                     # latin only
+            (3, "123 !!!"),                 # no script chars -> und
+            (4, "ab Пр"),                   # 2 vs 2 tie -> cyrillic
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {
+            r.id: r.m
+            for r in df.select(
+                "id", ts.main_script("t").alias("m")
+            ).collect()
+        }
+        # tie at 2-2: sorted(SCRIPT_CLASSES) order is arabic, cjk,
+        # cyrillic, greek, latin — later names replace only on STRICTLY
+        # greater, so cyrillic (earlier) wins the tie against latin
+        assert got == {
+            1: "cyrillic", 2: "latin", 3: "und", 4: "cyrillic",
+        }
