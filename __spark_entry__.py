@@ -13717,3 +13717,187 @@ _ORACLE_SHAPES["q194_script_profile"] = (
 )
 
 _JOIN_MERGES["q20_doc_quality"][1].append(("q194_script_profile", {}))
+
+
+def q195_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol evaluation (functions/web.py::
+    robots_star_rules + robots_url_allowed, RFC 9309 literal-prefix
+    subset): per-host robots.txt bodies are synthesized from nation
+    (crawler-specific groups, a consecutive-UA header block, an empty
+    Disallow, and a host-parameterized rule), customer URLs are routed
+    against them, and the output carries the longest-match decision +
+    matched rule per URL. The ORACLE REPLAYS THE PARSER ITSELF — the
+    line explode, header-block windows, star-group flag, longest-match
+    struct ordering — not just the decisions."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        robots_star_rules,
+        robots_url_allowed,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    robots = n.select(
+        F.col("n_nationkey").cast("long").alias("rp_host"),
+        F.concat(
+            F.lit(
+                "# crawl policy\nUser-agent: googlebot\nDisallow: /\n\n"
+                "User-agent: yandex\nUser-agent: *\n"
+                "Disallow: /private\nAllow: /private/pub\n"
+                "Disallow: /area"
+            ),
+            F.col("n_nationkey").cast("string"),
+            F.lit("\nDisallow:\n\nUser-agent: badbot\nDisallow: /x"),
+        ).alias("robots"),
+    )
+    rules = robots_star_rules(robots, "rp_host", "robots")
+    c = _t(spark, sf_dir, "customer")
+    path = (
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("/private/doc"))
+        .when(F.col("c_custkey") % 5 == 1, F.lit("/private/pub/page"))
+        .when(
+            F.col("c_custkey") % 5 == 2,
+            F.concat(
+                F.lit("/area"),
+                F.col("c_nationkey").cast("string"),
+                F.lit("/page"),
+            ),
+        )
+        .when(F.col("c_custkey") % 5 == 3, F.lit("/area999/page"))
+        .otherwise(
+            F.concat(F.lit("/open/"), F.col("c_custkey").cast("string"))
+        )
+    )
+    urls = c.select(
+        F.col("c_custkey").cast("long").alias("rp_custkey"),
+        F.col("c_nationkey").cast("long").alias("rp_host"),
+        path.alias("rp_path"),
+    )
+    out = robots_url_allowed(urls, rules, "rp_host", "rp_path")
+    return out.select(
+        "rp_custkey",
+        "rp_host",
+        "rp_path",
+        F.col("allowed").alias("rp_allowed"),
+        F.col("matched_rule").alias("rp_rule"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q195_robots_rep"] = q195_robots_rep
+
+_ORACLE_DEDUP_SIM["q195_robots_rep"] = """
+    WITH robots AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS host,
+               '# crawl policy' || chr(10) ||
+               'User-agent: googlebot' || chr(10) ||
+               'Disallow: /' || chr(10) || chr(10) ||
+               'User-agent: yandex' || chr(10) ||
+               'User-agent: *' || chr(10) ||
+               'Disallow: /private' || chr(10) ||
+               'Allow: /private/pub' || chr(10) ||
+               'Disallow: /area' || CAST(n_nationkey AS VARCHAR)
+               || chr(10) ||
+               'Disallow:' || chr(10) || chr(10) ||
+               'User-agent: badbot' || chr(10) ||
+               'Disallow: /x' AS body
+        FROM nation
+    ), split AS (
+        SELECT host, string_split(body, chr(10)) AS parts FROM robots
+    ), lines AS (
+        SELECT host, unnest(range(1, len(parts) + 1)) AS ln, parts
+        FROM split
+    ), typed AS (
+        SELECT host, ln,
+               lower(trim(parts[CAST(ln AS INT)])) LIKE 'user-agent:%'
+                   AS is_ua,
+               CASE WHEN lower(trim(parts[CAST(ln AS INT)]))
+                         LIKE 'user-agent:%'
+                    THEN lower(trim(substr(trim(parts[CAST(ln AS INT)]),
+                        strpos(trim(parts[CAST(ln AS INT)]), ':') + 1)))
+               END AS agent,
+               CASE
+                 WHEN lower(trim(parts[CAST(ln AS INT)])) LIKE 'allow:%'
+                  AND len(trim(substr(trim(parts[CAST(ln AS INT)]),
+                      strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))) > 0
+                 THEN TRUE
+                 WHEN lower(trim(parts[CAST(ln AS INT)]))
+                          LIKE 'disallow:%'
+                  AND len(trim(substr(trim(parts[CAST(ln AS INT)]),
+                      strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))) > 0
+                 THEN FALSE
+               END AS allow,
+               CASE WHEN lower(trim(parts[CAST(ln AS INT)]))
+                         LIKE 'allow:%'
+                      OR lower(trim(parts[CAST(ln AS INT)]))
+                         LIKE 'disallow:%'
+                    THEN CASE WHEN len(trim(substr(
+                        trim(parts[CAST(ln AS INT)]),
+                        strpos(trim(parts[CAST(ln AS INT)]), ':') + 1)))
+                        > 0
+                    THEN trim(substr(trim(parts[CAST(ln AS INT)]),
+                        strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))
+                    END
+               END AS rule
+        FROM lines
+    ), kept AS (
+        SELECT * FROM typed WHERE is_ua OR rule IS NOT NULL
+    ), marked AS (
+        SELECT *, CASE WHEN is_ua AND NOT COALESCE(
+                   LAG(is_ua) OVER (PARTITION BY host ORDER BY ln),
+                   FALSE) THEN 1 ELSE 0 END AS starts
+        FROM kept
+    ), grouped AS (
+        SELECT *, SUM(starts) OVER (
+            PARTITION BY host ORDER BY ln
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS grp
+        FROM marked
+    ), star AS (
+        SELECT host, grp, bool_or(agent = '*') AS is_star
+        FROM grouped GROUP BY host, grp
+    ), rules AS (
+        SELECT g.host, g.allow, g.rule
+        FROM grouped g JOIN star USING (host, grp)
+        WHERE star.is_star AND g.rule IS NOT NULL
+    ), urls AS (
+        SELECT CAST(c_custkey AS BIGINT) AS rp_custkey,
+               CAST(c_nationkey AS BIGINT) AS rp_host,
+               CASE c_custkey % 5
+                 WHEN 0 THEN '/private/doc'
+                 WHEN 1 THEN '/private/pub/page'
+                 WHEN 2 THEN '/area' || CAST(c_nationkey AS VARCHAR)
+                             || '/page'
+                 WHEN 3 THEN '/area999/page'
+                 ELSE '/open/' || CAST(c_custkey AS VARCHAR)
+               END AS rp_path
+        FROM customer
+    ), cand AS (
+        SELECT u.rp_custkey, u.rp_host, u.rp_path,
+               CASE WHEN starts_with(u.rp_path, r.rule)
+                    THEN len(r.rule) END AS l,
+               CASE WHEN starts_with(u.rp_path, r.rule)
+                    THEN CAST(r.allow AS INT) END AS a,
+               CASE WHEN starts_with(u.rp_path, r.rule)
+                    THEN r.rule END AS r
+        FROM urls u LEFT JOIN rules r ON r.host = u.rp_host
+    ), ranked AS (
+        SELECT rp_custkey, rp_host, rp_path, l, a, r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY rp_custkey, rp_host, rp_path
+                   ORDER BY (l IS NOT NULL) DESC, l DESC, a DESC, r DESC
+               ) AS rn
+        FROM cand
+    )
+    SELECT rp_custkey, rp_host, rp_path,
+           COALESCE(a = 1, TRUE) AS rp_allowed,
+           r AS rp_rule
+    FROM ranked WHERE rn = 1
+"""
+
+_ORACLE_SHAPES["q195_robots_rep"] = (
+    ("rp_custkey", "BIGINT"), ("rp_host", "BIGINT"),
+    ("rp_path", "VARCHAR"), ("rp_allowed", "BOOLEAN"),
+    ("rp_rule", "VARCHAR"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("robots_rep", "q195_robots_rep")
+)

@@ -176,6 +176,7 @@ HEADLINE = [
     "q192_substring_dedup",
     "q193_substring_removal",
     "q194_script_profile",
+    "q195_robots_rep",
 ]
 
 

@@ -338,3 +338,131 @@ def registered_domain_psl(
         for c in (f"__rdp_p{k}", f"__rdp_l{k}")
     ]
     return out.withColumn(out_col, reg).drop(*drop)
+
+
+def robots_star_rules(
+    df,
+    id_col: str,
+    robots_col: str,
+):
+    """Parse each host's ``robots.txt`` body into the rule list that
+    applies to ``User-agent: *`` — the Robots Exclusion Protocol
+    (RFC 9309) subset a crawl-curation pipeline evaluates when honoring
+    opt-outs at scale. Returns ``(id, allow BOOLEAN, rule STRING)``
+    rows, one per Allow/Disallow line with a non-empty LITERAL PREFIX
+    pattern in any ``*`` group (wildcard ``*``/``$`` patterns and
+    crawler-specific groups are out of scope — documented subset; empty
+    ``Disallow:`` means "no restriction" per the RFC and emits no row).
+
+    Parsing is relational, not a per-row UDF: one ``posexplode`` over
+    the lines, a per-host window marking header-block starts
+    (consecutive ``User-agent:`` lines form one group header per the
+    RFC), a running-sum group id, and a per-group ANY(agent = '*') —
+    every stage is ordinary SQL, which is what lets the DuckDB oracle
+    replay the parser itself. Shuffle volume is #robots-lines, keyed by
+    host id.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.col(robots_col).cast("string"), "\n")
+        ).alias("__ln", "__raw"),
+    ).select(
+        "__id",
+        "__ln",
+        F.trim(F.col("__raw")).alias("__line"),
+    )
+    low = F.lower(F.col("__line"))
+    is_ua = low.startswith("user-agent:")
+    is_allow = low.startswith("allow:")
+    is_dis = low.startswith("disallow:")
+    # everything after the FIRST colon (values may themselves contain
+    # colons — substring_index(-1) would take the LAST segment)
+    val = F.trim(
+        F.expr("substring(__line, instr(__line, ':') + 1)")
+    )
+    typed = lines.select(
+        "__id",
+        "__ln",
+        is_ua.alias("__ua"),
+        F.when(is_ua, F.lower(val)).alias("__agent"),
+        F.when(is_allow & (F.length(val) > 0), F.lit(True))
+        .when(is_dis & (F.length(val) > 0), F.lit(False))
+        .alias("__allow"),
+        F.when(
+            (is_allow | is_dis) & (F.length(val) > 0), val
+        ).alias("__rule"),
+    ).filter(F.col("__ua") | F.col("__rule").isNotNull())
+    w = Window.partitionBy("__id").orderBy("__ln")
+    # a header block starts at a User-agent line NOT preceded by one
+    starts = F.when(
+        F.col("__ua")
+        & ~F.coalesce(F.lag("__ua").over(w), F.lit(False)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grouped = typed.withColumn(
+        "__grp",
+        F.sum(starts).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    star = grouped.groupBy("__id", "__grp").agg(
+        F.max(
+            F.when(F.col("__agent") == "*", F.lit(True)).otherwise(
+                F.lit(False)
+            )
+        ).alias("__star")
+    )
+    return (
+        grouped.join(star, on=["__id", "__grp"])
+        .filter(F.col("__star") & F.col("__rule").isNotNull())
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__allow").alias("allow"),
+            F.col("__rule").alias("rule"),
+        )
+    )
+
+
+def robots_url_allowed(
+    urls,
+    rules,
+    id_col: str,
+    path_col: str,
+):
+    """Evaluate URL paths against :func:`robots_star_rules` output for
+    the same host id: RFC 9309 longest-match — the matching rule with
+    the longest pattern wins, Allow beats Disallow on equal length, and
+    a path matching NO rule is allowed. Returns the input ``urls``
+    columns plus ``(allowed BOOLEAN, matched_rule STRING — NULL when
+    nothing matched)``.
+
+    One host-keyed join (rules frames are tiny per host — broadcast
+    when the rule table is small overall) and one per-URL aggregate of
+    the (length, allow, rule) struct max — a total order, so the
+    decision AND the reported rule are layout-independent.
+    """
+    from pyspark.sql import functions as F
+
+    cand = urls.join(rules, on=id_col, how="left").withColumn(
+        "__hit",
+        F.when(
+            F.col(path_col).startswith(F.col("rule")),
+            F.struct(
+                F.length("rule").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("rule").alias("r"),
+            ),
+        ),
+    )
+    best = cand.groupBy(*urls.columns).agg(
+        F.max("__hit").alias("__best")
+    )
+    return best.select(
+        *urls.columns,
+        F.coalesce(F.col("__best.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("__best.r").alias("matched_rule"),
+    )

@@ -452,3 +452,85 @@ class TestRegisteredDomainPSL:
                 # only the tiny rules-table aggregates may shuffle
                 nxt = tree.splitlines()[i + 1].split("- ")[-1]
                 assert nxt.startswith("HashAggregate"), tree
+
+
+class TestRobotsRep:
+    ROBOTS = (
+        "# policy\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: yandex\n"
+        "User-agent: *\n"          # consecutive UA lines = one header
+        "Disallow: /private\n"
+        "Allow: /private/public\n"
+        "Disallow: /tmp\n"
+        "Disallow:\n"              # empty = no restriction (no rule row)
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /also\n"
+    )
+
+    def _rules(self, spark, robots=None):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_star_rules,
+        )
+
+        df = spark.createDataFrame(
+            [(1, robots or self.ROBOTS)], "host long, robots string"
+        )
+        return robots_star_rules(df, "host", "robots")
+
+    def test_star_group_rules_extracted(self, spark):
+        got = sorted(
+            (r.allow, r.rule) for r in self._rules(spark).collect()
+        )
+        # ONLY the * group's three non-empty rules; googlebot's and
+        # badbot's rules are excluded, the empty Disallow emits nothing
+        assert got == [
+            (False, "/private"),
+            (False, "/tmp"),
+            (True, "/private/public"),
+        ]
+
+    def test_longest_match_and_allow_beats_disallow(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_url_allowed,
+        )
+
+        rules = self._rules(spark)
+        urls = spark.createDataFrame(
+            [
+                (1, "u1", "/private/secret"),      # Disallow /private
+                (1, "u2", "/private/public/page"),  # Allow wins (longer)
+                (1, "u3", "/tmp/x"),                # Disallow /tmp
+                (1, "u4", "/open/page"),            # no rule -> allowed
+            ],
+            "host long, uid string, path string",
+        )
+        out = {
+            r.uid: (r.allowed, r.matched_rule)
+            for r in robots_url_allowed(
+                urls, rules, "host", "path"
+            ).collect()
+        }
+        assert out == {
+            "u1": (False, "/private"),
+            "u2": (True, "/private/public"),
+            "u3": (False, "/tmp"),
+            "u4": (True, None),
+        }
+
+    def test_host_without_star_group_allows_everything(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_url_allowed,
+        )
+
+        rules = self._rules(
+            spark, robots="User-agent: onlybot\nDisallow: /\n"
+        )
+        urls = spark.createDataFrame(
+            [(1, "u1", "/anything")], "host long, uid string, path string"
+        )
+        out = robots_url_allowed(urls, rules, "host", "path").collect()[0]
+        assert out.allowed is True and out.matched_rule is None

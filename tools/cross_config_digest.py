@@ -32,6 +32,10 @@ BATTERIES = (
     # loss-mask spans (q189), vocab (q186), curriculum (q185) and rank
     # metrics (q187) ride the batteries above
     "q88_profile_battery",
+    # round 9: substring-dedup spans + removal (q192/q193) — window
+    # islands + per-fp keeper election must be layout-independent;
+    # q191's zlib decision and q194's script argmax ride q20 above
+    "q23_dedup_stats",
 )
 
 
