@@ -444,6 +444,10 @@ def robots_url_allowed(
     when the rule table is small overall) and one per-URL aggregate of
     the (length, allow, rule) struct max — a total order, so the
     decision AND the reported rule are layout-independent.
+
+    The aggregate groups by ALL ``urls`` columns, so exact duplicate
+    URL rows collapse to one output row — carry a row id if
+    multiplicity matters downstream.
     """
     from pyspark.sql import functions as F
 

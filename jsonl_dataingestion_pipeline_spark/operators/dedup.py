@@ -1526,14 +1526,17 @@ def remove_duplicate_substrings(
 
     Keeper election is per FINGERPRINT, not per merged span: each
     duplicate fingerprint keeps its first occurrence in (id, p) order
-    (row_number over a total order — layout-independent), a position
-    is PROTECTED if it is the keeper of its fingerprint, and only
-    unprotected matched positions are merged into cut spans. Electing
-    on whole merged spans keyed by content was tried first and is
-    brittle: maximal islands can extend one boundary char differently
-    per document (a shared leading space), splitting what is
-    semantically one duplicate group into singleton groups that each
-    keep themselves — the fingerprint keeper is immune because
+    (MIN over the (id, p) struct — an AGGREGATE with map-side partial
+    combine, deliberately not a row_number window: a boilerplate
+    fingerprint occurring in 10^9 documents would make one window
+    partition sorted on a single task, while the min-struct reduces it
+    tree-wise), a position is PROTECTED if it is the keeper of its
+    fingerprint, and only unprotected matched positions are merged into
+    cut spans. Electing on whole merged spans keyed by content was
+    tried first and is brittle: maximal islands can extend one boundary
+    char differently per document (a shared leading space), splitting
+    what is semantically one duplicate group into singleton groups that
+    each keep themselves — the fingerprint keeper is immune because
     election happens below the merge.
 
     Returns one row per INPUT document: ``(id, text <cleaned>, n_cut
@@ -1545,8 +1548,6 @@ def remove_duplicate_substrings(
     shape as :func:`duplicate_substring_spans` plus the rebuild
     projection.
     """
-    from pyspark.sql.window import Window
-
     base = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).cast("string")
         .alias("__t")
@@ -1554,12 +1555,17 @@ def remove_duplicate_substrings(
     hits = _duplicate_positions(
         df, id_col, text_col, k=k, sample=sample, min_docs=min_docs
     )
-    w_fp = Window.partitionBy("__fp").orderBy(
-        F.col("__id").asc(), F.col("__p").asc()
+    keepers = hits.groupBy("__fp").agg(
+        F.min(
+            F.struct(F.col("__id").alias("ki"), F.col("__p").alias("kp"))
+        ).alias("__k0")
     )
     unprotected = (
-        hits.withColumn("__rn", F.row_number().over(w_fp))
-        .filter(F.col("__rn") > 1)  # rn = 1 is the protected keeper
+        hits.join(keepers, on="__fp")
+        .filter(
+            (F.col("__id") != F.col("__k0.ki"))
+            | (F.col("__p") != F.col("__k0.kp"))
+        )
         .select("__id", "__p")
     )
     spans = _position_islands(unprotected, k)

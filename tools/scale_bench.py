@@ -1289,6 +1289,9 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # emitted spans stay exactly one per planted doc, so true rows
         # are k-linear and the hot-fp census is the measured skew case
         "q192_substr_spans": entry.q192_substring_dedup,
+        # five codegen regex passes + argmax per row — pure scan-bound
+        # projection; rows = k * docs exactly
+        "q194_script_profile": entry.q194_script_profile,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
