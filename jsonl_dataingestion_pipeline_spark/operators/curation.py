@@ -89,10 +89,14 @@ def word_ngrams(c: Column | str, n: int) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     toks = tokens(col)
     n_out = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) would be DESCENDING [1, 0] — guard short docs.
+    # sequence(1, 0) would be DESCENDING [1, 0] and its i=0 term would
+    # feed slice(toks, 0, n), which raises under ANSI. The when-guard
+    # already returns [] for short docs, but per the repo convention
+    # (sketches.py kmv_estimate; ADVICE r8 on rank_metrics) we do not
+    # RELY on when/otherwise branch laziness — floor the bound too.
     return F.when(n_out < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), n_out),
+            F.sequence(F.lit(1), F.greatest(n_out, F.lit(1))),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
