@@ -13240,8 +13240,12 @@ def q190_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce makes it emit exact_jaccard_u = 0 instead.
     exact = union.join(inter, on="event_type", how="left").select(
         "event_type",
+        # decimal widen (round-9 sweep, applied on review): __xi is a
+        # distinct-user count — corpus-sized, so the raw int64 product
+        # would RAISE under ANSI past ~9.2e12 users
         F.expr(
-            "(coalesce(__xi, CAST(0 AS BIGINT)) * 1000000) div __xu"
+            "(CAST(coalesce(__xi, CAST(0 AS BIGINT)) AS DECIMAL(38,0))"
+            " * 1000000) div __xu"
         ).cast("long").alias("exact_jaccard_u"),
     )
     return est.join(exact, on="event_type")
@@ -13316,8 +13320,8 @@ _ORACLE_DEDUP_SIM["q190_kmv_set_algebra"] = f"""
     )
     SELECT e.event_type, e.kmv_jaccard_u, e.kmv_inter_est,
            e.kmv_union_est,
-           CAST((COALESCE(xi.i, 0) * 1000000) // xu.u AS BIGINT)
-               AS exact_jaccard_u
+           CAST(CAST(COALESCE(xi.i, 0) AS HUGEINT) * 1000000 // xu.u
+                AS BIGINT) AS exact_jaccard_u
     FROM ests e JOIN xu USING (event_type)
     LEFT JOIN xi USING (event_type)
 """
@@ -13551,13 +13555,15 @@ _ORACLE_DEDUP_SIM["q193_substring_removal"] = f"""
         GROUP BY fp HAVING COUNT(*) >= 2
     ), hits AS (
         SELECT s.doc_id, s.p, s.fp FROM sel s JOIN dup USING (fp)
+    ), ranked AS (
+        SELECT doc_id, p, ROW_NUMBER() OVER (
+            PARTITION BY fp ORDER BY doc_id, p
+        ) AS rn
+        FROM hits
     ), unprot AS (
-        SELECT doc_id, p FROM (
-            SELECT doc_id, p, ROW_NUMBER() OVER (
-                PARTITION BY fp ORDER BY doc_id, p
-            ) AS rn
-            FROM hits
-        ) WHERE rn > 1
+        SELECT doc_id, p FROM ranked WHERE rn > 1
+    ), prot AS (
+        SELECT doc_id, p FROM ranked WHERE rn = 1
     ), marked AS (
         SELECT doc_id, p,
                MAX(p + 24) OVER (
@@ -13572,9 +13578,55 @@ _ORACLE_DEDUP_SIM["q193_substring_removal"] = f"""
                    PARTITION BY doc_id ORDER BY p
                ) AS g
         FROM marked
-    ), cuts AS (
+    ), cuts0 AS (
         SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
         FROM isl GROUP BY doc_id, g
+    ), pmarked AS (
+        SELECT doc_id, p,
+               MAX(p + 24) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM prot
+    ), pisl0 AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS g
+        FROM pmarked
+    ), pisl AS (
+        SELECT doc_id, MIN(p) AS ps, MAX(p) + 24 AS pe
+        FROM pisl0 GROUP BY doc_id, g
+    ), blocked AS (
+        -- cut = unprotected coverage MINUS protected coverage: keeper
+        -- windows' chars are never cut (survive-somewhere guarantee)
+        SELECT c.doc_id, c.s, c.e,
+               GREATEST(p.ps, c.s) AS bs, LEAST(p.pe, c.e) AS be
+        FROM cuts0 c JOIN pisl p
+          ON p.doc_id = c.doc_id AND p.ps < c.e AND p.pe > c.s
+    ), gaps AS (
+        SELECT doc_id,
+               COALESCE(LAG(be) OVER (
+                   PARTITION BY doc_id, s ORDER BY bs
+               ), s) AS fs,
+               bs AS fe
+        FROM blocked
+    ), tails AS (
+        SELECT doc_id, MAX(be) AS fs, e AS fe
+        FROM blocked GROUP BY doc_id, s, e
+    ), whole AS (
+        SELECT c.doc_id, c.s AS fs, c.e AS fe FROM cuts0 c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pisl p
+            WHERE p.doc_id = c.doc_id AND p.ps < c.e AND p.pe > c.s
+        )
+    ), cuts AS (
+        SELECT doc_id, fs AS s, fe AS e FROM (
+            SELECT * FROM gaps
+            UNION ALL SELECT * FROM tails
+            UNION ALL SELECT * FROM whole
+        ) WHERE fs < fe
     ), pieces AS (
         SELECT doc_id, s, e,
                COALESCE(LAG(e) OVER (
@@ -13647,14 +13699,24 @@ def q194_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(probe)
     staged = d.select("doc_id", probe.alias("__t"))
     t = F.col("__t")
-    return staged.select(
+    # counts materialized ONCE (one regex pass per class), the argmax
+    # built from the column references (main_script_from_counts)
+    counted = staged.select(
         "doc_id",
         ts.script_char_count(t, "latin").alias("sc_latin"),
         ts.script_char_count(t, "cyrillic").alias("sc_cyrillic"),
         ts.script_char_count(t, "cjk").alias("sc_cjk"),
         ts.script_char_count(t, "arabic").alias("sc_arabic"),
         ts.script_char_count(t, "greek").alias("sc_greek"),
-        ts.main_script(t).alias("main_script"),
+    )
+    return counted.select(
+        "*",
+        ts.main_script_from_counts(
+            {
+                n: F.col(f"sc_{n}")
+                for n in ("latin", "cyrillic", "cjk", "arabic", "greek")
+            }
+        ).alias("main_script"),
     )
 
 
@@ -13723,12 +13785,16 @@ def q195_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots Exclusion Protocol evaluation (functions/web.py::
     robots_star_rules + robots_url_allowed, RFC 9309 literal-prefix
     subset): per-host robots.txt bodies are synthesized from nation
-    (crawler-specific groups, a consecutive-UA header block, an empty
-    Disallow, and a host-parameterized rule), customer URLs are routed
+    (CRLF line endings — the RFC's serialization, and the round-9
+    review's fail-open bug; crawler-specific groups; a consecutive-UA
+    header block; an empty Disallow; a trailing-* rule that must strip
+    to its prefix; a mid-pattern-* and a $-anchored rule that must be
+    DROPPED; and a host-parameterized rule), customer URLs are routed
     against them, and the output carries the longest-match decision +
     matched rule per URL. The ORACLE REPLAYS THE PARSER ITSELF — the
-    line explode, header-block windows, star-group flag, longest-match
-    struct ordering — not just the decisions."""
+    CRLF split, header-block windows, star-group flag, the wildcard
+    strip/drop transforms, longest-match struct ordering — not just
+    the decisions."""
     from jsonl_dataingestion_pipeline_spark.functions.web import (
         robots_star_rules,
         robots_url_allowed,
@@ -13739,29 +13805,39 @@ def q195_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long").alias("rp_host"),
         F.concat(
             F.lit(
-                "# crawl policy\nUser-agent: googlebot\nDisallow: /\n\n"
-                "User-agent: yandex\nUser-agent: *\n"
-                "Disallow: /private\nAllow: /private/pub\n"
+                "# crawl policy\r\nUser-agent: googlebot\r\n"
+                "Disallow: /\r\n\r\n"
+                "User-agent: yandex\r\nUser-agent: *\r\n"
+                "Disallow: /private\r\nAllow: /private/pub\r\n"
                 "Disallow: /area"
             ),
             F.col("n_nationkey").cast("string"),
-            F.lit("\nDisallow:\n\nUser-agent: badbot\nDisallow: /x"),
+            F.lit(
+                "\r\nDisallow: /wild\r\nAllow: /wild/*\r\n"
+                "Disallow: /mid*dle\r\nDisallow: /anchor$\r\n"
+                "Disallow:\r\n\r\n"
+                "User-agent: badbot\r\nDisallow: /x"
+            ),
         ).alias("robots"),
     )
     rules = robots_star_rules(robots, "rp_host", "robots")
     c = _t(spark, sf_dir, "customer")
     path = (
-        F.when(F.col("c_custkey") % 5 == 0, F.lit("/private/doc"))
-        .when(F.col("c_custkey") % 5 == 1, F.lit("/private/pub/page"))
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("/private/doc"))
+        .when(F.col("c_custkey") % 7 == 1, F.lit("/private/pub/page"))
         .when(
-            F.col("c_custkey") % 5 == 2,
+            F.col("c_custkey") % 7 == 2,
             F.concat(
                 F.lit("/area"),
                 F.col("c_nationkey").cast("string"),
                 F.lit("/page"),
             ),
         )
-        .when(F.col("c_custkey") % 5 == 3, F.lit("/area999/page"))
+        .when(F.col("c_custkey") % 7 == 3, F.lit("/area999/page"))
+        # Allow /wild/ (stripped from /wild/*) out-lengths Disallow
+        # /wild; /wildcat still prefix-matches Disallow /wild
+        .when(F.col("c_custkey") % 7 == 4, F.lit("/wild/thing"))
+        .when(F.col("c_custkey") % 7 == 5, F.lit("/wildcat"))
         .otherwise(
             F.concat(F.lit("/open/"), F.col("c_custkey").cast("string"))
         )
@@ -13786,57 +13862,63 @@ _DEDUP_SIM_QUERIES["q195_robots_rep"] = q195_robots_rep
 _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
     WITH robots AS (
         SELECT CAST(n_nationkey AS BIGINT) AS host,
-               '# crawl policy' || chr(10) ||
-               'User-agent: googlebot' || chr(10) ||
-               'Disallow: /' || chr(10) || chr(10) ||
-               'User-agent: yandex' || chr(10) ||
-               'User-agent: *' || chr(10) ||
-               'Disallow: /private' || chr(10) ||
-               'Allow: /private/pub' || chr(10) ||
+               '# crawl policy' || chr(13) || chr(10) ||
+               'User-agent: googlebot' || chr(13) || chr(10) ||
+               'Disallow: /' || chr(13) || chr(10)
+               || chr(13) || chr(10) ||
+               'User-agent: yandex' || chr(13) || chr(10) ||
+               'User-agent: *' || chr(13) || chr(10) ||
+               'Disallow: /private' || chr(13) || chr(10) ||
+               'Allow: /private/pub' || chr(13) || chr(10) ||
                'Disallow: /area' || CAST(n_nationkey AS VARCHAR)
-               || chr(10) ||
-               'Disallow:' || chr(10) || chr(10) ||
-               'User-agent: badbot' || chr(10) ||
+               || chr(13) || chr(10) ||
+               'Disallow: /wild' || chr(13) || chr(10) ||
+               'Allow: /wild/*' || chr(13) || chr(10) ||
+               'Disallow: /mid*dle' || chr(13) || chr(10) ||
+               'Disallow: /anchor$' || chr(13) || chr(10) ||
+               'Disallow:' || chr(13) || chr(10)
+               || chr(13) || chr(10) ||
+               'User-agent: badbot' || chr(13) || chr(10) ||
                'Disallow: /x' AS body
         FROM nation
     ), split AS (
-        SELECT host, string_split(body, chr(10)) AS parts FROM robots
+        SELECT host, string_split_regex(body, '\\r?\\n') AS parts
+        FROM robots
     ), lines AS (
         SELECT host, unnest(range(1, len(parts) + 1)) AS ln, parts
         FROM split
+    ), vals AS (
+        SELECT host, ln,
+               trim(parts[CAST(ln AS INT)]) AS line,
+               trim(substr(trim(parts[CAST(ln AS INT)]),
+                    strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))
+                   AS val
+        FROM lines
+    ), pats AS (
+        -- trailing '*' strips to its prefix; leftover '*' / '$' rules
+        -- are dropped (mirrors robots_star_rules' pat_ok)
+        SELECT host, ln, line, val,
+               regexp_replace(val, '\\*+$', '') AS pat
+        FROM vals
     ), typed AS (
         SELECT host, ln,
-               lower(trim(parts[CAST(ln AS INT)])) LIKE 'user-agent:%'
-                   AS is_ua,
-               CASE WHEN lower(trim(parts[CAST(ln AS INT)]))
-                         LIKE 'user-agent:%'
-                    THEN lower(trim(substr(trim(parts[CAST(ln AS INT)]),
-                        strpos(trim(parts[CAST(ln AS INT)]), ':') + 1)))
-               END AS agent,
+               lower(line) LIKE 'user-agent:%' AS is_ua,
+               CASE WHEN lower(line) LIKE 'user-agent:%'
+                    THEN lower(val) END AS agent,
                CASE
-                 WHEN lower(trim(parts[CAST(ln AS INT)])) LIKE 'allow:%'
-                  AND len(trim(substr(trim(parts[CAST(ln AS INT)]),
-                      strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))) > 0
-                 THEN TRUE
-                 WHEN lower(trim(parts[CAST(ln AS INT)]))
-                          LIKE 'disallow:%'
-                  AND len(trim(substr(trim(parts[CAST(ln AS INT)]),
-                      strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))) > 0
-                 THEN FALSE
+                 WHEN lower(line) LIKE 'allow:%'
+                  AND len(pat) > 0 AND NOT contains(pat, '*')
+                  AND NOT contains(pat, '$') THEN TRUE
+                 WHEN lower(line) LIKE 'disallow:%'
+                  AND len(pat) > 0 AND NOT contains(pat, '*')
+                  AND NOT contains(pat, '$') THEN FALSE
                END AS allow,
-               CASE WHEN lower(trim(parts[CAST(ln AS INT)]))
-                         LIKE 'allow:%'
-                      OR lower(trim(parts[CAST(ln AS INT)]))
-                         LIKE 'disallow:%'
-                    THEN CASE WHEN len(trim(substr(
-                        trim(parts[CAST(ln AS INT)]),
-                        strpos(trim(parts[CAST(ln AS INT)]), ':') + 1)))
-                        > 0
-                    THEN trim(substr(trim(parts[CAST(ln AS INT)]),
-                        strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))
-                    END
-               END AS rule
-        FROM lines
+               CASE WHEN (lower(line) LIKE 'allow:%'
+                          OR lower(line) LIKE 'disallow:%')
+                     AND len(pat) > 0 AND NOT contains(pat, '*')
+                     AND NOT contains(pat, '$')
+                    THEN pat END AS rule
+        FROM pats
     ), kept AS (
         SELECT * FROM typed WHERE is_ua OR rule IS NOT NULL
     ), marked AS (
@@ -13860,12 +13942,14 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
     ), urls AS (
         SELECT CAST(c_custkey AS BIGINT) AS rp_custkey,
                CAST(c_nationkey AS BIGINT) AS rp_host,
-               CASE c_custkey % 5
+               CASE c_custkey % 7
                  WHEN 0 THEN '/private/doc'
                  WHEN 1 THEN '/private/pub/page'
                  WHEN 2 THEN '/area' || CAST(c_nationkey AS VARCHAR)
                              || '/page'
                  WHEN 3 THEN '/area999/page'
+                 WHEN 4 THEN '/wild/thing'
+                 WHEN 5 THEN '/wildcat'
                  ELSE '/open/' || CAST(c_custkey AS VARCHAR)
                END AS rp_path
         FROM customer

@@ -189,6 +189,12 @@ def quality_score_from_tokens(
     0.31s -> 0.22s at sf0.1). ``text`` is the raw text column (only the
     emptiness check needs it). Values are bit-identical to
     :func:`quality_score`.
+
+    PROJECTIONS ONLY: in a ``filter``, PushDownPredicates substitutes
+    aliases unconditionally when pushing the predicate through the
+    Project, re-duplicating the split into the pushed condition — a
+    filter gains nothing over plain :func:`quality_score` (round-9
+    review, verified in the optimized plan).
     """
     empty = F.length(F.trim(_col(text).cast("string"))) == 0
     return _quality_body(_col(toks), empty, stopwords, scale)
@@ -985,22 +991,42 @@ def script_char_count(c: ColumnOrName, script: str) -> Column:
     ).cast("int")
 
 
+def main_script_from_counts(
+    counts: "Mapping[str, Column]", default: str = "und"
+) -> Column:
+    """Argmax writing system from ALREADY-COMPUTED per-script count
+    columns — the fast path when the counts are materialized in a
+    preceding select (each count is then referenced twice as a cheap
+    column: once in the GREATEST, once in its CASE arm). Ties break to
+    the lexicographically smaller script name; all-zero -> ``default``.
+
+    The greatest+CASE shape is deliberate: a running
+    (best, best_name) fold nests the accumulator twice per step, so
+    early counts' sub-expressions duplicate ~2^(n-1) times in the final
+    tree and Catalyst's CSE does not hoist across CASE branches
+    (round-9 review; the same reason quality_score dropped its fold).
+    """
+    names = sorted(counts)
+    cols = [counts[n] for n in names]
+    best = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    expr = F.lit(default)
+    # outermost WHEN wins: iterate reversed so the FIRST sorted name
+    # with count == best takes the tie (same winner as the old fold,
+    # where later names replaced only on strictly-greater)
+    for n in reversed(names):
+        expr = F.when(
+            (counts[n] == best) & (best > 0), F.lit(n)
+        ).otherwise(expr)
+    return expr
+
+
 def main_script(c: ColumnOrName, default: str = "und") -> Column:
-    """Argmax writing system by character count; ties break to the
-    lexicographically smaller script name (the :func:`lang_id` fold);
-    zero chars in every class -> ``default``."""
-    scored = sorted(SCRIPT_CLASSES)
-    best = None
-    best_name = F.lit(default)
-    for name in scored:
-        cnt = script_char_count(c, name)
-        if best is None:
-            best = cnt
-            best_name = F.when(cnt > 0, F.lit(name)).otherwise(
-                F.lit(default)
-            )
-        else:
-            cond = cnt > best
-            best_name = F.when(cond, F.lit(name)).otherwise(best_name)
-            best = F.when(cond, cnt).otherwise(best)
-    return best_name
+    """Argmax writing system by character count over
+    :data:`SCRIPT_CLASSES`; ties break to the lexicographically smaller
+    script name; zero chars in every class -> ``default``. Each class's
+    regex count appears twice in the tree (greatest + its CASE arm) —
+    in a hot projection, materialize the counts in a preceding select
+    and use :func:`main_script_from_counts` for one pass per class."""
+    return main_script_from_counts(
+        {n: script_char_count(c, n) for n in SCRIPT_CLASSES}, default
+    )

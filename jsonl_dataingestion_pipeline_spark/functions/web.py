@@ -350,9 +350,17 @@ def robots_star_rules(
     (RFC 9309) subset a crawl-curation pipeline evaluates when honoring
     opt-outs at scale. Returns ``(id, allow BOOLEAN, rule STRING)``
     rows, one per Allow/Disallow line with a non-empty LITERAL PREFIX
-    pattern in any ``*`` group (wildcard ``*``/``$`` patterns and
-    crawler-specific groups are out of scope — documented subset; empty
-    ``Disallow:`` means "no restriction" per the RFC and emits no row).
+    pattern in any ``*`` group. Lines split on CRLF or LF (RFC 9309
+    serializes with CRLF — an LF-only split left the CR glued to every
+    agent name, so the star group was never detected and the opt-out
+    guard failed open; review finding, round 9). Wildcard handling: a
+    TRAILING ``*`` is stripped (``/private/*`` is the prefix
+    ``/private/`` — equivalent as a prefix rule), and rules still
+    containing ``*`` or anchored with ``$`` are DROPPED, never misread
+    as literals that silently fail to match (crawler-specific groups
+    and mid-pattern wildcards remain out of scope — documented subset;
+    empty ``Disallow:`` means "no restriction" per the RFC and emits
+    no row).
 
     Parsing is relational, not a per-row UDF: one ``posexplode`` over
     the lines, a per-host window marking header-block starts
@@ -368,7 +376,7 @@ def robots_star_rules(
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.split(F.col(robots_col).cast("string"), "\n")
+            F.split(F.col(robots_col).cast("string"), "\r?\n")
         ).alias("__ln", "__raw"),
     ).select(
         "__id",
@@ -384,17 +392,24 @@ def robots_star_rules(
     val = F.trim(
         F.expr("substring(__line, instr(__line, ':') + 1)")
     )
+    # trailing '*' is redundant in a prefix rule — strip it; anything
+    # still wildcarded/anchored is NOT expressible as a literal prefix
+    # and must be dropped, not matched literally (it would fail open)
+    pat = F.regexp_replace(val, r"\*+$", "")
+    pat_ok = (
+        (F.length(pat) > 0)
+        & ~pat.contains("*")
+        & ~pat.contains("$")
+    )
     typed = lines.select(
         "__id",
         "__ln",
         is_ua.alias("__ua"),
         F.when(is_ua, F.lower(val)).alias("__agent"),
-        F.when(is_allow & (F.length(val) > 0), F.lit(True))
-        .when(is_dis & (F.length(val) > 0), F.lit(False))
+        F.when(is_allow & pat_ok, F.lit(True))
+        .when(is_dis & pat_ok, F.lit(False))
         .alias("__allow"),
-        F.when(
-            (is_allow | is_dis) & (F.length(val) > 0), val
-        ).alias("__rule"),
+        F.when((is_allow | is_dis) & pat_ok, pat).alias("__rule"),
     ).filter(F.col("__ua") | F.col("__rule").isNotNull())
     w = Window.partitionBy("__id").orderBy("__ln")
     # a header block starts at a User-agent line NOT preceded by one

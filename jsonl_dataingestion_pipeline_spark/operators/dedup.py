@@ -1548,6 +1548,8 @@ def remove_duplicate_substrings(
     shape as :func:`duplicate_substring_spans` plus the rebuild
     projection.
     """
+    from pyspark.sql.window import Window
+
     base = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).cast("string")
         .alias("__t")
@@ -1560,19 +1562,69 @@ def remove_duplicate_substrings(
             F.struct(F.col("__id").alias("ki"), F.col("__p").alias("kp"))
         ).alias("__k0")
     )
-    unprotected = (
-        hits.join(keepers, on="__fp")
-        .filter(
-            (F.col("__id") != F.col("__k0.ki"))
-            | (F.col("__p") != F.col("__k0.kp"))
-        )
-        .select("__id", "__p")
+    tagged = hits.join(keepers, on="__fp")
+    is_keeper = (F.col("__id") == F.col("__k0.ki")) & (
+        F.col("__p") == F.col("__k0.kp")
     )
-    spans = _position_islands(unprotected, k)
-    per_doc = spans.groupBy("__id").agg(
+    unprotected = tagged.filter(~is_keeper).select("__id", "__p")
+    protected = tagged.filter(is_keeper).select("__id", "__p")
+    u_isl = _position_islands(unprotected, k)
+    # cut regions = (unprotected windows' coverage) MINUS (protected
+    # windows' coverage): when duplicate groups OVERLAP inside a
+    # keeper's document, a naive island over unprotected positions
+    # covers the keeper windows' characters too and destroys the last
+    # corpus-wide copy of those windows (round-9 review finding — the
+    # survive-somewhere guarantee). Subtract the protected islands by
+    # interval arithmetic: per u-island, the gaps before each clamped
+    # blocked interval + the tail after the last one.
+    p_isl = _position_islands(protected, k).select(
+        "__id", F.col("s").alias("__ps"), F.col("e").alias("__pe")
+    )
+    overlapping = (F.col("__ps") < F.col("e")) & (
+        F.col("__pe") > F.col("s")
+    )
+    blocked = (
+        u_isl.join(p_isl, on="__id")
+        .filter(overlapping)
+        .select(
+            "__id",
+            "s",
+            "e",
+            F.greatest(F.col("__ps"), F.col("s")).alias("__bs"),
+            F.least(F.col("__pe"), F.col("e")).alias("__be"),
+        )
+    )
+    w_isl = Window.partitionBy("__id", "s").orderBy("__bs")
+    gaps = blocked.select(
+        "__id",
+        F.coalesce(
+            F.lag("__be").over(w_isl), F.col("s")
+        ).alias("__fs"),
+        F.col("__bs").alias("__fe"),
+    )
+    tails = blocked.groupBy("__id", "s", "e").agg(
+        F.max("__be").alias("__fs")
+    ).select("__id", "__fs", F.col("e").alias("__fe"))
+    whole = u_isl.join(
+        p_isl,
+        on=(
+            (u_isl["__id"] == p_isl["__id"])
+            & (p_isl["__ps"] < u_isl["e"])
+            & (p_isl["__pe"] > u_isl["s"])
+        ),
+        how="left_anti",
+    ).select("__id", F.col("s").alias("__fs"), F.col("e").alias("__fe"))
+    cuts = (
+        gaps.unionByName(tails)
+        .unionByName(whole)
+        .filter(F.col("__fs") < F.col("__fe"))
+    )
+    per_doc = cuts.groupBy("__id").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col("s").alias("__s"), F.col("e").alias("__e"))
+                F.struct(
+                    F.col("__fs").alias("__s"), F.col("__fe").alias("__e")
+                )
             )
         ).alias("__cuts")
     )

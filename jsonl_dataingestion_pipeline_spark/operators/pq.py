@@ -612,11 +612,19 @@ def append_ivfpq_index(
         import os as _os
         import warnings
 
+        from pyspark.errors import AnalysisException
+
         spark = df.sparkSession
         stats_path = _os.path.join(path, DRIFT_STATS_DIR)
         try:
             train = spark.read.parquet(stats_path).collect()[0]
-        except Exception:
+        except AnalysisException as e:
+            # ONLY the missing-sidecar case downgrades to unchecked
+            # (pre-round-9 index); any other failure reading the
+            # sidecar (corruption, permissions) must NOT silently
+            # disable a guard the caller asked to raise (review r9)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             train = None
             warnings.warn(
                 f"append_ivfpq_index: no {DRIFT_STATS_DIR} sidecar at "

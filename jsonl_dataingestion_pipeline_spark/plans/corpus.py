@@ -35,8 +35,7 @@ from jsonl_dataingestion_pipeline_spark.functions.sampling import (
     temperature_sample,
 )
 from jsonl_dataingestion_pipeline_spark.functions.textstats import (
-    quality_score_from_tokens,
-    tokens,
+    quality_score,
 )
 from jsonl_dataingestion_pipeline_spark.operators.curation import dedup_lines
 from jsonl_dataingestion_pipeline_spark.operators.dedup import (
@@ -98,17 +97,15 @@ def curate_corpus(
     )
 
     # -- 2: composite quality filter (length / stopword / repetition).
-    # The token split is materialized in its own select so the score's
-    # several references share ONE regex split per row inside codegen
-    # (per expr.let's guidance), then dropped after the filter.
-    s2 = (
-        s1.withColumn("__qs_toks", tokens(F.col(text_col)))
-        .filter(
-            quality_score_from_tokens(F.col("__qs_toks"), F.col(text_col))
-            >= quality_min
-        )
-        .drop("__qs_toks")
-    )
+    # Deliberately the PLAIN composed form: materializing the token
+    # split in a preceding select does NOT survive a filter —
+    # PushDownPredicates substitutes aliases unconditionally when
+    # pushing a Filter through a Project (no cheapness check, unlike
+    # CollapseProject), so the "shared" split re-duplicates into the
+    # pushed predicate anyway (round-9 review, verified in the
+    # optimized plan). The *_from_tokens fast path is for PROJECTIONS;
+    # filters pay the duplicated-split codegen either way.
+    s2 = s1.filter(quality_score(F.col(text_col)) >= quality_min)
 
     # -- 3: cross-corpus line dedup over derived fixed-token lines.
     # documents.text is single-line; segment it into ``line_tokens``-token

@@ -1155,3 +1155,33 @@ class TestRemoveDuplicateSpans:
         # doc 1 keeps its FIRST copy, loses the second
         assert out[1].text.count(block) == 1
         assert out[1].n_cut == 1
+
+    def test_overlapping_groups_keep_every_window_somewhere(self, spark):
+        """Round-9 review finding: when duplicate groups OVERLAP inside
+        a keeper's document (doc2 contains L and R overlapping; doc2 is
+        R's keeper but not L's), the naive unprotected-island cut
+        destroyed R's keeper windows corpus-wide. The protected-interval
+        subtraction must keep EVERY duplicated window's text alive in
+        at least one cleaned document."""
+        M = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+        L, R = M[:32], M[8:]
+        rows = [
+            (1, "xx#" + L + "@yy"),
+            (2, "qq%" + M + "&rr"),
+            (3, "zz=" + R + "+ww"),
+        ]
+        out = self._run(spark, rows, k=24, sample=1)
+        cleaned = [out[i].text for i in (1, 2, 3)]
+        # enumerate every 24-gram duplicated across the ORIGINAL docs
+        docs_per: dict = {}
+        for i, (_id, t) in enumerate(rows):
+            for j in range(len(t) - 23):
+                docs_per.setdefault(t[j: j + 24], set()).add(i)
+        dup_grams = [g for g, d in docs_per.items() if len(d) >= 2]
+        assert dup_grams, "fixture must contain duplicated windows"
+        for g in dup_grams:
+            assert any(g in t for t in cleaned), (
+                f"duplicated window destroyed corpus-wide: {g!r}"
+            )
+        # and the transform still CUT something (not a no-op)
+        assert any(out[i].n_cut > 0 for i in (1, 2, 3))

@@ -409,3 +409,37 @@ def test_append_without_sidecar_warns_and_appends(spark, tmp_path):
     with pytest.warns(UserWarning, match="UNCHECKED"):
         append_ivfpq_index(batch, path, coarse, cbs)
     assert spark.read.parquet(path).count() == df.count()
+
+
+def test_corrupt_sidecar_raises_instead_of_unchecked_append(spark, tmp_path):
+    """Round-9 review: only a MISSING sidecar downgrades the drift
+    guard to an unchecked append; a corrupt/unreadable sidecar must
+    raise, not silently disable the guard the caller asked to raise."""
+    import os
+
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    df, x = _clustered_df(spark)
+    initial = df.filter(F.col("vec_id") < 90)
+    batch = df.filter(F.col("vec_id") >= 90)
+    coarse, cbs = ivfpq_train(
+        initial, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    path = str(tmp_path / "corrupt_sidecar_index")
+    write_ivfpq_index(initial, path, coarse, cbs)
+    side = os.path.join(path, "_drift_stats")
+    for f in os.listdir(side):
+        os.remove(os.path.join(side, f))
+    with open(os.path.join(side, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    n_before = spark.read.parquet(path).count()
+    with pytest.raises(Exception):
+        append_ivfpq_index(batch, path, coarse, cbs)
+    assert spark.read.parquet(path).count() == n_before

@@ -534,3 +534,69 @@ class TestRobotsRep:
         )
         out = robots_url_allowed(urls, rules, "host", "path").collect()[0]
         assert out.allowed is True and out.matched_rule is None
+
+
+class TestRobotsRepHardening:
+    """Round-9 review findings: CRLF bodies (RFC 9309's serialization)
+    failed open, and wildcard rules were misread as literals."""
+
+    def _eval(self, spark, robots, paths):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_star_rules,
+            robots_url_allowed,
+        )
+
+        rdf = spark.createDataFrame(
+            [(1, robots)], "host long, robots string"
+        )
+        rules = robots_star_rules(rdf, "host", "robots")
+        urls = spark.createDataFrame(
+            [(1, p, p) for p in paths], "host long, uid string, path string"
+        )
+        return {
+            r.uid: (r.allowed, r.matched_rule)
+            for r in robots_url_allowed(
+                urls, rules, "host", "path"
+            ).collect()
+        }
+
+    def test_crlf_body_does_not_fail_open(self, spark):
+        robots = (
+            "User-agent: *\r\nDisallow: /private\r\nAllow: /private/pub"
+            "\r\n"
+        )
+        out = self._eval(
+            spark, robots, ["/private/secret", "/private/pub/x", "/ok"]
+        )
+        assert out["/private/secret"] == (False, "/private")
+        assert out["/private/pub/x"] == (True, "/private/pub")
+        assert out["/ok"] == (True, None)
+
+    def test_trailing_star_strips_to_prefix(self, spark):
+        robots = "User-agent: *\nDisallow: /wild\nAllow: /wild/*\n"
+        out = self._eval(spark, robots, ["/wild/thing", "/wildcat"])
+        # Allow /wild/ (6 chars) out-lengths Disallow /wild (5)
+        assert out["/wild/thing"] == (True, "/wild/")
+        assert out["/wildcat"] == (False, "/wild")
+
+    def test_unexpressible_wildcards_are_dropped_not_literal(self, spark):
+        # a mid-pattern * or $ anchor cannot be a literal prefix; it is
+        # DROPPED (documented subset) — previously it was emitted as a
+        # literal that never matched, which is the same outcome for the
+        # URL but poisoned longest-match lengths and the rule list
+        robots = (
+            "User-agent: *\nDisallow: /mid*dle\nDisallow: /anchor$\n"
+            "Disallow: /real\n"
+        )
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_star_rules,
+        )
+
+        rdf = spark.createDataFrame(
+            [(1, robots)], "host long, robots string"
+        )
+        got = sorted(
+            (r.allow, r.rule)
+            for r in robots_star_rules(rdf, "host", "robots").collect()
+        )
+        assert got == [(False, "/real")]
