@@ -1292,6 +1292,10 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # five codegen regex passes + argmax per row — pure scan-bound
         # projection; rows = k * docs exactly
         "q194_script_profile": entry.q194_script_profile,
+        # the removal transform: q192's match stage + keeper aggregate
+        # + interval subtraction + fold rebuild; rows = k * docs exactly
+        # (one output row per input doc)
+        "q193_substr_removal": entry.q193_substring_removal,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
