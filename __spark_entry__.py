@@ -13985,3 +13985,111 @@ _ORACLE_SHAPES["q195_robots_rep"] = (
 _UNION_MERGES["q33_text_extract_battery"].append(
     ("robots_rep", "q195_robots_rep")
 )
+
+
+def q196_incremental_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental substring dedup (operators/dedup.py::
+    substring_fp_index + incremental_substring_spans): the corpus is
+    split into a BASE crawl (doc_id %% 3 != 0, census'd into the stored
+    fingerprint index) and a NEW batch (doc_id %% 3 == 0), with the
+    q192 boilerplate planted across both sides; the batch's duplicate
+    spans are derived from the index WITHOUT rescanning the base —
+    pytest additionally proves span-set equality with a full run over
+    base+batch. The oracle replays the census, the batch+index total,
+    and the islands."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        incremental_substring_spans,
+        substring_fp_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.lit(_Q192_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("__t"),
+    )
+    base = probe.filter(F.col("doc_id") % 3 != 0)
+    batch = probe.filter(F.col("doc_id") % 3 == 0)
+    idx = substring_fp_index(base, "doc_id", "__t", k=24, sample=4)
+    spans = incremental_substring_spans(
+        batch, idx, "doc_id", "__t", k=24, sample=4
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s").alias("inc_s"),
+        F.col("e").alias("inc_e"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q196_incremental_substring"] = (
+    q196_incremental_substring
+)
+
+_ORACLE_DEDUP_SIM["q196_incremental_substring"] = f"""
+    WITH probe AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' || '{_Q192_BOILER}'
+                    ELSE text END AS t
+        FROM documents
+    ), allsel AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(
+                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
+               ) AS BIGINT) AS fp
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
+            FROM probe WHERE len(t) >= 24
+        )
+        WHERE CAST('0x' || substr(
+            md5(substr(t, CAST(p AS INT), 24)), 1, 15) AS BIGINT)
+            % 4 = 0
+    ), idx AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+            SELECT DISTINCT fp, doc_id FROM allsel WHERE doc_id % 3 <> 0
+        ) GROUP BY fp
+    ), bsel AS (
+        SELECT * FROM allsel WHERE doc_id % 3 = 0
+    ), bcensus AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS bn FROM (
+            SELECT DISTINCT fp, doc_id FROM bsel
+        ) GROUP BY fp
+    ), dup AS (
+        SELECT b.fp FROM bcensus b LEFT JOIN idx USING (fp)
+        WHERE b.bn + COALESCE(idx.n_docs, 0) >= 2
+    ), hits AS (
+        SELECT s.doc_id, s.p FROM bsel s JOIN dup USING (fp)
+    ), marked AS (
+        SELECT doc_id, p,
+               MAX(p + 24) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM hits
+    ), isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS g
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS inc_s,
+           CAST(MAX(p) + 24 AS BIGINT) AS inc_e
+    FROM isl GROUP BY doc_id, g
+"""
+
+_ORACLE_SHAPES["q196_incremental_substring"] = (
+    ("doc_id", "BIGINT"), ("inc_s", "BIGINT"), ("inc_e", "BIGINT"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("incr_substr", "q196_incremental_substring")
+)

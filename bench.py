@@ -177,6 +177,7 @@ HEADLINE = [
     "q193_substring_removal",
     "q194_script_profile",
     "q195_robots_rep",
+    "q196_incremental_substring",
 ]
 
 

@@ -1438,18 +1438,12 @@ def duplicate_substring_spans(
     )
 
 
-def _duplicate_positions(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    k: int,
-    sample: int,
-    min_docs: int,
+def _selected_positions(
+    df: DataFrame, id_col: str, text_col: str, *, k: int, sample: int
 ) -> DataFrame:
-    """The shared fingerprint-match stage of the substring-dedup pair:
-    ``(__id, __p, __fp)`` rows for every SELECTED window whose
-    fingerprint appears in >= ``min_docs`` distinct documents."""
+    """The streamed fingerprint pass shared by ALL substring-dedup
+    operators: ``(__id, __p, __fp)`` for every content-selected window
+    (``fp % sample == 0``) — one Generate + codegen md5 projection."""
     if k < 2:
         raise ValueError("duplicate substring ops: k must be >= 2")
     if sample < 1:
@@ -1470,10 +1464,24 @@ def _duplicate_positions(
         16,
         10,
     ).cast("long")
-    sel = (
-        pos.select("__id", "__p", fp.alias("__fp"))
-        .filter(F.col("__fp") % sample == 0)
+    return pos.select("__id", "__p", fp.alias("__fp")).filter(
+        F.col("__fp") % sample == 0
     )
+
+
+def _duplicate_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    sample: int,
+    min_docs: int,
+) -> DataFrame:
+    """The shared fingerprint-match stage of the substring-dedup pair:
+    ``(__id, __p, __fp)`` rows for every SELECTED window whose
+    fingerprint appears in >= ``min_docs`` distinct documents."""
+    sel = _selected_positions(df, id_col, text_col, k=k, sample=sample)
     dup_fps = (
         sel.select("__fp", "__id")
         .distinct()
@@ -1669,4 +1677,85 @@ def remove_duplicate_substrings(
         .alias(text_col),
         F.coalesce(F.size("__cuts"), F.lit(0)).cast("int").alias("n_cut"),
         F.coalesce(cut_chars, F.lit(0).cast("long")).alias("cut_chars"),
+    )
+
+
+def substring_fp_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 40,
+    sample: int = 8,
+) -> DataFrame:
+    """The STORED side of incremental substring dedup: the
+    ``(fp, n_docs)`` census of a corpus's selected window fingerprints.
+    Persist it (parquet, bucketed by ``fp`` at scale) once per base
+    corpus; each new crawl batch then checks against the index instead
+    of rescanning the base — the same incremental contract as
+    :func:`incremental_dedup` (content keys) and
+    ``incremental_connected_components`` (near-dup clusters), at
+    substring granularity. ~one row per distinct selected fingerprint
+    (1/``sample`` of distinct k-grams); counts are DISTINCT docs.
+    """
+    sel = _selected_positions(df, id_col, text_col, k=k, sample=sample)
+    return (
+        sel.select("__fp", "__id")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(F.col("__fp").alias("fp"), "n_docs")
+    )
+
+
+def incremental_substring_spans(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 40,
+    sample: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-substring spans of a NEW batch against a stored
+    :func:`substring_fp_index` — the base corpus is never rescanned.
+    A batch window is duplicated when its fingerprint's total distinct
+    document count (batch-distinct + indexed ``n_docs``) reaches
+    ``min_docs``, so both batch-internal duplicates and batch-vs-base
+    duplicates surface, exactly as a full :func:`duplicate_substring_
+    spans` over base+batch would flag the batch's side (same k/sample/
+    min_docs => same selected windows, same totals). Returns
+    ``(id, s, e)`` spans for BATCH documents only.
+
+    Cost per batch: the streamed fingerprint pass over the BATCH, one
+    batch-census aggregate, one fp-keyed join against the index (index
+    side is fingerprint-count-sized; bucket it by fp to make the join
+    shuffle-free), and the id-keyed islands window. Index maintenance
+    after accepting a batch = union the batch census in (sum n_docs
+    per fp) — an aggregate, not a rebuild.
+    """
+    sel = _selected_positions(
+        batch, id_col, text_col, k=k, sample=sample
+    )
+    bcensus = (
+        sel.select("__fp", "__id")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("__bn"))
+    )
+    idx = index.select(
+        F.col("fp").alias("__fp"), F.col("n_docs").alias("__in")
+    )
+    dup_fps = (
+        bcensus.join(idx, on="__fp", how="left")
+        .filter(
+            F.col("__bn") + F.coalesce(F.col("__in"), F.lit(0))
+            >= min_docs
+        )
+        .select("__fp")
+    )
+    hits = sel.join(dup_fps, on="__fp", how="leftsemi")
+    return _position_islands(hits, k).select(
+        F.col("__id").alias(id_col), "s", "e"
     )

@@ -1185,3 +1185,81 @@ class TestRemoveDuplicateSpans:
             )
         # and the transform still CUT something (not a no-op)
         assert any(out[i].n_cut > 0 for i in (1, 2, 3))
+
+
+class TestIncrementalSubstringSpans:
+    def test_batch_vs_index_equals_full_run_on_batch_side(self, spark):
+        """The incremental contract: spans flagged for the batch against
+        a stored index must equal the batch-side spans of a FULL
+        duplicate_substring_spans over base + batch."""
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            duplicate_substring_spans,
+            incremental_substring_spans,
+            substring_fp_index,
+        )
+
+        boiler = (
+            "This licensing boilerplate paragraph is shared between "
+            "the old crawl and the new crawl verbatim."
+        )
+        base_rows = [
+            (1, "Base doc one says things. " + boiler),
+            (2, "Base doc two is entirely original text with no "
+                "duplicated regions whatsoever in it."),
+        ]
+        batch_rows = [
+            (10, "New doc ten leads in, then: " + boiler),  # vs base
+            (11, "batch-internal duplicate XYZABCDEFGHIJKLMNOPQRSTUV!"),
+            (12, "also the batch-internal duplicate "
+                 "XYZABCDEFGHIJKLMNOPQRSTUV?"),
+            (13, "completely fresh content in the new crawl, nothing "
+                 "repeated anywhere at all."),
+        ]
+        base = spark.createDataFrame(base_rows, "id long, text string")
+        batch = spark.createDataFrame(batch_rows, "id long, text string")
+        idx = substring_fp_index(base, "id", "text", k=24, sample=1)
+        inc = {
+            (r.id, r.s, r.e)
+            for r in incremental_substring_spans(
+                batch, idx, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        full = {
+            (r.id, r.s, r.e)
+            for r in duplicate_substring_spans(
+                base.unionByName(batch), "id", "text", k=24, sample=1
+            ).collect()
+            if r.id >= 10
+        }
+        assert inc == full
+        # and it actually flagged both kinds of duplication
+        ids = {i for i, _s, _e in inc}
+        assert 10 in ids            # batch-vs-base
+        assert 11 in ids and 12 in ids  # batch-internal
+        assert 13 not in ids
+
+    def test_empty_index_reduces_to_batch_only_dedup(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            duplicate_substring_spans,
+            incremental_substring_spans,
+        )
+
+        rows = [
+            (1, "twin text AAAABBBBCCCCDDDDEEEEFFFF here"),
+            (2, "twin text AAAABBBBCCCCDDDDEEEEFFFF there"),
+        ]
+        batch = spark.createDataFrame(rows, "id long, text string")
+        empty_idx = spark.createDataFrame([], "fp long, n_docs long")
+        inc = {
+            (r.id, r.s, r.e)
+            for r in incremental_substring_spans(
+                batch, empty_idx, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        full = {
+            (r.id, r.s, r.e)
+            for r in duplicate_substring_spans(
+                batch, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        assert inc == full and inc
