@@ -13783,17 +13783,21 @@ _JOIN_MERGES["q20_doc_quality"][1].append(("q194_script_profile", {}))
 
 def q195_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots Exclusion Protocol evaluation (functions/web.py::
-    robots_star_rules + robots_url_allowed, RFC 9309 literal-prefix
-    subset): per-host robots.txt bodies are synthesized from nation
-    (CRLF line endings — the RFC's serialization, and the round-9
-    review's fail-open bug; crawler-specific groups; a consecutive-UA
-    header block; an empty Disallow; a trailing-* rule that must strip
-    to its prefix; a mid-pattern-* and a $-anchored rule that must be
-    DROPPED; and a host-parameterized rule), customer URLs are routed
-    against them, and the output carries the longest-match decision +
-    matched rule per URL. The ORACLE REPLAYS THE PARSER ITSELF — the
-    CRLF split, header-block windows, star-group flag, the wildcard
-    strip/drop transforms, longest-match struct ordering — not just
+    robots_star_rules + robots_url_allowed, full RFC 9309 wildcard
+    matching since round 10): per-host robots.txt bodies are
+    synthesized from nation (CRLF line endings — the RFC's
+    serialization; crawler-specific groups; a consecutive-UA header
+    block; an EOL comment on a rule line that must strip to its
+    pattern; an empty Disallow that emits no rule but still TERMINATES
+    the star group so the bot-specific Allow below it cannot leak in;
+    a trailing-* rule; mid-pattern-* and $-anchored rules that are now
+    ENFORCED, not dropped; and a host-parameterized rule), customer
+    URLs are routed against them, and the output carries the
+    longest-match decision + matched rule per URL. The ORACLE REPLAYS
+    THE PARSER ITSELF — the CRLF split, comment strip, header-block
+    windows over ALL rule lines, star-group flag, the
+    pattern→anchored-regex compile (escape chain, *→.*, $→\\z),
+    octet-length precedence, longest-match struct ordering — not just
     the decisions."""
     from jsonl_dataingestion_pipeline_spark.functions.web import (
         robots_star_rules,
@@ -13808,36 +13812,53 @@ def q195_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "# crawl policy\r\nUser-agent: googlebot\r\n"
                 "Disallow: /\r\n\r\n"
                 "User-agent: yandex\r\nUser-agent: *\r\n"
-                "Disallow: /private\r\nAllow: /private/pub\r\n"
+                "Disallow: /private # staff area\r\n"
+                "Allow: /private/pub\r\n"
                 "Disallow: /area"
             ),
             F.col("n_nationkey").cast("string"),
             F.lit(
                 "\r\nDisallow: /wild\r\nAllow: /wild/*\r\n"
                 "Disallow: /mid*dle\r\nDisallow: /anchor$\r\n"
+                "Disallow: /*.pdf$\r\n"
                 "Disallow:\r\n\r\n"
-                "User-agent: badbot\r\nDisallow: /x"
+                # the rule line above ends the star group: badbot's
+                # Allow would override 'Disallow: /private' on the
+                # length tie if group segmentation leaked it in
+                "User-agent: badbot\r\nAllow: /private\r\n"
+                "Disallow: /x"
             ),
         ).alias("robots"),
     )
     rules = robots_star_rules(robots, "rp_host", "robots")
     c = _t(spark, sf_dir, "customer")
     path = (
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("/private/doc"))
-        .when(F.col("c_custkey") % 7 == 1, F.lit("/private/pub/page"))
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("/private/doc"))
+        .when(F.col("c_custkey") % 11 == 1, F.lit("/private/pub/page"))
         .when(
-            F.col("c_custkey") % 7 == 2,
+            F.col("c_custkey") % 11 == 2,
             F.concat(
                 F.lit("/area"),
                 F.col("c_nationkey").cast("string"),
                 F.lit("/page"),
             ),
         )
-        .when(F.col("c_custkey") % 7 == 3, F.lit("/area999/page"))
-        # Allow /wild/ (stripped from /wild/*) out-lengths Disallow
-        # /wild; /wildcat still prefix-matches Disallow /wild
-        .when(F.col("c_custkey") % 7 == 4, F.lit("/wild/thing"))
-        .when(F.col("c_custkey") % 7 == 5, F.lit("/wildcat"))
+        .when(F.col("c_custkey") % 11 == 3, F.lit("/area999/page"))
+        # Allow /wild/* (7 octets) out-lengths Disallow /wild (5);
+        # /wildcat still matches only Disallow /wild
+        .when(F.col("c_custkey") % 11 == 4, F.lit("/wild/thing"))
+        .when(F.col("c_custkey") % 11 == 5, F.lit("/wildcat"))
+        .when(F.col("c_custkey") % 11 == 6, F.lit("/midXYdle"))
+        .when(F.col("c_custkey") % 11 == 7, F.lit("/anchor"))
+        .when(F.col("c_custkey") % 11 == 8, F.lit("/anchor2"))
+        .when(
+            F.col("c_custkey") % 11 == 9,
+            F.concat(
+                F.lit("/docs/"),
+                F.col("c_custkey").cast("string"),
+                F.lit(".pdf"),
+            ),
+        )
         .otherwise(
             F.concat(F.lit("/open/"), F.col("c_custkey").cast("string"))
         )
@@ -13868,7 +13889,7 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
                || chr(13) || chr(10) ||
                'User-agent: yandex' || chr(13) || chr(10) ||
                'User-agent: *' || chr(13) || chr(10) ||
-               'Disallow: /private' || chr(13) || chr(10) ||
+               'Disallow: /private # staff area' || chr(13) || chr(10) ||
                'Allow: /private/pub' || chr(13) || chr(10) ||
                'Disallow: /area' || CAST(n_nationkey AS VARCHAR)
                || chr(13) || chr(10) ||
@@ -13876,9 +13897,11 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
                'Allow: /wild/*' || chr(13) || chr(10) ||
                'Disallow: /mid*dle' || chr(13) || chr(10) ||
                'Disallow: /anchor$' || chr(13) || chr(10) ||
+               'Disallow: /*.pdf$' || chr(13) || chr(10) ||
                'Disallow:' || chr(13) || chr(10)
                || chr(13) || chr(10) ||
                'User-agent: badbot' || chr(13) || chr(10) ||
+               'Allow: /private' || chr(13) || chr(10) ||
                'Disallow: /x' AS body
         FROM nation
     ), split AS (
@@ -13888,39 +13911,35 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
         SELECT host, unnest(range(1, len(parts) + 1)) AS ln, parts
         FROM split
     ), vals AS (
+        -- EOL '#' comments strip BEFORE classification (RFC 9309
+        -- permits them on any line), mirroring robots_star_rules
         SELECT host, ln,
-               trim(parts[CAST(ln AS INT)]) AS line,
-               trim(substr(trim(parts[CAST(ln AS INT)]),
-                    strpos(trim(parts[CAST(ln AS INT)]), ':') + 1))
-                   AS val
+               trim(regexp_replace(parts[CAST(ln AS INT)],
+                    '#.*$', '')) AS line
         FROM lines
     ), pats AS (
-        -- trailing '*' strips to its prefix; leftover '*' / '$' rules
-        -- are dropped (mirrors robots_star_rules' pat_ok)
-        SELECT host, ln, line, val,
-               regexp_replace(val, '\\*+$', '') AS pat
+        SELECT host, ln, line,
+               trim(substr(line, strpos(line, ':') + 1)) AS val
         FROM vals
     ), typed AS (
+        -- EVERY Allow/Disallow line is kept through group
+        -- segmentation (empty patterns emit no rule but still
+        -- terminate the header block); pattern filtering happens
+        -- after the star-group join
         SELECT host, ln,
                lower(line) LIKE 'user-agent:%' AS is_ua,
                CASE WHEN lower(line) LIKE 'user-agent:%'
                     THEN lower(val) END AS agent,
                CASE
-                 WHEN lower(line) LIKE 'allow:%'
-                  AND len(pat) > 0 AND NOT contains(pat, '*')
-                  AND NOT contains(pat, '$') THEN TRUE
-                 WHEN lower(line) LIKE 'disallow:%'
-                  AND len(pat) > 0 AND NOT contains(pat, '*')
-                  AND NOT contains(pat, '$') THEN FALSE
+                 WHEN lower(line) LIKE 'allow:%' THEN TRUE
+                 WHEN lower(line) LIKE 'disallow:%' THEN FALSE
                END AS allow,
                CASE WHEN (lower(line) LIKE 'allow:%'
                           OR lower(line) LIKE 'disallow:%')
-                     AND len(pat) > 0 AND NOT contains(pat, '*')
-                     AND NOT contains(pat, '$')
-                    THEN pat END AS rule
+                    THEN val END AS pat
         FROM pats
     ), kept AS (
-        SELECT * FROM typed WHERE is_ua OR rule IS NOT NULL
+        SELECT * FROM typed WHERE is_ua OR allow IS NOT NULL
     ), marked AS (
         SELECT *, CASE WHEN is_ua AND NOT COALESCE(
                    LAG(is_ua) OVER (PARTITION BY host ORDER BY ln),
@@ -13935,14 +13954,39 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
     ), star AS (
         SELECT host, grp, bool_or(agent = '*') AS is_star
         FROM grouped GROUP BY host, grp
-    ), rules AS (
-        SELECT g.host, g.allow, g.rule
+    ), rules0 AS (
+        SELECT g.host, g.allow, g.pat AS rule
         FROM grouped g JOIN star USING (host, grp)
-        WHERE star.is_star AND g.rule IS NOT NULL
+        WHERE star.is_star AND g.allow IS NOT NULL
+          AND len(g.pat) > 0
+    ), stripped AS (
+        -- the RFC pattern -> anchored-regex compile, replayed 1:1:
+        -- trailing '$' is the end anchor, metachars literal-escape
+        -- (backslash FIRST), '*' -> '.*', '^' start anchor
+        SELECT host, allow, rule, len(rule) AS rule_len,
+               ends_with(rule, '$') AS anch,
+               CASE WHEN ends_with(rule, '$')
+                    THEN substr(rule, 1, len(rule) - 1)
+                    ELSE rule END AS body
+        FROM rules0
+    ), rules AS (
+        SELECT host, allow, rule, rule_len,
+               '^' || replace(
+                 replace(replace(replace(replace(replace(replace(
+                 replace(replace(replace(replace(replace(replace(
+                 replace(body,
+                   '\\', '\\\\'), '.', '\\.'), '^', '\\^'),
+                   '$', '\\$'), '+', '\\+'), '?', '\\?'),
+                   '(', '\\('), ')', '\\)'), '[', '\\['),
+                   ']', '\\]'), '{', '\\{'), '}', '\\}'),
+                   '|', '\\|'),
+                 '*', '.*')
+               || CASE WHEN anch THEN '\\z' ELSE '' END AS rule_regex
+        FROM stripped
     ), urls AS (
         SELECT CAST(c_custkey AS BIGINT) AS rp_custkey,
                CAST(c_nationkey AS BIGINT) AS rp_host,
-               CASE c_custkey % 7
+               CASE c_custkey % 11
                  WHEN 0 THEN '/private/doc'
                  WHEN 1 THEN '/private/pub/page'
                  WHEN 2 THEN '/area' || CAST(c_nationkey AS VARCHAR)
@@ -13950,16 +13994,21 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
                  WHEN 3 THEN '/area999/page'
                  WHEN 4 THEN '/wild/thing'
                  WHEN 5 THEN '/wildcat'
+                 WHEN 6 THEN '/midXYdle'
+                 WHEN 7 THEN '/anchor'
+                 WHEN 8 THEN '/anchor2'
+                 WHEN 9 THEN '/docs/' || CAST(c_custkey AS VARCHAR)
+                             || '.pdf'
                  ELSE '/open/' || CAST(c_custkey AS VARCHAR)
                END AS rp_path
         FROM customer
     ), cand AS (
         SELECT u.rp_custkey, u.rp_host, u.rp_path,
-               CASE WHEN starts_with(u.rp_path, r.rule)
-                    THEN len(r.rule) END AS l,
-               CASE WHEN starts_with(u.rp_path, r.rule)
+               CASE WHEN regexp_matches(u.rp_path, r.rule_regex)
+                    THEN r.rule_len END AS l,
+               CASE WHEN regexp_matches(u.rp_path, r.rule_regex)
                     THEN CAST(r.allow AS INT) END AS a,
-               CASE WHEN starts_with(u.rp_path, r.rule)
+               CASE WHEN regexp_matches(u.rp_path, r.rule_regex)
                     THEN r.rule END AS r
         FROM urls u LEFT JOIN rules r ON r.host = u.rp_host
     ), ranked AS (

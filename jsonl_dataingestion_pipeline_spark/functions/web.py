@@ -340,6 +340,39 @@ def registered_domain_psl(
     return out.withColumn(out_col, reg).drop(*drop)
 
 
+# regex metacharacters escaped when compiling an RFC 9309 path pattern
+# to an anchored regex. Backslash FIRST (later escapes introduce them);
+# '*' deliberately absent (it compiles to '.*'), and a TRAILING '$' is
+# consumed as the RFC's end-anchor before this table applies, so any
+# '$' reaching it is a literal mid-pattern octet.
+_ROBOTS_REGEX_ESCAPES = (
+    "\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|"
+)
+
+
+def _robots_compile(pat: Column) -> Column:
+    """Compile an RFC 9309 Allow/Disallow path pattern to an anchored
+    regex (valid identically under Java regex and RE2, so the DuckDB
+    oracle replays the same compiled pattern): a trailing ``$`` becomes
+    the end-of-input anchor ``\\z`` (RFC 9309 §2.2.3 — only the FINAL
+    octet is an anchor; any other ``$`` is a literal), every regex
+    metacharacter is literal-escaped, ``*`` becomes ``.*`` (§2.2.2
+    matches any sequence of octets), and the whole pattern is anchored
+    at the path start with ``^``."""
+    anchored = pat.endswith("$")
+    body = F.when(
+        anchored, F.substring(pat, 1, F.length(pat) - 1)
+    ).otherwise(pat)
+    for ch in _ROBOTS_REGEX_ESCAPES:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"),
+        body,
+        F.when(anchored, F.lit("\\z")).otherwise(F.lit("")),
+    )
+
+
 def robots_star_rules(
     df,
     id_col: str,
@@ -347,20 +380,31 @@ def robots_star_rules(
 ):
     """Parse each host's ``robots.txt`` body into the rule list that
     applies to ``User-agent: *`` — the Robots Exclusion Protocol
-    (RFC 9309) subset a crawl-curation pipeline evaluates when honoring
-    opt-outs at scale. Returns ``(id, allow BOOLEAN, rule STRING)``
-    rows, one per Allow/Disallow line with a non-empty LITERAL PREFIX
-    pattern in any ``*`` group. Lines split on CRLF or LF (RFC 9309
-    serializes with CRLF — an LF-only split left the CR glued to every
-    agent name, so the star group was never detected and the opt-out
-    guard failed open; review finding, round 9). Wildcard handling: a
-    TRAILING ``*`` is stripped (``/private/*`` is the prefix
-    ``/private/`` — equivalent as a prefix rule), and rules still
-    containing ``*`` or anchored with ``$`` are DROPPED, never misread
-    as literals that silently fail to match (crawler-specific groups
-    and mid-pattern wildcards remain out of scope — documented subset;
-    empty ``Disallow:`` means "no restriction" per the RFC and emits
-    no row).
+    (RFC 9309) evaluation a crawl-curation pipeline runs when honoring
+    opt-outs at scale. Returns ``(id, allow BOOLEAN, rule STRING,
+    rule_regex STRING, rule_len INT)`` rows, one per Allow/Disallow
+    line with a non-empty pattern in any ``*`` group: ``rule`` is the
+    pattern as written, ``rule_regex`` its compiled anchored regex
+    (full §2.2.2/§2.2.3 wildcard semantics — mid-pattern ``*`` matches
+    any octet run, a trailing ``$`` anchors the end; round-9 dropped
+    such rules, which made the opt-out guard fail open on the most
+    common real-world patterns like ``Disallow: /*.pdf$``), and
+    ``rule_len`` the pattern's octet length, the §2.2.2 longest-match
+    precedence key :func:`robots_url_allowed` consumes.
+
+    RFC conformance notes (each a round-9→10 review/advice fix):
+    lines split on CRLF or LF (the RFC serializes CRLF); end-of-line
+    ``#`` comments are stripped BEFORE classification (the RFC permits
+    them on any line — ``Disallow: /private # staff`` is the pattern
+    ``/private``); and group segmentation counts EVERY Allow/Disallow
+    line including empty-pattern ones, because per the RFC a
+    ``User-agent`` line after any rule line starts a NEW group — an
+    empty ``Disallow:`` emits no rule but still terminates the header
+    block, so ``User-agent: *\\nDisallow:\\nUser-agent: bad\\n
+    Disallow: /`` must NOT attribute ``/`` to the star group.
+    Crawler-specific groups remain out of scope (the operator's
+    contract is the ``*`` group); percent-encoding normalization of
+    patterns/paths is the caller's concern.
 
     Parsing is relational, not a per-row UDF: one ``posexplode`` over
     the lines, a per-host window marking header-block starts
@@ -381,7 +425,12 @@ def robots_star_rules(
     ).select(
         "__id",
         "__ln",
-        F.trim(F.col("__raw")).alias("__line"),
+        # strip end-of-line comments first — '#' never appears in a
+        # path pattern (fragments are not sent to servers), so
+        # everything from the first '#' is comment per the RFC grammar
+        F.trim(F.regexp_replace(F.col("__raw"), r"#.*$", "")).alias(
+            "__line"
+        ),
     )
     low = F.lower(F.col("__line"))
     is_ua = low.startswith("user-agent:")
@@ -392,25 +441,20 @@ def robots_star_rules(
     val = F.trim(
         F.expr("substring(__line, instr(__line, ':') + 1)")
     )
-    # trailing '*' is redundant in a prefix rule — strip it; anything
-    # still wildcarded/anchored is NOT expressible as a literal prefix
-    # and must be dropped, not matched literally (it would fail open)
-    pat = F.regexp_replace(val, r"\*+$", "")
-    pat_ok = (
-        (F.length(pat) > 0)
-        & ~pat.contains("*")
-        & ~pat.contains("$")
-    )
+    # keep EVERY rule line (even empty-pattern ones) through the group
+    # window: an empty Disallow emits no rule but a User-agent line
+    # after it starts a new group — filtering first merged adjacent
+    # groups and mis-attributed rules across them
     typed = lines.select(
         "__id",
         "__ln",
         is_ua.alias("__ua"),
         F.when(is_ua, F.lower(val)).alias("__agent"),
-        F.when(is_allow & pat_ok, F.lit(True))
-        .when(is_dis & pat_ok, F.lit(False))
+        F.when(is_allow, F.lit(True))
+        .when(is_dis, F.lit(False))
         .alias("__allow"),
-        F.when((is_allow | is_dis) & pat_ok, pat).alias("__rule"),
-    ).filter(F.col("__ua") | F.col("__rule").isNotNull())
+        F.when(is_allow | is_dis, val).alias("__pat"),
+    ).filter(F.col("__ua") | F.col("__allow").isNotNull())
     w = Window.partitionBy("__id").orderBy("__ln")
     # a header block starts at a User-agent line NOT preceded by one
     starts = F.when(
@@ -431,13 +475,20 @@ def robots_star_rules(
             )
         ).alias("__star")
     )
+    pat = F.col("__pat")
     return (
         grouped.join(star, on=["__id", "__grp"])
-        .filter(F.col("__star") & F.col("__rule").isNotNull())
+        .filter(
+            F.col("__star")
+            & F.col("__allow").isNotNull()
+            & (F.length(pat) > 0)
+        )
         .select(
             F.col("__id").alias(id_col),
             F.col("__allow").alias("allow"),
-            F.col("__rule").alias("rule"),
+            pat.alias("rule"),
+            _robots_compile(pat).alias("rule_regex"),
+            F.length(pat).alias("rule_len"),
         )
     )
 
@@ -450,15 +501,22 @@ def robots_url_allowed(
 ):
     """Evaluate URL paths against :func:`robots_star_rules` output for
     the same host id: RFC 9309 longest-match — the matching rule with
-    the longest pattern wins, Allow beats Disallow on equal length, and
-    a path matching NO rule is allowed. Returns the input ``urls``
-    columns plus ``(allowed BOOLEAN, matched_rule STRING — NULL when
-    nothing matched)``.
+    the most pattern octets wins (§2.2.2, wildcards counted as
+    written), Allow beats Disallow on equal length, and a path matching
+    NO rule is allowed. Returns the input ``urls`` columns plus
+    ``(allowed BOOLEAN, matched_rule STRING — NULL when nothing
+    matched)``; ``matched_rule`` is the pattern as written in the
+    robots.txt (wildcards included).
 
     One host-keyed join (rules frames are tiny per host — broadcast
     when the rule table is small overall) and one per-URL aggregate of
     the (length, allow, rule) struct max — a total order, so the
-    decision AND the reported rule are layout-independent.
+    decision AND the reported rule are layout-independent. Matching is
+    one ``regexp_like`` per (URL, applicable rule) pair against the
+    precompiled anchored pattern — non-foldable, so the JVM compiles
+    the tiny pattern per row (~µs); rule tables are rule-count-sized,
+    so the pair count is #urls × rules-per-host, never quadratic in
+    the corpus.
 
     The aggregate groups by ALL ``urls`` columns, so exact duplicate
     URL rows collapse to one output row — carry a row id if
@@ -469,9 +527,9 @@ def robots_url_allowed(
     cand = urls.join(rules, on=id_col, how="left").withColumn(
         "__hit",
         F.when(
-            F.col(path_col).startswith(F.col("rule")),
+            F.regexp_like(F.col(path_col), F.col("rule_regex")),
             F.struct(
-                F.length("rule").alias("l"),
+                F.col("rule_len").alias("l"),
                 F.col("allow").cast("int").alias("a"),
                 F.col("rule").alias("r"),
             ),
