@@ -14142,3 +14142,205 @@ _ORACLE_SHAPES["q196_incremental_substring"] = (
 _UNION_MERGES["q23_dedup_stats"].append(
     ("incr_substr", "q196_incremental_substring")
 )
+
+
+def q197_incremental_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental substring REMOVAL (operators/dedup.py::
+    incremental_substring_removal): cleaned BATCH text against the
+    stored fingerprint census, completing the q192/q193/q196 family —
+    same base/batch split and planted boilerplate as q196. Batch
+    windows whose fingerprint is base-known are always cut (the base
+    copy survives); batch-new duplicate fingerprints elect a first-
+    occurrence keeper exactly as q193, then the protected-interval
+    subtraction and fold rebuild run unchanged. The oracle replays the
+    census join, the keeper election, BOTH islands, the interval
+    subtraction AND the text rebuild; cleaned text is compared by md5
+    key. pytest additionally pins equivalence with running q193 over
+    base+batch and projecting the batch docs."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        incremental_substring_removal,
+        substring_fp_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.lit(_Q192_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("__t"),
+    )
+    base = probe.filter(F.col("doc_id") % 3 != 0)
+    batch = probe.filter(F.col("doc_id") % 3 == 0)
+    idx = substring_fp_index(base, "doc_id", "__t", k=24, sample=4)
+    out = incremental_substring_removal(
+        batch, idx, "doc_id", "__t", k=24, sample=4
+    )
+    return out.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("irm_key"),
+        F.col("n_cut").alias("irm_n_cut"),
+        F.col("cut_chars").alias("irm_cut_chars"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q197_incremental_removal"] = (
+    q197_incremental_removal
+)
+
+_ORACLE_DEDUP_SIM["q197_incremental_removal"] = f"""
+    WITH probe AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' || '{_Q192_BOILER}'
+                    ELSE text END AS t
+        FROM documents
+    ), allsel AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(
+                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
+               ) AS BIGINT) AS fp
+        FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
+            FROM probe WHERE len(t) >= 24
+        )
+        WHERE CAST('0x' || substr(
+            md5(substr(t, CAST(p AS INT), 24)), 1, 15) AS BIGINT)
+            % 4 = 0
+    ), idx AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+            SELECT DISTINCT fp, doc_id FROM allsel WHERE doc_id % 3 <> 0
+        ) GROUP BY fp
+    ), bsel AS (
+        SELECT * FROM allsel WHERE doc_id % 3 = 0
+    ), bcensus AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS bn FROM (
+            SELECT DISTINCT fp, doc_id FROM bsel
+        ) GROUP BY fp
+    ), dup AS (
+        -- base-known fps are always unprotected in the batch (the
+        -- base copy survives); batch-new fps elect a keeper
+        SELECT b.fp, COALESCE(idx.n_docs, 0) > 0 AS inbase
+        FROM bcensus b LEFT JOIN idx USING (fp)
+        WHERE b.bn + COALESCE(idx.n_docs, 0) >= 2
+    ), hits AS (
+        SELECT s.doc_id, s.p, s.fp, d.inbase
+        FROM bsel s JOIN dup d USING (fp)
+    ), ranked AS (
+        SELECT doc_id, p, inbase, ROW_NUMBER() OVER (
+            PARTITION BY fp ORDER BY doc_id, p
+        ) AS rn
+        FROM hits
+    ), unprot AS (
+        SELECT doc_id, p FROM ranked WHERE inbase OR rn > 1
+    ), prot AS (
+        SELECT doc_id, p FROM ranked WHERE NOT inbase AND rn = 1
+    ), marked AS (
+        SELECT doc_id, p,
+               MAX(p + 24) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM unprot
+    ), isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS g
+        FROM marked
+    ), cuts0 AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+        FROM isl GROUP BY doc_id, g
+    ), pmarked AS (
+        SELECT doc_id, p,
+               MAX(p + 24) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM prot
+    ), pisl0 AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS g
+        FROM pmarked
+    ), pisl AS (
+        SELECT doc_id, MIN(p) AS ps, MAX(p) + 24 AS pe
+        FROM pisl0 GROUP BY doc_id, g
+    ), blocked AS (
+        SELECT c.doc_id, c.s, c.e,
+               GREATEST(p.ps, c.s) AS bs, LEAST(p.pe, c.e) AS be
+        FROM cuts0 c JOIN pisl p
+          ON p.doc_id = c.doc_id AND p.ps < c.e AND p.pe > c.s
+    ), gaps AS (
+        SELECT doc_id,
+               COALESCE(LAG(be) OVER (
+                   PARTITION BY doc_id, s ORDER BY bs
+               ), s) AS fs,
+               bs AS fe
+        FROM blocked
+    ), tails AS (
+        SELECT doc_id, MAX(be) AS fs, e AS fe
+        FROM blocked GROUP BY doc_id, s, e
+    ), whole AS (
+        SELECT c.doc_id, c.s AS fs, c.e AS fe FROM cuts0 c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pisl p
+            WHERE p.doc_id = c.doc_id AND p.ps < c.e AND p.pe > c.s
+        )
+    ), cuts AS (
+        SELECT doc_id, fs AS s, fe AS e FROM (
+            SELECT * FROM gaps
+            UNION ALL SELECT * FROM tails
+            UNION ALL SELECT * FROM whole
+        ) WHERE fs < fe
+    ), pieces AS (
+        SELECT doc_id, s, e,
+               COALESCE(LAG(e) OVER (
+                   PARTITION BY doc_id ORDER BY s
+               ), 1) AS prev_e
+        FROM cuts
+    ), bprobe AS (
+        SELECT * FROM probe WHERE doc_id % 3 = 0
+    ), seg AS (
+        SELECT p.doc_id,
+               string_agg(
+                   substr(pr.t, CAST(p.prev_e AS INT),
+                          CAST(p.s - p.prev_e AS INT)),
+                   '' ORDER BY p.s
+               ) AS head,
+               MAX(p.e) AS last_e,
+               CAST(COUNT(*) AS INT) AS n_cut,
+               CAST(SUM(p.e - p.s) AS BIGINT) AS cut_chars
+        FROM pieces p JOIN bprobe pr USING (doc_id)
+        GROUP BY p.doc_id
+    )
+    SELECT pr.doc_id,
+           CAST('0x' || substr(md5(
+               CASE WHEN sg.doc_id IS NULL THEN pr.t
+                    ELSE sg.head || substr(
+                        pr.t, CAST(sg.last_e AS INT),
+                        CAST(len(pr.t) - sg.last_e + 1 AS INT))
+               END
+           ), 1, 15) AS BIGINT) AS irm_key,
+           COALESCE(sg.n_cut, 0) AS irm_n_cut,
+           COALESCE(sg.cut_chars, 0) AS irm_cut_chars
+    FROM bprobe pr LEFT JOIN seg sg USING (doc_id)
+"""
+
+_ORACLE_SHAPES["q197_incremental_removal"] = (
+    ("doc_id", "BIGINT"), ("irm_key", "BIGINT"),
+    ("irm_n_cut", "INTEGER"), ("irm_cut_chars", "BIGINT"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("incr_removal", "q197_incremental_removal")
+)

@@ -178,6 +178,7 @@ HEADLINE = [
     "q194_script_profile",
     "q195_robots_rep",
     "q196_incremental_substring",
+    "q197_incremental_removal",
 ]
 
 

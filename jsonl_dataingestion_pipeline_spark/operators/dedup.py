@@ -1371,6 +1371,7 @@ def duplicate_substring_spans(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
+    fp_method: str = "md5",
 ) -> DataFrame:
     """Cross-document duplicate SUBSTRING spans — the character-level
     dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
@@ -1431,7 +1432,8 @@ def duplicate_substring_spans(
     the q192 DuckDB oracle replays every stage bit-for-bit.
     """
     hits = _duplicate_positions(
-        df, id_col, text_col, k=k, sample=sample, min_docs=min_docs
+        df, id_col, text_col, k=k, sample=sample, min_docs=min_docs,
+        fp_method=fp_method,
     )
     return _position_islands(hits, k).select(
         F.col("__id").alias(id_col), "s", "e"
@@ -1439,15 +1441,47 @@ def duplicate_substring_spans(
 
 
 def _selected_positions(
-    df: DataFrame, id_col: str, text_col: str, *, k: int, sample: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    sample: int,
+    fp_method: str = "md5",
 ) -> DataFrame:
     """The streamed fingerprint pass shared by ALL substring-dedup
     operators: ``(__id, __p, __fp)`` for every content-selected window
-    (``fp % sample == 0``) — one Generate + codegen md5 projection."""
+    (``fp % sample == 0``).
+
+    ``fp_method="md5"`` (default, oracle-replayable): one Generate +
+    codegen md5 projection — hashes k chars at EVERY position, i.e.
+    ~k× corpus bytes through md5; the honest cost at test scale, the
+    dominant cost at 100 TB. ``fp_method="rolling"``: an Arrow
+    ``mapInPandas`` polynomial rolling-hash kernel — O(1) amortized
+    multiply-adds per character instead of a k-char digest, same
+    output schema and the same content-keyed selection property (a
+    window's fingerprint depends only on its k chars, so a duplicated
+    substring still selects identically in every document). The two
+    methods choose DIFFERENT 1/sample subsets (different hash values),
+    so spans can differ within the documented per-content miss
+    probability; with ``sample=1`` they are exactly equal
+    (pytest-pinned). Rolling fingerprints are 63-bit polynomial hashes
+    (collision-weaker than md5's 60 truncated bits but ample for
+    dedup); md5 stays the default because the DuckDB oracle replays
+    it bit-for-bit.
+    """
     if k < 2:
         raise ValueError("duplicate substring ops: k must be >= 2")
     if sample < 1:
         raise ValueError("duplicate substring ops: sample must be >= 1")
+    if fp_method == "rolling":
+        return _rolling_selected_positions(
+            df, id_col, text_col, k=k, sample=sample
+        )
+    if fp_method != "md5":
+        raise ValueError(
+            f"duplicate substring ops: unknown fp_method {fp_method!r}"
+        )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).cast("string").alias("__t"),
@@ -1469,6 +1503,94 @@ def _selected_positions(
     )
 
 
+#: odd base for the polynomial rolling hash (odd => invertible mod
+#: 2^64, which is what lets the windowed hash be computed from prefix
+#: sums with exact wraparound arithmetic)
+_ROLL_B = 0x100000001B3  # the FNV-1a 64-bit prime, odd
+_ROLL_BINV = pow(_ROLL_B, -1, 1 << 64)
+
+
+def _rolling_selected_positions(
+    df: DataFrame, id_col: str, text_col: str, *, k: int, sample: int
+) -> DataFrame:
+    """Arrow-batched rolling-hash variant of the fingerprint pass:
+    h(w_i) = sum_j c[i+j] * B^(k-1-j) mod 2^64, masked to 63 bits.
+
+    Instead of the sequential add-one-drop-one recurrence (which would
+    be a Python loop), the window hash is computed in CLOSED FORM from
+    numpy prefix sums: with T_i = sum_{j<=i} c[j] * Binv^j (Binv =
+    B^-1 mod 2^64, exact because B is odd and uint64 wraps), h_i =
+    (T_{i+k-1} - T_{i-2}) * B^{i+k-2} for 1-based i — three cumulative
+    arrays and element-wise multiplies, all vectorized uint64. The
+    1/sample selection filter runs INSIDE the kernel so only selected
+    (id, p, fp) rows cross Arrow back to the JVM.
+
+    Scale shape identical to the md5 path (the downstream census/join/
+    islands consume the same schema); per-char cost drops from a
+    k-char md5 digest to a handful of multiply-adds.
+    """
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    # output schema: (__id <input id type>, __p long, __fp long)
+    out_schema = (
+        StructType()
+        .add("__id", df.schema[id_col].dataType)
+        .add("__p", LongType())
+        .add("__fp", LongType())
+    )
+
+    B = np.uint64(_ROLL_B)
+    BINV = np.uint64(_ROLL_BINV)
+    MASK63 = np.uint64((1 << 63) - 1)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_ids, out_ps, out_fps = [], [], []
+            for _id, t in zip(pdf["__id"], pdf["__t"]):
+                if t is None:
+                    continue
+                t = str(t)
+                n = len(t)
+                if n < k:
+                    continue
+                c = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                # powers: bpow[i] = B^i, ipow[i] = Binv^i (mod 2^64)
+                ipow = np.empty(n, dtype=np.uint64)
+                ipow[0] = 1
+                np.cumprod(np.full(n - 1, BINV, dtype=np.uint64),
+                           out=ipow[1:])
+                bpow = np.empty(n, dtype=np.uint64)
+                bpow[0] = 1
+                np.cumprod(np.full(n - 1, B, dtype=np.uint64),
+                           out=bpow[1:])
+                pref = np.cumsum(c * ipow, dtype=np.uint64)
+                # 0-based window start s in [0, n-k]:
+                # h_s = (pref[s+k-1] - pref[s-1]) * B^(s+k-1)
+                hi = pref[k - 1:]
+                lo = np.concatenate(
+                    ([np.uint64(0)], pref[: n - k])
+                )
+                h = ((hi - lo) * bpow[k - 1:]) & MASK63
+                sel = h % np.uint64(sample) == 0
+                ps = np.nonzero(sel)[0]
+                if len(ps):
+                    out_ids.extend([_id] * len(ps))
+                    out_ps.extend((ps + 1).tolist())
+                    out_fps.extend(h[sel].astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {"__id": out_ids, "__p": out_ps, "__fp": out_fps}
+            )
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).cast("string").alias("__t"),
+    ).filter(F.length("__t") >= k)
+    return base.mapInPandas(kernel, schema=out_schema)
+
+
 def _duplicate_positions(
     df: DataFrame,
     id_col: str,
@@ -1477,11 +1599,14 @@ def _duplicate_positions(
     k: int,
     sample: int,
     min_docs: int,
+    fp_method: str = "md5",
 ) -> DataFrame:
     """The shared fingerprint-match stage of the substring-dedup pair:
     ``(__id, __p, __fp)`` rows for every SELECTED window whose
     fingerprint appears in >= ``min_docs`` distinct documents."""
-    sel = _selected_positions(df, id_col, text_col, k=k, sample=sample)
+    sel = _selected_positions(
+        df, id_col, text_col, k=k, sample=sample, fp_method=fp_method
+    )
     dup_fps = (
         sel.select("__fp", "__id")
         .distinct()
@@ -1525,6 +1650,7 @@ def remove_duplicate_substrings(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
+    fp_method: str = "md5",
 ) -> DataFrame:
     """The TRANSFORM half of substring dedup: cut every duplicated
     region from every document EXCEPT one global keeper occurrence —
@@ -1556,14 +1682,13 @@ def remove_duplicate_substrings(
     shape as :func:`duplicate_substring_spans` plus the rebuild
     projection.
     """
-    from pyspark.sql.window import Window
-
     base = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).cast("string")
         .alias("__t")
     )
     hits = _duplicate_positions(
-        df, id_col, text_col, k=k, sample=sample, min_docs=min_docs
+        df, id_col, text_col, k=k, sample=sample, min_docs=min_docs,
+        fp_method=fp_method,
     )
     keepers = hits.groupBy("__fp").agg(
         F.min(
@@ -1576,6 +1701,32 @@ def remove_duplicate_substrings(
     )
     unprotected = tagged.filter(~is_keeper).select("__id", "__p")
     protected = tagged.filter(is_keeper).select("__id", "__p")
+    return _cut_and_rebuild(
+        base, unprotected, protected, k=k,
+        id_col=id_col, text_col=text_col,
+    )
+
+
+def _cut_and_rebuild(
+    base: DataFrame,
+    unprotected: DataFrame,
+    protected: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The interval-subtraction cut set + per-doc text rebuild shared
+    by :func:`remove_duplicate_substrings` and
+    :func:`incremental_substring_removal`: cut regions = islands of
+    ``unprotected`` window positions MINUS islands of ``protected``
+    ones (keeper windows' characters are never cut — the
+    survive-somewhere guarantee), rebuilt with one ``aggregate`` fold
+    over each doc's sorted cut list. ``base`` carries ``(__id, __t)``;
+    returns ``(id, text <cleaned>, n_cut INT, cut_chars BIGINT)`` with
+    untouched documents passing through (n_cut = 0)."""
+    from pyspark.sql.window import Window
+
     u_isl = _position_islands(unprotected, k)
     # cut regions = (unprotected windows' coverage) MINUS (protected
     # windows' coverage): when duplicate groups OVERLAP inside a
@@ -1687,6 +1838,7 @@ def substring_fp_index(
     *,
     k: int = 40,
     sample: int = 8,
+    fp_method: str = "md5",
 ) -> DataFrame:
     """The STORED side of incremental substring dedup: the
     ``(fp, n_docs)`` census of a corpus's selected window fingerprints.
@@ -1697,8 +1849,18 @@ def substring_fp_index(
     ``incremental_connected_components`` (near-dup clusters), at
     substring granularity. ~one row per distinct selected fingerprint
     (1/``sample`` of distinct k-grams); counts are DISTINCT docs.
+
+    Maintenance precondition (ADVICE r9): merging censuses by SUMMING
+    ``n_docs`` per fp — and the batch+index totals the incremental
+    operators compute — assumes each document is counted in exactly ONE
+    census, i.e. base and batch doc-id sets are DISJOINT. A re-crawled
+    document present in both sides is double-counted and can reach
+    ``min_docs`` spuriously; dedup re-crawls by doc id (or content key)
+    BEFORE censusing.
     """
-    sel = _selected_positions(df, id_col, text_col, k=k, sample=sample)
+    sel = _selected_positions(
+        df, id_col, text_col, k=k, sample=sample, fp_method=fp_method
+    )
     return (
         sel.select("__fp", "__id")
         .distinct()
@@ -1717,6 +1879,7 @@ def incremental_substring_spans(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
+    fp_method: str = "md5",
 ) -> DataFrame:
     """Duplicate-substring spans of a NEW batch against a stored
     :func:`substring_fp_index` — the base corpus is never rescanned.
@@ -1728,6 +1891,14 @@ def incremental_substring_spans(
     min_docs => same selected windows, same totals). Returns
     ``(id, s, e)`` spans for BATCH documents only.
 
+    PRECONDITION: batch doc ids are DISJOINT from the ids the index
+    was built over (ADVICE r9 — re-crawls are common in incremental
+    pipelines). A document counted on both sides double-counts toward
+    ``min_docs`` and flags its windows as duplicated against ITSELF;
+    drop already-ingested ids from the batch first (one anti-join
+    against the corpus id set, or :func:`incremental_dedup` on the
+    content key).
+
     Cost per batch: the streamed fingerprint pass over the BATCH, one
     batch-census aggregate, one fp-keyed join against the index (index
     side is fingerprint-count-sized; bucket it by fp to make the join
@@ -1736,7 +1907,7 @@ def incremental_substring_spans(
     per fp) — an aggregate, not a rebuild.
     """
     sel = _selected_positions(
-        batch, id_col, text_col, k=k, sample=sample
+        batch, id_col, text_col, k=k, sample=sample, fp_method=fp_method
     )
     bcensus = (
         sel.select("__fp", "__id")
@@ -1758,4 +1929,105 @@ def incremental_substring_spans(
     hits = sel.join(dup_fps, on="__fp", how="leftsemi")
     return _position_islands(hits, k).select(
         F.col("__id").alias(id_col), "s", "e"
+    )
+
+
+def incremental_substring_removal(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 40,
+    sample: int = 8,
+    min_docs: int = 2,
+    fp_method: str = "md5",
+) -> DataFrame:
+    """The TRANSFORM half of incremental substring dedup — cleaned
+    BATCH text against a stored :func:`substring_fp_index`, completing
+    the q192/q193/q196 family: an ingest pipeline wants the batch's
+    deduplicated text, not just its duplicate spans. The base corpus is
+    never rescanned.
+
+    Keeper policy: a batch window whose fingerprint is KNOWN TO THE
+    BASE (indexed ``n_docs >= 1``) is always unprotected — the base
+    copy is already written and survives, so the batch occurrence is
+    cut. Fingerprints NEW in this batch elect a keeper exactly as
+    :func:`remove_duplicate_substrings` (MIN over the (id, p) struct —
+    an aggregate, not a row_number window, for the same
+    10^9-occurrence-boilerplate reason), and the cut set is the same
+    protected-interval subtraction, so every batch-new duplicated
+    window's text survives somewhere in the cleaned batch. This equals
+    running :func:`remove_duplicate_substrings` over base+batch and
+    projecting the batch documents whenever base doc ids precede batch
+    ids in (id, p) struct order (the full run then elects the base
+    occurrence as keeper for base-known fingerprints — exactly this
+    operator's policy); the pytest pins that equivalence.
+
+    PRECONDITION: batch doc ids are DISJOINT from the ids the index
+    was built over (same contract as
+    :func:`incremental_substring_spans` — a re-crawled doc would be
+    flagged as duplicating itself and its text cut against its own
+    base copy).
+
+    Returns one row per BATCH document: ``(id, text <cleaned>, n_cut
+    INT, cut_chars BIGINT)``. Cost per batch: the streamed fingerprint
+    pass over the batch, one batch-census aggregate, one fp-keyed join
+    against the index (bucket the index by fp for a shuffle-free
+    probe), the fp-keyed keeper aggregate over batch-new fingerprints
+    only, two id-keyed islands windows, and the rebuild projection —
+    nothing touches the base corpus.
+    """
+    base_t = batch.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).cast("string").alias("__t"),
+    )
+    sel = _selected_positions(
+        batch, id_col, text_col, k=k, sample=sample, fp_method=fp_method
+    )
+    bcensus = (
+        sel.select("__fp", "__id")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("__bn"))
+    )
+    idx = index.select(
+        F.col("fp").alias("__fp"), F.col("n_docs").alias("__in")
+    )
+    dup_fps = (
+        bcensus.join(idx, on="__fp", how="left")
+        .filter(
+            F.col("__bn") + F.coalesce(F.col("__in"), F.lit(0))
+            >= min_docs
+        )
+        .select(
+            "__fp",
+            (F.coalesce(F.col("__in"), F.lit(0)) > 0).alias("__inbase"),
+        )
+    )
+    hits = sel.join(dup_fps, on="__fp")
+    keepers = (
+        hits.filter(~F.col("__inbase"))
+        .groupBy("__fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__id").alias("ki"), F.col("__p").alias("kp")
+                )
+            ).alias("__k0")
+        )
+    )
+    tagged = hits.join(keepers, on="__fp", how="left")
+    # base-known fps have no __k0 row: isNotNull() short-circuits the
+    # conjunction to FALSE (never NULL), so ~is_keeper keeps them
+    is_keeper = (
+        F.col("__k0").isNotNull()
+        & (F.col("__id") == F.col("__k0.ki"))
+        & (F.col("__p") == F.col("__k0.kp"))
+    )
+    unprotected = tagged.filter(~is_keeper).select("__id", "__p")
+    protected = tagged.filter(is_keeper).select("__id", "__p")
+    return _cut_and_rebuild(
+        base_t, unprotected, protected, k=k,
+        id_col=id_col, text_col=text_col,
     )

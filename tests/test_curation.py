@@ -1263,3 +1263,273 @@ class TestIncrementalSubstringSpans:
             ).collect()
         }
         assert inc == full and inc
+
+
+class TestIncrementalSubstringRemoval:
+    BOILER = (
+        "This licensing boilerplate paragraph is shared between "
+        "the old crawl and the new crawl verbatim."
+    )
+
+    def _frames(self, spark):
+        base_rows = [
+            (1, "Base doc one says things. " + self.BOILER),
+            (2, "Base doc two is entirely original text with no "
+                "duplicated regions whatsoever in it."),
+        ]
+        batch_rows = [
+            (10, "New doc ten leads in, then: " + self.BOILER),
+            (11, "batch-internal duplicate XYZABCDEFGHIJKLMNOPQRSTUV!"),
+            (12, "also the batch-internal duplicate "
+                 "XYZABCDEFGHIJKLMNOPQRSTUV?"),
+            (13, "completely fresh content in the new crawl, nothing "
+                 "repeated anywhere at all."),
+        ]
+        base = spark.createDataFrame(base_rows, "id long, text string")
+        batch = spark.createDataFrame(batch_rows, "id long, text string")
+        return base, batch
+
+    def test_equals_full_run_projected_to_batch(self, spark):
+        """The incremental contract: cleaned batch text must equal
+        remove_duplicate_substrings over base+batch projected to batch
+        docs (base ids precede batch ids here, so the full run elects
+        base occurrences as keepers for base-known fingerprints —
+        exactly the incremental policy)."""
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            incremental_substring_removal,
+            remove_duplicate_substrings,
+            substring_fp_index,
+        )
+
+        base, batch = self._frames(spark)
+        idx = substring_fp_index(base, "id", "text", k=24, sample=1)
+        inc = {
+            r.id: (r.text, r.n_cut, r.cut_chars)
+            for r in incremental_substring_removal(
+                batch, idx, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        full = {
+            r.id: (r.text, r.n_cut, r.cut_chars)
+            for r in remove_duplicate_substrings(
+                base.unionByName(batch), "id", "text", k=24, sample=1
+            ).collect()
+            if r.id >= 10
+        }
+        assert inc == full
+        # base-known boilerplate cut from the batch copy...
+        assert self.BOILER not in inc[10][0]
+        assert inc[10][0].startswith("New doc ten leads in")
+        # ...batch-internal duplicates keep exactly one copy...
+        assert inc[11][1] == 0 and inc[12][1] == 1
+        # ...and untouched docs pass through
+        assert inc[13][1] == 0
+
+    def test_survive_somewhere_across_base_and_batch(self, spark):
+        """Every 24-gram duplicated across base+batch must survive in
+        (uncut base text) ∪ (cleaned batch text)."""
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            incremental_substring_removal,
+            substring_fp_index,
+        )
+
+        base, batch = self._frames(spark)
+        idx = substring_fp_index(base, "id", "text", k=24, sample=1)
+        cleaned = [
+            r.text
+            for r in incremental_substring_removal(
+                batch, idx, "id", "text", k=24, sample=1
+            ).collect()
+        ]
+        survivors = [r.text for r in base.collect()] + cleaned
+        docs_per: dict = {}
+        for _id, t in [tuple(r) for r in base.collect()] + [
+            tuple(r) for r in batch.collect()
+        ]:
+            for j in range(len(t) - 23):
+                docs_per.setdefault(t[j: j + 24], set()).add(_id)
+        dup_grams = [g for g, d in docs_per.items() if len(d) >= 2]
+        assert dup_grams, "fixture must contain duplicated windows"
+        for g in dup_grams:
+            assert any(g in t for t in survivors), (
+                f"duplicated window destroyed corpus-wide: {g!r}"
+            )
+
+    def test_base_known_single_batch_occurrence_is_cut(self, spark):
+        """A fingerprint occurring ONCE in the batch but present in the
+        base is still cut (total distinct docs >= 2; the base copy is
+        the keeper) — the case plain batch-only removal would miss."""
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            incremental_substring_removal,
+            remove_duplicate_substrings,
+            substring_fp_index,
+        )
+
+        shared = "0123456789abcdefghijklmnopqrstuvwxyz"
+        base = spark.createDataFrame(
+            [(1, "base doc holds <" + shared + "> safely.")],
+            "id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(10, "new doc repeats {" + shared + "} once.")],
+            "id long, text string",
+        )
+        idx = substring_fp_index(base, "id", "text", k=24, sample=1)
+        out = {
+            r.id: r
+            for r in incremental_substring_removal(
+                batch, idx, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        assert shared not in out[10].text and out[10].n_cut == 1
+        # batch-only removal would NOT have cut it
+        solo = remove_duplicate_substrings(
+            batch, "id", "text", k=24, sample=1
+        ).collect()[0]
+        assert shared in solo.text and solo.n_cut == 0
+
+    def test_empty_index_reduces_to_batch_only_removal(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            incremental_substring_removal,
+            remove_duplicate_substrings,
+        )
+
+        _base, batch = self._frames(spark)
+        empty_idx = spark.createDataFrame([], "fp long, n_docs long")
+        inc = {
+            r.id: (r.text, r.n_cut, r.cut_chars)
+            for r in incremental_substring_removal(
+                batch, empty_idx, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        solo = {
+            r.id: (r.text, r.n_cut, r.cut_chars)
+            for r in remove_duplicate_substrings(
+                batch, "id", "text", k=24, sample=1
+            ).collect()
+        }
+        assert inc == solo
+
+
+class TestRollingFingerprintPath:
+    """fp_method="rolling" (VERDICT r9 #4): the Arrow polynomial
+    rolling-hash kernel is the 100 TB scale path for the substring
+    family — md5-at-every-position hashes ~k× corpus bytes, rolling
+    does O(1) multiply-adds per char. Same schema, same content-keyed
+    selection property; md5 stays the oracle-gated default."""
+
+    def test_sample1_spans_identical_to_md5(self, spark):
+        # at sample=1 both methods select EVERY window, so the span
+        # sets must be exactly equal — selection only differs when
+        # sampling (different hash values -> different 1/s subsets)
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            duplicate_substring_spans,
+        )
+
+        shared = (
+            "This boilerplate license paragraph is repeated verbatim "
+            "across several documents in the corpus."
+        )
+        rows = [
+            (1, "Doc one intro:" + shared + "@doc one outro."),
+            (2, "Doc two says something else, then;" + shared),
+            (3, "Third doc!" + shared + "#done here"),
+            (4, "No duplicates in this document whatsoever, it is "
+                "entirely original prose from start to finish."),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        md5 = sorted(
+            (r.id, r.s, r.e)
+            for r in duplicate_substring_spans(
+                df, "id", "text", k=24, sample=1
+            ).collect()
+        )
+        rol = sorted(
+            (r.id, r.s, r.e)
+            for r in duplicate_substring_spans(
+                df, "id", "text", k=24, sample=1, fp_method="rolling"
+            ).collect()
+        )
+        assert md5 == rol and md5
+
+    def test_sampled_rolling_detects_planted_duplicates(self, spark):
+        # the probabilistic detection contract: a planted region of
+        # length L >> k survives 1/sample selection on BOTH paths
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            duplicate_substring_spans,
+        )
+
+        plant = (
+            "shared region long enough that one-in-four content "
+            "sampling is effectively certain to select a window "
+            "inside it, 0123456789 abcdefghijklmnopqrstuvwxyz."
+        )
+        rows = [
+            (1, "alpha lead-in text: " + plant),
+            (2, plant + " :omega tail text"),
+            (3, "unrelated filler document with no duplication at "
+                "all, purely original content through and through."),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        for method in ("md5", "rolling"):
+            got = {
+                r.id
+                for r in duplicate_substring_spans(
+                    df, "id", "text", k=24, sample=4, fp_method=method
+                ).collect()
+            }
+            assert got == {1, 2}, (method, got)
+
+    def test_rolling_removal_and_index_roundtrip(self, spark):
+        # the whole family accepts fp_method: index built rolling must
+        # feed incremental ops consistently (same method both sides)
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            incremental_substring_removal,
+            remove_duplicate_substrings,
+            substring_fp_index,
+        )
+
+        boiler = (
+            "This licensing boilerplate paragraph is shared between "
+            "the old crawl and the new crawl verbatim."
+        )
+        base = spark.createDataFrame(
+            [(1, "Base doc one says things. " + boiler)],
+            "id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(10, "New doc ten leads in, then: " + boiler)],
+            "id long, text string",
+        )
+        idx = substring_fp_index(
+            base, "id", "text", k=24, sample=1, fp_method="rolling"
+        )
+        out = incremental_substring_removal(
+            batch, idx, "id", "text", k=24, sample=1,
+            fp_method="rolling",
+        ).collect()[0]
+        assert boiler not in out.text and out.n_cut == 1
+        # equals the full run projected to the batch doc
+        full = {
+            r.id: r.text
+            for r in remove_duplicate_substrings(
+                base.unionByName(batch), "id", "text", k=24, sample=1,
+                fp_method="rolling",
+            ).collect()
+        }
+        assert full[10] == out.text
+
+    def test_unknown_method_raises(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            duplicate_substring_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x" * 40)], "id long, text string"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="fp_method"):
+            duplicate_substring_spans(
+                df, "id", "text", k=24, sample=1, fp_method="sha1"
+            ).collect()

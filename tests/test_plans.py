@@ -698,3 +698,13 @@ def test_q193_removal_no_cartesian(spark):
     tree = _tree(_formatted(spark, df))
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_q197_incremental_removal_no_cartesian(spark):
+    """q197 (PLANS.md): the q193 cut/rebuild shape fed by the batch-only
+    fingerprint pass + one fp-keyed index join; never a nested loop or
+    cartesian, and the base corpus side is census-sized."""
+    df = em.q197_incremental_removal(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
