@@ -13729,7 +13729,7 @@ def _q194_oracle() -> str:
         "cjk": "一-鿿぀-ヿ가-힯",
         "cyrillic": "Ѐ-ӿ",
         "greek": "Ͱ-Ͽ",
-        "latin": "A-Za-zÀ-ɏ",
+        "latin": "A-Za-zÀ-ÖØ-öø-ɏ",
     }
     plants = " ".join(
         f"WHEN doc_id % 5 = {m} THEN text || ' {s}'"
@@ -14343,4 +14343,88 @@ _ORACLE_SHAPES["q197_incremental_removal"] = (
 
 _UNION_MERGES["q23_dedup_stats"].append(
     ("incr_removal", "q197_incremental_removal")
+)
+
+
+def q198_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.py::
+    bitext_margin_pairs, Artetxe & Schwenk 2019): the embeddings table
+    split by vec_id parity stands in for two languages' sentence
+    embeddings; every (src, tgt) pair where either side is in the
+    other's k-NN is scored by the ratio margin — 2*cos / (avgNN(src) +
+    avgNN(tgt)) — in INTEGER micro-units (cosines quantized before any
+    sum, the margin one integer cross-multiplied division), and pairs
+    with margin >= 1.0 are mined. The oracle replays all-pairs
+    cosines, both k-NN row_number windows, the integer neighbor sums
+    and the div — the whole mining pipeline, not just the decisions."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    out = bitext_margin_pairs(
+        src, tgt, k=4, margin_threshold=1.0, method="exact"
+    )
+    return out.select(
+        F.col("src_id").alias("bx_src"),
+        F.col("tgt_id").alias("bx_tgt"),
+        F.col("sim_u").alias("bx_sim_u"),
+        F.col("margin_u").alias("bx_margin_u"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q198_bitext_mining"] = q198_bitext_mining
+
+_ORACLE_DEDUP_SIM["q198_bitext_mining"] = """
+    WITH src AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < 200 AND vec_id % 2 = 0
+    ), tgt AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < 200 AND vec_id % 2 = 1
+    ), pairs AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               CAST(ROUND(ROUND(list_cosine_similarity(
+                   CAST(s.embedding AS DOUBLE[]),
+                   CAST(t.embedding AS DOUBLE[])), 6) * 1000000.0)
+                   AS BIGINT) AS sim_u
+        FROM src s, tgt t
+    ), ranked AS (
+        SELECT src_id, tgt_id, sim_u,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src_id ORDER BY sim_u DESC, tgt_id
+               ) AS rx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tgt_id ORDER BY sim_u DESC, src_id
+               ) AS ry
+        FROM pairs
+    ), sx AS (
+        SELECT src_id, SUM(sim_u) AS sx_u, COUNT(*) AS kx
+        FROM ranked WHERE rx <= 4 GROUP BY src_id
+    ), sy AS (
+        SELECT tgt_id, SUM(sim_u) AS sy_u, COUNT(*) AS ky
+        FROM ranked WHERE ry <= 4 GROUP BY tgt_id
+    ), cand AS (
+        SELECT r.src_id, r.tgt_id, r.sim_u,
+               (2 * r.sim_u * sx.kx * sy.ky * 1000000)
+                   // (sx.sx_u * sy.ky + sy.sy_u * sx.kx) AS margin_u
+        FROM ranked r
+        JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+        WHERE (r.rx <= 4 OR r.ry <= 4)
+          AND sx.sx_u * sy.ky + sy.sy_u * sx.kx > 0
+    )
+    SELECT src_id AS bx_src, tgt_id AS bx_tgt,
+           sim_u AS bx_sim_u, margin_u AS bx_margin_u
+    FROM cand WHERE margin_u >= 1000000
+"""
+
+_ORACLE_SHAPES["q198_bitext_mining"] = (
+    ("bx_src", "BIGINT"), ("bx_tgt", "BIGINT"),
+    ("bx_sim_u", "BIGINT"), ("bx_margin_u", "BIGINT"),
+)
+
+_UNION_MERGES["q38_cosine_verify"].append(
+    ("bitext", "q198_bitext_mining")
 )

@@ -24,6 +24,21 @@ per-query JVM GC-time deltas, and the 1-minute loadavg sampled before
 each query. The final stdout line carries ``sentinel_spread`` so the
 driver's compact record keeps the contamination flag.
 
+STEAL-AWARE RETRY (round 10, VERDICT r9 #2): every attempt records its
+own /proc/stat steal delta; attempts measured with > ``steal_retry_s``
+seconds of hypervisor steal (default 1.0, env
+``SPARK_GRAFT_STEAL_RETRY``, <= 0 disables) are treated as
+contaminated and the query re-runs — up to
+``SPARK_GRAFT_STEAL_EXTRA_ATTEMPTS`` (default 3) extra attempts — so
+the reported wall is the min over CLEAN attempts whenever the
+hypervisor allows one. If no clean attempt lands within the budget the
+least-stolen attempt is reported (and its steal recorded, so the
+artifact still self-flags). ``steal_s``/``gc_ms`` are the SELECTED
+attempt's deltas; per-attempt (wall, steal, gc) triples land in
+``bench_detail.json`` under ``attempt_detail``, which is now COMMITTED
+(was gitignored — the round-9 attribution evidence lived only in
+prose).
+
 Each query runs ``runs_per_query`` times and reports the per-query MIN
 (steady-state wall clock). Rationale, measured in round 4: the first
 execution of a heavy query at the bench SF carries a 1-3s one-time
@@ -179,6 +194,7 @@ HEADLINE = [
     "q195_robots_rep",
     "q196_incremental_substring",
     "q197_incremental_removal",
+    "q198_bitext_mining",
 ]
 
 
@@ -311,6 +327,16 @@ def main() -> int:
                     file=sys.stderr,
                 )
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Steal-aware retry (VERDICT r9 #2): a run whose per-attempt steal
+    # delta exceeds this many seconds was measured while the hypervisor
+    # gave our vCPUs away — its wall is contaminated. Retry (bounded)
+    # and select among CLEAN attempts; <= 0 disables.
+    steal_retry_s = float(
+        os.environ.get("SPARK_GRAFT_STEAL_RETRY", "1.0")
+    )
+    extra_attempts = int(
+        os.environ.get("SPARK_GRAFT_STEAL_EXTRA_ATTEMPTS", "3")
+    )
     # start the timed loop from a clean heap: the warmup pass built and
     # dropped 80+ plans; reaping their blocks/broadcasts NOW keeps GC
     # from landing inside a timed query
@@ -323,6 +349,8 @@ def main() -> int:
     gc_ms: dict[str, float] = {}
     load1: dict[str, float] = {}
     steal_s: dict[str, float] = {}
+    attempts_n: dict[str, int] = {}
+    attempt_detail: dict[str, list] = {}
     tick_hz = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") \
         else 100.0
     total = 0.0
@@ -331,31 +359,53 @@ def main() -> int:
         if qi == mid:
             sentinels.append(_sentinel(spark))
         fn = qs[name]
-        best = None
         n = 0
         load1[name] = round(_loadavg(), 2)
-        gc0 = _gc_millis(spark)
-        st0 = _steal_ticks()
-        for r in range(runs_per_query):
+        # each attempt is one timed execution with its OWN steal/gc
+        # delta; retry past runs_per_query (bounded) until we hold
+        # runs_per_query attempts measured without hypervisor steal
+        attempts: list[tuple[float, float, float]] = []  # (wall, steal, gc)
+        max_attempts = runs_per_query + max(extra_attempts, 0)
+        while len(attempts) < max_attempts:
+            gc0 = _gc_millis(spark)
+            st0 = _steal_ticks()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = round(time.time() - t0, 3)
-            if r == 0:
+            st1 = _steal_ticks()
+            stl = (
+                round((st1 - st0) / tick_hz, 2)
+                if st0 >= 0 and st1 >= 0 else -1.0
+            )
+            attempts.append((dt, stl, round(_gc_millis(spark) - gc0, 1)))
+            if len(attempts) == 1:
                 first_run[name] = dt
-            best = dt if best is None else min(best, dt)
-        gc_ms[name] = round(_gc_millis(spark) - gc0, 1)
-        st1 = _steal_ticks()
-        steal_s[name] = (
-            round((st1 - st0) / tick_hz, 2) if st0 >= 0 and st1 >= 0
-            else -1.0
-        )
+            clean = [a for a in attempts if 0 <= a[1] <= steal_retry_s]
+            if steal_retry_s <= 0 and len(attempts) >= runs_per_query:
+                break
+            if len(clean) >= runs_per_query:
+                break
+        attempts_n[name] = len(attempts)
+        clean = [a for a in attempts if 0 <= a[1] <= steal_retry_s]
+        if steal_retry_s > 0 and clean:
+            sel = min(clean, key=lambda a: a[0])
+        else:
+            # no clean attempt within budget: report the one measured
+            # under the LEAST steal (its wall is the least contaminated)
+            sel = min(attempts, key=lambda a: (a[1], a[0]))
+        best, steal_s[name], gc_ms[name] = sel
+        attempt_detail[name] = [list(a) for a in attempts]
         timings[name] = best
         total += best
+        retried = (
+            f", {len(attempts)} attempts" if len(attempts) > runs_per_query
+            else ""
+        )
         print(
             f"# {name}: {n} rows in {best}s"
             f" (first run {first_run[name]}s, gc {gc_ms[name]}ms,"
-            f" load1 {load1[name]}, steal {steal_s[name]}s)",
+            f" load1 {load1[name]}, steal {steal_s[name]}s{retried})",
             file=sys.stderr,
         )
     sentinels.append(_sentinel(spark))
@@ -388,6 +438,9 @@ def main() -> int:
         "steal_total_s": round(
             sum(v for v in steal_s.values() if v > 0), 2
         ),
+        "steal_retry_s": steal_retry_s,
+        "attempts": attempts_n,
+        "attempt_detail": attempt_detail,
     }
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -408,6 +461,9 @@ def main() -> int:
         "sentinel_spread": sentinel_spread,
         "steal_total_s": round(
             sum(v for v in steal_s.values() if v > 0), 2
+        ),
+        "retries": sum(
+            max(v - runs_per_query, 0) for v in attempts_n.values()
         ),
     }
     line = json.dumps(out, separators=(",", ":"))

@@ -973,7 +973,7 @@ SCRIPT_CLASSES: Mapping[str, str] = {
     "cjk": "一-鿿぀-ヿ가-힯",
     "cyrillic": "Ѐ-ӿ",
     "greek": "Ͱ-Ͽ",
-    "latin": "A-Za-zÀ-ɏ",
+    "latin": "A-Za-zÀ-ÖØ-öø-ɏ",  # U+00D7/U+00F7 (x, division sign) are NOT letters (ADVICE r9)
 }
 
 

@@ -542,8 +542,8 @@ def write_ivfpq_index(
     import os as _os
 
     df.sparkSession.createDataFrame(
-        [(int(n), int(mean_u), int(std_u))],
-        "n long, mean_qerr_u long, std_qerr_u long",
+        [(int(n), int(mean_u), int(std_u), 0)],
+        "n long, mean_qerr_u long, std_qerr_u long, seq long",
     ).coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(path, DRIFT_STATS_DIR)
     )
@@ -572,6 +572,7 @@ def append_ivfpq_index(
     vec_col: str = "embedding",
     drift_factor: float = 4.0,
     on_drift: str = "raise",
+    cumulative_factor: float = 2.0,
 ) -> None:
     """Incremental maintenance of a stored index: append-encode a new
     document batch into the existing cell-partitioned parquet layout
@@ -602,30 +603,51 @@ def append_ivfpq_index(
     for the frozen codebooks: ``on_drift="raise"`` (default) refuses
     the append with the measured numbers, ``"warn"`` appends but emits
     a warning, ``"ignore"`` skips the check (as does a pre-round-9
-    index with no sidecar — a warning says so).
+    index with no sidecar — a warning says so). The sidecar's absence
+    is established with an explicit ``FileSystem.exists`` probe, not
+    by matching exception text (ADVICE r9 — the message/error-class
+    differs across Spark versions, and a guard must not change
+    behavior with them); a sidecar that EXISTS but fails to read
+    raises, whatever the error.
+
+    DRIFT HISTORY (round 10): each accepted append writes one row
+    ``(n, mean_qerr_u, std_qerr_u, seq)`` into the sidecar (seq 0 =
+    the training row), so the sidecar is the index's drift ledger. A
+    slow drift that stays under ``drift_factor`` per batch but
+    compounds across appends is caught by a CUMULATIVE canary: when
+    the n-weighted mean of all appended batches (including this one)
+    exceeds ``train_mean + cumulative_factor * train_std`` (default
+    2.0, half the hard threshold), a warning fires — always a warning,
+    never a refusal; it is the retrain-soon signal, pytest-driven by a
+    slow-drift sequence. Legacy single-row sidecars (no ``seq``) keep
+    the hard guard but skip history (mixed parquet schemas are not
+    appendable) — rebuild to enable the ledger. ``on_drift="ignore"``
+    skips the ledger too (nothing is read, so nothing can be
+    sequenced).
     """
     if on_drift not in ("raise", "warn", "ignore"):
         raise ValueError(
             f"on_drift must be raise|warn|ignore, got {on_drift!r}"
         )
+    train = None
+    hist: list = []
+    next_seq = None
+    n_b = mean_b = std_b = 0
     if on_drift != "ignore":
         import os as _os
         import warnings
 
-        from pyspark.errors import AnalysisException
-
         spark = df.sparkSession
         stats_path = _os.path.join(path, DRIFT_STATS_DIR)
-        try:
-            train = spark.read.parquet(stats_path).collect()[0]
-        except AnalysisException as e:
-            # ONLY the missing-sidecar case downgrades to unchecked
-            # (pre-round-9 index); any other failure reading the
-            # sidecar (corruption, permissions) must NOT silently
-            # disable a guard the caller asked to raise (review r9)
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            train = None
+        # explicit existence probe (ADVICE r9): only a genuinely
+        # MISSING sidecar downgrades to unchecked; an existing one
+        # that fails to read raises, whatever the exception text
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(stats_path)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(hpath):
             warnings.warn(
                 f"append_ivfpq_index: no {DRIFT_STATS_DIR} sidecar at "
                 f"{path} (index built before the drift guard?) — "
@@ -633,10 +655,19 @@ def append_ivfpq_index(
                 "to enable the guard",
                 stacklevel=2,
             )
+        else:
+            rows = spark.read.parquet(stats_path).collect()
+            if rows and "seq" in rows[0].asDict():
+                train = min(rows, key=lambda r: r["seq"])
+                hist = [r for r in rows if r["seq"] > train["seq"]]
+                next_seq = max(r["seq"] for r in rows) + 1
+            elif rows:
+                # legacy 1-row sidecar: guard works, no history ledger
+                train = rows[0]
         if train is not None:
             m = len(codebooks)
             dim = m * len(codebooks[0][0])
-            n_b, mean_b, _ = _qerr_stats(
+            n_b, mean_b, std_b = _qerr_stats(
                 df, vec_col, coarse, codebooks, dim
             )
             limit = int(
@@ -658,7 +689,43 @@ def append_ivfpq_index(
                 if on_drift == "raise":
                     raise ValueError(msg)
                 warnings.warn(msg, stacklevel=2)
+            # cumulative canary: the n-weighted mean of EVERY appended
+            # batch (history + this one) vs the softer cumulative limit
+            tot_n = sum(int(h["n"]) for h in hist) + n_b
+            if tot_n > 0:
+                cum_mean = (
+                    sum(int(h["n"]) * int(h["mean_qerr_u"]) for h in hist)
+                    + n_b * mean_b
+                ) // tot_n
+                cum_limit = int(
+                    train["mean_qerr_u"]
+                    + cumulative_factor * train["std_qerr_u"]
+                )
+                if cum_mean > cum_limit:
+                    warnings.warn(
+                        "append_ivfpq_index: CUMULATIVE drift — the "
+                        f"n-weighted mean quantization error of all "
+                        f"{len(hist) + 1} appended batches ({cum_mean}u "
+                        f"over {tot_n} vectors) exceeds train mean "
+                        f"{int(train['mean_qerr_u'])}u + "
+                        f"{cumulative_factor} x std "
+                        f"{int(train['std_qerr_u'])}u = {cum_limit}u. "
+                        "Each batch passed the per-batch guard, but "
+                        "the appended mass has drifted from the frozen "
+                        "codebooks' training distribution — plan a "
+                        "retrain+rebuild.",
+                        stacklevel=2,
+                    )
     _write_index(df, path, coarse, codebooks, id_col, vec_col, "append")
+    if train is not None and next_seq is not None:
+        import os as _os
+
+        df.sparkSession.createDataFrame(
+            [(int(n_b), int(mean_b), int(std_b), int(next_seq))],
+            "n long, mean_qerr_u long, std_qerr_u long, seq long",
+        ).coalesce(1).write.mode("append").parquet(
+            _os.path.join(path, DRIFT_STATS_DIR)
+        )
 
 
 def ivfpq_topk_from_index(

@@ -632,3 +632,152 @@ def quantized_cosine(qa: Column, qb: Column, scale: int = 6) -> Column:
     return F.round(
         dot(qa, qb) / (l2_norm(qa) * l2_norm(qb)), scale
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    method: str = "exact",
+    n_planes: int = 16,
+    bands: int = 4,
+    scale: int = 6,
+) -> DataFrame:
+    """Bitext / parallel-corpus mining by MARGIN-BASED scoring (Artetxe
+    & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings"): score a source–target pair by
+    the RATIO of its cosine to the mean of each side's k-NN cosines —
+    raw cosine is miscalibrated across languages (hubness, per-language
+    density), the margin normalizes it by what "near" means locally.
+    This is how multilingual training sets (CCMatrix, WikiMatrix) are
+    built. Candidates follow the paper's "max" strategy: every pair
+    where the target is in the source's k-NN OR vice versa.
+
+        margin(x, y) = cos(x, y) / (avgNN(x)/2 + avgNN(y)/2)
+                     = 2·cos(x, y) / (avgNN(x) + avgNN(y))
+
+    Determinism contract (repo-wide): cosines quantize to INTEGER
+    micro-units BEFORE any sum; k-NN sums are integer; the margin is
+    one integer cross-multiplied division —
+    ``margin_u = (2·sim_u·kx·ky·1e6) div (sx_u·ky + sy_u·kx)``
+    (kx/ky = actual neighbor counts, <= k, so corpora smaller than k
+    stay exact) — every stage replayable by the DuckDB oracle
+    bit-for-bit. Pairs with a non-positive denominator (all-negative
+    neighborhoods) are dropped: the ratio margin is undefined there.
+
+    ``method="exact"``: all-pairs cosines with ``tgt`` broadcast (pass
+    the smaller language as ``tgt``) — the oracle-replayable baseline,
+    O(|src|·|tgt|) like every exact mining pass; the pair relation then
+    shuffles twice (per-src and per-tgt k-NN windows). ``method="lsh"``:
+    candidates restricted to sign-LSH band collisions (the same
+    md5-seeded hyperplanes as :func:`embedding_neardup_pairs`, one
+    signature pass per side, ids-only band join) — the sublinear scale
+    path; k-NN means are computed WITHIN the candidate set (documented
+    approximation — band recall follows n_planes/bands), planted-pair
+    recall is pytest-floored.
+
+    Returns ``(src_id, tgt_id, sim_u BIGINT, margin_u BIGINT)`` for
+    pairs with ``margin_u >= round(margin_threshold * 1e6)``.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv")
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv")
+    )
+    sim_u = F.round(
+        cosine(F.col("__sv"), F.col("__tv"), scale=scale) * 1e6
+    ).cast("long")
+    if method == "exact":
+        pairs = s.crossJoin(F.broadcast(t)).select(
+            "src_id", "tgt_id", sim_u.alias("sim_u")
+        )
+    elif method == "lsh":
+        dim = int(s.select(F.size("__sv").alias("d")).first()["d"])
+        planes = random_hyperplanes(dim, n_planes)
+        bits_per_band = n_planes // bands
+        assert bits_per_band * bands == n_planes
+
+        def banded(df, vc):
+            def bit(plane):
+                d = dot(F.col(vc), F.array(*[F.lit(x) for x in plane]))
+                return F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+            sig = F.concat(*[bit(p) for p in planes])
+            keys = F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.substring(
+                            sig, b * bits_per_band + 1, bits_per_band
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+            return df.withColumn("__key", F.explode(keys))
+
+        cand = (
+            banded(s, "__sv")
+            .select("src_id", "__key")
+            .join(banded(t, "__tv").select("tgt_id", "__key"), on="__key")
+            .select("src_id", "tgt_id")
+            .dropDuplicates(["src_id", "tgt_id"])
+        )
+        pairs = (
+            cand.join(s, on="src_id")
+            .join(t, on="tgt_id")
+            .select("src_id", "tgt_id", sim_u.alias("sim_u"))
+        )
+    else:
+        raise ValueError(f"bitext_margin_pairs: unknown method {method!r}")
+
+    wx = Window.partitionBy("src_id").orderBy(
+        F.col("sim_u").desc(), F.col("tgt_id").asc()
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.col("sim_u").desc(), F.col("src_id").asc()
+    )
+    ranked = pairs.withColumn("__rx", F.row_number().over(wx)).withColumn(
+        "__ry", F.row_number().over(wy)
+    )
+    sx = (
+        ranked.filter(F.col("__rx") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("sim_u").alias("__sx_u"),
+            F.count(F.lit(1)).alias("__kx"),
+        )
+    )
+    sy = (
+        ranked.filter(F.col("__ry") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("sim_u").alias("__sy_u"),
+            F.count(F.lit(1)).alias("__ky"),
+        )
+    )
+    thr_u = int(round(margin_threshold * 1e6))
+    den = (
+        F.col("__sx_u") * F.col("__ky") + F.col("__sy_u") * F.col("__kx")
+    )
+    return (
+        ranked.filter((F.col("__rx") <= k) | (F.col("__ry") <= k))
+        .join(sx, on="src_id")
+        .join(sy, on="tgt_id")
+        .filter(den > 0)
+        .select(
+            "src_id",
+            "tgt_id",
+            "sim_u",
+            F.expr(
+                f"(2 * sim_u * __kx * __ky * 1000000) div "
+                f"(__sx_u * __ky + __sy_u * __kx)"
+            ).alias("margin_u"),
+        )
+        .filter(F.col("margin_u") >= F.lit(thr_u))
+    )

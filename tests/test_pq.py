@@ -443,3 +443,64 @@ def test_corrupt_sidecar_raises_instead_of_unchecked_append(spark, tmp_path):
     with pytest.raises(Exception):
         append_ivfpq_index(batch, path, coarse, cbs)
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_cumulative_drift_canary_and_history_ledger(spark, tmp_path):
+    """Round-10 (VERDICT r9 #6): every accepted append writes one
+    (n, mean, std, seq) row into the _drift_stats sidecar, and a slow
+    drift that stays under the per-batch hard threshold still trips
+    the CUMULATIVE canary (n-weighted mean of all appended batches vs
+    train mean + cumulative_factor x std) — the retrain-soon warning
+    fires before any batch is refused."""
+    import os
+    import warnings as _warnings
+
+    import pytest
+
+    from jsonl_dataingestion_pipeline_spark.operators.pq import (
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    df, x = _clustered_df(spark)
+    initial = df.filter(F.col("vec_id") < 90)
+    batch = df.filter(F.col("vec_id") >= 90)
+    coarse, cbs = ivfpq_train(
+        initial, "embedding", "vec_id",
+        dim=DIM, n_cells=3, m=M, n_codes=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    path = str(tmp_path / "ledger_index")
+    write_ivfpq_index(initial, path, coarse, cbs)
+    side = os.path.join(path, "_drift_stats")
+    rows = spark.read.parquet(side).collect()
+    assert [r.seq for r in rows] == [0]
+
+    # in-distribution append: no cumulative warning, one ledger row
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        append_ivfpq_index(batch, path, coarse, cbs)
+    assert not [x for x in w if "CUMULATIVE" in str(x.message)]
+    rows = spark.read.parquet(side).collect()
+    assert sorted(r.seq for r in rows) == [0, 1]
+
+    # drifted-but-accepted appends: a huge drift_factor keeps the hard
+    # guard quiet (modeling per-batch drift below the refusal line);
+    # the n-weighted cumulative mean must still trip the canary
+    drifted = batch.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda v: F.round(v * 2.0, 9)
+        ).alias("embedding"),
+    )
+    with pytest.warns(UserWarning, match="CUMULATIVE"):
+        append_ivfpq_index(
+            drifted, path, coarse, cbs,
+            drift_factor=1e9, cumulative_factor=1.0,
+        )
+    rows = spark.read.parquet(side).collect()
+    assert sorted(r.seq for r in rows) == [0, 1, 2]
+    # the ledger records the drifted batch's elevated mean
+    by_seq = {r.seq: r for r in rows}
+    assert by_seq[2].mean_qerr_u > by_seq[0].mean_qerr_u
+    assert by_seq[2].n == drifted.count()

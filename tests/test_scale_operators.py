@@ -709,3 +709,130 @@ def test_simhash_no_id_path_matches_reference_kernel(spark):
         x for x in exp if x is not None
     )
     assert got.count(None) == exp.count(None) == 1
+
+
+class TestBitextMining:
+    """bitext_margin_pairs (Artetxe & Schwenk 2019 ratio margin): the
+    round-10 parallel-corpus mining operator."""
+
+    def _planted(self, spark, n_pairs=6, n_noise=8, dim=8):
+        # translation pairs = identical unit vectors on distinct axes
+        # plus mild off-axis noise docs; src ids 0.., tgt ids 1000..
+        import hashlib
+
+        def vec(seed, axis):
+            v = [0.0] * dim
+            v[axis % dim] = 1.0
+            h = hashlib.md5(f"{seed}".encode()).digest()
+            v[(axis + 3) % dim] = (h[0] % 10) / 100.0
+            return v
+
+        src = [(i, vec(f"p{i}", i)) for i in range(n_pairs)]
+        tgt = [(1000 + i, vec(f"p{i}", i)) for i in range(n_pairs)]
+        # noise on the tgt side only: far from every src axis bundle
+        tgt += [
+            (2000 + j, [0.3 + 0.01 * j] * dim) for j in range(n_noise)
+        ]
+        sdf = spark.createDataFrame(
+            src, "vec_id long, embedding array<double>"
+        )
+        tdf = spark.createDataFrame(
+            tgt, "vec_id long, embedding array<double>"
+        )
+        return sdf, tdf
+
+    def test_exact_mines_planted_pairs_with_top_margin(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        sdf, tdf = self._planted(spark)
+        out = bitext_margin_pairs(
+            sdf, tdf, k=3, margin_threshold=1.0, method="exact"
+        ).collect()
+        # per src, the best-margin tgt must be the planted translation
+        best = {}
+        for r in out:
+            cur = best.get(r.src_id)
+            if cur is None or (r.margin_u, -r.tgt_id) > (
+                cur.margin_u, -cur.tgt_id
+            ):
+                best[r.src_id] = r
+        assert set(best) == {0, 1, 2, 3, 4, 5}
+        for i, r in best.items():
+            assert r.tgt_id == 1000 + i, (i, r)
+            # identical vectors: cosine 1.0 in micro-units
+            assert r.sim_u == 1_000_000
+            # margin strictly above 1.0: neighbors are farther
+            assert r.margin_u > 1_000_000
+
+    def test_lsh_recall_floor_on_planted_pairs(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        sdf, tdf = self._planted(spark)
+        out = bitext_margin_pairs(
+            sdf, tdf, k=3, margin_threshold=1.0, method="lsh",
+            n_planes=16, bands=8,
+        ).collect()
+        mined = {(r.src_id, r.tgt_id) for r in out}
+        planted = {(i, 1000 + i) for i in range(6)}
+        recall = len(mined & planted) / len(planted)
+        # identical vectors share EVERY band key, so sign-LSH recall on
+        # exact translations is 1.0 by construction; floor at 0.8 to
+        # keep the test robust to fixture edits
+        assert recall >= 0.8, (recall, sorted(mined))
+
+    def test_margin_reverses_cosine_ranking_for_hub_targets(self, spark):
+        # the point of the margin (Artetxe & Schwenk §3): a 'hub'
+        # target sitting in a dense region scores HIGHER raw cosine
+        # than an imperfect true translation, but its own k-NN mean is
+        # high too, so the RATIO demotes it below the true pair —
+        # margin must reverse the cosine ranking here
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        src = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]),     # isolated source
+                (1, [0.0, 1.0, 0.0, 0.0]),     # source in dense region
+                (2, [0.05, 0.999, 0.0, 0.0]),  # companion (densifies)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        tgt = spark.createDataFrame(
+            [
+                # imperfect true translation of src 0 (cos ~0.94)
+                (10, [0.94, 0.0, 0.34, 0.0]),
+                # hub near BOTH dense sources (cos ~0.999 to each)
+                (11, [0.0, 1.0, 0.05, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            (r.src_id, r.tgt_id): r
+            for r in bitext_margin_pairs(
+                src, tgt, k=2, margin_threshold=0.0, method="exact"
+            ).collect()
+        }
+        true_pair, hub_pair = out[(0, 10)], out[(1, 11)]
+        # raw cosine ranks the hub pair ABOVE the true pair...
+        assert hub_pair.sim_u > true_pair.sim_u
+        # ...the margin reverses it (the hub's dense neighborhood
+        # inflates both k-NN means in its denominator)
+        assert true_pair.margin_u > hub_pair.margin_u
+
+    def test_unknown_method_raises(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="method"):
+            bitext_margin_pairs(df, df, method="ivf").collect()
