@@ -1870,6 +1870,42 @@ def substring_fp_index(
     )
 
 
+def merge_substring_fp_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 40,
+    sample: int = 8,
+    fp_method: str = "md5",
+) -> DataFrame:
+    """Index MAINTENANCE after accepting a batch: the stored census
+    plus the batch's census, summed per fingerprint — an aggregate,
+    never a rebuild (the contract :func:`substring_fp_index`
+    documents). Persist the result as the new index (at scale, write
+    it bucketed by ``fp`` so the next batch's probe join is
+    shuffle-free on the index side).
+
+    PRECONDITION: the batch's doc ids are disjoint from every id the
+    stored index has already counted (summing censuses double-counts
+    re-crawled docs — see :func:`substring_fp_index`). ``k``/``sample``/
+    ``fp_method`` must match the index's build parameters, or the
+    fingerprint spaces don't align.
+
+    pytest pins the algebra: merge(index(base), batch) ==
+    index(base ∪ batch), row for row.
+    """
+    b = substring_fp_index(
+        batch, id_col, text_col, k=k, sample=sample, fp_method=fp_method
+    )
+    return (
+        index.unionByName(b)
+        .groupBy("fp")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+
 def incremental_substring_spans(
     batch: DataFrame,
     index: DataFrame,

@@ -1533,3 +1533,52 @@ class TestRollingFingerprintPath:
             duplicate_substring_spans(
                 df, "id", "text", k=24, sample=1, fp_method="sha1"
             ).collect()
+
+
+class TestMergeSubstringFpIndex:
+    def test_merge_equals_rebuild_over_union(self, spark):
+        """Index-maintenance algebra: merging the batch census into a
+        stored index must equal rebuilding the index over base+batch
+        (same k/sample => same selected windows, distinct-doc counts
+        sum because the id sets are disjoint)."""
+        from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+            merge_substring_fp_index,
+            substring_fp_index,
+        )
+
+        boiler = (
+            "This licensing boilerplate paragraph is shared between "
+            "the old crawl and the new crawl verbatim."
+        )
+        base = spark.createDataFrame(
+            [
+                (1, "Base doc one says things. " + boiler),
+                (2, "Base doc two is entirely original text with no "
+                    "duplicated regions whatsoever in it."),
+            ],
+            "id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "New doc ten leads in, then: " + boiler),
+                (11, "completely fresh content in the new crawl, "
+                     "nothing repeated anywhere at all."),
+            ],
+            "id long, text string",
+        )
+        idx = substring_fp_index(base, "id", "text", k=24, sample=2)
+        merged = {
+            (r.fp, r.n_docs)
+            for r in merge_substring_fp_index(
+                idx, batch, "id", "text", k=24, sample=2
+            ).collect()
+        }
+        rebuilt = {
+            (r.fp, r.n_docs)
+            for r in substring_fp_index(
+                base.unionByName(batch), "id", "text", k=24, sample=2
+            ).collect()
+        }
+        assert merged == rebuilt and merged
+        # the shared boilerplate's fingerprints count BOTH sides
+        assert any(n >= 2 for _fp, n in merged)
