@@ -708,3 +708,15 @@ def test_q197_incremental_removal_no_cartesian(spark):
     tree = _tree(_formatted(spark, df))
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_q198_bitext_exact_broadcasts_target_side(spark):
+    """q198 (PLANS.md): the exact mining baseline is an all-pairs scan
+    with the TARGET language broadcast — the plan must show a broadcast
+    nested-loop (the deliberate documented shape), never an unbroadcast
+    CartesianProduct, and the two k-NN windows are the only exchanges
+    of the pair relation."""
+    df = em.q198_bitext_mining(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree, tree
