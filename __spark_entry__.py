@@ -13821,6 +13821,8 @@ def q195_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\r\nDisallow: /wild\r\nAllow: /wild/*\r\n"
                 "Disallow: /mid*dle\r\nDisallow: /anchor$\r\n"
                 "Disallow: /*.pdf$\r\n"
+                "Crawl-delay: 2\r\n"
+                "Sitemap: https://example.test/sitemap.xml\r\n"
                 "Disallow:\r\n\r\n"
                 # the rule line above ends the star group: badbot's
                 # Allow would override 'Disallow: /private' on the
@@ -13898,6 +13900,9 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
                'Disallow: /mid*dle' || chr(13) || chr(10) ||
                'Disallow: /anchor$' || chr(13) || chr(10) ||
                'Disallow: /*.pdf$' || chr(13) || chr(10) ||
+               'Crawl-delay: 2' || chr(13) || chr(10) ||
+               'Sitemap: https://example.test/sitemap.xml'
+               || chr(13) || chr(10) ||
                'Disallow:' || chr(13) || chr(10)
                || chr(13) || chr(10) ||
                'User-agent: badbot' || chr(13) || chr(10) ||
@@ -13922,11 +13927,11 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
                trim(substr(line, strpos(line, ':') + 1)) AS val
         FROM vals
     ), typed AS (
-        -- EVERY Allow/Disallow line is kept through group
-        -- segmentation (empty patterns emit no rule but still
+        -- EVERY directive line is kept through group segmentation
+        -- (empty patterns / unknown records emit no rule but still
         -- terminate the header block); pattern filtering happens
         -- after the star-group join
-        SELECT host, ln,
+        SELECT host, ln, line,
                lower(line) LIKE 'user-agent:%' AS is_ua,
                CASE WHEN lower(line) LIKE 'user-agent:%'
                     THEN lower(val) END AS agent,
@@ -13939,7 +13944,9 @@ _ORACLE_DEDUP_SIM["q195_robots_rep"] = """
                     THEN val END AS pat
         FROM pats
     ), kept AS (
-        SELECT * FROM typed WHERE is_ua OR allow IS NOT NULL
+        -- EVERY directive line ("key: value", known or not) counts
+        -- for group segmentation, mirroring _robots_star_lines
+        SELECT * FROM typed WHERE is_ua OR strpos(line, ':') >= 2
     ), marked AS (
         SELECT *, CASE WHEN is_ua AND NOT COALESCE(
                    LAG(is_ua) OVER (PARTITION BY host ORDER BY ln),

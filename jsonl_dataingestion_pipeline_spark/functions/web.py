@@ -373,33 +373,25 @@ def _robots_compile(pat: Column) -> Column:
     )
 
 
-def robots_star_rules(
+def _robots_star_lines(
     df,
     id_col: str,
     robots_col: str,
 ):
-    """Parse each host's ``robots.txt`` body into the rule list that
-    applies to ``User-agent: *`` — the Robots Exclusion Protocol
-    (RFC 9309) evaluation a crawl-curation pipeline runs when honoring
-    opt-outs at scale. Returns ``(id, allow BOOLEAN, rule STRING,
-    rule_regex STRING, rule_len INT)`` rows, one per Allow/Disallow
-    line with a non-empty pattern in any ``*`` group: ``rule`` is the
-    pattern as written, ``rule_regex`` its compiled anchored regex
-    (full §2.2.2/§2.2.3 wildcard semantics — mid-pattern ``*`` matches
-    any octet run, a trailing ``$`` anchors the end; round-9 dropped
-    such rules, which made the opt-out guard fail open on the most
-    common real-world patterns like ``Disallow: /*.pdf$``), and
-    ``rule_len`` the pattern's octet length, the §2.2.2 longest-match
-    precedence key :func:`robots_url_allowed` consumes.
+    """The shared relational robots.txt parse behind
+    :func:`robots_star_rules` and :func:`robots_star_crawl_delay`:
+    classified, comment-stripped lines with their RFC 9309 group id
+    and the per-group star flag appended.
 
     RFC conformance notes (each a round-9→10 review/advice fix):
     lines split on CRLF or LF (the RFC serializes CRLF); end-of-line
     ``#`` comments are stripped BEFORE classification (the RFC permits
     them on any line — ``Disallow: /private # staff`` is the pattern
-    ``/private``); and group segmentation counts EVERY Allow/Disallow
-    line including empty-pattern ones, because per the RFC a
-    ``User-agent`` line after any rule line starts a NEW group — an
-    empty ``Disallow:`` emits no rule but still terminates the header
+    ``/private``); and group segmentation counts EVERY directive line
+    — Allow/Disallow including empty-pattern ones, Crawl-delay,
+    unknown records — because per the RFC a ``User-agent`` line after
+    any record starts a NEW group: an empty ``Disallow:`` or a
+    ``Crawl-delay:`` emits no rule but still terminates the header
     block, so ``User-agent: *\\nDisallow:\\nUser-agent: bad\\n
     Disallow: /`` must NOT attribute ``/`` to the star group.
     Crawler-specific groups remain out of scope (the operator's
@@ -436,15 +428,19 @@ def robots_star_rules(
     is_ua = low.startswith("user-agent:")
     is_allow = low.startswith("allow:")
     is_dis = low.startswith("disallow:")
+    # a DIRECTIVE is any non-UA "key: value" line — Allow/Disallow
+    # (even empty-pattern), Crawl-delay, Sitemap, unknown records
+    # alike. EVERY directive goes through the group window: per the
+    # RFC header grammar a User-agent line after ANY record starts a
+    # NEW group (Google's parser treats unknown records the same), so
+    # neither an empty Disallow nor a Crawl-delay between two groups
+    # can merge them and mis-attribute rules across groups
+    is_directive = ~is_ua & (F.expr("instr(__line, ':')") >= 2)
     # everything after the FIRST colon (values may themselves contain
     # colons — substring_index(-1) would take the LAST segment)
     val = F.trim(
         F.expr("substring(__line, instr(__line, ':') + 1)")
     )
-    # keep EVERY rule line (even empty-pattern ones) through the group
-    # window: an empty Disallow emits no rule but a User-agent line
-    # after it starts a new group — filtering first merged adjacent
-    # groups and mis-attributed rules across them
     typed = lines.select(
         "__id",
         "__ln",
@@ -454,7 +450,8 @@ def robots_star_rules(
         .when(is_dis, F.lit(False))
         .alias("__allow"),
         F.when(is_allow | is_dis, val).alias("__pat"),
-    ).filter(F.col("__ua") | F.col("__allow").isNotNull())
+        F.when(low.startswith("crawl-delay:"), val).alias("__cdelay"),
+    ).filter(F.col("__ua") | is_directive)
     w = Window.partitionBy("__id").orderBy("__ln")
     # a header block starts at a User-agent line NOT preceded by one
     starts = F.when(
@@ -475,9 +472,34 @@ def robots_star_rules(
             )
         ).alias("__star")
     )
+    return grouped.join(star, on=["__id", "__grp"])
+
+
+def robots_star_rules(
+    df,
+    id_col: str,
+    robots_col: str,
+):
+    """The Allow/Disallow rule list of each host's ``*`` group — see
+    :func:`_robots_star_lines` for the shared relational parse and the
+    RFC-conformance notes. Returns ``(id, allow BOOLEAN, rule STRING,
+    rule_regex STRING, rule_len INT)``: ``rule`` as written,
+    ``rule_regex`` the compiled anchored regex (full RFC 9309
+    §2.2.2/§2.2.3 wildcard semantics — mid-pattern ``*`` matches any
+    octet run, trailing ``$`` anchors the end; round 9 DROPPED such
+    rules, failing the opt-out guard open on the most common real
+    patterns like ``Disallow: /*.pdf$``), ``rule_len`` the pattern
+    octet length — the §2.2.2 longest-match precedence key
+    :func:`robots_url_allowed` consumes. Empty patterns emit no rule
+    (``Disallow:`` = unrestricted per the RFC); crawler-specific
+    groups are out of contract; percent-encoding normalization is the
+    caller's concern."""
+    from pyspark.sql import functions as F
+
+    grouped = _robots_star_lines(df, id_col, robots_col)
     pat = F.col("__pat")
     return (
-        grouped.join(star, on=["__id", "__grp"])
+        grouped
         .filter(
             F.col("__star")
             & F.col("__allow").isNotNull()
@@ -489,6 +511,78 @@ def robots_star_rules(
             pat.alias("rule"),
             _robots_compile(pat).alias("rule_regex"),
             F.length(pat).alias("rule_len"),
+        )
+    )
+
+
+def robots_star_crawl_delay(
+    df,
+    id_col: str,
+    robots_col: str,
+):
+    """The ``Crawl-delay`` the ``*`` group requests, per host — not in
+    RFC 9309 but honored by most large crawlers, and a politeness-
+    aware fetch scheduler wants it next to the Allow/Disallow rules.
+    Returns ``(id, crawl_delay DOUBLE)`` for hosts whose star group
+    carries at least one NUMERIC ``Crawl-delay:`` line; multiple lines
+    take the MAXIMUM (the most-polite reading). Non-numeric values are
+    ignored — fail-open to "no delay requested" is correct here (a
+    delay is a politeness hint; contrast the rule parser, where a
+    dropped pattern would fail an OPT-OUT open). Shares the
+    :func:`_robots_star_lines` parse; one extra per-host aggregate."""
+    from pyspark.sql import functions as F
+
+    grouped = _robots_star_lines(df, id_col, robots_col)
+    # try_cast: non-numeric delays are ignored, and under ANSI mode a
+    # plain cast would kill the whole job on one malformed line
+    d = F.col("__cdelay").try_cast("double")
+    return (
+        grouped.filter(F.col("__star") & d.isNotNull())
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.max(d).alias("crawl_delay"))
+    )
+
+
+def robots_sitemaps(
+    df,
+    id_col: str,
+    robots_col: str,
+):
+    """All ``Sitemap:`` URLs in each host's robots.txt — per RFC 9309
+    §2.4 these are GLOBAL records (valid anywhere in the file, not
+    scoped to a user-agent group), so no group machinery applies: one
+    line explode, comment strip, case-insensitive match, value
+    extract. Returns ``(id, ln INT, sitemap STRING)`` with the 0-based
+    line number (duplicates preserved — the file said it twice, and
+    ``ln`` keeps the output deterministic without a global sort). A
+    crawl frontier seeds from these next to the
+    :func:`robots_star_rules` opt-outs."""
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.col(robots_col).cast("string"), "\r?\n")
+        ).alias("__ln", "__raw"),
+    ).select(
+        "__id",
+        "__ln",
+        F.trim(F.regexp_replace(F.col("__raw"), r"#.*$", "")).alias(
+            "__line"
+        ),
+    )
+    val = F.trim(
+        F.expr("substring(__line, instr(__line, ':') + 1)")
+    )
+    return (
+        lines.filter(
+            F.lower(F.col("__line")).startswith("sitemap:")
+            & (F.length(val) > 0)
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__ln").alias("ln"),
+            val.alias("sitemap"),
         )
     )
 

@@ -664,3 +664,72 @@ class TestRobotsRepHardening:
         out = self._eval(spark, robots, ["/private/x", "/open"])
         assert out["/private/x"] == (False, "/private")
         assert out["/open"] == (True, None)
+
+
+class TestRobotsCrawlDelayAndSitemaps:
+    def test_star_crawl_delay_extracted_max_of_numeric(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_star_crawl_delay,
+        )
+
+        robots = (
+            "User-agent: googlebot\nCrawl-delay: 99\n\n"
+            "User-agent: *\nDisallow: /x\n"
+            "Crawl-delay: 2 # be nice\nCrawl-delay: 5\n"
+            "Crawl-delay: fast\n"          # non-numeric -> ignored
+        )
+        rdf = spark.createDataFrame(
+            [(1, robots), (2, "User-agent: *\nDisallow: /y\n")],
+            "host long, robots string",
+        )
+        out = {
+            r.host: r.crawl_delay
+            for r in robots_star_crawl_delay(
+                rdf, "host", "robots"
+            ).collect()
+        }
+        # max of the star group's numeric delays; googlebot's 99 and
+        # host 2 (no delay line) excluded
+        assert out == {1: 5.0}
+
+    def test_sitemaps_are_global_and_ordered(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_sitemaps,
+        )
+
+        robots = (
+            "Sitemap: https://h/s1.xml\n"
+            "User-agent: bot\nDisallow: /\n"
+            "Sitemap: https://h/s2.xml # weekly\n"
+            "sitemap: https://h/s1.xml\n"   # duplicate, kept
+        )
+        rdf = spark.createDataFrame(
+            [(1, robots)], "host long, robots string"
+        )
+        got = [
+            r.sitemap
+            for r in robots_sitemaps(rdf, "host", "robots")
+            .orderBy("ln")
+            .collect()
+        ]
+        assert got == [
+            "https://h/s1.xml", "https://h/s2.xml", "https://h/s1.xml"
+        ]
+
+    def test_crawl_delay_line_terminates_header_block(self, spark):
+        # the same merge bug class as ADVICE r9 (high), via a non-rule
+        # directive: a Crawl-delay between two groups must end the
+        # first header, so badbot's Disallow never reaches the star
+        # group
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            robots_star_rules,
+        )
+
+        robots = (
+            "User-agent: *\nCrawl-delay: 3\n"
+            "User-agent: badbot\nDisallow: /\n"
+        )
+        rdf = spark.createDataFrame(
+            [(1, robots)], "host long, robots string"
+        )
+        assert robots_star_rules(rdf, "host", "robots").count() == 0
