@@ -1296,6 +1296,9 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # + interval subtraction + fold rebuild; rows = k * docs exactly
         # (one output row per input doc)
         "q193_substr_removal": entry.q193_substring_removal,
+        # incremental removal: the q193 shape with the base replaced by
+        # its census — batch-side rows = k * batch docs exactly
+        "q197_incr_removal": entry.q197_incremental_removal,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
