@@ -381,14 +381,22 @@ def main() -> int:
             attempts.append((dt, stl, round(_gc_millis(spark) - gc0, 1)))
             if len(attempts) == 1:
                 first_run[name] = dt
-            clean = [a for a in attempts if 0 <= a[1] <= steal_retry_s]
+
+            # an attempt is CLEAN when its steal is within budget — or
+            # unmeasurable (stl < 0, no /proc/stat): with no signal to
+            # retry on, retrying is pure waste
+            def _clean(a):
+                return a[1] < 0 or a[1] <= steal_retry_s
+
             if steal_retry_s <= 0 and len(attempts) >= runs_per_query:
                 break
-            if len(clean) >= runs_per_query:
+            if len([a for a in attempts if _clean(a)]) >= runs_per_query:
                 break
         attempts_n[name] = len(attempts)
-        clean = [a for a in attempts if 0 <= a[1] <= steal_retry_s]
-        if steal_retry_s > 0 and clean:
+        clean = [a for a in attempts if a[1] < 0 or a[1] <= steal_retry_s]
+        if steal_retry_s <= 0:
+            sel = min(attempts, key=lambda a: a[0])  # retry disabled
+        elif clean:
             sel = min(clean, key=lambda a: a[0])
         else:
             # no clean attempt within budget: report the one measured
