@@ -14435,3 +14435,124 @@ _ORACLE_SHAPES["q198_bitext_mining"] = (
 _UNION_MERGES["q38_cosine_verify"].append(
     ("bitext", "q198_bitext_mining")
 )
+
+
+def q199_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page robots directives (functions/web.py::meta_robots_flags):
+    synthetic HTML pages derive from orders with six planted meta-tag
+    shapes — standard double-quoted, reversed-attribute single-quoted
+    with a bare name, uppercase NONE (the both-flags alias), a token
+    that merely PREFIXES 'noindex' (must not flag — membership is
+    token-exact), a non-robots meta tag, and no tag at all. The oracle
+    replays the extraction itself: the meta-tag scan, the name=robots
+    filter, content-attribute extraction with both quotings, the
+    lower/token-split membership tests, and the none alias."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        meta_robots_flags,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    tag = (
+        F.when(
+            F.col("o_orderkey") % 6 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.col("o_orderkey") % 6 == 1,
+            F.lit("<meta content='nofollow' name=robots>"),
+        )
+        .when(
+            F.col("o_orderkey") % 6 == 2,
+            F.lit('<META NAME="ROBOTS" CONTENT="NONE">'),
+        )
+        .when(
+            F.col("o_orderkey") % 6 == 3,
+            F.lit('<meta name="robots" content="noindexing">'),
+        )
+        .when(
+            F.col("o_orderkey") % 6 == 4,
+            F.lit('<meta name="description" content="noindex">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        tag,
+        F.lit("</head><body>page "),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</body></html>"),
+    )
+    flags = meta_robots_flags(html)
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("mrb_key"),
+        flags["noindex"].alias("mrb_noindex"),
+        flags["nofollow"].alias("mrb_nofollow"),
+        flags["n_tags"].alias("mrb_tags"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q199_meta_robots"] = q199_meta_robots
+
+_ORACLE_DEDUP_SIM["q199_meta_robots"] = '''
+    WITH pages AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS mrb_key,
+               '<html><head>' ||
+               CASE o_orderkey % 6
+                 WHEN 0 THEN
+                   '<meta name="robots" content="noindex, nofollow">'
+                 WHEN 1 THEN
+                   '<meta content=' || chr(39) || 'nofollow'
+                   || chr(39) || ' name=robots>'
+                 WHEN 2 THEN '<META NAME="ROBOTS" CONTENT="NONE">'
+                 WHEN 3 THEN '<meta name="robots" content="noindexing">'
+                 WHEN 4 THEN
+                   '<meta name="description" content="noindex">'
+                 ELSE ''
+               END ||
+               '</head><body>page ' || CAST(o_orderkey AS VARCHAR)
+               || '</body></html>' AS html
+        FROM orders
+    ), metas AS (
+        SELECT mrb_key,
+               list_filter(
+                   regexp_extract_all(html, '(?i)<meta\\b[^>]*>', 0),
+                   m -> regexp_matches(m, '(?i)\\bname\\s*=\\s*["'
+                        || chr(39) || ']?robots["' || chr(39)
+                        || '\\s/>]')
+               ) AS robots
+        FROM pages
+    ), contents AS (
+        SELECT mrb_key, robots,
+               list_transform(robots, m -> lower(COALESCE(
+                   NULLIF(regexp_extract(
+                       m, '(?i)\\bcontent\\s*=\\s*"([^"]*)"', 1), ''),
+                   NULLIF(regexp_extract(
+                       m, '(?i)\\bcontent\\s*=\\s*' || chr(39)
+                          || '([^' || chr(39) || ']*)' || chr(39), 1),
+                       ''),
+                   ''))) AS vals
+        FROM metas
+    ), flags AS (
+        SELECT mrb_key,
+               len(list_filter(vals, s -> len(list_filter(
+                   string_split_regex(trim(s), '[,\\s]+'),
+                   t -> t = 'noindex' OR t = 'none')) > 0)) > 0
+                   AS mrb_noindex,
+               len(list_filter(vals, s -> len(list_filter(
+                   string_split_regex(trim(s), '[,\\s]+'),
+                   t -> t = 'nofollow' OR t = 'none')) > 0)) > 0
+                   AS mrb_nofollow,
+               CAST(len(robots) AS INT) AS mrb_tags
+        FROM contents
+    )
+    SELECT mrb_key, mrb_noindex, mrb_nofollow, mrb_tags FROM flags
+'''
+
+_ORACLE_SHAPES["q199_meta_robots"] = (
+    ("mrb_key", "BIGINT"), ("mrb_noindex", "BOOLEAN"),
+    ("mrb_nofollow", "BOOLEAN"), ("mrb_tags", "INTEGER"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("meta_robots", "q199_meta_robots")
+)

@@ -195,6 +195,7 @@ HEADLINE = [
     "q196_incremental_substring",
     "q197_incremental_removal",
     "q198_bitext_mining",
+    "q199_meta_robots",
 ]
 
 

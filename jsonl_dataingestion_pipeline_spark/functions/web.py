@@ -637,3 +637,72 @@ def robots_url_allowed(
         F.coalesce(F.col("__best.a") == 1, F.lit(True)).alias("allowed"),
         F.col("__best.r").alias("matched_rule"),
     )
+
+
+def meta_robots_flags(c) -> Column:
+    """In-page robots directives — the ``<meta name="robots">`` twin of
+    the robots.txt evaluator: an opt-out-respecting curation pipeline
+    honors page-level ``noindex``/``nofollow`` in addition to the
+    host-level REP rules (robots.txt cannot express per-page opt-outs,
+    and real sites use the meta tag for exactly that). Returns a
+    STRUCT ``(noindex BOOLEAN, nofollow BOOLEAN, n_tags INT)`` where
+    the flags are the union over every robots meta tag in the document
+    (attribute order and quoting vary in the wild; matching is
+    case-insensitive) and ``none`` implies both (the standard alias).
+
+    All regex + higher-order array expressions — no UDF, zero shuffle,
+    and every construct is valid identically in Java regex and RE2 so
+    the DuckDB oracle replays the extraction itself:
+
+    1. collect every ``<meta ...>`` tag;
+    2. keep tags whose ``name`` attribute is ``robots`` (either
+       quoting, or bare);
+    3. take each tag's ``content`` value (double- then single-quoted);
+    4. lower-case, split on commas/whitespace, and test token
+       membership — substring tests would false-positive on values
+       like ``noindexifembargoed``.
+
+    Pages with no robots meta tag return (false, false, 0) — the
+    crawl-side default is "allowed", same contract as
+    :func:`robots_url_allowed` with no matching rule.
+    """
+    h = _col(c).cast("string")
+    metas = F.regexp_extract_all(h, F.lit(r"(?i)<meta\b[^>]*>"), 0)
+    robots = F.filter(
+        metas,
+        lambda m: m.rlike(r"""(?i)\bname\s*=\s*["']?robots["'\s/>]"""),
+    )
+    contents = F.transform(
+        robots,
+        lambda m: F.lower(
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        m, r'(?i)\bcontent\s*=\s*"([^"]*)"', 1
+                    ),
+                    F.lit(""),
+                ),
+                F.nullif(
+                    F.regexp_extract(
+                        m, r"(?i)\bcontent\s*=\s*'([^']*)'", 1
+                    ),
+                    F.lit(""),
+                ),
+                F.lit(""),
+            )
+        ),
+    )
+
+    def has(token: str) -> Column:
+        return F.exists(
+            contents,
+            lambda s: F.exists(
+                F.split(F.trim(s), r"[,\s]+"), lambda t: t == token
+            ),
+        )
+
+    return F.struct(
+        (has("noindex") | has("none")).alias("noindex"),
+        (has("nofollow") | has("none")).alias("nofollow"),
+        F.size(robots).cast("int").alias("n_tags"),
+    )

@@ -733,3 +733,59 @@ class TestRobotsCrawlDelayAndSitemaps:
             [(1, robots)], "host long, robots string"
         )
         assert robots_star_rules(rdf, "host", "robots").count() == 0
+
+
+class TestMetaRobotsFlags:
+    def _flags(self, spark, html):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            meta_robots_flags,
+        )
+
+        return spark.createDataFrame([(html,)], "v string").select(
+            meta_robots_flags("v").alias("r")
+        ).first()["r"]
+
+    def test_standard_tag(self, spark):
+        r = self._flags(
+            spark,
+            '<head><meta name="robots" content="noindex, nofollow">'
+            "</head>",
+        )
+        assert (r.noindex, r.nofollow, r.n_tags) == (True, True, 1)
+
+    def test_attr_order_quoting_and_case(self, spark):
+        r = self._flags(
+            spark, "<META CONTENT='NOFOLLOW' NAME=ROBOTS>"
+        )
+        assert (r.noindex, r.nofollow, r.n_tags) == (False, True, 1)
+
+    def test_none_alias_sets_both(self, spark):
+        r = self._flags(spark, '<meta name="robots" content="none">')
+        assert (r.noindex, r.nofollow) == (True, True)
+
+    def test_token_membership_not_substring(self, spark):
+        # 'noindexifembargoed' must NOT flag — token-exact membership
+        r = self._flags(
+            spark,
+            '<meta name="robots" content="noindexifembargoed">',
+        )
+        assert (r.noindex, r.nofollow) == (False, False)
+        assert r.n_tags == 1
+
+    def test_non_robots_meta_ignored(self, spark):
+        r = self._flags(
+            spark, '<meta name="description" content="noindex">'
+        )
+        assert (r.noindex, r.nofollow, r.n_tags) == (False, False, 0)
+
+    def test_multiple_tags_union(self, spark):
+        r = self._flags(
+            spark,
+            '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">',
+        )
+        assert (r.noindex, r.nofollow, r.n_tags) == (True, True, 2)
+
+    def test_no_tag_defaults_allowed(self, spark):
+        r = self._flags(spark, "<html><body>hello</body></html>")
+        assert (r.noindex, r.nofollow, r.n_tags) == (False, False, 0)
