@@ -706,3 +706,46 @@ def meta_robots_flags(c) -> Column:
         (has("nofollow") | has("none")).alias("nofollow"),
         F.size(robots).cast("int").alias("n_tags"),
     )
+
+
+#: characters whose percent-escapes decode during URL normalization:
+#: the RFC 3986 UNRESERVED set (ALPHA / DIGIT / - . _ ~). Everything
+#: else (reserved delimiters like %2F, non-ASCII) stays encoded — its
+#: meaning can differ between the encoded and decoded forms.
+_PCT_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~"
+)
+
+
+def pct_decode_unreserved(c) -> Column:
+    """Percent-encoding normalization for URL paths and robots
+    patterns (RFC 3986 §2.3 / RFC 9309 §2.2.2): decode the %XX escapes
+    of UNRESERVED characters only — ``/a%41b`` and ``/aAb`` are the
+    SAME path, and a robots pattern written one way must match a URL
+    written the other. Reserved escapes (``%2F``, ``%3F``, ...) are
+    left encoded, because decoding them CHANGES meaning (an encoded
+    slash is not a path separator). Hex digits match
+    case-insensitively (``%41`` and ``%6a``/``%6A`` all decode).
+
+    One chain of literal ``replace`` expressions generated from the
+    shared constant — fully codegen, zero shuffle, and the DuckDB
+    oracle regenerates the identical chain from the same constant (the
+    q182 mojibake-repair pattern). Single pass, not recursive: no
+    replacement emits a ``%``, so valid input cannot cascade; nested /
+    malformed escapes (``%%341``) are out of contract, and both
+    engines run the same chain order so even those agree. Apply it to
+    BOTH the rule patterns and the URL paths before
+    :func:`robots_url_allowed` when crawl sources mix encodings; it is
+    deliberately not baked into the evaluator, whose contract is
+    "normalization is the caller's concern".
+    """
+    out = _col(c).cast("string")
+    for ch in _PCT_UNRESERVED:
+        esc = f"%{ord(ch):02X}"
+        out = F.replace(out, F.lit(esc), F.lit(ch))
+        lower_esc = f"%{ord(ch):02x}"
+        if lower_esc != esc:
+            out = F.replace(out, F.lit(lower_esc), F.lit(ch))
+    return out

@@ -789,3 +789,64 @@ class TestMetaRobotsFlags:
     def test_no_tag_defaults_allowed(self, spark):
         r = self._flags(spark, "<html><body>hello</body></html>")
         assert (r.noindex, r.nofollow, r.n_tags) == (False, False, 0)
+
+
+class TestPctDecodeUnreserved:
+    def _one(self, spark, v):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            pct_decode_unreserved,
+        )
+
+        return spark.createDataFrame([(v,)], "v string").select(
+            pct_decode_unreserved("v").alias("r")
+        ).first()["r"]
+
+    def test_unreserved_escapes_decode(self, spark):
+        assert self._one(spark, "/a%41b%2Dc%7E") == "/aAb-c~"
+
+    def test_hex_case_insensitive(self, spark):
+        assert self._one(spark, "%6a%6A%4f") == "jjO"
+
+    def test_reserved_escapes_stay_encoded(self, spark):
+        # %2F (/), %3F (?), %23 (#), %25 (%) change meaning if decoded
+        assert self._one(spark, "/a%2Fb%3Fq%23f%25x") == (
+            "/a%2Fb%3Fq%23f%25x"
+        )
+
+    def test_normalizes_pattern_vs_path_mismatch(self, spark):
+        # the robots use case: a pattern written encoded must match a
+        # path written plain once both are normalized
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            pct_decode_unreserved,
+            robots_star_rules,
+            robots_url_allowed,
+        )
+
+        rdf = spark.createDataFrame(
+            [(1, "User-agent: *\nDisallow: /priv%61te\n")],
+            "host long, robots string",
+        )
+        rules = robots_star_rules(rdf, "host", "robots")
+        # without normalization: no match (encoded a vs plain a)
+        urls = spark.createDataFrame(
+            [(1, "u", "/private/x")], "host long, uid string, path string"
+        )
+        raw = robots_url_allowed(urls, rules, "host", "path").collect()[0]
+        assert raw.allowed is True
+        # normalize the PATTERN side before compiling: rebuild rules
+        # from a normalized robots body (the documented caller recipe)
+        rdf_n = rdf.select(
+            "host", pct_decode_unreserved("robots").alias("robots")
+        )
+        rules_n = robots_star_rules(rdf_n, "host", "robots")
+        norm = robots_url_allowed(
+            urls.select(
+                "host", "uid",
+                pct_decode_unreserved("path").alias("path"),
+            ),
+            rules_n, "host", "path",
+        ).collect()[0]
+        assert norm.allowed is False and norm.matched_rule == "/private"
+
+    def test_null_propagates(self, spark):
+        assert self._one(spark, None) is None
