@@ -14556,3 +14556,96 @@ _ORACLE_SHAPES["q199_meta_robots"] = (
 _UNION_MERGES["q33_text_extract_battery"].append(
     ("meta_robots", "q199_meta_robots")
 )
+
+
+def q200_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption masks (operators/spancorrupt.py, Raffel et
+    al. 2020): whitespace token counts over documents -> blocked span
+    selection (B=20 for density 0.15 / mean length 3; every full block
+    masks one length-3 span at an md5-hashed offset) -> per-doc
+    accounting (spans, masked tokens, T5 encoder input / decoder
+    target lengths) plus offset checksums (plain and position-weighted
+    span-start sums) that pin every hashed offset, not just the
+    counts. The oracle replays the whole pipeline: the token count,
+    the block explode, the md5 offset hash, and both checksums."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        token_count,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.spancorrupt import (
+        span_corruption_spans,
+        span_corruption_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("__n")
+    )
+    stats = span_corruption_stats(
+        d, "doc_id", "__n", noise_density=0.15, mean_span_length=3
+    )
+    spans = span_corruption_spans(
+        d, "doc_id", "__n",
+        noise_density=0.15, mean_span_length=3, seed=7,
+    )
+    sagg = spans.groupBy("doc_id").agg(
+        F.sum("span_start").alias("__ss"),
+        F.sum(F.col("span_start") * (F.col("span_idx") + 1)).alias("__sw"),
+    )
+    return stats.join(sagg, on="doc_id", how="left").select(
+        F.col("doc_id").alias("sc_doc"),
+        F.col("n_tokens").cast("long").alias("sc_tokens"),
+        F.col("n_spans").alias("sc_spans"),
+        F.col("n_masked").alias("sc_masked"),
+        F.col("input_len").alias("sc_input_len"),
+        F.col("target_len").alias("sc_target_len"),
+        F.coalesce(F.col("__ss"), F.lit(0)).cast("long").alias(
+            "sc_start_sum"
+        ),
+        F.coalesce(F.col("__sw"), F.lit(0)).cast("long").alias(
+            "sc_start_wsum"
+        ),
+    )
+
+
+_DEDUP_SIM_QUERIES["q200_span_corruption"] = q200_span_corruption
+
+_ORACLE_DEDUP_SIM["q200_span_corruption"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS BIGINT) AS n
+        FROM documents
+    ), base AS (
+        SELECT doc_id, n, n // 20 AS nb FROM toks
+    ), spans AS (
+        SELECT doc_id, b AS span_idx,
+               b * 20 + CAST('0x' || substr(md5(
+                   '7:' || CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 18
+                   AS span_start
+        FROM base, unnest(range(nb)) AS t(b)
+        WHERE nb > 0
+    ), sagg AS (
+        SELECT doc_id, SUM(span_start) AS ss,
+               SUM(span_start * (span_idx + 1)) AS sw
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id AS sc_doc, b.n AS sc_tokens, b.nb AS sc_spans,
+           b.nb * 3 AS sc_masked,
+           b.n - b.nb * 3 + b.nb AS sc_input_len,
+           b.nb * 3 + b.nb + 1 AS sc_target_len,
+           CAST(COALESCE(s.ss, 0) AS BIGINT) AS sc_start_sum,
+           CAST(COALESCE(s.sw, 0) AS BIGINT) AS sc_start_wsum
+    FROM base b LEFT JOIN sagg s USING (doc_id)
+"""
+
+_ORACLE_SHAPES["q200_span_corruption"] = (
+    ("sc_doc", "BIGINT"), ("sc_tokens", "BIGINT"),
+    ("sc_spans", "BIGINT"), ("sc_masked", "BIGINT"),
+    ("sc_input_len", "BIGINT"), ("sc_target_len", "BIGINT"),
+    ("sc_start_sum", "BIGINT"), ("sc_start_wsum", "BIGINT"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("span_corruption", "q200_span_corruption")
+)
