@@ -14649,3 +14649,103 @@ _ORACLE_SHAPES["q200_span_corruption"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("span_corruption", "q200_span_corruption")
 )
+
+
+def q201_semantic_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context pretraining packing (operators/packing.py::
+    semantic_pack, Shi et al. 2023): embeddings (token counts
+    synthesized as 50 + vec_id % 100) -> deterministic centroid seed +
+    broadcast nearest-centroid argmax (the verified IVF building
+    blocks) -> within-cell ordering by centroid cosine -> dense global
+    semantic order via broadcast cell bases -> two-phase prefix-sum
+    packing into 512-token sequences. The oracle replays every stage:
+    the scale-9 assignment argmax, both rank windows, the cell-base
+    prefix sum, and the naive global-window packing the distributed
+    prefix sum must equal."""
+    from jsonl_dataingestion_pipeline_spark.operators.packing import (
+        semantic_pack,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.lit(50) + F.col("vec_id") % 100).cast("int").alias("n_tokens"),
+    )
+    out = semantic_pack(e, n_col="n_tokens", seq_len=512, n_cells=8)
+    return out.select(
+        F.col("vec_id").alias("sp_vec"),
+        F.col("cell_id").cast("int").alias("sp_cell"),
+        F.col("cell_rank").cast("int").alias("sp_rank"),
+        F.col("sem_order").alias("sp_order"),
+        F.col("n_tokens").cast("long").alias("sp_tokens"),
+        F.col("tok_start").alias("sp_start"),
+        F.col("seq_first").alias("sp_seq_first"),
+        F.col("seq_last").alias("sp_seq_last"),
+        F.col("n_seqs").alias("sp_n_seqs"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q201_semantic_packing"] = q201_semantic_packing
+
+_ORACLE_DEDUP_SIM["q201_semantic_packing"] = """
+    WITH c AS (
+        SELECT vec_id, embedding, 50 + vec_id % 100 AS n FROM embeddings
+    ), cts AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+               embedding AS ctv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id ASC LIMIT 8)
+    ), cellsim AS (
+        SELECT c.vec_id, c.n, t.cell_id,
+               ROUND(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(t.ctv AS DOUBLE[])), 9) AS sim
+        FROM c, cts t
+    ), assigned AS (
+        SELECT vec_id, n, cell_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
+            FROM cellsim
+        ) WHERE rk = 1
+    ), ranked AS (
+        SELECT vec_id, cell_id, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell_id ORDER BY sim DESC, vec_id ASC
+               ) AS cell_rank
+        FROM assigned
+    ), bases AS (
+        SELECT cell_id, COALESCE(SUM(cn) OVER (
+                   ORDER BY cell_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS base
+        FROM (SELECT cell_id, COUNT(*) AS cn FROM ranked GROUP BY cell_id)
+    ), ordered AS (
+        SELECT r.vec_id, r.cell_id, r.cell_rank,
+               b.base + r.cell_rank - 1 AS sem_order, r.n
+        FROM ranked r JOIN bases b USING (cell_id)
+    ), packed AS (
+        SELECT *, SUM(n) OVER (ORDER BY sem_order) - n AS tok_start
+        FROM ordered
+    )
+    SELECT vec_id AS sp_vec, CAST(cell_id AS INT) AS sp_cell,
+           CAST(cell_rank AS INT) AS sp_rank,
+           CAST(sem_order AS BIGINT) AS sp_order,
+           CAST(n AS BIGINT) AS sp_tokens,
+           CAST(tok_start AS BIGINT) AS sp_start,
+           CAST(tok_start // 512 AS BIGINT) AS sp_seq_first,
+           CAST((tok_start + n - 1) // 512 AS BIGINT) AS sp_seq_last,
+           CAST((tok_start + n - 1) // 512 - tok_start // 512 + 1
+                AS BIGINT) AS sp_n_seqs
+    FROM packed
+"""
+
+_ORACLE_SHAPES["q201_semantic_packing"] = (
+    ("sp_vec", "BIGINT"), ("sp_cell", "INTEGER"), ("sp_rank", "INTEGER"),
+    ("sp_order", "BIGINT"), ("sp_tokens", "BIGINT"),
+    ("sp_start", "BIGINT"), ("sp_seq_first", "BIGINT"),
+    ("sp_seq_last", "BIGINT"), ("sp_n_seqs", "BIGINT"),
+)
+
+_UNION_MERGES["q28_ann_topk"].append(
+    ("semantic_packing", "q201_semantic_packing")
+)

@@ -96,3 +96,97 @@ def pack_sequences(
             ).cast("long").alias("n_seqs"),
         )
     )
+
+
+def semantic_pack(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_col: str = "n_tokens",
+    seq_len: int,
+    n_cells: int = 8,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """In-context pretraining packing (ICP, Shi et al. 2023 "In-Context
+    Pretraining: Language Modeling Beyond Document Boundaries"): order
+    documents SEMANTICALLY before cutting fixed-length training
+    sequences, so each context window holds related documents instead
+    of random concatenation — the transform behind measurable
+    long-context gains, and a pure composition of operators this
+    engine already verifies:
+
+    1. deterministic centroid seed + broadcast nearest-centroid argmax
+       (:func:`..similarity.make_centroids` / :func:`..similarity.
+       assign_cells` — the IVF building blocks);
+    2. within-cell semantic order: ``row_number`` over (cosine to own
+       centroid DESC, id) — a window PARTITIONED by cell, every cell
+       in parallel;
+    3. cell base offsets: one tiny aggregate (``n_cells`` rows) gets
+       an exclusive prefix sum and broadcast-joins back — the global
+       semantic order ``cell_base + cell_rank - 1`` is dense in
+       ``[0, N)`` without ever sorting the corpus globally;
+    4. :func:`pack_sequences` over that order (the two-phase
+       distributed prefix sum) cuts the ``seq_len`` windows.
+
+    Returns ``(id, cell_id, cell_rank, sem_order, n_tokens, tok_start,
+    seq_first, seq_last, n_seqs)``.
+
+    Scale notes: the only data-sized shuffles are the assignment
+    groupBy and the per-cell window; at 100 TB pick ``n_cells`` so the
+    expected cell holds a bounded shard (cells ~ N / target_cell_size
+    — ICP itself uses many thousands of clusters), which also bounds
+    the per-cell sort. The centroid and cell-base frames are
+    ``n_cells`` rows — always broadcast-sized.
+    """
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        assign_cells,
+        make_centroids,
+    )
+
+    centroids = make_centroids(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_cells(
+        corpus,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep=(n_col,),
+        with_sim=True,
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("cell_sim").desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        assigned.select(
+            F.col(id_col), F.col("cell_id"), F.col(n_col),
+            F.col("cell_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(w))
+        .drop("cell_sim")
+    )
+    counts = ranked.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__cn"))
+    pw = Window.orderBy("cell_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        "cell_id",
+        F.coalesce(F.sum("__cn").over(pw), F.lit(0)).alias("__base"),
+    )
+    ordered = ranked.join(F.broadcast(bases), on="cell_id").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.col("cell_rank"),
+        (F.col("__base") + F.col("cell_rank") - 1)
+        .cast("long")
+        .alias("sem_order"),
+        F.col(n_col),
+    )
+    packed = pack_sequences(
+        ordered, n_col, "sem_order", seq_len=seq_len,
+        bucket_size=bucket_size,
+    )
+    return ordered.select(id_col, "cell_id", "cell_rank", "sem_order").join(
+        packed, on="sem_order"
+    )

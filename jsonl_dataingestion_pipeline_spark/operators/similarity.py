@@ -90,12 +90,20 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "cell_id",
+    keep: "tuple[str, ...]" = (),
+    with_sim: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
     Centroids are broadcast; assignment is an argmax computed with one
     ``min_by``-style aggregation — no window, no extra shuffle beyond the
     groupBy on the (already distributed) vector id.
+
+    ``keep`` names extra ``corpus`` columns to carry through the argmax
+    (rides the payload struct — no join back onto the corpus);
+    ``with_sim=True`` adds the winning cosine as ``cell_sim`` (scale-9,
+    the same value the argmax decided on). Both default off and leave
+    the original output untouched.
     """
     cts = centroids.select(
         F.col(centroid_id).alias("__cell"), F.col(vec_col).alias("__ctv")
@@ -103,14 +111,21 @@ def assign_cells(
     scored = corpus.crossJoin(F.broadcast(cts)).select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in keep],
         F.col("__cell"),
         cosine(F.col(vec_col), F.col("__ctv"), scale=9).alias("__sim"),
+    )
+    payload = F.struct(
+        F.col("__cell"),
+        F.col(vec_col).alias("v"),
+        F.col("__sim").alias("s"),
+        *[F.col(c).alias(f"k_{c}") for c in keep],
     )
     best = (
         scored.groupBy(id_col)
         .agg(
             F.max_by(
-                F.struct(F.col("__cell"), F.col(vec_col).alias("v")),
+                payload,
                 F.struct(F.col("__sim"), (-F.col("__cell")).alias("tb")),
             ).alias("best")
         )
@@ -118,6 +133,8 @@ def assign_cells(
             F.col(id_col),
             F.col("best.__cell").alias(centroid_id),
             F.col("best.v").alias(vec_col),
+            *[F.col(f"best.k_{c}").alias(c) for c in keep],
+            *([F.col("best.s").alias("cell_sim")] if with_sim else []),
         )
     )
     return best
