@@ -14749,3 +14749,133 @@ _ORACLE_SHAPES["q201_semantic_packing"] = (
 _UNION_MERGES["q28_ann_topk"].append(
     ("semantic_packing", "q201_semantic_packing")
 )
+
+
+def q202_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl frontier (functions/web.py::
+    crawl_schedule): per-host robots.txt bodies (star group, one
+    Disallow, Crawl-delay on even hosts) are parsed with the verified
+    RFC 9309 operators, customer URLs are filtered through
+    robots_url_allowed, and the surviving frontier is scheduled —
+    host-sticky md5 fetcher shards, per-host priority slots, and
+    earliest-start offsets honoring each host's Crawl-delay (default
+    1s where none is requested). The parser itself is oracle-gated by
+    q195; THIS oracle replays the frontier math end to end — the
+    allow decision (prefix semantics of the one planted rule), the
+    delay coalesce, the priority window, the slot arithmetic, and the
+    md5 shard hash."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        crawl_schedule,
+        robots_star_crawl_delay,
+        robots_star_rules,
+        robots_url_allowed,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    robots = n.select(
+        F.col("n_nationkey").cast("long").alias("cf_host"),
+        F.concat(
+            F.lit("User-agent: *\r\nDisallow: /private\r\n"),
+            F.when(
+                F.col("n_nationkey") % 2 == 0,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (1 + F.col("n_nationkey") % 5).cast("string"),
+                    F.lit("\r\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots"),
+    )
+    rules = robots_star_rules(robots, "cf_host", "robots")
+    delays = robots_star_crawl_delay(robots, "cf_host", "robots")
+    c = _t(spark, sf_dir, "customer")
+    urls = c.select(
+        F.col("c_nationkey").cast("long").alias("cf_host"),
+        F.concat(
+            F.lit("https://h"),
+            F.col("c_nationkey").cast("string"),
+            F.lit(".test/p"),
+            F.col("c_custkey").cast("string"),
+        ).alias("cf_url"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(
+                F.lit("/private/doc"), F.col("c_custkey").cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/page/"), F.col("c_custkey").cast("string"))
+        )
+        .alias("__path"),
+        (F.col("c_custkey") % 7).cast("int").alias("cf_prio"),
+    )
+    kept = (
+        robots_url_allowed(urls, rules, "cf_host", "__path")
+        .filter(F.col("allowed"))
+        .select("cf_host", "cf_url", "cf_prio")
+    )
+    sched = crawl_schedule(
+        kept,
+        delays,
+        host_col="cf_host",
+        url_col="cf_url",
+        priority_col="cf_prio",
+        default_delay=1.0,
+        n_fetchers=16,
+    )
+    return sched.select(
+        "cf_host",
+        "cf_url",
+        "cf_prio",
+        F.col("fetcher").alias("cf_fetcher"),
+        F.col("slot").alias("cf_slot"),
+        F.col("eta_ms").alias("cf_eta_ms"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q202_crawl_frontier"] = q202_crawl_frontier
+
+_ORACLE_DEDUP_SIM["q202_crawl_frontier"] = """
+    WITH hosts AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS cf_host,
+               CASE WHEN n_nationkey % 2 = 0
+                    THEN CAST(1 + n_nationkey % 5 AS DOUBLE)
+                    ELSE 1.0 END AS delay_s
+        FROM nation
+    ), urls AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS cf_host,
+               'https://h' || CAST(c_nationkey AS VARCHAR) || '.test/p'
+                   || CAST(c_custkey AS VARCHAR) AS cf_url,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN '/private/doc' || CAST(c_custkey AS VARCHAR)
+                    ELSE '/page/' || CAST(c_custkey AS VARCHAR)
+               END AS path,
+               CAST(c_custkey % 7 AS INT) AS cf_prio
+        FROM customer
+    ), kept AS (
+        SELECT cf_host, cf_url, cf_prio FROM urls
+        WHERE path NOT LIKE '/private%'
+    )
+    SELECT k.cf_host, k.cf_url, k.cf_prio,
+           CAST(CAST('0x' || substr(md5(CAST(k.cf_host AS VARCHAR)), 1, 8)
+                AS BIGINT) % 16 AS INT) AS cf_fetcher,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY k.cf_host
+               ORDER BY k.cf_prio DESC, k.cf_url ASC) - 1
+               AS BIGINT) AS cf_slot,
+           (ROW_NUMBER() OVER (
+               PARTITION BY k.cf_host
+               ORDER BY k.cf_prio DESC, k.cf_url ASC) - 1)
+               * CAST(ROUND(h.delay_s * 1000, 0) AS BIGINT) AS cf_eta_ms
+    FROM kept k JOIN hosts h USING (cf_host)
+"""
+
+_ORACLE_SHAPES["q202_crawl_frontier"] = (
+    ("cf_host", "BIGINT"), ("cf_url", "VARCHAR"), ("cf_prio", "INTEGER"),
+    ("cf_fetcher", "INTEGER"), ("cf_slot", "BIGINT"),
+    ("cf_eta_ms", "BIGINT"),
+)
+
+_UNION_MERGES["q90_corpus_pipeline"].append(
+    ("crawl_frontier", "q202_crawl_frontier")
+)

@@ -749,3 +749,71 @@ def pct_decode_unreserved(c) -> Column:
         if lower_esc != esc:
             out = F.replace(out, F.lit(lower_esc), F.lit(ch))
     return out
+
+
+def crawl_schedule(
+    urls,
+    delays,
+    *,
+    host_col: str,
+    url_col: str,
+    priority_col: "str | None" = None,
+    default_delay: float = 1.0,
+    n_fetchers: int = 64,
+):
+    """Politeness-aware fetch schedule — the frontier transform between
+    "these URLs are allowed" (:func:`robots_url_allowed`) and "fetch
+    them": per host, order by priority and assign each URL a fetch
+    slot and an earliest-start offset honoring the host's
+    ``Crawl-delay`` (:func:`robots_star_crawl_delay`, or
+    ``default_delay`` seconds when the host requests none).
+
+    Returns the ``urls`` columns plus ``(fetcher INT, slot BIGINT,
+    eta_ms BIGINT)``:
+
+    - ``fetcher`` — md5-hashed host shard in ``[0, n_fetchers)``;
+      host-STICKY, so one worker owns a host and per-host delays are
+      enforceable locally with no cross-worker coordination (hashing
+      URLs instead would scatter a host over the fleet and make
+      politeness a distributed-locking problem);
+    - ``slot`` — 0-based position in the host's priority order
+      (priority DESC, url ASC; ties and NULL priority break to url);
+    - ``eta_ms`` — ``slot * round(crawl_delay * 1000)``: the earliest
+      offset (ms, from the host's first fetch) that keeps consecutive
+      requests ``crawl_delay`` apart.
+
+    Scale: one host-keyed left join (the delay frame is one row per
+    host that REQUESTS a delay — broadcast-sized in practice) and one
+    window PARTITIONED by host. A mega-host's window sorts only that
+    host's URLs — the same serialization politeness itself imposes;
+    the md5 shard spreads distinct hosts uniformly over fetchers.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = delays.select(
+        F.col(host_col), F.col("crawl_delay").alias("__cd")
+    )
+    joined = urls.join(d, on=host_col, how="left")
+    order = (
+        [F.col(priority_col).desc_nulls_last()] if priority_col else []
+    ) + [F.col(url_col).asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(host_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_fetchers),
+    ).cast("int")
+    delay_ms = F.round(
+        F.coalesce(F.col("__cd"), F.lit(float(default_delay))) * 1000.0, 0
+    ).cast("long")
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return joined.select(
+        *urls.columns,
+        shard.alias("fetcher"),
+        slot.alias("slot"),
+        (slot * delay_ms).alias("eta_ms"),
+    )

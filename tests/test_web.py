@@ -850,3 +850,82 @@ class TestPctDecodeUnreserved:
 
     def test_null_propagates(self, spark):
         assert self._one(spark, None) is None
+
+
+class TestCrawlSchedule:
+    def _frontier(self, spark):
+        urls = spark.createDataFrame(
+            [
+                ("a.test", "https://a.test/1", 5),
+                ("a.test", "https://a.test/2", 9),
+                ("a.test", "https://a.test/3", None),
+                ("b.test", "https://b.test/x", 1),
+                ("b.test", "https://b.test/y", 1),
+            ],
+            "host string, url string, prio int",
+        )
+        delays = spark.createDataFrame(
+            [("a.test", 2.5)], "host string, crawl_delay double"
+        )
+        return urls, delays
+
+    def test_slots_follow_priority_and_delay(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            crawl_schedule,
+        )
+
+        urls, delays = self._frontier(spark)
+        out = {
+            r.url: (r.slot, r.eta_ms, r.fetcher)
+            for r in crawl_schedule(
+                urls, delays, host_col="host", url_col="url",
+                priority_col="prio", default_delay=1.0, n_fetchers=8,
+            ).collect()
+        }
+        # a.test: prio 9 first, then 5, NULL prio last; 2.5s delay
+        assert out["https://a.test/2"][:2] == (0, 0)
+        assert out["https://a.test/1"][:2] == (1, 2500)
+        assert out["https://a.test/3"][:2] == (2, 5000)
+        # b.test: tie on prio breaks to url; default 1s delay
+        assert out["https://b.test/x"][:2] == (0, 0)
+        assert out["https://b.test/y"][:2] == (1, 1000)
+
+    def test_fetcher_is_host_sticky_and_bounded(self, spark):
+        import hashlib
+
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            crawl_schedule,
+        )
+
+        urls, delays = self._frontier(spark)
+        rows = crawl_schedule(
+            urls, delays, host_col="host", url_col="url",
+            n_fetchers=8,
+        ).collect()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r.host, set()).add(r.fetcher)
+        for host, shards in by_host.items():
+            assert len(shards) == 1
+            (shard,) = shards
+            exp = int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % 8
+            assert shard == exp
+
+    def test_no_priority_orders_by_url(self, spark):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            crawl_schedule,
+        )
+
+        urls, delays = self._frontier(spark)
+        out = {
+            r.url: r.slot
+            for r in crawl_schedule(
+                urls, delays, host_col="host", url_col="url"
+            ).collect()
+            if r.host == "a.test"
+        }
+        assert out == {
+            "https://a.test/1": 0,
+            "https://a.test/2": 1,
+            "https://a.test/3": 2,
+        }
