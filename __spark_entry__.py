@@ -14879,3 +14879,127 @@ _ORACLE_SHAPES["q202_crawl_frontier"] = (
 _UNION_MERGES["q90_corpus_pipeline"].append(
     ("crawl_frontier", "q202_crawl_frontier")
 )
+
+
+def q203_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census (functions/textstats.py::
+    tokenizer_fertility): docs with doc_id % 5 in {1,2,3} are REPLACED
+    by Cyrillic/CJK/Arabic phrases (the q194 plants) so the corpus
+    spans four writing systems, then per main_script the census sums
+    chars/bytes/whitespace words/BPE-ish tokens and emits integer
+    micro-unit fertility ratios (chars-per-token, bytes-per-token,
+    tokens-per-word) via exact decimal floor division — the table a
+    multilingual tokenizer evaluation reads to find under-served
+    scripts. The oracle replays the script argmax fold (q194's class
+    literals), the q103 BPE piece arithmetic, and the HUGEINT ratio
+    division bit-for-bit."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        tokenizer_fertility,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probe = F.col("text")
+    for m, (_name, s) in _Q194_PLANTS.items():
+        probe = F.when(
+            F.col("doc_id") % 5 == m,
+            F.concat(F.lit(s + " "), F.col("doc_id").cast("string")),
+        ).otherwise(probe)
+    staged = d.select(probe.alias("__t"))
+    out = tokenizer_fertility(staged, "__t")
+    return out.select(
+        F.col("script").alias("tf_script"),
+        F.col("n_docs").alias("tf_docs"),
+        F.col("n_chars").alias("tf_chars"),
+        F.col("n_bytes").alias("tf_bytes"),
+        F.col("n_words").alias("tf_words"),
+        F.col("n_tokens").alias("tf_tokens"),
+        F.col("chars_per_token_u").alias("tf_cpt_u"),
+        F.col("bytes_per_token_u").alias("tf_bpt_u"),
+        F.col("tokens_per_word_u").alias("tf_tpw_u"),
+    )
+
+
+def _q203_oracle() -> str:
+    classes = {
+        "arabic": "؀-ۿ",
+        "cjk": "一-鿿぀-ヿ가-힯",
+        "cyrillic": "Ѐ-ӿ",
+        "greek": "Ͱ-Ͽ",
+        "latin": "A-Za-zÀ-ÖØ-öø-ɏ",
+    }
+    plants = " ".join(
+        f"WHEN doc_id % 5 = {m} THEN '{s} ' || CAST(doc_id AS VARCHAR)"
+        for m, (_n, s) in _Q194_PLANTS.items()
+    )
+    cnt = {
+        n: (
+            f"CAST(len(t) - len(regexp_replace(t, '[{c}]', '', 'g'))"
+            " AS INT)"
+        )
+        for n, c in classes.items()
+    }
+    names = sorted(classes)
+    expr = f"CASE WHEN c_{names[0]} > 0 THEN '{names[0]}' ELSE 'und' END"
+    best = f"c_{names[0]}"
+    for n in names[1:]:
+        expr = f"CASE WHEN c_{n} > {best} THEN '{n}' ELSE {expr} END"
+        best = f"GREATEST(c_{n}, {best})"
+    counts_cols = ",\n               ".join(
+        f"{cnt[n]} AS c_{n}" for n in names
+    )
+    return rf"""
+    WITH probe AS (
+        SELECT CASE {plants} ELSE text END AS t FROM documents
+    ), counts AS (
+        SELECT t,
+               {counts_cols}
+        FROM probe
+    ), per AS (
+        SELECT {expr} AS script,
+               CAST(length(t) AS HUGEINT) AS chars,
+               CAST(strlen(t) AS HUGEINT) AS bytes,
+               CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(t), '\s+'))
+                    END AS HUGEINT) AS words,
+               CAST(COALESCE(list_sum(list_transform(
+                   regexp_extract_all(t,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]'),
+                   x -> CASE WHEN regexp_matches(x, '^[a-zA-Z]')
+                             THEN CAST(ceil(length(x) / 8.0) AS BIGINT)
+                        WHEN regexp_matches(x, '^[0-9]')
+                             THEN CAST(ceil(length(x) / 3.0) AS BIGINT)
+                        ELSE 1 END)), 0) AS HUGEINT) AS bpe
+        FROM counts
+    ), agg AS (
+        SELECT script, COUNT(*) AS n_docs, SUM(chars) AS sc,
+               SUM(bytes) AS sb, SUM(words) AS sw, SUM(bpe) AS st
+        FROM per GROUP BY script
+    )
+    SELECT script AS tf_script, CAST(n_docs AS BIGINT) AS tf_docs,
+           CAST(sc AS BIGINT) AS tf_chars, CAST(sb AS BIGINT) AS tf_bytes,
+           CAST(sw AS BIGINT) AS tf_words, CAST(st AS BIGINT) AS tf_tokens,
+           CASE WHEN st > 0
+                THEN CAST((sc * 1000000) // st AS BIGINT) END AS tf_cpt_u,
+           CASE WHEN st > 0
+                THEN CAST((sb * 1000000) // st AS BIGINT) END AS tf_bpt_u,
+           CASE WHEN sw > 0
+                THEN CAST((st * 1000000) // sw AS BIGINT) END AS tf_tpw_u
+    FROM agg
+"""
+
+
+_DEDUP_SIM_QUERIES["q203_tokenizer_fertility"] = q203_tokenizer_fertility
+
+_ORACLE_DEDUP_SIM["q203_tokenizer_fertility"] = _q203_oracle()
+
+_ORACLE_SHAPES["q203_tokenizer_fertility"] = (
+    ("tf_script", "VARCHAR"), ("tf_docs", "BIGINT"),
+    ("tf_chars", "BIGINT"), ("tf_bytes", "BIGINT"),
+    ("tf_words", "BIGINT"), ("tf_tokens", "BIGINT"),
+    ("tf_cpt_u", "BIGINT"), ("tf_bpt_u", "BIGINT"),
+    ("tf_tpw_u", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("tokenizer_fertility", "q203_tokenizer_fertility")
+)

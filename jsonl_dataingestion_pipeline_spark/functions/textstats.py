@@ -1030,3 +1030,67 @@ def main_script(c: ColumnOrName, default: str = "und") -> Column:
     return main_script_from_counts(
         {n: script_char_count(c, n) for n in SCRIPT_CLASSES}, default
     )
+
+
+def tokenizer_fertility(
+    df,
+    text_col: str,
+    *,
+    scale: int = 6,
+):
+    """Per-writing-system tokenizer fertility census — the table a
+    multilingual tokenizer evaluation reads to see which scripts a
+    vocabulary serves poorly (high fertility = more tokens per word =
+    shorter effective context and higher training cost for that
+    language; cf. the fertility analyses in the XLM-R and NLLB
+    reports).
+
+    Groups the corpus by :func:`main_script` and returns per script:
+    ``(script, n_docs, n_chars, n_bytes, n_words, n_tokens,
+    chars_per_token_u, bytes_per_token_u, tokens_per_word_u)`` where
+    ``n_words`` is the whitespace count, ``n_tokens`` the BPE-ish
+    :func:`bpe_token_count`, and the ``*_u`` ratios are integer
+    micro-units (scale ``10^scale``) computed with one cross-multiplied
+    integer division over decimal(38,0) sums — order-independent,
+    wrap-proof at 100 TB corpus sizes, and bit-replayable by the
+    DuckDB oracle (``div`` ≡ ``//`` on exact integers). Groups whose
+    denominator is zero (e.g. all-empty docs) emit NULL ratios.
+
+    One codegen projection (each text scanned once per statistic — the
+    same regex-class passes q194 verifies) and one 6-ish-row groupBy:
+    scan-bound at any corpus size.
+    """
+    u = 10 ** scale
+    t = _col(text_col).cast("string")
+    per = df.select(
+        main_script(t).alias("script"),
+        char_count(t).cast("decimal(18,0)").alias("__chars"),
+        F.octet_length(t).cast("decimal(18,0)").alias("__bytes"),
+        token_count(t).cast("decimal(18,0)").alias("__words"),
+        bpe_token_count(t).cast("decimal(18,0)").alias("__bpe"),
+    )
+    agg = per.groupBy("script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__chars").alias("__sc"),
+        F.sum("__bytes").alias("__sb"),
+        F.sum("__words").alias("__sw"),
+        F.sum("__bpe").alias("__st"),
+    )
+
+    def ratio(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.expr(f"CAST((`{num}` * {u}) div `{den}` AS BIGINT)"),
+        )
+
+    return agg.select(
+        "script",
+        "n_docs",
+        F.col("__sc").cast("long").alias("n_chars"),
+        F.col("__sb").cast("long").alias("n_bytes"),
+        F.col("__sw").cast("long").alias("n_words"),
+        F.col("__st").cast("long").alias("n_tokens"),
+        ratio("__sc", "__st").alias("chars_per_token_u"),
+        ratio("__sb", "__st").alias("bytes_per_token_u"),
+        ratio("__st", "__sw").alias("tokens_per_word_u"),
+    )
