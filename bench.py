@@ -196,6 +196,10 @@ HEADLINE = [
     "q197_incremental_removal",
     "q198_bitext_mining",
     "q199_meta_robots",
+    "q200_span_corruption",
+    "q201_semantic_packing",
+    "q202_crawl_frontier",
+    "q203_tokenizer_fertility",
 ]
 
 

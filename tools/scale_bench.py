@@ -1299,6 +1299,15 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # incremental removal: the q193 shape with the base replaced by
         # its census — batch-side rows = k * batch docs exactly
         "q197_incr_removal": entry.q197_incremental_removal,
+        # blocked span corruption: Generate + codegen projection, rows
+        # scale with corpus tokens / block size — scan-bound
+        "q200_span_corruption": entry.q200_span_corruption,
+        # politeness schedule: host-keyed join + per-host window; rows
+        # = allowed URLs exactly
+        "q202_crawl_frontier": entry.q202_crawl_frontier,
+        # per-script census: codegen regex passes + 6-row groupBy —
+        # pure scan-bound projection
+        "q203_tokenizer_fertility": entry.q203_tokenizer_fertility,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
