@@ -39,6 +39,7 @@ def pack_sequences(
     *,
     seq_len: int,
     bucket_size: int = 100_000,
+    keep: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-document packing coordinates in the ``order_col``-ordered
     token stream cut every ``seq_len`` tokens.
@@ -52,7 +53,10 @@ def pack_sequences(
     no sequence: NULL/NULL/0.
 
     ``bucket_size`` is the range width of the parallel prefix buckets
-    (see module note); any value gives identical output.
+    (see module note); any value gives identical output. ``keep``
+    names extra ``df`` columns to carry through (rides the local pass
+    — no join back onto the input, and the input lineage is evaluated
+    once).
     """
     b = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
     local_w = (
@@ -63,6 +67,7 @@ def pack_sequences(
     local = (
         df.select(
             F.col(order_col),
+            *[F.col(c) for c in keep],
             F.col(n_col).cast("long").alias("__n"),
         )
         .withColumn("__b", b)
@@ -87,6 +92,7 @@ def pack_sequences(
         local.join(F.broadcast(prefix), on="__b")
         .select(
             F.col(order_col),
+            *[F.col(c) for c in keep],
             F.col("__n").alias("n_tokens"),
             start.cast("long").alias("tok_start"),
             seq_first.alias("seq_first"),
@@ -185,8 +191,9 @@ def semantic_pack(
     )
     packed = pack_sequences(
         ordered, n_col, "sem_order", seq_len=seq_len,
-        bucket_size=bucket_size,
+        bucket_size=bucket_size, keep=(id_col, "cell_id", "cell_rank"),
     )
-    return ordered.select(id_col, "cell_id", "cell_rank", "sem_order").join(
-        packed, on="sem_order"
+    return packed.select(
+        id_col, "cell_id", "cell_rank", "sem_order",
+        "n_tokens", "tok_start", "seq_first", "seq_last", "n_seqs",
     )

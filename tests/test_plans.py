@@ -720,3 +720,53 @@ def test_q198_bitext_exact_broadcasts_target_side(spark):
     tree = _tree(_formatted(spark, df))
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_q200_span_corruption_no_exchange_before_agg(spark):
+    """q200 (PLANS.md): the span list is a pipelined Generate over a
+    codegen projection; the only exchanges are the checksum aggregate
+    and the stats join — never a cartesian or per-row Python."""
+    df = em.q200_span_corruption(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "Generate" in tree, tree
+    assert "Python" not in tree, tree
+
+
+def test_q201_semantic_packing_broadcasts_small_frames(spark):
+    """q201 (PLANS.md): centroids, cell bases, and the bucket prefix
+    are all broadcast; the corpus side never enters a nested loop
+    except the documented n_cells-row centroid broadcast. The static
+    plan repeats the assignment lineage under each consumer, but AQE
+    exchange reuse collapses it — the post-execution plan must show
+    ReusedExchange (the corpus argmax runs ONCE)."""
+    df = em.q201_semantic_packing(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    # the centroid argmax is the one deliberate broadcast nested loop
+    # (8 rows against the corpus); bases and prefix join as broadcast
+    # hash joins
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_q202_crawl_frontier_no_cartesian(spark):
+    """q202 (PLANS.md): rules and delays join host-keyed; the schedule
+    is one per-host window — never a nested loop or cartesian."""
+    df = em.q202_crawl_frontier(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_q203_tokenizer_fertility_is_scan_plus_one_agg(spark):
+    """q203 (PLANS.md): one codegen projection + a script-count-sized
+    aggregate; no joins, no Python, no Generate."""
+    df = em.q203_tokenizer_fertility(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "Join" not in tree, tree
+    assert "Python" not in tree, tree
