@@ -15003,3 +15003,132 @@ _ORACLE_SHAPES["q203_tokenizer_fertility"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("tokenizer_fertility", "q203_tokenizer_fertility")
 )
+
+
+def q204_url_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-structure bitext candidates (functions/web.py::
+    url_bitext_candidates, El-Kishky et al. 2020 CCAligned stage 1):
+    orders synthesize multilingual page families — page = orderkey//4,
+    variants 0/1/2 carry en/fr/de markers (odd pages as SUBDOMAIN
+    labels, even pages as the FIRST PATH SEGMENT), variant 3 has no
+    marker and must emit nothing — and candidate translation pairs are
+    mined by skeleton equi-join. Composes with q198: these pairs are
+    what margin verification consumes. The oracle replays the marker
+    regexes, the {lang} skeleton rewrite, and the ordered self-join
+    (RE2 and Java regex agree on every construct used)."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        url_bitext_candidates,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    page = (F.col("o_orderkey") / 4).cast("long")
+    v = F.col("o_orderkey") % 4
+    lang = (
+        F.when(v == 0, F.lit("en"))
+        .when(v == 1, F.lit("fr"))
+        .when(v == 2, F.lit("de"))
+    )
+    hostn = (page % 7).cast("string")
+    urls = o.select(
+        F.col("o_orderkey").cast("long").alias("ub_id"),
+        F.when(
+            v == 3,
+            F.concat(
+                F.lit("https://h"), hostn, F.lit(".test/item/"),
+                page.cast("string"),
+            ),
+        )
+        .when(
+            page % 2 == 1,
+            F.concat(
+                F.lit("https://"), lang, F.lit(".h"), hostn,
+                F.lit(".test/item/"), page.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), hostn, F.lit(".test/"), lang,
+                F.lit("/item/"), page.cast("string"),
+            ),
+        )
+        .alias("ub_url"),
+    )
+    out = url_bitext_candidates(urls, id_col="ub_id", url_col="ub_url")
+    return out.select(
+        F.col("skeleton").alias("ub_skel"),
+        F.col("lang_a").alias("ub_lang_a"),
+        F.col("id_a").alias("ub_id_a"),
+        F.col("lang_b").alias("ub_lang_b"),
+        F.col("id_b").alias("ub_id_b"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q204_url_bitext"] = q204_url_bitext
+
+_ORACLE_DEDUP_SIM["q204_url_bitext"] = r"""
+    WITH urls AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS ub_id,
+               CASE
+                 WHEN o_orderkey % 4 = 3 THEN
+                   'https://h' || CAST((o_orderkey // 4) % 7 AS VARCHAR)
+                   || '.test/item/' || CAST(o_orderkey // 4 AS VARCHAR)
+                 WHEN (o_orderkey // 4) % 2 = 1 THEN
+                   'https://'
+                   || CASE o_orderkey % 4 WHEN 0 THEN 'en'
+                        WHEN 1 THEN 'fr' ELSE 'de' END
+                   || '.h' || CAST((o_orderkey // 4) % 7 AS VARCHAR)
+                   || '.test/item/' || CAST(o_orderkey // 4 AS VARCHAR)
+                 ELSE
+                   'https://h' || CAST((o_orderkey // 4) % 7 AS VARCHAR)
+                   || '.test/'
+                   || CASE o_orderkey % 4 WHEN 0 THEN 'en'
+                        WHEN 1 THEN 'fr' ELSE 'de' END
+                   || '/item/' || CAST(o_orderkey // 4 AS VARCHAR)
+               END AS ub_url
+        FROM orders WHERE o_orderkey < 4000
+    ), marked AS (
+        SELECT ub_id,
+               CASE
+                 WHEN regexp_extract(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://[^/?#]+/)(en|fr|de|es|it|pt|ru|zh|ja|ar)(/|$|[?#])',
+                   2) <> ''
+                 THEN lower(regexp_extract(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://[^/?#]+/)(en|fr|de|es|it|pt|ru|zh|ja|ar)(/|$|[?#])',
+                   2))
+                 WHEN regexp_extract(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://)(en|fr|de|es|it|pt|ru|zh|ja|ar)\.([^/?#]+)',
+                   2) <> ''
+                 THEN lower(regexp_extract(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://)(en|fr|de|es|it|pt|ru|zh|ja|ar)\.([^/?#]+)',
+                   2))
+               END AS lang,
+               CASE
+                 WHEN regexp_extract(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://[^/?#]+/)(en|fr|de|es|it|pt|ru|zh|ja|ar)(/|$|[?#])',
+                   2) <> ''
+                 THEN regexp_replace(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://[^/?#]+/)(en|fr|de|es|it|pt|ru|zh|ja|ar)(/|$|[?#])',
+                   '\1{lang}\3')
+                 WHEN regexp_extract(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://)(en|fr|de|es|it|pt|ru|zh|ja|ar)\.([^/?#]+)',
+                   2) <> ''
+                 THEN regexp_replace(ub_url,
+                   '(?i)^([a-z][a-z0-9+.-]*://)(en|fr|de|es|it|pt|ru|zh|ja|ar)\.([^/?#]+)',
+                   '\1{lang}.\3')
+               END AS skeleton
+        FROM urls
+    ), m AS (SELECT * FROM marked WHERE lang IS NOT NULL)
+    SELECT a.skeleton AS ub_skel, a.lang AS ub_lang_a, a.ub_id AS ub_id_a,
+           b.lang AS ub_lang_b, b.ub_id AS ub_id_b
+    FROM m a JOIN m b ON a.skeleton = b.skeleton AND a.lang < b.lang
+"""
+
+_ORACLE_SHAPES["q204_url_bitext"] = (
+    ("ub_skel", "VARCHAR"), ("ub_lang_a", "VARCHAR"),
+    ("ub_id_a", "BIGINT"), ("ub_lang_b", "VARCHAR"),
+    ("ub_id_b", "BIGINT"),
+)
+
+_UNION_MERGES["q38_cosine_verify"].append(
+    ("url_bitext", "q204_url_bitext")
+)

@@ -200,6 +200,7 @@ HEADLINE = [
     "q201_semantic_packing",
     "q202_crawl_frontier",
     "q203_tokenizer_fertility",
+    "q204_url_bitext",
 ]
 
 

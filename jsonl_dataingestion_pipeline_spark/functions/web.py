@@ -817,3 +817,80 @@ def crawl_schedule(
         slot.alias("slot"),
         (slot * delay_ms).alias("eta_ms"),
     )
+
+
+def url_bitext_candidates(
+    df,
+    *,
+    id_col: str,
+    url_col: str,
+    langs: "tuple[str, ...]" = (
+        "en", "fr", "de", "es", "it", "pt", "ru", "zh", "ja", "ar",
+    ),
+):
+    """URL-structure bitext candidate pairs (the CCAligned / ParaCrawl
+    first stage, El-Kishky et al. 2020): two pages whose URLs are
+    identical except for a language marker are candidate translations
+    of each other — ``example.test/en/about`` ↔ ``example.test/fr/
+    about``. Emits one row per unordered candidate pair; feed the pair
+    list to :func:`..operators.similarity.bitext_margin_pairs` for
+    embedding-margin verification (q198) — structure proposes, margin
+    disposes.
+
+    Detection (deliberately conservative — a wrong pair costs a wasted
+    margin computation, a missed marker just loses recall):
+
+    - FIRST PATH SEGMENT: ``https://h/en/...`` where the lower-cased
+      segment is in ``langs``;
+    - else SUBDOMAIN LABEL: ``https://en.example.test/...``.
+
+    The pair key (``skeleton``) is the URL with the matched marker
+    replaced by ``{lang}``; pages with no marker emit nothing. Returns
+    ``(skeleton, lang_a, id_a, lang_b, id_b)`` with ``lang_a <
+    lang_b`` (ties on lang broken by id — same-lang duplicates of one
+    skeleton are NOT paired; they are dedup's job, not alignment's).
+
+    Scale: one codegen projection per row, then a self-equi-join on
+    ``skeleton`` — pairs per skeleton are bounded by |langs|, so the
+    join fans out at most |langs|²/2 per page family, never
+    corpus-quadratic. The shuffle is one hash partition by skeleton.
+    """
+    from pyspark.sql import functions as F
+
+    alts = "|".join(langs)
+    u = F.col(url_col).cast("string")
+    # ...://host/<lang>/rest  (case-insensitive on the marker)
+    path_re = rf"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+/)({alts})(/|$|[?#])"
+    sub_re = rf"(?i)^([a-z][a-z0-9+.-]*://)({alts})\.([^/?#]+)"
+    path_lang = F.lower(F.regexp_extract(u, path_re, 2))
+    sub_lang = F.lower(F.regexp_extract(u, sub_re, 2))
+    lang = F.when(path_lang != "", path_lang).otherwise(
+        F.when(sub_lang != "", sub_lang)
+    )
+    skeleton = F.when(
+        path_lang != "",
+        F.regexp_replace(u, path_re, r"$1{lang}$3"),
+    ).otherwise(
+        F.when(
+            sub_lang != "",
+            F.regexp_replace(u, sub_re, r"$1{lang}.$3"),
+        )
+    )
+    marked = df.select(
+        F.col(id_col).alias("__id"),
+        lang.alias("__lang"),
+        skeleton.alias("skeleton"),
+    ).filter(F.col("__lang").isNotNull())
+    a = marked.select(
+        "skeleton",
+        F.col("__lang").alias("lang_a"),
+        F.col("__id").alias("id_a"),
+    )
+    b = marked.select(
+        "skeleton",
+        F.col("__lang").alias("lang_b"),
+        F.col("__id").alias("id_b"),
+    )
+    return a.join(b, on="skeleton").filter(
+        F.col("lang_a") < F.col("lang_b")
+    )

@@ -770,3 +770,13 @@ def test_q203_tokenizer_fertility_is_scan_plus_one_agg(spark):
     assert "CartesianProduct" not in tree, tree
     assert "Join" not in tree, tree
     assert "Python" not in tree, tree
+
+
+def test_q204_url_bitext_joins_on_skeleton_only(spark):
+    """q204 (PLANS.md): one codegen marker projection, one skeleton
+    equi-join — never a nested loop or cartesian, no Python."""
+    df = em.q204_url_bitext(spark, SF)
+    tree = _tree(_formatted(spark, df))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "Python" not in tree, tree

@@ -929,3 +929,53 @@ class TestCrawlSchedule:
             "https://a.test/2": 1,
             "https://a.test/3": 2,
         }
+
+
+class TestUrlBitextCandidates:
+    def _run(self, spark, rows):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            url_bitext_candidates,
+        )
+
+        df = spark.createDataFrame(rows, "id long, url string")
+        return url_bitext_candidates(df, id_col="id", url_col="url")
+
+    def test_path_and_subdomain_markers_pair_up(self, spark):
+        rows = [
+            (1, "https://site.test/en/about"),
+            (2, "https://site.test/fr/about"),
+            (3, "https://site.test/de/about"),
+            (4, "https://site.test/en/other"),     # different page
+            (5, "https://en.shop.test/p?x=1"),
+            (6, "https://fr.shop.test/p?x=1"),
+            (7, "https://site.test/about"),        # no marker
+            (8, "https://site.test/enx/about"),    # not a lang segment
+        ]
+        got = {
+            (r.id_a, r.id_b) for r in self._run(spark, rows).collect()
+        }
+        assert got == {(3, 1), (1, 2), (3, 2), (5, 6)}
+
+    def test_same_lang_duplicates_not_paired_and_case_folds(self, spark):
+        rows = [
+            (1, "https://site.test/EN/page"),
+            (2, "https://site.test/en/page"),   # same lang — not a pair
+            (3, "https://site.test/fr/page"),
+        ]
+        pairs = self._run(spark, rows).collect()
+        langs = {(r.lang_a, r.lang_b) for r in pairs}
+        assert langs == {("en", "fr")}
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3), (2, 3)}
+
+    def test_skeleton_preserves_query_and_marker_slot(self, spark):
+        rows = [(1, "https://x.test/en/a?q=1#f")]
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            url_bitext_candidates,
+        )
+
+        df = spark.createDataFrame(rows, "id long, url string")
+        marked = url_bitext_candidates(
+            df, id_col="id", url_col="url"
+        )
+        # no partner -> no pairs, but the skeleton must be the join key
+        assert marked.count() == 0
