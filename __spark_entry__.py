@@ -15132,3 +15132,97 @@ _ORACLE_SHAPES["q204_url_bitext"] = (
 _UNION_MERGES["q38_cosine_verify"].append(
     ("url_bitext", "q204_url_bitext")
 )
+
+
+def q205_paragraph_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level duplicate-paragraph decision (operators/
+    curation.py::paragraph_dup_stats — the Dolma/CCNet census companion
+    to q84's removal transform): the same derived lined corpus
+    (8-token segments), but instead of stripping boilerplate the
+    operator measures per document how much of it is cross-document
+    duplicate — paragraph and CHAR-mass fractions in integer
+    micro-units — and flags documents past 20% duplicate chars for
+    dropping (mostly-shared pages should leave whole, not survive as
+    fragments). The oracle replays the chunking, the distinct-doc
+    census, the per-doc sums, the integer floor divisions, and the
+    cross-multiplied keep predicate."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        paragraph_dup_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = d.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    out = paragraph_dup_stats(
+        lined, "doc_id", "text",
+        sep="\n", min_docs=2, max_dup_fraction=0.2,
+    )
+    return out.select(
+        F.col("doc_id").alias("pd_doc"),
+        F.col("n_paras").alias("pd_paras"),
+        F.col("n_dup_paras").alias("pd_dup_paras"),
+        F.col("n_chars").alias("pd_chars"),
+        F.col("n_dup_chars").alias("pd_dup_chars"),
+        F.col("dup_para_frac_u").alias("pd_pfrac_u"),
+        F.col("dup_char_frac_u").alias("pd_cfrac_u"),
+        F.col("keep").alias("pd_keep"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q205_paragraph_dup"] = q205_paragraph_dup
+
+_ORACLE_DEDUP_SIM["q205_paragraph_dup"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), lined AS (
+        SELECT doc_id, list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                   i -> array_to_string(toks[CAST(i AS INT) * 8 + 1 : CAST(i AS INT) * 8 + 8], ' ')
+               ) AS lines
+        FROM base
+    ), expl AS (
+        SELECT doc_id, UNNEST(lines) AS line FROM lined
+    ), dup AS (
+        SELECT line FROM expl GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT e.doc_id, e.line,
+               e.line IN (SELECT line FROM dup) AS isdup
+        FROM expl e
+    ), per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ndp,
+               CAST(SUM(length(line)) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN isdup THEN length(line) ELSE 0 END)
+                   AS BIGINT) AS ndc
+        FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id AS pd_doc, n_paras AS pd_paras, ndp AS pd_dup_paras,
+           nc AS pd_chars, ndc AS pd_dup_chars,
+           CASE WHEN n_paras > 0 THEN (ndp * 1000000) // n_paras
+                ELSE 0 END AS pd_pfrac_u,
+           CASE WHEN nc > 0 THEN (ndc * 1000000) // nc
+                ELSE 0 END AS pd_cfrac_u,
+           ndc * 1000000 <= nc * 200000 AS pd_keep
+    FROM per
+"""
+
+_ORACLE_SHAPES["q205_paragraph_dup"] = (
+    ("pd_doc", "BIGINT"), ("pd_paras", "BIGINT"),
+    ("pd_dup_paras", "BIGINT"), ("pd_chars", "BIGINT"),
+    ("pd_dup_chars", "BIGINT"), ("pd_pfrac_u", "BIGINT"),
+    ("pd_cfrac_u", "BIGINT"), ("pd_keep", "BOOLEAN"),
+)
+
+_UNION_MERGES["q23_dedup_stats"].append(
+    ("paragraph_dup", "q205_paragraph_dup")
+)

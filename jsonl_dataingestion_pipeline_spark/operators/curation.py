@@ -358,6 +358,37 @@ def normalized_line_key(line: Column) -> Column:
     return F.trim(k)
 
 
+def _quote_sep(sep: str) -> str:
+    """Pattern.quote(sep): literal \\Q..\\E quoting, with any embedded
+    \\E closed, escaped, and re-opened."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _exploded_lines(df, id_col, text_col, sep_pat, key, gcols):
+    """(__id, __pos, __line, __key [, groups]) — the shared line
+    explode of :func:`dedup_lines` and :func:`paragraph_dup_stats`."""
+    return df.select(
+        *gcols,
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep_pat)).alias("__n"),
+        F.posexplode(
+            F.split(F.col(text_col), sep_pat)
+        ).alias("__pos", "__line"),
+    ).withColumn(
+        "__key", key(F.col("__line")) if key is not None else F.col("__line")
+    )
+
+
+def _dup_line_keys(lines, gcols, min_docs: int):
+    """Line keys appearing in >= min_docs distinct docs (per group)."""
+    return (
+        lines.groupBy(*gcols, "__key")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select(*gcols, "__key")
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str,
@@ -401,26 +432,10 @@ def dedup_lines(
     line shared across different sites (a common sentence) survives,
     where the global census would strip it.
     """
-    # Pattern.quote(sep): literal \Q..\E quoting, with any embedded \E
-    # closed, escaped, and re-opened.
-    sep_pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    sep_pat = _quote_sep(sep)
     gcols = [group_col] if group_col is not None else []
-    lines = df.select(
-        *gcols,
-        F.col(id_col).alias("__id"),
-        F.size(F.split(F.col(text_col), sep_pat)).alias("__n"),
-        F.posexplode(
-            F.split(F.col(text_col), sep_pat)
-        ).alias("__pos", "__line"),
-    ).withColumn(
-        "__key", key(F.col("__line")) if key is not None else F.col("__line")
-    )
-    dup = (
-        lines.groupBy(*gcols, "__key")
-        .agg(F.countDistinct("__id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select(*gcols, "__key")
-    )
+    lines = _exploded_lines(df, id_col, text_col, sep_pat, key, gcols)
+    dup = _dup_line_keys(lines, gcols, min_docs)
     kept = lines.join(dup, [*gcols, "__key"], "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
@@ -446,6 +461,82 @@ def dedup_lines(
             F.col("n_lines"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+def paragraph_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    max_dup_fraction: float = 0.3,
+    key=None,
+    group_col: Optional[str] = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Document-level duplicate-paragraph DECISION (the Dolma / CCNet
+    census companion to :func:`dedup_lines`): instead of removing the
+    boilerplate paragraphs, measure how much of each document IS
+    cross-document duplicate and flag documents past
+    ``max_dup_fraction`` for dropping — a page that is mostly shared
+    content (mirror, template farm, syndicated feed) should leave the
+    corpus whole, not survive as a stripped fragment.
+
+    Shares :func:`dedup_lines`'s explode and duplicate census (same
+    ``sep``/``key``/``group_col`` semantics), then aggregates BACK to
+    one row per document: ``(id, n_paras, n_dup_paras, n_chars,
+    n_dup_chars, dup_para_frac_u, dup_char_frac_u, keep)``. Fractions
+    are integer micro-units (floor, ``10^scale``); the keep decision
+    compares CHAR mass — ``n_dup_chars * 10^scale <=
+    n_chars * round(max_dup_fraction * 10^scale)`` — exactly the
+    cross-multiplied integer predicate the oracle replays (no float
+    threshold drift). Zero-char documents keep (nothing duplicated).
+
+    Plan: the dedup_lines census (explode -> map-side-combined
+    count-distinct -> tiny dup set), a LEFT SEMI membership mark
+    instead of the anti-join, and one doc-keyed aggregate — linear,
+    same shuffle family as the removal transform.
+    """
+    u = 10 ** scale
+    thr_u = round(max_dup_fraction * u)
+    sep_pat = _quote_sep(sep)
+    gcols = [group_col] if group_col is not None else []
+    lines = _exploded_lines(df, id_col, text_col, sep_pat, key, gcols)
+    dup = _dup_line_keys(lines, gcols, min_docs)
+    marked = lines.join(
+        dup.withColumn("__isdup", F.lit(True)),
+        [*gcols, "__key"],
+        "left",
+    )
+    isdup = F.coalesce(F.col("__isdup"), F.lit(False))
+    chars = F.length(F.col("__line")).cast("long")
+    per_doc = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(isdup.cast("long")).alias("n_dup_paras"),
+        F.sum(chars).alias("n_chars"),
+        F.sum(F.when(isdup, chars).otherwise(F.lit(0))).alias(
+            "n_dup_chars"
+        ),
+    )
+    # integer floor division (`div`), not float `/`: keeps the fraction
+    # exact past 2^53 char sums and bit-equal to the oracle's `//`
+    frac = lambda a, b: F.when(
+        F.col(b) > 0,
+        F.expr(f"CAST((`{a}` * {u}) div `{b}` AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_paras",
+        "n_dup_paras",
+        "n_chars",
+        "n_dup_chars",
+        frac("n_dup_paras", "n_paras").alias("dup_para_frac_u"),
+        frac("n_dup_chars", "n_chars").alias("dup_char_frac_u"),
+        (
+            F.col("n_dup_chars") * u <= F.col("n_chars") * F.lit(thr_u)
+        ).alias("keep"),
     )
 
 

@@ -1582,3 +1582,66 @@ class TestMergeSubstringFpIndex:
         assert merged == rebuilt and merged
         # the shared boilerplate's fingerprints count BOTH sides
         assert any(n >= 2 for _fp, n in merged)
+
+
+class TestParagraphDupStats:
+    def _stats(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.operators.curation import (
+            paragraph_dup_stats,
+        )
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        return {
+            r.id: r
+            for r in paragraph_dup_stats(df, "id", "text", **kw).collect()
+        }
+
+    def test_counts_fractions_and_keep_decision(self, spark):
+        rows = [
+            (1, "shared banner\nunique one"),
+            (2, "shared banner\nunique two\nunique three"),
+            (3, "all original\nnothing shared"),
+        ]
+        got = self._stats(spark, rows, max_dup_fraction=0.5)
+        assert (got[1].n_paras, got[1].n_dup_paras) == (2, 1)
+        assert got[1].n_dup_chars == len("shared banner")
+        assert got[1].dup_para_frac_u == 500000
+        # doc 1: 13 dup chars of 23 -> 56.5% > 50% -> drop
+        assert got[1].keep is False
+        assert got[2].keep is True and got[2].n_dup_paras == 1
+        assert got[3].n_dup_paras == 0 and got[3].keep is True
+        assert got[3].dup_char_frac_u == 0
+
+    def test_exact_threshold_keeps(self, spark):
+        # dup chars exactly 50% of total must KEEP (<=, cross-multiplied)
+        rows = [(1, "abcd\nwxyz"), (2, "abcd\nqqqq")]
+        got = self._stats(spark, rows, max_dup_fraction=0.5)
+        assert got[1].dup_char_frac_u == 500000
+        assert got[1].keep is True
+
+    def test_empty_doc_keeps_with_zero_fractions(self, spark):
+        rows = [(1, ""), (2, "x\ny"), (3, "x\nz")]
+        got = self._stats(spark, rows)
+        assert got[1].n_chars == 0
+        assert got[1].dup_char_frac_u == 0 and got[1].keep is True
+
+    def test_grouped_census_scopes_duplicates(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.curation import (
+            paragraph_dup_stats,
+        )
+
+        rows = [
+            (1, "s1", "nav bar\nbody a"),
+            (2, "s1", "nav bar\nbody b"),
+            (3, "s2", "nav bar\nbody c"),
+        ]
+        df = spark.createDataFrame(rows, "id long, site string, text string")
+        got = {
+            r.id: r
+            for r in paragraph_dup_stats(
+                df, "id", "text", group_col="site"
+            ).collect()
+        }
+        # 'nav bar' is duplicate within s1 only; the s2 copy is unique
+        assert got[1].n_dup_paras == 1 and got[2].n_dup_paras == 1
+        assert got[3].n_dup_paras == 0
