@@ -15226,3 +15226,372 @@ _ORACLE_SHAPES["q205_paragraph_dup"] = (
 _UNION_MERGES["q23_dedup_stats"].append(
     ("paragraph_dup", "q205_paragraph_dup")
 )
+
+
+def q206_code_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown code-fence extraction (operators/codedata.py::
+    code_fence_blocks — The Stack-style code harvesting from markup,
+    Kocetkov et al. 2022): the documents corpus reshaped into a
+    markdown-ish derived corpus (6-token lines; every third line
+    wrapped in a deterministic ```lang fence with a synthetic second
+    content line; every 7th doc gains an UNCLOSED trailing fence), then
+    the real relational parser — line posexplode, fence-toggle cumsum
+    window, last-opener info window, per-block rebuild — emits one row
+    per block with an order-sensitive content md5. The oracle does NOT
+    replay the parser: it recomputes every block from the construction
+    arithmetic (which lines were fenced, with what language, in what
+    order), independent ground truth for the toggle windows."""
+    from jsonl_dataingestion_pipeline_spark.operators.codedata import (
+        code_fence_blocks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+    langs = F.array(
+        F.lit("python"), F.lit("sql"), F.lit("c"), F.lit(""), F.lit("js")
+    )
+
+    def _grp(g):
+        line = F.array_join(F.slice(toks, g * 6 + 1, 6), " ")
+        lang = F.element_at(
+            langs, (F.pmod(F.col("doc_id") + g, F.lit(5)) + 1).cast("int")
+        )
+        cs = F.concat(
+            F.lit("cs_"),
+            F.col("doc_id").cast("string"),
+            F.lit("_"),
+            g.cast("string"),
+        )
+        return F.when(
+            F.pmod(g, F.lit(3)) == 2,
+            F.array(F.concat(F.lit("```"), lang), line, cs, F.lit("```")),
+        ).otherwise(F.array(line))
+
+    pieces = F.flatten(F.transform(F.sequence(F.lit(0), n_lines - 1), _grp))
+    trail = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("\n```rust\ntrail "), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    md = d.select(
+        "doc_id",
+        F.concat(F.array_join(pieces, "\n"), trail).alias("text2"),
+    )
+    out = code_fence_blocks(md, "doc_id", "text2")
+    return out.select(
+        F.col("doc_id").alias("cfb_doc"),
+        F.col("block_idx").alias("cfb_idx"),
+        F.col("lang").alias("cfb_lang"),
+        F.col("n_lines").alias("cfb_lines"),
+        F.col("n_chars").alias("cfb_chars"),
+        F.md5(F.col("content")).alias("cfb_md5"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q206_code_fences"] = q206_code_fences
+
+_ORACLE_DEDUP_SIM["q206_code_fences"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sized AS (
+        SELECT doc_id, toks,
+               CAST(ceil(len(toks) / 6.0) AS BIGINT) AS nl
+        FROM base
+    ), fenced AS (
+        SELECT doc_id, g,
+               array_to_string(
+                   toks[CAST(g AS INT) * 6 + 1 : CAST(g AS INT) * 6 + 6],
+                   ' ') AS line,
+               (['python','sql','c','','js'])[
+                   CAST((doc_id + g) % 5 AS INT) + 1] AS lang,
+               'cs_' || CAST(doc_id AS VARCHAR) || '_'
+                      || CAST(g AS VARCHAR) AS cs
+        FROM sized, unnest(range(nl)) AS t(g)
+        WHERE g % 3 = 2
+    ), blocks AS (
+        SELECT doc_id, g // 3 AS cfb_idx, lang,
+               CAST(2 AS BIGINT) AS cfb_lines,
+               CAST(length(line) + length(cs) AS BIGINT) AS cfb_chars,
+               md5(line || chr(10) || cs) AS cfb_md5
+        FROM fenced
+        UNION ALL
+        SELECT doc_id, nl // 3 AS cfb_idx, 'rust' AS lang,
+               CAST(1 AS BIGINT) AS cfb_lines,
+               CAST(length('trail ' || CAST(doc_id AS VARCHAR))
+                   AS BIGINT) AS cfb_chars,
+               md5('trail ' || CAST(doc_id AS VARCHAR)) AS cfb_md5
+        FROM sized WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id AS cfb_doc, cfb_idx, lang AS cfb_lang,
+           cfb_lines, cfb_chars, cfb_md5
+    FROM blocks
+"""
+
+_ORACLE_SHAPES["q206_code_fences"] = (
+    ("cfb_doc", "BIGINT"), ("cfb_idx", "BIGINT"),
+    ("cfb_lang", "VARCHAR"), ("cfb_lines", "BIGINT"),
+    ("cfb_chars", "BIGINT"), ("cfb_md5", "VARCHAR"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("code_fences", "q206_code_fences")
+)
+
+
+def q207_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SantaCoder/StarCoder code-quality filters + The Stack normalized
+    dedup key (operators/codedata.py::code_quality_stats /
+    normalized_code_key; Allal et al. 2023 §4, Kocetkov et al. 2022
+    §3.1): documents reshaped into 8-token-per-line "files" with three
+    planted pathologies — a 1200-char line every 11th doc (max-line
+    violation), an '# auto-generated by synthgen' header every 13th
+    (marker sweep), a 500-dot line every 17th (alnum-fraction hit) —
+    plus, for the dedup key, a MIRROR of every file differing only in
+    comments and whitespace. Emits the full integer statistics row, the
+    cross-multiplied keep decision, and the normalized-key census count
+    (must be exactly 2 everywhere: file + mirror — any normalization
+    mismatch between engines breaks it). The oracle replays the line
+    arithmetic, the regex strip counts, every threshold predicate, and
+    the md5 key census itself."""
+    from jsonl_dataingestion_pipeline_spark.operators.codedata import (
+        code_quality_stats,
+        normalized_code_key,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    body = F.array_join(lines_arr, "\n")
+    text2 = F.concat(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("# auto-generated by synthgen\n"),
+        ).otherwise(F.lit("")),
+        body,
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("x"), 1200)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("."), 500)),
+        ).otherwise(F.lit("")),
+    )
+    files = d.select("doc_id", text2.alias("text2"))
+    stats = code_quality_stats(files, "doc_id", "text2")
+    # normalized-dedup census: every file gets a mirror differing only
+    # in whitespace and a trailing comment; each key must count 2
+    mirror = files.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("text2"), r"\n", "\n\t"),
+            F.lit("  # mirror"),
+        ).alias("text2"),
+    )
+    keys = files.unionByName(mirror).select(
+        "doc_id", normalized_code_key("text2").alias("__k")
+    )
+    census = keys.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__kd")
+    )
+    keyed = keys.filter(F.col("doc_id") < 10_000_000).join(
+        census, "__k", "left"
+    )
+    return stats.join(keyed, "doc_id").select(
+        F.col("doc_id").alias("cq_doc"),
+        F.col("n_lines").alias("cq_lines"),
+        F.col("n_chars").alias("cq_chars"),
+        F.col("max_line_len").alias("cq_maxline"),
+        F.col("mean_line_len_u").alias("cq_meanline_u"),
+        F.col("alnum_frac_u").alias("cq_alnum_u"),
+        F.col("autogen").alias("cq_autogen"),
+        F.col("keep").alias("cq_keep"),
+        F.col("__k").alias("cq_key"),
+        F.col("__kd").alias("cq_keydocs"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q207_code_quality"] = q207_code_quality
+
+_ORACLE_DEDUP_SIM["q207_code_quality"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), built AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 13 = 0
+                     THEN '# auto-generated by synthgen' || chr(10)
+                     ELSE '' END)
+               || array_to_string(list_transform(
+                      generate_series(0,
+                          CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+                      i -> array_to_string(
+                          toks[CAST(i AS INT) * 8 + 1
+                               : CAST(i AS INT) * 8 + 8], ' ')
+                  ), chr(10))
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || repeat('x', 1200) ELSE '' END)
+               || (CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || repeat('.', 500) ELSE '' END)
+                   AS text2
+        FROM base
+    ), pairs AS (
+        SELECT doc_id, text2 FROM built
+        UNION ALL
+        SELECT doc_id + 10000000,
+               '  ' || replace(text2, chr(10), chr(10) || chr(9))
+                    || '  # mirror'
+        FROM built
+    ), keys AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(text2, '(#|//)[^\n]*', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS k
+        FROM pairs
+    ), census AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS kd FROM keys GROUP BY k
+    ), stats AS (
+        SELECT doc_id,
+               string_split(text2, chr(10)) AS ls,
+               length(text2)
+                   - length(regexp_replace(text2, '[A-Za-z0-9]', '', 'g'))
+                   AS alnum
+        FROM built
+    ), agg AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(list_aggregate(list_transform(ls, l -> length(l)),
+                   'sum') AS BIGINT) AS sum_len,
+               CAST(list_aggregate(list_transform(ls, l -> length(l)),
+                   'max') AS BIGINT) AS max_len,
+               CAST(alnum AS BIGINT) AS alnum,
+               len(list_filter(ls[1:5], l ->
+                   contains(lower(l), 'auto-generated')
+                   OR contains(lower(l), 'autogenerated')
+                   OR contains(lower(l), 'generated by'))) > 0 AS autogen
+        FROM stats
+    )
+    SELECT a.doc_id AS cq_doc, a.n_lines AS cq_lines,
+           a.sum_len AS cq_chars, a.max_len AS cq_maxline,
+           CASE WHEN a.n_lines > 0
+                THEN (a.sum_len * 1000000) // a.n_lines
+                ELSE 0 END AS cq_meanline_u,
+           CASE WHEN a.sum_len > 0
+                THEN (a.alnum * 1000000) // a.sum_len
+                ELSE 0 END AS cq_alnum_u,
+           a.autogen AS cq_autogen,
+           NOT (a.max_len > 1000
+                OR a.sum_len > 100 * a.n_lines
+                OR (a.sum_len > 0
+                    AND a.alnum * 1000000 < a.sum_len * 250000)
+                OR a.autogen) AS cq_keep,
+           k.k AS cq_key, c.kd AS cq_keydocs
+    FROM agg a
+    JOIN keys k ON k.doc_id = a.doc_id
+    JOIN census c ON c.k = k.k
+"""
+
+_ORACLE_SHAPES["q207_code_quality"] = (
+    ("cq_doc", "BIGINT"), ("cq_lines", "BIGINT"),
+    ("cq_chars", "BIGINT"), ("cq_maxline", "BIGINT"),
+    ("cq_meanline_u", "BIGINT"), ("cq_alnum_u", "BIGINT"),
+    ("cq_autogen", "BOOLEAN"), ("cq_keep", "BOOLEAN"),
+    ("cq_key", "VARCHAR"), ("cq_keydocs", "BIGINT"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q207_code_quality", {"cq_doc": "doc_id"})
+)
+
+
+def q208_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (operators/fim.py,
+    Bavarian et al. 2022): character-level (prefix, middle, suffix)
+    cuts from pure md5 hashes of the doc id, PSM / SPM re-serialization
+    with sentinel tags at fim_rate=0.5 / spm_rate=0.5, untouched AR
+    share passed through. Emits the coins, the cut offsets, the
+    rendered-length invariant (n + 15 when applied, n otherwise) and
+    the rendered-string md5 — the oracle replays the coins, both cut
+    draws, the three substrings, both tag layouts, and the checksum."""
+    from jsonl_dataingestion_pipeline_spark.operators.fim import (
+        fim_transform,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = fim_transform(
+        d, "doc_id", "text", fim_rate=0.5, spm_rate=0.5, seed=11
+    )
+    return out.select(
+        F.col("doc_id").alias("fim_doc"),
+        F.col("fim_applied").alias("fim_on"),
+        F.col("fim_mode"),
+        F.col("cut_a").alias("fim_a"),
+        F.col("cut_b").alias("fim_b"),
+        F.col("render_len").alias("fim_len"),
+        F.md5(F.col("rendered")).alias("fim_md5"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q208_fim_transform"] = q208_fim_transform
+
+_ORACLE_DEDUP_SIM["q208_fim_transform"] = """
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST('0x' || substr(md5('11:f:' || CAST(doc_id AS VARCHAR)),
+                   1, 15) AS BIGINT) % 1000000 < 500000 AS fon,
+               CAST('0x' || substr(md5('11:m:' || CAST(doc_id AS VARCHAR)),
+                   1, 15) AS BIGINT) % 1000000 < 500000 AS spm
+        FROM documents
+    ), cuts AS (
+        SELECT *,
+               CASE WHEN fon THEN
+                   CAST('0x' || substr(md5('11:a:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % (n + 1)
+               ELSE 0 END AS a
+        FROM base
+    ), cuts2 AS (
+        SELECT *,
+               CASE WHEN fon THEN
+                   a + CAST('0x' || substr(md5('11:b:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % (n - a + 1)
+               ELSE 0 END AS b
+        FROM cuts
+    ), rendered AS (
+        SELECT doc_id, fon, spm, a, b, n,
+               CASE WHEN NOT fon THEN text
+                    WHEN spm THEN '<PRE><SUF>' || substr(text, CAST(b + 1 AS INT))
+                         || '<MID>' || substr(text, 1, CAST(a AS INT))
+                         || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+                    ELSE '<PRE>' || substr(text, 1, CAST(a AS INT))
+                         || '<SUF>' || substr(text, CAST(b + 1 AS INT))
+                         || '<MID>'
+                         || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+               END AS r
+        FROM cuts2
+    )
+    SELECT doc_id AS fim_doc, fon AS fim_on,
+           CASE WHEN NOT fon THEN 'ar'
+                WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+           a AS fim_a, b AS fim_b,
+           CAST(length(r) AS BIGINT) AS fim_len,
+           md5(r) AS fim_md5
+    FROM rendered
+"""
+
+_ORACLE_SHAPES["q208_fim_transform"] = (
+    ("fim_doc", "BIGINT"), ("fim_on", "BOOLEAN"),
+    ("fim_mode", "VARCHAR"), ("fim_a", "BIGINT"),
+    ("fim_b", "BIGINT"), ("fim_len", "BIGINT"),
+    ("fim_md5", "VARCHAR"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("fim_transform", "q208_fim_transform")
+)
