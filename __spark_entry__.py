@@ -15595,3 +15595,95 @@ _ORACLE_SHAPES["q208_fim_transform"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("fim_transform", "q208_fim_transform")
 )
+
+
+def q209_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repository-level context rendering (operators/codedata.py::
+    repo_context_render; StarCoder2 / DeepSeek-Coder repo-level
+    pretraining): documents reshaped into ~7-file repositories
+    (repo = doc_id div 7, deterministic src/mNNN/fNNNNN.py paths,
+    400-char content caps), greedily packed into 1500-char context
+    documents at FILE boundaries with <repo_name>/<file_sep>
+    sentinels. Emits one row per context with the file count, the
+    exact rendered length, and the rendered-string md5 — the oracle
+    replays the greedy fold itself with a per-repo recursive CTE,
+    then re-renders with ordered string_agg and checks the checksum."""
+    from jsonl_dataingestion_pipeline_spark.operators.codedata import (
+        repo_context_render,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.expr("doc_id div 7").cast("long").alias("repo"),
+        F.format_string(
+            "src/m%03d/f%05d.py",
+            (F.col("doc_id") % 7).cast("int"),
+            F.col("doc_id").cast("int"),
+        ).alias("path"),
+        F.substring(F.col("text"), 1, 400).alias("content"),
+    )
+    out = repo_context_render(
+        files, "repo", "path", "content", char_budget=1500
+    )
+    return out.select(
+        F.col("repo").alias("rc_repo"),
+        F.col("ctx_idx").alias("rc_ctx"),
+        F.col("n_files").alias("rc_files"),
+        F.col("n_chars").alias("rc_chars"),
+        F.md5(F.col("rendered")).alias("rc_md5"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q209_repo_context"] = q209_repo_context
+
+_ORACLE_DEDUP_SIM["q209_repo_context"] = """
+    WITH RECURSIVE costed AS (
+        SELECT CAST(doc_id // 7 AS BIGINT) AS repo,
+               printf('src/m%03d/f%05d.py',
+                      CAST(doc_id % 7 AS INT),
+                      CAST(doc_id AS INT)) AS p,
+               substr(text, 1, 400) AS c
+        FROM documents
+    ), rn AS (
+        SELECT repo, p, c,
+               CAST(11 + length(p) + length(c) AS BIGINT) AS cost,
+               CAST(length('<repo_name>' || CAST(repo AS VARCHAR))
+                    AS BIGINT) AS hdr,
+               row_number() OVER (PARTITION BY repo ORDER BY p) AS i
+        FROM costed
+    ), packed AS (
+        SELECT repo, p, c, cost, hdr, i,
+               CAST(0 AS BIGINT) AS ctx,
+               hdr + cost AS used
+        FROM rn WHERE i = 1
+        UNION ALL
+        SELECT f.repo, f.p, f.c, f.cost, f.hdr, f.i,
+               CASE WHEN s.used + f.cost > 1500
+                    THEN s.ctx + 1 ELSE s.ctx END,
+               CASE WHEN s.used + f.cost > 1500
+                    THEN f.hdr + f.cost ELSE s.used + f.cost END
+        FROM packed s JOIN rn f
+          ON f.repo = s.repo AND f.i = s.i + 1
+    ), rendered AS (
+        SELECT repo, ctx,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               '<repo_name>' || CAST(repo AS VARCHAR)
+                   || string_agg('<file_sep>' || p || chr(10) || c,
+                                 '' ORDER BY p) AS r
+        FROM packed
+        GROUP BY repo, ctx
+    )
+    SELECT repo AS rc_repo, ctx AS rc_ctx, n_files AS rc_files,
+           CAST(length(r) AS BIGINT) AS rc_chars, md5(r) AS rc_md5
+    FROM rendered
+"""
+
+_ORACLE_SHAPES["q209_repo_context"] = (
+    ("rc_repo", "BIGINT"), ("rc_ctx", "BIGINT"),
+    ("rc_files", "BIGINT"), ("rc_chars", "BIGINT"),
+    ("rc_md5", "VARCHAR"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("repo_context", "q209_repo_context")
+)

@@ -249,3 +249,142 @@ def normalized_code_key(
         t = F.regexp_replace(t, r"(#|//)[^\n]*", "")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return F.md5(t)
+
+
+REPO_TAG, FILE_TAG = "<repo_name>", "<file_sep>"
+
+
+def repo_context_render(
+    df: DataFrame,
+    repo_col: str,
+    path_col: str,
+    content_col: str,
+    *,
+    char_budget: int,
+    repo_tag: str = REPO_TAG,
+    file_tag: str = FILE_TAG,
+) -> DataFrame:
+    """Repository-level context rendering (StarCoder2, Lozhkov et al.
+    2024 §3.2; DeepSeek-Coder repo-level pretraining): concatenate a
+    repository's files into training documents, cutting at FILE
+    boundaries under a character budget. One row per context document:
+    ``(repo, ctx_idx, n_files, n_chars, rendered)``.
+
+    - Files order by ``path`` ascending within their repo (the
+      published pipelines use a dependency-ish topological heuristic;
+      path-lexicographic is the deterministic documented choice).
+    - Each file costs ``len(file_tag) + len(path) + 1 + len(content)``
+      chars; every context carries a ``repo_tag + repo`` header.
+    - Greedy first-fit-in-order: a file that would push the running
+      context past ``char_budget`` starts a new context; a single file
+      larger than the budget gets a context of its own (files are
+      NEVER split — the whole point of repo context is intact files).
+    - ``n_chars`` = exact rendered length (header included) — an
+      invariant the caller can audit without parsing.
+
+    Plan: ONE shuffle (the per-repo ``collect_list`` aggregate with
+    map-side combine), then the greedy fold, per-context slicing, and
+    rendering are all higher-order functions inside the aggregated
+    row, and the contexts posexplode back out. Hot-key bound: a single
+    repository's file count (real repos are ~10^2-10^4 files — never
+    corpus-scale); the per-repo fold is O(n_files) and the per-context
+    rendering touches each file once per context filter pass
+    (O(n_files * n_ctx) predicate checks, string concat once).
+    """
+    hdr = F.length(F.concat(F.lit(repo_tag), _col(repo_col).cast("string")))
+    files = df.select(
+        _col(repo_col).alias("__repo"),
+        F.struct(
+            _col(path_col).alias("p"),
+            _col(content_col).alias("c"),
+            (
+                F.lit(len(file_tag) + 1).cast("long")
+                + F.length(_col(path_col))
+                + F.length(_col(content_col))
+            ).alias("cost"),
+        ).alias("__f"),
+    )
+    grouped = files.groupBy("__repo").agg(
+        F.array_sort(F.collect_list("__f")).alias("__fs")
+    )
+    hdr_len = F.length(
+        F.concat(F.lit(repo_tag), F.col("__repo").cast("string"))
+    ).cast("long")
+    # greedy fold: assign[i] = context index of file i
+    assign = F.aggregate(
+        F.col("__fs"),
+        F.struct(
+            F.array().cast("array<bigint>").alias("a"),
+            F.lit(0).cast("bigint").alias("ctx"),
+            hdr_len.alias("used"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["a"],
+                F.array(
+                    F.when(
+                        (acc["used"] > hdr_len)
+                        & (acc["used"] + x["cost"] > char_budget),
+                        acc["ctx"] + 1,
+                    ).otherwise(acc["ctx"])
+                ),
+            ).alias("a"),
+            F.when(
+                (acc["used"] > hdr_len)
+                & (acc["used"] + x["cost"] > char_budget),
+                acc["ctx"] + 1,
+            )
+            .otherwise(acc["ctx"])
+            .alias("ctx"),
+            F.when(
+                (acc["used"] > hdr_len)
+                & (acc["used"] + x["cost"] > char_budget),
+                hdr_len + x["cost"],
+            )
+            .otherwise(acc["used"] + x["cost"])
+            .alias("used"),
+        ),
+    )
+    with_assign = grouped.select(
+        "__repo",
+        F.arrays_zip(
+            F.col("__fs").alias("f"),
+            assign["a"].alias("ctx"),
+        ).alias("__fa"),
+        (assign["ctx"] + 1).alias("__nctx"),
+    )
+    # build one struct per context inside the row, then posexplode
+    ctxs = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("__nctx") - 1),
+        lambda c: F.struct(
+            c.alias("ctx_idx"),
+            F.size(
+                F.filter(F.col("__fa"), lambda z: z["ctx"] == c)
+            ).cast("long").alias("n_files"),
+            F.concat(
+                F.lit(repo_tag),
+                F.col("__repo").cast("string"),
+                F.aggregate(
+                    F.filter(F.col("__fa"), lambda z: z["ctx"] == c),
+                    F.lit("").cast("string"),
+                    lambda acc, z: F.concat(
+                        acc,
+                        F.lit(file_tag),
+                        z["f"]["p"],
+                        F.lit("\n"),
+                        z["f"]["c"],
+                    ),
+                ),
+            ).alias("rendered"),
+        ),
+    )
+    out = with_assign.select(
+        "__repo", F.explode(ctxs).alias("__c")
+    )
+    return out.select(
+        F.col("__repo").alias(repo_col),
+        F.col("__c.ctx_idx").alias("ctx_idx"),
+        F.col("__c.n_files").alias("n_files"),
+        F.length("__c.rendered").cast("long").alias("n_chars"),
+        F.col("__c.rendered").alias("rendered"),
+    )
