@@ -15687,3 +15687,131 @@ _ORACLE_SHAPES["q209_repo_context"] = (
 _UNION_MERGES["q33_text_extract_battery"].append(
     ("repo_context", "q209_repo_context")
 )
+
+
+def q210_sft_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT instruction-data quality sweep (operators/conversations.py::
+    sft_quality / refusal_flag / response_truncated — the
+    Alpaca-cleaned / WizardLM curation filters): documents reshaped
+    into 2-turn user/assistant conversations (word halves) with three
+    planted rots — doc_id%13: response chopped to 12 chars (short),
+    %17: refusal opener prepended, %23: terminal '.' appended (the
+    NOT-truncated control) — then swept with the real HOF kernels.
+    The oracle recomputes every flag from the same construction with
+    its own marker OR-chain (generated from the SAME Python constant,
+    the q182 pattern) and its own trailing-strip regex — independent
+    ground truth for the kernels, down to the exact-floor-division
+    ratio."""
+    from jsonl_dataingestion_pipeline_spark.operators import (
+        conversations as cv,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (~F.col("text").contains("  "))
+        & (F.col("text") == F.trim(F.col("text")))
+    )
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    d = d.filter(F.size("__w") >= 8)
+    n = F.size("__w")
+    half = F.floor(n / F.lit(2.0)).cast("int")
+    c1 = F.array_join(F.slice(F.col("__w"), 1, half), " ")
+    c2 = F.array_join(F.slice(F.col("__w"), half + 1, n - half), " ")
+    did = F.col("doc_id")
+    c2 = F.when(did % 13 == 0, F.substring(c2, 1, 12)).otherwise(c2)
+    c2 = F.when(
+        did % 17 == 0,
+        F.concat(F.lit("I'm sorry, but I cannot help with that. "), c2),
+    ).otherwise(c2)
+    c2 = F.when(did % 23 == 0, F.concat(c2, F.lit("."))).otherwise(c2)
+    conv = F.array(
+        F.struct(F.lit("user").alias("role"), c1.alias("content")),
+        F.struct(F.lit("assistant").alias("role"), c2.alias("content")),
+    )
+    q = cv.sft_quality(conv, min_response_chars=16)
+    return d.select(
+        F.col("doc_id").alias("sq_doc"),
+        q["user_chars"].alias("sq_user"),
+        q["asst_chars"].alias("sq_asst"),
+        q["ratio_u"].alias("sq_ratio_u"),
+        q["refusal"].alias("sq_refusal"),
+        q["truncated"].alias("sq_trunc"),
+        q["short"].alias("sq_short"),
+        q["keep"].alias("sq_keep"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q210_sft_quality"] = q210_sft_quality
+
+
+def _q210_oracle() -> str:
+    from jsonl_dataingestion_pipeline_spark.operators.conversations import (
+        REFUSAL_MARKERS,
+    )
+
+    refusal = " OR ".join(
+        "starts_with(lower(ltrim(c2)), '%s')" % m.replace("'", "''")
+        for m in REFUSAL_MARKERS
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND text NOT LIKE '%  %'
+          AND text = trim(text)
+          AND len(string_split(text, ' ')) >= 8
+    ), halves AS (
+        SELECT doc_id, n,
+               CAST(floor(n / 2.0) AS BIGINT) AS h,
+               array_to_string(list_slice(w, 1,
+                   CAST(floor(n / 2.0) AS BIGINT)), ' ') AS c1,
+               array_to_string(list_slice(w,
+                   CAST(floor(n / 2.0) AS BIGINT) + 1, n), ' ') AS c2r
+        FROM base
+    ), planted AS (
+        SELECT doc_id, c1,
+               CASE WHEN doc_id % 23 = 0 THEN p2 || '.' ELSE p2 END AS c2
+        FROM (
+            SELECT doc_id, c1,
+                CASE WHEN doc_id % 17 = 0
+                     THEN 'I''m sorry, but I cannot help with that. ' || p1
+                     ELSE p1 END AS p2
+            FROM (
+                SELECT doc_id, c1,
+                    CASE WHEN doc_id % 13 = 0 THEN substr(c2r, 1, 12)
+                         ELSE c2r END AS p1
+                FROM halves
+            )
+        )
+    ), flags AS (
+        SELECT doc_id,
+            CAST(length(c1) AS BIGINT) AS uc,
+            CAST(length(c2) AS BIGINT) AS ac,
+            ({refusal}) AS refusal,
+            NOT (right(regexp_replace(c2, '[\\s"''`)\\]]+$', ''), 1)
+                 IN ('.', '!', '?')) AS trunc
+        FROM planted
+    )
+    SELECT doc_id AS sq_doc, uc AS sq_user, ac AS sq_asst,
+           CASE WHEN uc > 0 THEN (ac * 1000000) // uc
+                ELSE 0 END AS sq_ratio_u,
+           refusal AS sq_refusal, trunc AS sq_trunc,
+           (ac < 16) AS sq_short,
+           (NOT refusal AND NOT trunc AND ac >= 16) AS sq_keep
+    FROM flags
+"""
+
+
+_ORACLE_DEDUP_SIM["q210_sft_quality"] = _q210_oracle()
+
+_ORACLE_SHAPES["q210_sft_quality"] = (
+    ("sq_doc", "BIGINT"), ("sq_user", "BIGINT"),
+    ("sq_asst", "BIGINT"), ("sq_ratio_u", "BIGINT"),
+    ("sq_refusal", "BOOLEAN"), ("sq_trunc", "BOOLEAN"),
+    ("sq_short", "BOOLEAN"), ("sq_keep", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q210_sft_quality", {"sq_doc": "doc_id"})
+)

@@ -280,3 +280,105 @@ def loss_mask_spans(
     return F.when(all_present, spans).otherwise(
         F.lit(None).cast("array<struct<s: bigint, e: bigint>>")
     )
+
+
+#: Refusal openers swept from distilled SFT sets before training
+#: (the Alpaca-cleaned / WizardLM curation lists — a distilled
+#: assistant turn that OPENS with one of these is a refusal or a
+#: disclaimer, not a demonstration). Prefix-matched on the
+#: lower-cased, left-trimmed content.
+REFUSAL_MARKERS: tuple = (
+    "i'm sorry",
+    "i am sorry",
+    "i apologize",
+    "i cannot",
+    "i can't",
+    "i am unable",
+    "i'm unable",
+    "as an ai",
+    "as a language model",
+)
+
+
+def refusal_flag(conv: ColumnOrName) -> Column:
+    """True when ANY assistant turn opens with a refusal/disclaimer
+    marker (:data:`REFUSAL_MARKERS`). One ``exists`` fold — no
+    explode, no shuffle; the marker list is a compile-time constant
+    folded into the predicate (and the oracle generates its OR chain
+    from the same Python constant, the q182 pattern)."""
+
+    def _opens(t: Column) -> Column:
+        low = F.lower(F.ltrim(t["content"]))
+        hit = F.lit(False)
+        for m in REFUSAL_MARKERS:
+            hit = hit | low.startswith(F.lit(m))
+        return (t["role"] == F.lit("assistant")) & hit
+
+    return F.exists(_col(conv), _opens)
+
+
+def response_truncated(conv: ColumnOrName) -> Column:
+    """True when the FINAL assistant turn does not end in terminal
+    punctuation (``.``, ``!``, ``?``) after stripping trailing
+    whitespace, quotes, brackets, and backticks — the mid-sentence-cut
+    heuristic distilled-data curation uses to drop responses clipped
+    by a generation length limit. NULL when there is no assistant
+    turn. Pure projection."""
+    c = _col(conv)
+    assts = F.filter(c, lambda t: t["role"] == F.lit("assistant"))
+    # ANSI-safe: element_at(-1) on an empty array throws — gate on size
+    last_asst = F.when(F.size(assts) > 0, F.element_at(assts, -1))
+    stripped = F.regexp_replace(
+        last_asst["content"], "[\\s\"'`\\)\\]]+$", ""
+    )
+    return ~F.substring(stripped, -1, 1).isin(".", "!", "?")
+
+
+def sft_quality(
+    conv: ColumnOrName,
+    *,
+    min_response_chars: int = 16,
+    scale: int = 6,
+) -> Column:
+    """SFT curation decision struct ``(user_chars, asst_chars,
+    ratio_u, refusal, truncated, short, keep)`` over one conversation
+    column — the instruction-data quality sweep (refusals out,
+    clipped responses out, trivially short responses out) applied
+    after structural validation (:func:`conversation_valid`).
+
+    ``ratio_u`` = assistant/user char ratio in integer micro-units
+    (exact floor division via the subtract-remainder identity
+    ``(n - n mod d) / d`` — every intermediate is an exact-in-double
+    integer for conversations up to ~10^7 chars; 0 when the user side
+    is empty) — a report column, not a decision. ``keep`` =
+    structurally valid AND no refusal AND not truncated AND
+    ``asst_chars >= min_response_chars`` — every decision an
+    integer/boolean predicate. Zero-shuffle projection."""
+    c = _col(conv)
+    u = 10 ** scale
+    user_c = turn_stats(c, "user")
+    asst_c = turn_stats(c, "assistant")
+    num = asst_c * F.lit(u).cast("long")
+    ratio_u = (
+        F.when(user_c > 0, ((num - F.pmod(num, user_c)) / user_c))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    refusal = refusal_flag(c)
+    trunc = response_truncated(c)
+    short = asst_c < min_response_chars
+    keep = (
+        conversation_valid(c)
+        & ~refusal
+        & ~F.coalesce(trunc, F.lit(True))
+        & ~short
+    )
+    return F.struct(
+        user_c.alias("user_chars"),
+        asst_c.alias("asst_chars"),
+        ratio_u.alias("ratio_u"),
+        refusal.alias("refusal"),
+        F.coalesce(trunc, F.lit(True)).alias("truncated"),
+        short.alias("short"),
+        keep.alias("keep"),
+    )

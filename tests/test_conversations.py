@@ -331,3 +331,78 @@ class TestAlternateTemplates:
         ).collect()[0]
         raw = r.s.encode()
         assert [raw[sp.s: sp.e].decode() for sp in r.spans] == ["q"]
+
+
+class TestSftQuality:
+    def _q(self, spark, conv, **kw):
+        df = _df(spark, [(0, conv)])
+        return df.select(
+            cv.sft_quality("conv", **kw).alias("q")
+        ).collect()[0].q
+
+    def test_clean_conversation_keeps(self, spark):
+        q = self._q(spark, [
+            ("user", "explain monads please"),
+            ("assistant", "A monad is a structure with unit and bind."),
+        ])
+        assert not q.refusal and not q.truncated and not q.short
+        assert q.keep
+        assert q.user_chars == len("explain monads please")
+        assert q.ratio_u == (q.asst_chars * 10**6) // q.user_chars
+
+    def test_refusal_opener_drops(self, spark):
+        for opener in ("I'm sorry, but no.", "As an AI I decline.",
+                       "I cannot assist with that request today."):
+            q = self._q(spark, [
+                ("user", "do the thing for me now"),
+                ("assistant", opener),
+            ])
+            assert q.refusal and not q.keep, opener
+
+    def test_refusal_is_prefix_only(self, spark):
+        # a refusal marker mid-sentence is NOT a refusal opener
+        q = self._q(spark, [
+            ("user", "can you ever refuse a task?"),
+            ("assistant", "Sometimes I cannot comply, but here: done."),
+        ])
+        assert not q.refusal and q.keep
+
+    def test_truncated_response_drops(self, spark):
+        q = self._q(spark, [
+            ("user", "write me a very long story"),
+            ("assistant", "Once upon a time there was a"),
+        ])
+        assert q.truncated and not q.keep
+
+    def test_terminal_punct_through_trailing_quotes(self, spark):
+        q = self._q(spark, [
+            ("user", "quote something nice for me"),
+            ("assistant", 'He said "it ends well." '),
+        ])
+        assert not q.truncated and q.keep
+
+    def test_short_response_drops(self, spark):
+        q = self._q(spark, [
+            ("user", "prove the riemann hypothesis"),
+            ("assistant", "No idea."),
+        ])
+        assert q.short and not q.keep
+
+    def test_structurally_invalid_never_keeps(self, spark):
+        # assistant-first breaks starts_with_user -> keep false even
+        # though every content filter passes
+        q = self._q(spark, [
+            ("assistant", "Here is a complete unprompted answer."),
+            ("user", "thanks a lot for the help!"),
+        ])
+        assert not q.keep
+
+    def test_no_assistant_turn_counts_truncated(self, spark):
+        q = self._q(spark, [("user", "hello there friend.")])
+        assert q.truncated and not q.keep and q.asst_chars == 0
+
+    def test_zero_user_chars_ratio_zero(self, spark):
+        q = self._q(spark, [
+            ("assistant", "Unprompted but punctuated answer."),
+        ])
+        assert q.ratio_u == 0
