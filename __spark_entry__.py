@@ -15815,3 +15815,100 @@ _ORACLE_SHAPES["q210_sft_quality"] = (
 _JOIN_MERGES["q20_doc_quality"][1].append(
     ("q210_sft_quality", {"sq_doc": "doc_id"})
 )
+
+
+def q211_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (operators/preference.py::
+    dpo_pairs; Rafailov et al. 2023 / UltraFeedback best-vs-worst):
+    documents reshaped into 5-response scored pools (prompt = doc_id
+    div 5, md5 micro-unit scores) with two plants — every 13th prompt
+    all-tied at 500000 (must emit NOTHING: zero margin), every 7th
+    prompt's first two responses tied at the top at 900000 (tiebreak
+    must choose the smaller id). min_margin=1000. The oracle replays
+    the scores and elects chosen/rejected with deterministic
+    row_number windows — any tiebreak or margin-gate divergence is a
+    row diff."""
+    from jsonl_dataingestion_pipeline_spark.operators.preference import (
+        dpo_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    prompt = F.expr("doc_id div 5").cast("long")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpo:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 800000
+    )
+    score = (
+        F.when(prompt % 13 == 0, F.lit(500000).cast("long"))
+        .when(
+            (prompt % 7 == 0) & (F.col("doc_id") % 5 <= 1),
+            F.lit(900000).cast("long"),
+        )
+        .otherwise(h)
+    )
+    pool = d.select(
+        prompt.alias("prompt"),
+        F.col("doc_id").alias("resp"),
+        score.alias("score"),
+    )
+    out = dpo_pairs(pool, "prompt", "resp", "score", min_margin=1000)
+    return out.select(
+        F.col("prompt").alias("dp_prompt"),
+        F.col("chosen").alias("dp_chosen"),
+        F.col("rejected").alias("dp_rejected"),
+        F.col("chosen_score").alias("dp_chosen_s"),
+        F.col("rejected_score").alias("dp_rejected_s"),
+        F.col("margin").alias("dp_margin"),
+        F.col("n_candidates").alias("dp_n"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q211_dpo_pairs"] = q211_dpo_pairs
+
+_ORACLE_DEDUP_SIM["q211_dpo_pairs"] = """
+    WITH pool AS (
+        SELECT doc_id // 5 AS prompt, doc_id AS resp,
+               CASE WHEN (doc_id // 5) % 13 = 0 THEN 500000
+                    WHEN (doc_id // 5) % 7 = 0 AND doc_id % 5 <= 1
+                         THEN 900000
+                    ELSE CAST('0x' || substr(md5('dpo:'
+                         || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 800000
+               END AS score
+        FROM documents
+    ), ranked AS (
+        SELECT prompt, resp, score,
+               row_number() OVER (PARTITION BY prompt
+                   ORDER BY score DESC, resp ASC) AS rb,
+               row_number() OVER (PARTITION BY prompt
+                   ORDER BY score ASC, resp ASC) AS rw,
+               COUNT(*) OVER (PARTITION BY prompt) AS n
+        FROM pool
+    )
+    SELECT b.prompt AS dp_prompt, b.resp AS dp_chosen,
+           w.resp AS dp_rejected, b.score AS dp_chosen_s,
+           w.score AS dp_rejected_s, b.score - w.score AS dp_margin,
+           CAST(b.n AS BIGINT) AS dp_n
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (prompt)
+    WHERE b.n >= 2 AND b.score - w.score >= 1000
+"""
+
+_ORACLE_SHAPES["q211_dpo_pairs"] = (
+    ("dp_prompt", "BIGINT"), ("dp_chosen", "BIGINT"),
+    ("dp_rejected", "BIGINT"), ("dp_chosen_s", "BIGINT"),
+    ("dp_rejected_s", "BIGINT"), ("dp_margin", "BIGINT"),
+    ("dp_n", "BIGINT"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("dpo_pairs", "q211_dpo_pairs")
+)

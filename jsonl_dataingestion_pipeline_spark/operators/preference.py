@@ -130,3 +130,67 @@ def bt_strengths(
         su = pipeline_break(su, False)
     comp.unpersist()
     return su.select("item", F.col("__su").alias(out_col))
+
+
+def dpo_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    *,
+    min_margin: int = 1,
+) -> DataFrame:
+    """Best-vs-worst DPO pair construction from a scored response pool
+    (Rafailov et al. 2023 consume (prompt, chosen, rejected); the
+    standard pool-to-pairs recipe — UltraFeedback, Zephyr — takes the
+    highest-rated response as chosen and the lowest as rejected). One
+    row per surviving prompt: ``(prompt, chosen, rejected, chosen_score,
+    rejected_score, margin, n_candidates)``.
+
+    - Scores are caller-provided integers (micro-units by repo
+      convention) — margins are exact integer differences.
+    - Deterministic tiebreaks: equal top scores choose the SMALLEST
+      response id; equal bottom scores reject the smallest id. A
+      prompt whose pool has fewer than 2 responses, or whose best-worst
+      margin is below ``min_margin`` (ties included), emits nothing —
+      a pair that can't teach a preference is dropped, not fabricated.
+    - Chosen and rejected are distinct by construction whenever a row
+      emits (margin >= 1 forces different responses).
+
+    Plan: ONE keyed aggregate (``min_by``/``max_by`` over
+    lexicographic structs — map-side combined, never a window sort),
+    then a filter. Hot-key bound: a prompt's candidate count (pool
+    sizes are single digits in practice); corpus size only widens the
+    key space.
+    """
+    p, r, s = (F.col(prompt_col), F.col(response_col), F.col(score_col))
+    agg = df.groupBy(p.alias("prompt")).agg(
+        F.max_by(
+            F.struct(r.alias("id"), s.alias("score")),
+            # max score, then SMALLEST id: negate the id in the order key
+            F.struct(s.alias("s"), (-r).alias("ni")),
+        ).alias("__best"),
+        F.min_by(
+            F.struct(r.alias("id"), s.alias("score")),
+            F.struct(s.alias("s"), r.alias("i")),
+        ).alias("__worst"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+    margin = (
+        F.col("__best.score").cast("long")
+        - F.col("__worst.score").cast("long")
+    )
+    return (
+        agg.filter(
+            (F.col("n_candidates") >= 2) & (margin >= min_margin)
+        )
+        .select(
+            F.col("prompt").alias(prompt_col),
+            F.col("__best.id").alias("chosen"),
+            F.col("__worst.id").alias("rejected"),
+            F.col("__best.score").cast("long").alias("chosen_score"),
+            F.col("__worst.score").cast("long").alias("rejected_score"),
+            margin.alias("margin"),
+            "n_candidates",
+        )
+    )

@@ -107,3 +107,75 @@ def test_bt_layout_independent(spark):
         assert outs[0] == outs[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+class TestDpoPairs:
+    def _pairs(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.operators.preference import (
+            dpo_pairs,
+        )
+
+        df = spark.createDataFrame(
+            rows, "prompt long, resp long, score long"
+        )
+        return {
+            r.prompt: r
+            for r in dpo_pairs(df, "prompt", "resp", "score", **kw).collect()
+        }
+
+    def test_best_vs_worst(self, spark):
+        out = self._pairs(
+            spark,
+            [(1, 10, 300), (1, 11, 900), (1, 12, 100), (1, 13, 600)],
+        )
+        r = out[1]
+        assert (r.chosen, r.rejected) == (11, 12)
+        assert (r.chosen_score, r.rejected_score) == (900, 100)
+        assert r.margin == 800 and r.n_candidates == 4
+
+    def test_all_tied_prompt_emits_nothing(self, spark):
+        out = self._pairs(spark, [(1, 10, 500), (1, 11, 500), (1, 12, 500)])
+        assert out == {}
+
+    def test_margin_gate(self, spark):
+        rows = [(1, 10, 100), (1, 11, 150)]
+        assert 1 in self._pairs(spark, rows, min_margin=50)
+        assert self._pairs(spark, rows, min_margin=51) == {}
+
+    def test_singleton_pool_emits_nothing(self, spark):
+        assert self._pairs(spark, [(1, 10, 999)]) == {}
+
+    def test_tiebreak_smallest_id_both_sides(self, spark):
+        out = self._pairs(
+            spark,
+            [(1, 12, 900), (1, 10, 900), (1, 21, 100), (1, 20, 100)],
+        )
+        r = out[1]
+        assert (r.chosen, r.rejected) == (10, 20)
+
+    def test_chosen_never_equals_rejected(self, spark):
+        rows = [
+            (p, p * 10 + i, (p * 37 + i * 91) % 1000)
+            for p in range(20)
+            for i in range(3)
+        ]
+        for r in self._pairs(spark, rows).values():
+            assert r.chosen != r.rejected
+            assert r.margin >= 1
+
+    def test_plan_single_aggregate_no_window(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.preference import (
+            dpo_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 1)], "prompt long, resp long, score long"
+        )
+        plan = (
+            dpo_pairs(df, "prompt", "resp", "score")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert plan.count("Exchange") <= 1
