@@ -15912,3 +15912,133 @@ _ORACLE_SHAPES["q211_dpo_pairs"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("dpo_pairs", "q211_dpo_pairs")
 )
+
+
+def q212_rouge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L instruction dedup (operators/rouge.py; Self-Instruct
+    Wang et al. 2022 §3 admission rule): the LCS kernel is the
+    documented Arrow mapInPandas path, so the oracle gates it on a
+    PLANTED corpus with closed-form LCS (the q191 pattern): pool docs
+    (doc_id%3==0, >=33 words) get doc-unique 'p{id}_' token prefixes
+    (cross-doc LCS provably 0), each spawns one candidate = its first
+    k=8+id%9 pool tokens + j=id%5 candidate-unique junk tokens
+    (LCS exactly k, F1 = 2k/(k+j+24) exactly), and doc_id%3==2 docs
+    spawn junk-only candidates (no blocking pair -> score 0, NULL
+    ref). The oracle replays k/j arithmetic, the integer F1, the 0.7
+    admission decision, and the no-pair path."""
+    from jsonl_dataingestion_pipeline_spark.operators.rouge import (
+        rouge_l_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (~F.col("text").contains("  "))
+        & (F.col("text") == F.trim(F.col("text")))
+    )
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    d = d.filter(F.size("__w") >= 33)
+    did = F.col("doc_id")
+
+    def _ptok(w):
+        return F.concat(F.lit("p"), did.cast("string"), F.lit("_"), F.lower(w))
+
+    pool = d.filter(did % 3 == 0).select(
+        did.alias("doc_id"),
+        F.array_join(
+            F.transform(F.slice(F.col("__w"), 1, 24), _ptok), " "
+        ).alias("text"),
+    )
+    k = (F.lit(8) + did % 9).cast("int")
+    j = (did % 5).cast("int")
+    cid = did + 1_000_000
+    junk = F.transform(
+        F.slice(F.sequence(F.lit(1), F.lit(4)), 1, j),
+        lambda i: F.concat(
+            F.lit("c"), cid.cast("string"), F.lit("_x"), i.cast("string")
+        ),
+    )
+    # two-phase select: aliasing cid AS doc_id in the same projection
+    # would make the lambda's F.col("doc_id") resolve LATERALLY to the
+    # new alias (Spark >=3.4 lateral column aliases), mangling the
+    # token prefixes — build the text first, rename after
+    cand_pref = d.filter(did % 3 == 0).select(
+        cid.alias("__cid"),
+        F.array_join(
+            F.concat(
+                F.transform(F.slice(F.col("__w"), 1, k), _ptok), junk
+            ),
+            " ",
+        ).alias("text"),
+    ).select(F.col("__cid").alias("doc_id"), "text")
+    jcid = did + 2_000_000
+    nj = (F.lit(1) + did % 4).cast("int")
+    cand_junk = d.filter(did % 3 == 2).select(
+        jcid.alias("__cid"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sequence(F.lit(1), F.lit(4)), 1, nj),
+                lambda i: F.concat(
+                    F.lit("c"),
+                    jcid.cast("string"),
+                    F.lit("_x"),
+                    i.cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    ).select(F.col("__cid").alias("doc_id"), "text")
+    cand = cand_pref.unionByName(cand_junk)
+    out = rouge_l_dedup(cand, pool, "doc_id", "text", threshold=0.7)
+    return out.select(
+        F.col("doc_id").alias("rd_cand"),
+        F.col("best_ref").alias("rd_ref"),
+        F.col("lcs").alias("rd_lcs"),
+        F.col("cand_tokens").alias("rd_ctoks"),
+        F.col("best_f_u").alias("rd_f_u"),
+        F.col("keep").alias("rd_keep"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q212_rouge_dedup"] = q212_rouge_dedup
+
+_ORACLE_DEDUP_SIM["q212_rouge_dedup"] = """
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND text NOT LIKE '%  %'
+          AND text = trim(text)
+          AND len(string_split(text, ' ')) >= 33
+    ), pref AS (
+        SELECT doc_id + 1000000 AS rd_cand,
+               doc_id AS rd_ref,
+               CAST(8 + doc_id % 9 AS BIGINT) AS k,
+               CAST(doc_id % 5 AS BIGINT) AS j
+        FROM base WHERE doc_id % 3 = 0
+    ), pref_scored AS (
+        SELECT rd_cand, rd_ref, k AS rd_lcs,
+               k + j AS rd_ctoks,
+               (2 * k * 1000000) // (k + j + 24) AS rd_f_u
+        FROM pref
+    ), junk AS (
+        SELECT doc_id + 2000000 AS rd_cand,
+               CAST(NULL AS BIGINT) AS rd_ref,
+               CAST(0 AS BIGINT) AS rd_lcs,
+               CAST(1 + doc_id % 4 AS BIGINT) AS rd_ctoks,
+               CAST(0 AS BIGINT) AS rd_f_u
+        FROM base WHERE doc_id % 3 = 2
+    )
+    SELECT rd_cand, rd_ref, rd_lcs, rd_ctoks, rd_f_u,
+           (rd_f_u < 700000) AS rd_keep
+    FROM (SELECT * FROM pref_scored UNION ALL SELECT * FROM junk)
+"""
+
+_ORACLE_SHAPES["q212_rouge_dedup"] = (
+    ("rd_cand", "BIGINT"), ("rd_ref", "BIGINT"),
+    ("rd_lcs", "BIGINT"), ("rd_ctoks", "BIGINT"),
+    ("rd_f_u", "BIGINT"), ("rd_keep", "BOOLEAN"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("rouge_dedup", "q212_rouge_dedup")
+)
