@@ -16042,3 +16042,114 @@ _ORACLE_SHAPES["q212_rouge_dedup"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("rouge_dedup", "q212_rouge_dedup")
 )
+
+
+def q213_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-data length-bias audit (operators/preference.py::
+    length_bias_audit; Singhal et al. 2023 verbosity-bias check),
+    composed downstream of the REAL q211 pair construction: the same
+    scored pools elect chosen/rejected, both sides join their document
+    text lengths (two broadcast-able hash joins on doc_id), and the
+    audit aggregates longer-wins / ties / exact-floor-division win
+    rate per prompt%4 slice. The oracle replays the election (q211's
+    windows), the length joins, and the grouped integer arithmetic."""
+    from jsonl_dataingestion_pipeline_spark.operators.preference import (
+        length_bias_audit,
+    )
+
+    pairs = q211_dpo_pairs(spark, sf_dir)
+    lens = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.length("text").cast("long").alias("__len")
+    )
+    enriched = (
+        pairs.join(
+            lens.select(
+                F.col("doc_id").alias("dp_chosen"),
+                F.col("__len").alias("chosen_len"),
+            ),
+            "dp_chosen",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("dp_rejected"),
+                F.col("__len").alias("rejected_len"),
+            ),
+            "dp_rejected",
+        )
+        .withColumn("slice", F.pmod(F.col("dp_prompt"), F.lit(4)))
+    )
+    out = length_bias_audit(
+        enriched, "chosen_len", "rejected_len", group_col="slice"
+    )
+    return out.select(
+        F.col("grp").alias("lb_grp"),
+        F.col("n_pairs").alias("lb_pairs"),
+        F.col("longer_wins").alias("lb_longer"),
+        F.col("ties").alias("lb_ties"),
+        F.col("longer_rate_u").alias("lb_rate_u"),
+        F.col("sum_len_diff").alias("lb_sumdiff"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q213_length_bias"] = q213_length_bias
+
+_ORACLE_DEDUP_SIM["q213_length_bias"] = """
+    WITH pool AS (
+        SELECT doc_id // 5 AS prompt, doc_id AS resp,
+               CASE WHEN (doc_id // 5) % 13 = 0 THEN 500000
+                    WHEN (doc_id // 5) % 7 = 0 AND doc_id % 5 <= 1
+                         THEN 900000
+                    ELSE CAST('0x' || substr(md5('dpo:'
+                         || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 800000
+               END AS score
+        FROM documents
+    ), ranked AS (
+        SELECT prompt, resp, score,
+               row_number() OVER (PARTITION BY prompt
+                   ORDER BY score DESC, resp ASC) AS rb,
+               row_number() OVER (PARTITION BY prompt
+                   ORDER BY score ASC, resp ASC) AS rw,
+               COUNT(*) OVER (PARTITION BY prompt) AS n
+        FROM pool
+    ), pairs AS (
+        SELECT b.prompt, b.resp AS chosen, w.resp AS rejected
+        FROM (SELECT * FROM ranked WHERE rb = 1) b
+        JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (prompt)
+        WHERE b.n >= 2 AND b.score - w.score >= 1000
+    ), lens AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS l
+        FROM documents
+    ), enriched AS (
+        SELECT p.prompt % 4 AS grp, lc.l AS cl, lr.l AS rl
+        FROM pairs p
+        JOIN lens lc ON lc.doc_id = p.chosen
+        JOIN lens lr ON lr.doc_id = p.rejected
+    ), agg AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN cl > rl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS longer_wins,
+               CAST(SUM(CASE WHEN cl = rl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties,
+               CAST(SUM(cl - rl) AS BIGINT) AS sum_len_diff
+        FROM enriched GROUP BY grp
+    )
+    SELECT grp AS lb_grp, n_pairs AS lb_pairs,
+           longer_wins AS lb_longer, ties AS lb_ties,
+           CASE WHEN n_pairs - ties > 0
+                THEN (longer_wins * 1000000) // (n_pairs - ties)
+                ELSE 0 END AS lb_rate_u,
+           sum_len_diff AS lb_sumdiff
+    FROM agg
+"""
+
+_ORACLE_SHAPES["q213_length_bias"] = (
+    ("lb_grp", "BIGINT"), ("lb_pairs", "BIGINT"),
+    ("lb_longer", "BIGINT"), ("lb_ties", "BIGINT"),
+    ("lb_rate_u", "BIGINT"), ("lb_sumdiff", "BIGINT"),
+)
+
+_UNION_MERGES["q100_semantic_curation"].append(
+    ("length_bias", "q213_length_bias")
+)

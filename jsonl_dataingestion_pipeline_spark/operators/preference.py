@@ -194,3 +194,49 @@ def dpo_pairs(
             "n_candidates",
         )
     )
+
+
+def length_bias_audit(
+    pairs: DataFrame,
+    chosen_len_col: str,
+    rejected_len_col: str,
+    *,
+    group_col: str = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Verbosity-bias diagnostic for preference data (Singhal et al.
+    2023, "A Long Way to Go: Investigating Length Correlations in
+    RLHF"; the standard pre-training-the-reward-model audit): among
+    non-tied pairs, how often is the CHOSEN response the longer one?
+    A rate far above 0.5 means the data teaches length, not quality.
+
+    One row per group (or one row total): ``(n_pairs, longer_wins,
+    ties, longer_rate_u, sum_len_diff)`` — ``longer_rate_u`` =
+    ``floor(longer_wins * 10^scale / (n_pairs - ties))`` (0 when every
+    pair ties), ``sum_len_diff`` = exact integer sum of
+    chosen_len - rejected_len. One keyed aggregate, map-side combined;
+    group cardinality bounds the exchange.
+    """
+    cl = F.col(chosen_len_col).cast("long")
+    rl = F.col(rejected_len_col).cast("long")
+    u = 10 ** scale
+    keys = [F.col(group_col).alias("grp")] if group_col else []
+    agg = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((cl > rl).cast("long")).alias("longer_wins"),
+        F.sum((cl == rl).cast("long")).alias("ties"),
+        F.sum(cl - rl).alias("sum_len_diff"),
+    )
+    denom = F.col("n_pairs") - F.col("ties")
+    num = F.col("longer_wins") * F.lit(u).cast("long")
+    rate = (
+        F.when(denom > 0, (num - F.pmod(num, denom)) / denom)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    cols = (["grp"] if group_col else []) + [
+        "n_pairs",
+        "longer_wins",
+        "ties",
+    ]
+    return agg.select(*cols, rate.alias("longer_rate_u"), "sum_len_diff")

@@ -179,3 +179,31 @@ class TestDpoPairs:
         )
         assert "Window" not in plan
         assert plan.count("Exchange") <= 1
+
+
+class TestLengthBiasAudit:
+    def _audit(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.operators.preference import (
+            length_bias_audit,
+        )
+
+        df = spark.createDataFrame(rows, "grp long, cl long, rl long")
+        return length_bias_audit(df, "cl", "rl", **kw).collect()
+
+    def test_ungrouped_totals(self, spark):
+        rows = [(0, 100, 50), (0, 30, 60), (0, 40, 40), (0, 80, 10)]
+        [r] = self._audit(spark, rows)
+        assert (r.n_pairs, r.longer_wins, r.ties) == (4, 2, 1)
+        # 2 longer wins of 3 non-ties
+        assert r.longer_rate_u == 2 * 10**6 // 3
+        assert r.sum_len_diff == 50 - 30 + 0 + 70
+
+    def test_grouped(self, spark):
+        rows = [(0, 10, 5), (1, 5, 10), (1, 6, 10)]
+        out = {r.grp: r for r in self._audit(spark, rows, group_col="grp")}
+        assert out[0].longer_rate_u == 10**6
+        assert out[1].longer_rate_u == 0 and out[1].n_pairs == 2
+
+    def test_all_ties_rate_zero(self, spark):
+        [r] = self._audit(spark, [(0, 7, 7), (0, 9, 9)])
+        assert r.ties == 2 and r.longer_rate_u == 0
