@@ -201,6 +201,15 @@ HEADLINE = [
     "q202_crawl_frontier",
     "q203_tokenizer_fertility",
     "q204_url_bitext",
+    "q205_paragraph_dup",
+    "q206_code_fences",
+    "q207_code_quality",
+    "q208_fim_transform",
+    "q209_repo_context",
+    "q210_sft_quality",
+    "q211_dpo_pairs",
+    "q212_rouge_dedup",
+    "q213_length_bias",
 ]
 
 

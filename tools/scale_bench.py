@@ -1308,6 +1308,21 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # per-script census: codegen regex passes + 6-row groupBy —
         # pure scan-bound projection
         "q203_tokenizer_fertility": entry.q203_tokenizer_fertility,
+        # fence extraction: posexplode + two per-doc windows + one keyed
+        # aggregate; rows = fenced blocks, k-linear (every doc plants
+        # the same fence pattern under the word bijection)
+        "q206_code_fences": entry.q206_code_fences,
+        # FIM rewrite: zero-shuffle codegen projection; rows = k * docs
+        "q208_fim_transform": entry.q208_fim_transform,
+        # repo packing: ONE per-repo collect_list aggregate + HOF fold;
+        # repos = k * docs / 7, contexts k-linear; hot key bounded by
+        # the 7-file repo construction
+        "q209_repo_context": entry.q209_repo_context,
+        # ROUGE-L dedup: inverted-index join + Arrow LCS kernel; the
+        # doc-unique token prefixes keep pairs = candidates exactly
+        # (k-linear), so kernel work scales with candidates, never
+        # candidates x pool
+        "q212_rouge_dedup": entry.q212_rouge_dedup,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
