@@ -16153,3 +16153,113 @@ _ORACLE_SHAPES["q213_length_bias"] = (
 _UNION_MERGES["q100_semantic_curation"].append(
     ("length_bias", "q213_length_bias")
 )
+
+
+def q214_attr_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma attribute-file materialization (operators/curation.py::
+    materialize_with_attributes; Soldaini et al. 2024): two tagger
+    namespaces — 'len' (chars/words, full coverage) and 'flag' (an
+    md5-coin contamination tagger that only covers even doc_ids,
+    exercising the NULL-attribute path) — left-join onto documents
+    and a mixing rule keeps docs with >= 20 words whose flag is not
+    set (NULLs coalesced to false, the explicit Dolma-style choice).
+    A drop-reason column preserves the audit property. The oracle
+    replays both taggers, both joins, the coalesce, and the reason
+    CASE."""
+    from jsonl_dataingestion_pipeline_spark.operators.curation import (
+        materialize_with_attributes,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    len_attr = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias(
+            "n_words"
+        ),
+    )
+    flag_attr = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("tag:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 97
+            == 0
+        ).alias("hit"),
+    )
+
+    def rule(a):
+        return (a["len__n_words"] >= 20) & ~F.coalesce(
+            a["flag__hit"], F.lit(False)
+        )
+
+    out = materialize_with_attributes(
+        d, "doc_id", {"len": len_attr, "flag": flag_attr}, rule
+    )
+    reason = (
+        F.when(F.col("len__n_words") < 20, F.lit("too_short"))
+        .when(F.coalesce(F.col("flag__hit"), F.lit(False)), F.lit("flagged"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        F.col("doc_id").alias("ma_doc"),
+        F.col("len__n_chars").alias("ma_chars"),
+        F.col("len__n_words").alias("ma_words"),
+        F.col("flag__hit").alias("ma_hit"),
+        F.col("keep").alias("ma_keep"),
+        reason.alias("ma_reason"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q214_attr_materialize"] = q214_attr_materialize
+
+_ORACLE_DEDUP_SIM["q214_attr_materialize"] = """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents
+    ), len_attr AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                   AS n_words
+        FROM docs
+    ), flag_attr AS (
+        SELECT doc_id,
+               (CAST('0x' || substr(md5('tag:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 97 = 0) AS hit
+        FROM docs WHERE doc_id % 2 = 0
+    ), joined AS (
+        SELECT d.doc_id, l.n_chars, l.n_words, f.hit
+        FROM docs d
+        LEFT JOIN len_attr l USING (doc_id)
+        LEFT JOIN flag_attr f USING (doc_id)
+    )
+    SELECT doc_id AS ma_doc, n_chars AS ma_chars, n_words AS ma_words,
+           hit AS ma_hit,
+           (n_words >= 20 AND NOT coalesce(hit, false)) AS ma_keep,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN coalesce(hit, false) THEN 'flagged'
+                ELSE 'kept' END AS ma_reason
+    FROM joined
+"""
+
+_ORACLE_SHAPES["q214_attr_materialize"] = (
+    ("ma_doc", "BIGINT"), ("ma_chars", "BIGINT"),
+    ("ma_words", "BIGINT"), ("ma_hit", "BOOLEAN"),
+    ("ma_keep", "BOOLEAN"), ("ma_reason", "VARCHAR"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q214_attr_materialize", {"ma_doc": "doc_id"})
+)

@@ -1186,3 +1186,55 @@ def table_fingerprint(
         .cast("long")
         .alias("sum_fp"),
     )
+
+
+def materialize_with_attributes(
+    docs: DataFrame,
+    id_col: str,
+    attributes: "dict[str, DataFrame]",
+    rule,
+    *,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Dolma-style attribute-file materialization (Soldaini et al.
+    2024, the Dolma toolkit's core architecture: taggers write
+    ATTRIBUTE files aligned to documents by id, and materialization
+    joins them and evaluates a boolean mixing rule — so re-filtering a
+    100 TB corpus never recomputes a tagger, only re-joins).
+
+    ``attributes`` maps a namespace to a DataFrame of ``(id_col,
+    <attr cols...>)``; every attribute column is exposed to ``rule``
+    as ``<namespace>__<col>``. ``rule`` is a callable receiving a
+    ``dict[str, Column]`` of those prefixed columns and returning a
+    boolean Column. Returns the documents with the prefixed attribute
+    columns and ``keep_col`` appended — the caller filters or
+    partitions on it (keeping the decision as DATA preserves the
+    Dolma audit property: you can census WHY documents dropped).
+
+    Missing attribute rows (a tagger that skipped a document) leave
+    NULL attributes — the rule decides their fate explicitly
+    (coalesce in the rule; an un-coalesced NULL propagates to a NULL
+    keep, surfacing the gap instead of silently dropping).
+
+    Plan: one LEFT hash join per attribute namespace on the id — at
+    scale each attribute frame is doc-count-sized, so these are the
+    co-partitioned joins Dolma's design exists to make cheap (bucket
+    both sides by id and no join shuffles at all); the rule itself is
+    a codegen projection.
+    """
+    out = docs
+    cols: "dict[str, Column]" = {}
+    for ns, adf in attributes.items():
+        renamed = adf.select(
+            F.col(id_col),
+            *[
+                F.col(c).alias(f"{ns}__{c}")
+                for c in adf.columns
+                if c != id_col
+            ],
+        )
+        out = out.join(renamed, id_col, "left")
+        for c in adf.columns:
+            if c != id_col:
+                cols[f"{ns}__{c}"] = F.col(f"{ns}__{c}")
+    return out.withColumn(keep_col, rule(cols))

@@ -1645,3 +1645,51 @@ class TestParagraphDupStats:
         # 'nav bar' is duplicate within s1 only; the s2 copy is unique
         assert got[1].n_dup_paras == 1 and got[2].n_dup_paras == 1
         assert got[3].n_dup_paras == 0
+
+
+class TestMaterializeWithAttributes:
+    def _run(self, spark, rule):
+        from jsonl_dataingestion_pipeline_spark.operators.curation import (
+            materialize_with_attributes,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, text string"
+        )
+        qual = spark.createDataFrame(
+            [(1, 10), (2, 3), (3, 99)], "id long, score long"
+        )
+        # partial-coverage tagger: no row for id 3
+        tox = spark.createDataFrame(
+            [(1, False), (2, True)], "id long, bad boolean"
+        )
+        out = materialize_with_attributes(
+            docs, "id", {"qual": qual, "tox": tox}, rule
+        )
+        return {r.id: r for r in out.collect()}
+
+    def test_rule_over_prefixed_attrs(self, spark):
+        from pyspark.sql import functions as F
+
+        out = self._run(
+            spark,
+            lambda a: (a["qual__score"] >= 5)
+            & ~F.coalesce(a["tox__bad"], F.lit(False)),
+        )
+        assert out[1].keep is True
+        assert out[2].keep is False      # toxic
+        assert out[3].keep is True       # missing tagger coalesced
+        assert out[3].tox__bad is None   # NULL surfaced, not dropped
+
+    def test_uncoalesced_null_propagates(self, spark):
+        # the documented contract: an un-coalesced NULL attribute makes
+        # keep NULL — the gap is surfaced, never silently decided
+        out = self._run(spark, lambda a: ~a["tox__bad"])
+        assert out[3].keep is None
+
+    def test_attribute_columns_carried(self, spark):
+        from pyspark.sql import functions as F
+
+        out = self._run(spark, lambda a: F.lit(True))
+        assert out[2].qual__score == 3 and out[2].tox__bad is True
