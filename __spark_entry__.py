@@ -16263,3 +16263,90 @@ _ORACLE_SHAPES["q214_attr_materialize"] = (
 _JOIN_MERGES["q20_doc_quality"][1].append(
     ("q214_attr_materialize", {"ma_doc": "doc_id"})
 )
+
+
+def q215_needle_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-a-haystack grid construction (operators/evalgen.py::
+    needle_insert; Kamradt 2023, the standard long-context probe):
+    single-space documents each get a doc-unique needle sentence at a
+    deterministic depth (depth_u = (doc_id%11)*100000 — the 0%..100%
+    grid), word-boundary snapped. Emits the insert word index, the
+    length invariant (len + needle + 1 exactly), and the rendered-
+    string md5; the oracle replays the integer depth arithmetic, the
+    word splice, and the checksum."""
+    from jsonl_dataingestion_pipeline_spark.operators.evalgen import (
+        needle_insert,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (~F.col("text").contains("  "))
+        & (F.col("text") == F.trim(F.col("text")))
+        & (F.length("text") > 0)
+    )
+    grid = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("the secret token is n"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+        ).alias("needle"),
+        ((F.col("doc_id") % 11) * 100000).cast("long").alias("depth_u"),
+    )
+    out = needle_insert(grid, "text", "needle", "depth_u")
+    return out.select(
+        F.col("doc_id").alias("ni_doc"),
+        F.col("depth_u").alias("ni_depth_u"),
+        F.col("insert_word").alias("ni_word"),
+        F.col("render_len").alias("ni_len"),
+        (
+            F.col("render_len")
+            == F.length("text") + F.length("needle") + 1
+        ).alias("ni_len_ok"),
+        F.md5(F.col("rendered")).alias("ni_md5"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q215_needle_grid"] = q215_needle_grid
+
+_ORACLE_DEDUP_SIM["q215_needle_grid"] = """
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               'the secret token is n' || CAST(doc_id AS VARCHAR) || '.'
+                   AS needle,
+               CAST((doc_id % 11) * 100000 AS BIGINT) AS depth_u
+        FROM documents
+        WHERE text IS NOT NULL AND text NOT LIKE '%  %'
+          AND text = trim(text) AND length(text) > 0
+    ), placed AS (
+        SELECT doc_id, text, w, n, needle, depth_u,
+               (n * depth_u) // 1000000 AS k
+        FROM base
+    ), rendered AS (
+        SELECT doc_id, depth_u, k, text, needle,
+               array_to_string(
+                   list_concat(
+                       list_concat(list_slice(w, 1, k), [needle]),
+                       list_slice(w, k + 1, n)
+                   ), ' ') AS r
+        FROM placed
+    )
+    SELECT doc_id AS ni_doc, depth_u AS ni_depth_u, k AS ni_word,
+           CAST(length(r) AS BIGINT) AS ni_len,
+           (length(r) = length(text) + length(needle) + 1) AS ni_len_ok,
+           md5(r) AS ni_md5
+    FROM rendered
+"""
+
+_ORACLE_SHAPES["q215_needle_grid"] = (
+    ("ni_doc", "BIGINT"), ("ni_depth_u", "BIGINT"),
+    ("ni_word", "BIGINT"), ("ni_len", "BIGINT"),
+    ("ni_len_ok", "BOOLEAN"), ("ni_md5", "VARCHAR"),
+)
+
+_UNION_MERGES["q33_text_extract_battery"].append(
+    ("needle_grid", "q215_needle_grid")
+)
