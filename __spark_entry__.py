@@ -16350,3 +16350,78 @@ _ORACLE_SHAPES["q215_needle_grid"] = (
 _UNION_MERGES["q33_text_extract_battery"].append(
     ("needle_grid", "q215_needle_grid")
 )
+
+
+def q216_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident provenance ledger (operators/provenance.py):
+    documents get an init + two transform steps (the chain hash rolls
+    md5(prev:stage:params_md5), seeded from the row id), every 29th
+    row's hash is then TAMPERED (md5(h || 'x')), and provenance_verify
+    refolds the chain — tampered rows must fail, everything else must
+    pass. The oracle replays the exact three-link md5 chain, the
+    params digests (same canonical JSON), the tamper, and the verify
+    comparison."""
+    from jsonl_dataingestion_pipeline_spark.operators import (
+        provenance as pv,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    led = pv.provenance_init(d, "doc_id", "documents")
+    led = pv.provenance_step(led, "filter:minlen", {"min_words": 20})
+    led = pv.provenance_step(led, "normalize:nfc")
+    tampered = led.withColumn(
+        "prov_hash",
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.md5(F.concat(F.col("prov_hash"), F.lit("x"))),
+        ).otherwise(F.col("prov_hash")),
+    )
+    out = pv.provenance_verify(tampered, "doc_id")
+    return out.select(
+        F.col("doc_id").alias("pv_doc"),
+        F.size("prov_steps").cast("long").alias("pv_nsteps"),
+        F.col("prov_hash").alias("pv_hash"),
+        F.col("prov_ok").alias("pv_ok"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q216_provenance"] = q216_provenance
+
+
+def _q216_oracle() -> str:
+    from jsonl_dataingestion_pipeline_spark.operators.provenance import (
+        params_digest,
+    )
+
+    p_filter = params_digest({"min_words": 20})
+    p_nfc = params_digest(None)
+    return f"""
+    WITH chain AS (
+        SELECT doc_id,
+            md5(md5(md5('prov:' || CAST(doc_id AS VARCHAR))
+                    || ':init:documents:' || md5('documents'))
+                || ':filter:minlen:{p_filter}') AS h2
+        FROM documents
+    ), full_chain AS (
+        SELECT doc_id,
+               md5(h2 || ':normalize:nfc:{p_nfc}') AS h3
+        FROM chain
+    )
+    SELECT doc_id AS pv_doc, CAST(3 AS BIGINT) AS pv_nsteps,
+           CASE WHEN doc_id % 29 = 0 THEN md5(h3 || 'x')
+                ELSE h3 END AS pv_hash,
+           (doc_id % 29 <> 0) AS pv_ok
+    FROM full_chain
+"""
+
+
+_ORACLE_DEDUP_SIM["q216_provenance"] = _q216_oracle()
+
+_ORACLE_SHAPES["q216_provenance"] = (
+    ("pv_doc", "BIGINT"), ("pv_nsteps", "BIGINT"),
+    ("pv_hash", "VARCHAR"), ("pv_ok", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q216_provenance", {"pv_doc": "doc_id"})
+)
