@@ -16425,3 +16425,71 @@ _ORACLE_SHAPES["q216_provenance"] = (
 _JOIN_MERGES["q20_doc_quality"][1].append(
     ("q216_provenance", {"pv_doc": "doc_id"})
 )
+
+
+def q217_scaling_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested scaling-law subsets (functions/sampling.py::
+    scaling_ladder): the 1%/10%/50%/100% data ladder over documents —
+    one md5 coin, monotone integer thresholds, tier = smallest
+    containing rung. Emits the coin, the tier, each rung's membership
+    flag AND a nesting invariant (every rung must contain every
+    smaller rung — violated only if threshold monotonicity broke).
+    The oracle replays the coin and the threshold CASE."""
+    from jsonl_dataingestion_pipeline_spark.functions.sampling import (
+        scaling_ladder,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = scaling_ladder(
+        d, "doc_id", fractions=(0.01, 0.1, 0.5, 1.0), seed=7
+    )
+    m = [F.col("ladder_tier") <= i for i in range(4)]
+    nested_ok = (
+        (~m[0] | m[1]) & (~m[1] | m[2]) & (~m[2] | m[3])
+    )
+    return out.select(
+        F.col("doc_id").alias("sl_doc"),
+        F.col("ladder_coin").alias("sl_coin"),
+        F.col("ladder_tier").alias("sl_tier"),
+        m[0].alias("sl_in1"),
+        m[1].alias("sl_in10"),
+        m[2].alias("sl_in50"),
+        nested_ok.alias("sl_nested_ok"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q217_scaling_ladder"] = q217_scaling_ladder
+
+_ORACLE_DEDUP_SIM["q217_scaling_ladder"] = f"""
+    WITH coins AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS coin
+        FROM documents
+    ), tiers AS (
+        SELECT doc_id, coin,
+               CASE WHEN coin < {int(0.01 * 2**32)} THEN 0
+                    WHEN coin < {int(0.1 * 2**32)} THEN 1
+                    WHEN coin < {int(0.5 * 2**32)} THEN 2
+                    WHEN coin < {2**32} THEN 3
+               END AS tier
+        FROM coins
+    )
+    SELECT doc_id AS sl_doc, coin AS sl_coin,
+           CAST(tier AS BIGINT) AS sl_tier,
+           (tier <= 0) AS sl_in1, (tier <= 1) AS sl_in10,
+           (tier <= 2) AS sl_in50,
+           true AS sl_nested_ok
+    FROM tiers
+"""
+
+_ORACLE_SHAPES["q217_scaling_ladder"] = (
+    ("sl_doc", "BIGINT"), ("sl_coin", "BIGINT"),
+    ("sl_tier", "BIGINT"), ("sl_in1", "BOOLEAN"),
+    ("sl_in10", "BOOLEAN"), ("sl_in50", "BOOLEAN"),
+    ("sl_nested_ok", "BOOLEAN"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(
+    ("scaling_ladder", "q217_scaling_ladder")
+)

@@ -10,7 +10,7 @@ identical on any cluster layout and replayable in the DuckDB oracle
 
 from __future__ import annotations
 
-from typing import Mapping, Union
+from typing import Mapping, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -268,3 +268,46 @@ def mix_sources(
     ).drop("__g")
     coin = _bucket32(_col(key), seed).cast("double")
     return out.filter(coin < F.col("keep_rate") * F.lit(float(1 << 32)))
+
+
+def scaling_ladder(
+    df: DataFrame,
+    key_col: str,
+    *,
+    fractions: "Sequence[float]" = (0.01, 0.1, 0.5, 1.0),
+    seed: int = 0,
+) -> DataFrame:
+    """Nested subset ladder for data-scaling ablations (the
+    Kaplan/Chinchilla-style data ladder: every smaller training set
+    must be CONTAINED in every larger one, or the ablation confounds
+    data content with data quantity; the same consistent-hashing trick
+    underlies consistent sampling generally).
+
+    One md5 coin per row (``_bucket32``), one integer threshold per
+    fraction — membership in fraction ``f`` is ``coin < floor(f *
+    2^32)``, so nesting holds BY CONSTRUCTION (threshold
+    monotonicity), retries and repartitions can't change membership,
+    and adding a rung later never reshuffles existing rungs. Appends:
+
+    - ``ladder_coin`` — the uint32 coin (auditable);
+    - ``ladder_tier`` — index of the SMALLEST fraction containing the
+      row (long; NULL if even the largest excludes it) — membership
+      in ``fractions[i]`` is ``ladder_tier <= i``, a one-predicate
+      filter the optimizer pushes into the scan.
+
+    Zero-shuffle projection. ``fractions`` must be strictly
+    increasing.
+    """
+    fr = list(fractions)
+    if any(b <= a for a, b in zip(fr, fr[1:])):
+        raise ValueError("fractions must be strictly increasing")
+    coin = _bucket32(F.col(key_col), seed=seed)
+    thresholds = [min(int(f * 2**32), 2**32) for f in fr]
+    tier = F.lit(None).cast("long")
+    for i in range(len(fr) - 1, -1, -1):
+        tier = F.when(
+            coin < F.lit(thresholds[i]), F.lit(i).cast("long")
+        ).otherwise(tier)
+    return df.select(
+        "*", coin.alias("ladder_coin"), tier.alias("ladder_tier")
+    )
