@@ -16493,3 +16493,99 @@ _ORACLE_SHAPES["q217_scaling_ladder"] = (
 _UNION_MERGES["q53_sampling_suite"].append(
     ("scaling_ladder", "q217_scaling_ladder")
 )
+
+
+def q218_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality rollup (the FineWeb / RefinedWeb / Dolma
+    URL-level aggregation practice: score documents, aggregate per
+    DOMAIN, blocklist domains whose mean falls below threshold, then
+    drop member docs — domain reputation catches low-quality hosts
+    whose individual pages squeak past per-doc filters): the REAL
+    quality kernel scores docs (micro-units via round on the 1e-4
+    grid — exact), a 40-domain synthesis rolls up exact integer sums,
+    the mean is an exact floor division, and the 0.35 blocklist
+    decision joins back (40-row broadcast). The oracle replays the
+    quality kernel, the rollup, the division, and both decisions."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.col("__toks")
+    scored = d.select(
+        "doc_id", "text", ts.tokens(t).alias("__toks")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("d"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        F.round(ts.quality_score_from_tokens(toks, t) * 10000)
+        .cast("long")
+        .alias("q_u4"),
+    )
+    roll = scored.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("dom_docs"),
+        F.sum("q_u4").alias("dom_sum"),
+    )
+    num = F.col("dom_sum") * F.lit(100).cast("long")
+    mean_u = (
+        (num - F.pmod(num, F.col("dom_docs"))) / F.col("dom_docs")
+    ).cast("long")
+    roll = roll.select(
+        "domain",
+        "dom_docs",
+        mean_u.alias("dom_mean_u"),
+        (mean_u < 350000).alias("dom_blocked"),
+    )
+    return scored.join(F.broadcast(roll), "domain").select(
+        F.col("doc_id").alias("dq_doc"),
+        F.col("domain").alias("dq_domain"),
+        F.col("q_u4").alias("dq_qu4"),
+        F.col("dom_docs").alias("dq_dom_docs"),
+        F.col("dom_mean_u").alias("dq_dom_mean_u"),
+        F.col("dom_blocked").alias("dq_dom_blocked"),
+        (~F.col("dom_blocked")).alias("dq_keep"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q218_domain_quality"] = q218_domain_quality
+
+_ORACLE_DEDUP_SIM["q218_domain_quality"] = _QUALITY_SQL + """
+    , scored AS (
+        SELECT doc_id,
+               'd' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+                   AS domain,
+               CAST(ROUND(FLOOR((
+                   0.4 * LEAST(n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(ROUND(stop_hits
+                       / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 8)
+                       * 4.0, 1.0)
+                 + 0.3 * (n_distinct
+                       / GREATEST(CAST(n_tokens AS DOUBLE), 1.0))
+               ) * 10000.0) / 10000.0 * 10000.0) AS BIGINT) AS q_u4
+        FROM stats
+    ), roll AS (
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS dom_docs,
+               (SUM(q_u4) * 100) // COUNT(*) AS dom_mean_u
+        FROM scored GROUP BY domain
+    )
+    SELECT s.doc_id AS dq_doc, s.domain AS dq_domain,
+           s.q_u4 AS dq_qu4, r.dom_docs AS dq_dom_docs,
+           r.dom_mean_u AS dq_dom_mean_u,
+           (r.dom_mean_u < 350000) AS dq_dom_blocked,
+           (r.dom_mean_u >= 350000) AS dq_keep
+    FROM scored s JOIN roll r USING (domain)
+"""
+
+_ORACLE_SHAPES["q218_domain_quality"] = (
+    ("dq_doc", "BIGINT"), ("dq_domain", "VARCHAR"),
+    ("dq_qu4", "BIGINT"), ("dq_dom_docs", "BIGINT"),
+    ("dq_dom_mean_u", "BIGINT"), ("dq_dom_blocked", "BOOLEAN"),
+    ("dq_keep", "BOOLEAN"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q218_domain_quality", {"dq_doc": "doc_id"})
+)

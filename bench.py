@@ -210,6 +210,10 @@ HEADLINE = [
     "q211_dpo_pairs",
     "q212_rouge_dedup",
     "q213_length_bias",
+    "q214_attr_materialize",
+    "q215_needle_grid",
+    "q216_provenance",
+    "q217_scaling_ladder",
 ]
 
 
