@@ -16589,3 +16589,87 @@ _ORACLE_SHAPES["q218_domain_quality"] = (
 _JOIN_MERGES["q20_doc_quality"][1].append(
     ("q218_domain_quality", {"dq_doc": "doc_id"})
 )
+
+
+def q219_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching (operators/packing.py::
+    length_bucket_batches; the bucket_by_sequence_length transform):
+    documents bucket by token-count band (width 32), rank within
+    bucket via the two-phase sub-bucket pattern (no bucket-global
+    sort), batch every 8, and every batch carries its exact padded
+    waste and integer utilization. The oracle replays with ONE naive
+    global window per bucket — the distributed rank must agree with
+    the straightforward SQL exactly."""
+    from jsonl_dataingestion_pipeline_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    out = length_bucket_batches(
+        d, "doc_id", "n_tok", bucket_width=32, batch_size=8,
+        sub_bucket=64,
+    )
+    return out.select(
+        F.col("doc_id").alias("bb_doc"),
+        F.col("n").alias("bb_len"),
+        F.col("bucket").alias("bb_bucket"),
+        F.col("rank").alias("bb_rank"),
+        F.col("batch").alias("bb_batch"),
+        F.col("batch_n").alias("bb_batch_n"),
+        F.col("batch_max").alias("bb_batch_max"),
+        F.col("pad_waste").alias("bb_waste"),
+        F.col("efficiency_u").alias("bb_eff_u"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q219_bucket_batches"] = q219_bucket_batches
+
+_ORACLE_DEDUP_SIM["q219_bucket_batches"] = """
+    WITH seqs AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n,
+               n // 32 AS bucket,
+               row_number() OVER (PARTITION BY n // 32
+                   ORDER BY doc_id) AS rank
+        FROM seqs
+    ), batched AS (
+        SELECT doc_id, n, bucket, CAST(rank AS BIGINT) AS rank,
+               (rank - 1) // 8 AS batch
+        FROM ranked
+    ), stats AS (
+        SELECT bucket, batch,
+               CAST(COUNT(*) AS BIGINT) AS batch_n,
+               CAST(MAX(n) AS BIGINT) AS batch_max,
+               CAST(SUM(n) AS BIGINT) AS bsum
+        FROM batched GROUP BY bucket, batch
+    )
+    SELECT b.doc_id AS bb_doc, b.n AS bb_len, b.bucket AS bb_bucket,
+           b.rank AS bb_rank, CAST(b.batch AS BIGINT) AS bb_batch,
+           s.batch_n AS bb_batch_n, s.batch_max AS bb_batch_max,
+           (s.batch_max * s.batch_n - s.bsum) AS bb_waste,
+           CASE WHEN s.batch_max * s.batch_n > 0
+                THEN (s.bsum * 1000000) // (s.batch_max * s.batch_n)
+                ELSE 0 END AS bb_eff_u
+    FROM batched b JOIN stats s USING (bucket, batch)
+"""
+
+_ORACLE_SHAPES["q219_bucket_batches"] = (
+    ("bb_doc", "BIGINT"), ("bb_len", "BIGINT"),
+    ("bb_bucket", "BIGINT"), ("bb_rank", "BIGINT"),
+    ("bb_batch", "BIGINT"), ("bb_batch_n", "BIGINT"),
+    ("bb_batch_max", "BIGINT"), ("bb_waste", "BIGINT"),
+    ("bb_eff_u", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("bucket_batches", "q219_bucket_batches")
+)

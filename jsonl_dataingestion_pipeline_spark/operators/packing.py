@@ -197,3 +197,109 @@ def semantic_pack(
         id_col, "cell_id", "cell_rank", "sem_order",
         "n_tokens", "tok_start", "seq_first", "seq_last", "n_seqs",
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    order_col: str,
+    len_col: str,
+    *,
+    bucket_width: int,
+    batch_size: int,
+    sub_bucket: int = 100_000,
+) -> DataFrame:
+    """Length-bucketed dynamic batching (the NMT/fairseq
+    ``bucket_by_sequence_length`` transform every trainer uses:
+    group sequences of similar length so per-batch padding-to-max
+    waste stays small, instead of padding every batch to the corpus
+    max). One row per sequence: ``(order_col, n, bucket, rank, batch,
+    batch_n, batch_max, pad_waste, efficiency_u)``.
+
+    - ``bucket`` = ``len div bucket_width`` — the similar-length band;
+    - ``rank`` = the sequence's 1-based position within its bucket in
+      ``order_col`` order, computed with the module's two-phase
+      pattern: a ``row_number`` PARTITIONED BY (bucket, range
+      sub-bucket) — bounded work per task — plus an exclusive prefix
+      of sub-bucket counts (one small per-bucket frame) broadcast
+      back. NO bucket-global sort: a 10^9-sequence bucket never lands
+      on one task;
+    - ``batch`` = ``(rank - 1) div batch_size`` — deterministic,
+      partition-layout-independent batch assignment;
+    - per-batch audit columns: ``batch_max * batch_n - batch_sum`` is
+      the exact padded-token waste, ``efficiency_u`` the exact
+      floor-division utilization in micro-units — THE number this
+      transform exists to improve (vs. one global bucket).
+    """
+    local_w = Window.partitionBy("__lb", "__sub").orderBy(order_col)
+    local = (
+        df.select(
+            F.col(order_col),
+            F.col(len_col).cast("long").alias("__n"),
+        )
+        .withColumn(
+            "__lb",
+            F.floor(F.col("__n") / F.lit(bucket_width)).cast("long"),
+        )
+        .withColumn(
+            "__sub",
+            F.floor(F.col(order_col) / F.lit(sub_bucket)).cast("long"),
+        )
+        .withColumn("__lr", F.row_number().over(local_w).cast("long"))
+    )
+    counts = local.groupBy("__lb", "__sub").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    prefix_w = (
+        Window.partitionBy("__lb")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = counts.select(
+        "__lb",
+        "__sub",
+        F.coalesce(F.sum("__c").over(prefix_w), F.lit(0)).alias("__pre"),
+    )
+    ranked = local.join(F.broadcast(prefix), ["__lb", "__sub"]).select(
+        F.col(order_col),
+        F.col("__n"),
+        F.col("__lb"),
+        (F.col("__pre") + F.col("__lr")).alias("__rank"),
+    )
+    r0 = F.col("__rank") - 1
+    ranked = ranked.withColumn(
+        "__batch",
+        ((r0 - F.pmod(r0, F.lit(batch_size))) / F.lit(batch_size)).cast(
+            "long"
+        ),
+    )
+    stats = ranked.groupBy("__lb", "__batch").agg(
+        F.count(F.lit(1)).cast("long").alias("batch_n"),
+        F.max("__n").alias("batch_max"),
+        F.sum("__n").alias("__bsum"),
+    )
+    padded = F.col("batch_max") * F.col("batch_n")
+    num = F.col("__bsum") * F.lit(1_000_000).cast("long")
+    eff = (
+        F.when(padded > 0, (num - F.pmod(num, padded)) / padded)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    stats = stats.select(
+        "__lb",
+        "__batch",
+        "batch_n",
+        "batch_max",
+        (padded - F.col("__bsum")).alias("pad_waste"),
+        eff.alias("efficiency_u"),
+    )
+    return ranked.join(stats, ["__lb", "__batch"]).select(
+        F.col(order_col),
+        F.col("__n").alias("n"),
+        F.col("__lb").alias("bucket"),
+        F.col("__rank").alias("rank"),
+        F.col("__batch").alias("batch"),
+        "batch_n",
+        "batch_max",
+        "pad_waste",
+        "efficiency_u",
+    )

@@ -86,3 +86,58 @@ def test_pack_data_never_hits_single_partition_window(spark):
     ]
     assert len(singles) == 1, plan
     assert "__bt" in singles[0], plan  # bucket totals, not data
+
+
+class TestLengthBucketBatches:
+    def _run(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.operators.packing import (
+            length_bucket_batches,
+        )
+
+        df = spark.createDataFrame(rows, "id long, n long")
+        return {
+            r.id: r
+            for r in length_bucket_batches(df, "id", "n", **kw).collect()
+        }
+
+    def test_bucketing_and_batching(self, spark):
+        rows = [(i, 10 + i % 3) for i in range(10)] + [(100, 99)]
+        out = self._run(spark, rows, bucket_width=16, batch_size=4)
+        # lengths 10-12 -> bucket 0; 99 -> bucket 6
+        assert all(out[i].bucket == 0 for i in range(10))
+        assert out[100].bucket == 6 and out[100].batch_n == 1
+        # ranks are 1..10 in id order, batches of 4: 4+4+2
+        assert [out[i].batch for i in range(10)] == [0]*4 + [1]*4 + [2]*2
+        assert out[9].batch_n == 2
+
+    def test_padding_waste_exact(self, spark):
+        rows = [(1, 5), (2, 7), (3, 6), (4, 7)]
+        out = self._run(spark, rows, bucket_width=100, batch_size=4)
+        r = out[1]
+        assert r.batch_max == 7 and r.pad_waste == 7 * 4 - 25
+        assert r.efficiency_u == 25 * 10**6 // 28
+
+    def test_two_phase_rank_matches_naive(self, spark):
+        # tiny sub_bucket forces many sub-buckets; rank must equal the
+        # single-window answer
+        rows = [(i, (i * 37) % 50) for i in range(200)]
+        out = self._run(spark, rows, bucket_width=8, batch_size=8,
+                        sub_bucket=7)
+        import collections
+
+        naive = collections.defaultdict(list)
+        for i, n in rows:
+            naive[n // 8].append(i)
+        for b, ids in naive.items():
+            for rank, i in enumerate(sorted(ids), 1):
+                assert out[i].rank == rank, (b, i)
+
+    def test_bucketing_beats_global_padding(self, spark):
+        # the metric the operator exists for: bucketed waste < one
+        # global batch-of-everything padded to corpus max
+        rows = [(i, 4) for i in range(8)] + [(i + 8, 400) for i in range(8)]
+        out = self._run(spark, rows, bucket_width=16, batch_size=8)
+        waste = sum({(r.bucket, r.batch): r.pad_waste
+                     for r in out.values()}.values())
+        global_waste = 400 * 16 - (4 * 8 + 400 * 8)
+        assert waste == 0 < global_waste
