@@ -16673,3 +16673,82 @@ _ORACLE_SHAPES["q219_bucket_batches"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("bucket_batches", "q219_bucket_batches")
 )
+
+
+def q220_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection (operators/selection.py::
+    select_by_budget; the DataComp-LM/DsDm rank-by-quality-fill-the-
+    budget rule): the REAL quality kernel scores documents (exact
+    1e-4-grid integers), token counts come from the token split, and
+    the two-phase score-band prefix selects the top-quality slice
+    whose cumulative tokens fit 20,000 — document-atomic, (score
+    DESC, id) deterministic order. The oracle replays selection with
+    ONE naive global ordered window; the distributed prefix must
+    agree row-for-row."""
+    from jsonl_dataingestion_pipeline_spark.functions import textstats as ts
+    from jsonl_dataingestion_pipeline_spark.operators.selection import (
+        select_by_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.col("__toks")
+    scored = d.select(
+        "doc_id", "text", ts.tokens(t).alias("__toks")
+    ).select(
+        "doc_id",
+        F.round(ts.quality_score_from_tokens(toks, t) * 10000)
+        .cast("long")
+        .alias("q_u4"),
+        ts.token_count_from_tokens(toks, t).cast("long").alias("n_tok"),
+    )
+    out = select_by_budget(
+        scored, "doc_id", "q_u4", "n_tok", budget=20_000,
+        score_bucket_width=500,
+    )
+    return out.select(
+        F.col("doc_id").alias("bs_doc"),
+        F.col("q_u4").alias("bs_score"),
+        F.col("n_tok").alias("bs_ntok"),
+        F.col("cum_tokens").alias("bs_cum"),
+        F.col("selected").alias("bs_sel"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q220_budget_select"] = q220_budget_select
+
+_ORACLE_DEDUP_SIM["q220_budget_select"] = _QUALITY_SQL + """
+    , scored AS (
+        SELECT doc_id,
+               CAST(ROUND(FLOOR((
+                   0.4 * LEAST(n_tokens / 64.0, 1.0)
+                 + 0.3 * LEAST(ROUND(stop_hits
+                       / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 8)
+                       * 4.0, 1.0)
+                 + 0.3 * (n_distinct
+                       / GREATEST(CAST(n_tokens AS DOUBLE), 1.0))
+               ) * 10000.0) / 10000.0 * 10000.0) AS BIGINT) AS q_u4,
+               CAST(n_tokens AS BIGINT) AS n_tok
+        FROM stats
+    ), ordered AS (
+        SELECT doc_id, q_u4, n_tok,
+               SUM(n_tok) OVER (ORDER BY q_u4 DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM scored
+    )
+    SELECT doc_id AS bs_doc, q_u4 AS bs_score, n_tok AS bs_ntok,
+           CAST(cum AS BIGINT) AS bs_cum,
+           (cum <= 20000) AS bs_sel
+    FROM ordered
+"""
+
+_ORACLE_SHAPES["q220_budget_select"] = (
+    ("bs_doc", "BIGINT"), ("bs_score", "BIGINT"),
+    ("bs_ntok", "BIGINT"), ("bs_cum", "BIGINT"),
+    ("bs_sel", "BOOLEAN"),
+)
+
+_UNION_MERGES["q53_sampling_suite"].append(
+    ("budget_select", "q220_budget_select")
+)
