@@ -214,6 +214,9 @@ HEADLINE = [
     "q215_needle_grid",
     "q216_provenance",
     "q217_scaling_ladder",
+    "q218_domain_quality",
+    "q219_bucket_batches",
+    "q220_budget_select",
 ]
 
 
