@@ -37,7 +37,8 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-#: A fence TOGGLE line: up to 3 leading spaces (CommonMark), three or
+#: A fence TOGGLE line: up to 3 leading SPACES only (CommonMark —
+#: a tab-indented fence is indented code, not a fence), three or
 #: more backticks, then at most one [word.+-]* info token and trailing
 #: spaces. Lines with anything else after the backticks are content.
 #: Deviation from full CommonMark (documented subset): the parser is a
@@ -45,7 +46,7 @@ def _col(c: ColumnOrName) -> Column:
 #: closes it instead of being literal content, and tilde fences /
 #: 4-backtick nesting are not recognized. Real markdown overwhelmingly
 #: uses plain three-backtick pairs; the subset is pytest-pinned.
-_FENCE_RE = r"^\s{0,3}```+[ \t]*([A-Za-z0-9_.+#-]*)[ \t]*$"
+_FENCE_RE = r"^ {0,3}```+[ \t]*([A-Za-z0-9_.+#-]*)[ \t]*$"
 
 
 def code_fence_blocks(
@@ -291,7 +292,6 @@ def repo_context_render(
     rendering touches each file once per context filter pass
     (O(n_files * n_ctx) predicate checks, string concat once).
     """
-    hdr = F.length(F.concat(F.lit(repo_tag), _col(repo_col).cast("string")))
     files = df.select(
         _col(repo_col).alias("__repo"),
         F.struct(

@@ -230,6 +230,15 @@ def length_bucket_batches(
       floor-division utilization in micro-units — THE number this
       transform exists to improve (vs. one global bucket).
     """
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    odt = dict(df.dtypes).get(order_col, "")
+    if not (odt in numeric or odt.startswith("decimal")):
+        # the sub-bucket key is floor(order / sub_bucket) — it needs a
+        # numeric, range-contiguous order column (a string id would
+        # NULL the join key under non-ANSI and crash under ANSI)
+        raise ValueError(
+            f"order_col {order_col!r} must be numeric (got {odt!r})"
+        )
     local_w = Window.partitionBy("__lb", "__sub").orderBy(order_col)
     local = (
         df.select(

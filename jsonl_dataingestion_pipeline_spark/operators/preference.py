@@ -163,12 +163,18 @@ def dpo_pairs(
     sizes are single digits in practice); corpus size only widens the
     key space.
     """
+    if min_margin < 1:
+        # margin >= 1 is what makes chosen != rejected by construction;
+        # min_margin=0 would emit degenerate self-pairs on tied pools
+        raise ValueError("min_margin must be >= 1 (ties can't teach)")
     p, r, s = (F.col(prompt_col), F.col(response_col), F.col(score_col))
     agg = df.groupBy(p.alias("prompt")).agg(
-        F.max_by(
+        F.min_by(
             F.struct(r.alias("id"), s.alias("score")),
-            # max score, then SMALLEST id: negate the id in the order key
-            F.struct(s.alias("s"), (-r).alias("ni")),
+            # best = MIN of (-score, id): max score, then SMALLEST id —
+            # negating the SCORE (always numeric) keeps the id column
+            # free to be any orderable type (string ids are common)
+            F.struct((-s.cast("long")).alias("ns"), r.alias("i")),
         ).alias("__best"),
         F.min_by(
             F.struct(r.alias("id"), s.alias("score")),

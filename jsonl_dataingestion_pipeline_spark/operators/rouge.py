@@ -150,14 +150,16 @@ def rouge_l_dedup(
         schema=f"__cid {id_dt}, __rid {id_dt}, __lcs long, __f_u long",
     )
     best = scored.groupBy("__cid").agg(
-        F.max_by(
+        F.min_by(
             F.struct(
                 F.col("__rid").alias("rid"),
                 F.col("__lcs").alias("lcs"),
                 F.col("__f_u").alias("f_u"),
             ),
-            # max f_u, ties -> smallest ref id
-            F.struct(F.col("__f_u").alias("f"), (-F.col("__rid")).alias("nr")),
+            # best = MIN of (-f_u, rid): max F1, ties -> smallest ref
+            # id — negating the (always-numeric) score keeps ref ids
+            # free to be strings, the typical instruction-id type
+            F.struct((-F.col("__f_u")).alias("nf"), F.col("__rid").alias("r")),
         ).alias("__b")
     )
     return (

@@ -47,15 +47,6 @@ def select_by_budget(
     broadcast join. Never a global sort of the corpus.
     """
     s = F.col(score_col).cast("long")
-    band = (
-        -(s - F.pmod(s, F.lit(score_bucket_width)))
-        / F.lit(score_bucket_width)
-    ).cast("long")
-    local_w = (
-        Window.partitionBy("__band")
-        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     local = (
         df.select(
             F.col(id_col),

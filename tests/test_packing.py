@@ -141,3 +141,14 @@ class TestLengthBucketBatches:
                      for r in out.values()}.values())
         global_waste = 400 * 16 - (4 * 8 + 400 * 8)
         assert waste == 0 < global_waste
+
+
+def test_length_bucket_batches_rejects_string_order(spark):
+    import pytest as _pytest
+    from jsonl_dataingestion_pipeline_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    df = spark.createDataFrame([("a", 5)], "id string, n long")
+    with _pytest.raises(ValueError):
+        length_bucket_batches(df, "id", "n", bucket_width=8, batch_size=4)

@@ -207,3 +207,29 @@ class TestLengthBiasAudit:
     def test_all_ties_rate_zero(self, spark):
         [r] = self._audit(spark, [(0, 7, 7), (0, 9, 9)])
         assert r.ties == 2 and r.longer_rate_u == 0
+
+
+class TestDpoPairsReviewFixes:
+    def test_min_margin_zero_rejected(self, spark):
+        import pytest as _pytest
+        from jsonl_dataingestion_pipeline_spark.operators.preference import (
+            dpo_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10, 500)], "prompt long, resp long, score long"
+        )
+        with _pytest.raises(ValueError):
+            dpo_pairs(df, "prompt", "resp", "score", min_margin=0)
+
+    def test_string_response_ids(self, spark):
+        from jsonl_dataingestion_pipeline_spark.operators.preference import (
+            dpo_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "rb", 900), (1, "ra", 900), (1, "rz", 100)],
+            "prompt long, resp string, score long",
+        )
+        [r] = dpo_pairs(df, "prompt", "resp", "score").collect()
+        assert (r.chosen, r.rejected) == ("ra", "rz")

@@ -96,3 +96,16 @@ class TestRougeLDedup:
         blocked = self._run(spark, cand, pool, max_df=1)[10]
         assert exact.best_f_u > 0
         assert blocked.best_f_u == 0  # documented recall trade
+
+
+def test_string_ids_supported(spark):
+    cdf = spark.createDataFrame(
+        [("cand1", "alpha beta gamma")], "doc_id string, text string"
+    )
+    pdf = spark.createDataFrame(
+        [("pB", "alpha beta gamma"), ("pA", "alpha beta gamma")],
+        "doc_id string, text string",
+    )
+    [r] = rouge_l_dedup(cdf, pdf, "doc_id", "text").collect()
+    # ties -> lexicographically smallest ref id
+    assert r.best_ref == "pA" and not r.keep
