@@ -16752,3 +16752,98 @@ _ORACLE_SHAPES["q220_budget_select"] = (
 _UNION_MERGES["q53_sampling_suite"].append(
     ("budget_select", "q220_budget_select")
 )
+
+
+def q221_deletion_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS deletion-neighborhood fuzzy join (operators/fuzzyjoin.py;
+    Bocek et al. 2007 / SymSpell): customer names against a perturbed
+    copy (every 3rd name loses a char, every 3rd+1 gets a substituted
+    char, the rest unchanged; right ids offset +10^6), k=1. The ORACLE
+    IS THE BRUTE FORCE — a full cross join with levenshtein <= 1 —
+    so the variant-join path is gated on COMPLETENESS, not on
+    replaying its own plan. Aggregated per left name (match count,
+    min distance, smallest best-match id) to keep the battery row
+    shape."""
+    from jsonl_dataingestion_pipeline_spark.operators.fuzzyjoin import (
+        deletion_neighborhood_join,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+    )
+    key = F.col("id")
+    n = F.length("name")
+    pos = (F.pmod(key, n) + 1).cast("int")
+    deleted = F.concat(
+        F.substring(F.col("name"), 1, pos - 1),
+        F.substring(F.col("name"), pos + 1, n.cast("int")),
+    )
+    substituted = F.concat(
+        F.substring(F.col("name"), 1, pos - 1),
+        F.lit("@"),
+        F.substring(F.col("name"), pos + 1, n.cast("int")),
+    )
+    right = c.select(
+        (key + 1_000_000).alias("id"),
+        F.when(key % 3 == 0, deleted)
+        .when(key % 3 == 1, substituted)
+        .otherwise(F.col("name"))
+        .alias("name"),
+    )
+    pairs = deletion_neighborhood_join(c, right, "id", "name", k=1)
+    return pairs.groupBy(F.col("left_id").alias("fj_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("fj_matches"),
+        F.min("dist").alias("fj_mindist"),
+        F.min_by(
+            F.col("right_id"), F.struct(F.col("dist"), F.col("right_id"))
+        ).alias("fj_best"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q221_deletion_fuzzy_join"] = q221_deletion_fuzzy_join
+
+_ORACLE_DEDUP_SIM["q221_deletion_fuzzy_join"] = """
+    WITH lhs AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+        FROM customer
+    ), rhs AS (
+        SELECT id + 1000000 AS id,
+               CASE WHEN id % 3 = 0 THEN
+                        substr(name, 1, CAST(id % length(name) AS INT))
+                        || substr(name,
+                                  CAST(id % length(name) AS INT) + 2)
+                    WHEN id % 3 = 1 THEN
+                        substr(name, 1, CAST(id % length(name) AS INT))
+                        || '@'
+                        || substr(name,
+                                  CAST(id % length(name) AS INT) + 2)
+                    ELSE name END AS name
+        FROM lhs
+    ), brute AS (
+        SELECT l.id AS lid, r.id AS rid,
+               CAST(levenshtein(l.name, r.name) AS BIGINT) AS dist
+        FROM lhs l CROSS JOIN rhs r
+        WHERE levenshtein(l.name, r.name) <= 1
+    )
+    , ranked AS (
+        SELECT lid, rid, dist,
+               row_number() OVER (PARTITION BY lid
+                   ORDER BY dist, rid) AS rn
+        FROM brute
+    )
+    SELECT lid AS fj_key,
+           CAST(COUNT(*) AS BIGINT) AS fj_matches,
+           MIN(dist) AS fj_mindist,
+           MAX(CASE WHEN rn = 1 THEN rid END) AS fj_best
+    FROM ranked GROUP BY lid
+"""
+
+_ORACLE_SHAPES["q221_deletion_fuzzy_join"] = (
+    ("fj_key", "BIGINT"), ("fj_matches", "BIGINT"),
+    ("fj_mindist", "BIGINT"), ("fj_best", "BIGINT"),
+)
+
+_JOIN_MERGES["q65_entity_text_ops"][1].append(
+    ("q221_deletion_fuzzy_join", {"fj_key": "custkey"})
+)

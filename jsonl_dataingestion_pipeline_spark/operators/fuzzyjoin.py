@@ -1,0 +1,102 @@
+"""Deletion-neighborhood fuzzy join (FastSS, Bocek et al. 2007;
+popularized as SymSpell): find all cross-frame string pairs within
+Levenshtein distance ``k`` WITHOUT a quadratic comparison.
+
+The FastSS property: if ``ed(a, b) <= k`` then the k-deletion
+neighborhoods of ``a`` and ``b`` intersect — so generating every
+string obtainable by deleting up to ``k`` characters, equi-joining on
+those variants, and exact-verifying the survivors is COMPLETE (no
+false negatives; the variant join only over-generates, and the
+``levenshtein`` filter removes false positives). This is a genuinely
+different scale shape from blocking + pairwise distance
+(``plans/entity.py``): candidate volume is bounded by neighborhood
+sizes (``O(len^k)`` variants per string, len choose k), not by block
+population — the right tool for short strings (names, titles, codes)
+where a popular block would otherwise go quadratic.
+
+Plan: one Generate per side (the variant explode), one equi-join on
+the variant, a distinct, and one codegen ``levenshtein`` verify — all
+shuffles keyed by variant/pair, no window, no crossJoin anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_variants(c: Column, k: int) -> Column:
+    """All strings obtainable from ``c`` by deleting AT MOST ``k``
+    characters (including ``c`` itself), distinct. Built by ``k``
+    rounds of single-deletion expansion — pure array HOFs."""
+    vs = F.array(c)
+    for _ in range(k):
+        one_del = F.flatten(
+            F.transform(
+                vs,
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                    lambda i: F.concat(
+                        F.substring(s, 1, (i - 1).cast("int")),
+                        F.substring(
+                            s.cast("string"),
+                            (i + 1).cast("int"),
+                            (F.length(s) - i).cast("int"),
+                        ),
+                    ),
+                ),
+            )
+        )
+        vs = F.array_distinct(F.concat(vs, one_del))
+    return vs
+
+
+def deletion_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """All cross-frame pairs with ``levenshtein(left.text, right.text)
+    <= k``: ``(left_id, right_id, left_text, right_text, dist)``.
+
+    - Complete by the FastSS property (pytest pins equality with the
+      brute-force cross join on a planted corpus; the q221 oracle IS
+      the brute force — a stronger gate than replaying the plan).
+    - ``max_len`` guards the ``O(len^k)`` variant fanout: longer
+      strings are dropped from BOTH sides (logged contract — fuzzy
+      joins of this family are for short strings; document-scale
+      near-dup belongs to the MinHash/substring operators).
+    - Identical ids on both sides are NOT excluded — callers doing a
+      self-join drop ``left_id = right_id`` themselves (and should
+      also dedupe the symmetric pair).
+    """
+    if k < 1 or k > 2:
+        raise ValueError("k must be 1 or 2 (variant fanout is len^k)")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        t = F.col(text_col)
+        return (
+            df.filter(F.length(t) <= max_len)
+            .select(
+                F.col(id_col).alias(f"{tag}_id"),
+                t.alias(f"{tag}_text"),
+                F.explode(_deletion_variants(t, k)).alias("__v"),
+            )
+        )
+
+    l = side(left, "left")
+    r = side(right, "right")
+    cand = (
+        l.join(r, "__v")
+        .select("left_id", "left_text", "right_id", "right_text")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("left_text"), F.col("right_text"))
+    return cand.select(
+        "left_id", "right_id", "left_text", "right_text",
+        dist.cast("long").alias("dist"),
+    ).filter(F.col("dist") <= k)
