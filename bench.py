@@ -217,6 +217,7 @@ HEADLINE = [
     "q218_domain_quality",
     "q219_bucket_batches",
     "q220_budget_select",
+    "q221_deletion_fuzzy_join",
 ]
 
 
