@@ -18,11 +18,15 @@ The run is SELF-DESCRIBING (round 9, after the round-8 core-set numbers
 proved unattributable): ``bench_detail.json`` records the runtime
 (pyspark / java / python versions, local dir, cpu/mem), a contention
 sentinel (one fixed spark.range sum re-timed at start / middle / end of
-the timed loop — ``sentinel_spread`` > ~1.3x means the run was measured
-under external load and its walls are not comparable across rounds),
-per-query JVM GC-time deltas, and the 1-minute loadavg sampled before
-each query. The final stdout line carries ``sentinel_spread`` so the
-driver's compact record keeps the contamination flag.
+the timed loop), per-query JVM GC-time deltas, and the 1-minute loadavg
+sampled before each query. CONTAMINATION ATTRIBUTION (round 10): the
+PRIMARY cleanliness flag is ``core_steal_clean`` — every frozen-core
+query's selected attempt measured < 1s of /proc/stat hypervisor steal.
+``sentinel_spread`` > ~1.3x remains recorded but is corroborating, not
+primary: idle-box runs showed spreads of 2.4-3.8 with near-zero steal
+(the canary also measures the harness's own JVM heap aging); under the
+r8/r9 REAL contention the spread and the steal counters moved together.
+Both land on the final stdout line.
 
 STEAL-AWARE RETRY (round 10, VERDICT r9 #2): every attempt records its
 own /proc/stat steal delta; attempts measured with > ``steal_retry_s``
@@ -290,12 +294,30 @@ def _sentinel(spark) -> float:
     spark.range sum is re-timed at start / middle / end of the timed
     loop; a spread > ~1.3x flags the whole run as measured under load
     (VERDICT r8: driver numbers were up to 5x their clean-session
-    walls with nothing in the artifact to show it)."""
-    t0 = time.time()
-    spark.range(0, 200_000_000, 1, 32).selectExpr(
-        "sum(id * 3 % 7)"
-    ).collect()
-    return round(time.time() - t0, 3)
+    walls with nothing in the artifact to show it).
+
+    Round-10 refinement: the first clean-box artifact showed spread
+    2.42 with near-zero recorded steal — the fresh-JVM start sample
+    (0.16s) vs aged-heap later samples (0.39s) measured the harness's
+    OWN heap aging, not external load. Each checkpoint now (a) asks
+    the JVM for a GC first, so heap-pressure differences between
+    checkpoints shrink, and (b) takes the MIN of two runs — sustained
+    external load inflates both repetitions (min stays high, the flag
+    still fires) while one-off GC pauses inflate only one. Steal and
+    loadavg remain the per-query contamination evidence."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+    def one() -> float:
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 % 7)"
+        ).collect()
+        return time.time() - t0
+
+    return round(min(one(), one()), 3)
 
 
 def main() -> int:
@@ -450,6 +472,17 @@ def main() -> int:
     # item #1: the 34-query single-line JSON outgrew it and BENCH_r05
     # parsed null).
     core_total = round(sum(timings[q] for q in CORE if q in timings), 3)
+    # PRIMARY cleanliness flag (round 10): every CORE query's SELECTED
+    # attempt measured < 1s of hypervisor steal. Steal counters measure
+    # external CPU theft directly; the sentinel spread ALSO saturates on
+    # the harness's own JVM aging (measured on an idle box: spread 2.4
+    # and 3.8 with 12-17s total steal over ~250 query executions and
+    # every core query < 1s — the three r9/r10 artifacts together show
+    # spread tracks steal under real contention but false-positives on
+    # heap aging). Attribute a high spread with steal_s + load1.
+    core_clean = all(
+        steal_s.get(q, 0) < 1.0 for q in CORE if q in timings
+    )
     detail = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
@@ -470,6 +503,7 @@ def main() -> int:
             sum(v for v in steal_s.values() if v > 0), 2
         ),
         "steal_retry_s": steal_retry_s,
+        "core_steal_clean": core_clean,
         "attempts": attempts_n,
         "attempt_detail": attempt_detail,
     }
@@ -490,6 +524,7 @@ def main() -> int:
         "runs_per_query": runs_per_query,
         "sf": sf,
         "sentinel_spread": sentinel_spread,
+        "core_steal_clean": core_clean,
         "steal_total_s": round(
             sum(v for v in steal_s.values() if v > 0), 2
         ),
