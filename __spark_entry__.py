@@ -16847,3 +16847,111 @@ _ORACLE_SHAPES["q221_deletion_fuzzy_join"] = (
 _JOIN_MERGES["q65_entity_text_ops"][1].append(
     ("q221_deletion_fuzzy_join", {"fj_key": "custkey"})
 )
+
+
+def q222_cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl CDX capture selection (functions/web.py::surt_key /
+    cdx_latest_captures — the first stage of C4/RefinedWeb/FineWeb):
+    every document becomes 3 captures of one page under DIFFERENT raw
+    URLs (https+www+unsorted query; http+:80+no-www; and a 301
+    revisit) that must unify under one SURT key via the REAL
+    canonicalizer; statuses/mimes/digests planted so the election,
+    the ok census, and the revisit-digest count are closed-form. The
+    oracle builds the expected SURT from the construction arithmetic —
+    any parser bug breaks key equality — and replays the election."""
+    from jsonl_dataingestion_pipeline_spark.functions.web import (
+        cdx_latest_captures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    site = (did % 25).cast("string")
+    urla = F.concat(
+        F.lit("https://www.site"), site, F.lit(".com/p/"),
+        did.cast("string"), F.lit("?b=2&a=1"),
+    )
+    urlb = F.concat(
+        F.lit("http://site"), site, F.lit(".com:80/p/"),
+        did.cast("string"), F.lit("?b=2&a=1"),
+    )
+    caps = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i")
+    )
+    i = F.col("i")
+    ts = (F.lit(20240000) + (did % 50) * 10 + i).cast("long")
+    status = (
+        F.when(i == 2, F.lit("301"))
+        .when((i == 1) & (did % 4 == 0), F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    mime = F.when(
+        (i == 1) & (did % 6 == 0), F.lit("application/pdf")
+    ).otherwise(F.lit("text/html"))
+    dig_i = F.when((i == 1) & (did % 5 == 0), F.lit(0)).otherwise(i)
+    digest = F.md5(
+        F.concat(
+            F.lit("dig:"), did.cast("string"), F.lit(":"),
+            dig_i.cast("string"),
+        )
+    )
+    cdx = caps.select(
+        F.when(i == 1, urlb).otherwise(urla).alias("url"),
+        ts.alias("ts"),
+        status.alias("status"),
+        mime.alias("mime"),
+        digest.alias("digest"),
+    )
+    out = cdx_latest_captures(
+        cdx, "url", "ts", "status", "mime", "digest"
+    )
+    return out.select(
+        F.col("surt").alias("cx_surt"),
+        F.col("url").alias("cx_url"),
+        F.col("ts").alias("cx_ts"),
+        F.col("digest").alias("cx_digest"),
+        F.col("n_captures").alias("cx_caps"),
+        F.col("n_ok").alias("cx_ok"),
+        F.col("n_dup_digest").alias("cx_dup"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q222_cdx_captures"] = q222_cdx_captures
+
+_ORACLE_DEDUP_SIM["q222_cdx_captures"] = """
+    WITH base AS (
+        SELECT doc_id,
+               (doc_id % 4 <> 0 AND doc_id % 6 <> 0) AS ok1
+        FROM documents
+    )
+    SELECT
+        'com,site' || CAST(doc_id % 25 AS VARCHAR) || ')/p/'
+            || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS cx_surt,
+        CASE WHEN ok1 THEN
+            'http://site' || CAST(doc_id % 25 AS VARCHAR) || '.com:80/p/'
+                || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+        ELSE
+            'https://www.site' || CAST(doc_id % 25 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+        END AS cx_url,
+        CAST(20240000 + (doc_id % 50) * 10
+             + CASE WHEN ok1 THEN 1 ELSE 0 END AS BIGINT) AS cx_ts,
+        md5('dig:' || CAST(doc_id AS VARCHAR) || ':'
+            || CASE WHEN ok1 AND doc_id % 5 = 0 THEN '0'
+                    WHEN ok1 THEN '1' ELSE '0' END) AS cx_digest,
+        CAST(3 AS BIGINT) AS cx_caps,
+        CAST(CASE WHEN ok1 THEN 2 ELSE 1 END AS BIGINT) AS cx_ok,
+        CAST(CASE WHEN ok1 AND doc_id % 5 = 0 THEN 2 ELSE 1 END
+             AS BIGINT) AS cx_dup
+    FROM base
+"""
+
+_ORACLE_SHAPES["q222_cdx_captures"] = (
+    ("cx_surt", "VARCHAR"), ("cx_url", "VARCHAR"),
+    ("cx_ts", "BIGINT"), ("cx_digest", "VARCHAR"),
+    ("cx_caps", "BIGINT"), ("cx_ok", "BIGINT"),
+    ("cx_dup", "BIGINT"),
+)
+
+_UNION_MERGES["q90_corpus_pipeline"].append(
+    ("cdx_captures", "q222_cdx_captures")
+)

@@ -894,3 +894,106 @@ def url_bitext_candidates(
     return a.join(b, on="skeleton").filter(
         F.col("lang_a") < F.col("lang_b")
     )
+
+
+def surt_key(c: "Column | str") -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the URL key
+    the CommonCrawl CDX index and every wayback-family archive sort
+    and dedup by: ``com,example)/path?query``. Built relationally:
+
+    1. canonicalize first (:func:`canonicalize_url` — lowercase,
+       default ports dropped, tracking params dropped, query sorted);
+    2. host: leading ``www.`` stripped (the CC indexer's choice),
+       labels REVERSED and comma-joined (``news.example.com`` ->
+       ``com,example,news``) — so one host's captures, and one
+       registered domain's hosts, sort adjacent;
+    3. scheme dropped (http/https captures of a page share a key),
+       ``)`` separates host from path+query.
+
+    NULL where canonicalization fails (not an absolute URL). Pure
+    projection, identically replayable in the oracle.
+    """
+    canon = canonicalize_url(c)
+    hostport = F.regexp_extract(
+        canon, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_extract(
+        canon, r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1
+    )
+    return F.when(
+        canon.isNotNull(), F.concat(rev, F.lit(")"), rest)
+    )
+
+
+def cdx_latest_captures(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    status_col: str,
+    mime_col: str,
+    digest_col: str,
+    *,
+    statuses: "tuple" = ("200",),
+    mime_prefix: str = "text/html",
+) -> DataFrame:
+    """CDX capture selection — the first stage of every CommonCrawl-
+    derived corpus (C4 / RefinedWeb / FineWeb start by picking WHICH
+    capture of each page to fetch): group captures by SURT key, keep
+    fetchable ones (status in ``statuses``, mime starts with
+    ``mime_prefix``), elect the LATEST capture per key (ties -> max
+    digest, deterministic), and report per-key capture/duplicate
+    counts. One row per surviving key: ``(surt, url, ts, digest,
+    n_captures, n_ok, n_dup_digest)``.
+
+    ``n_dup_digest`` counts ok-captures sharing the elected digest —
+    the revisit-record signal (same content recrawled; an ingest
+    pipeline fetches one). Plan: one projection (the SURT key), one
+    keyed aggregate with ``max_by`` (map-side combined) + a
+    conditional count — no window, no self-join; key cardinality
+    bounds the exchange.
+    """
+    k = surt_key(F.col(url_col))
+    ok = F.col(status_col).isin(*statuses) & F.col(mime_col).startswith(
+        mime_prefix
+    )
+    caps = df.select(
+        k.alias("__surt"),
+        F.col(url_col).alias("__url"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(digest_col).alias("__dig"),
+        ok.alias("__ok"),
+    ).filter(F.col("__surt").isNotNull())
+    best = F.max_by(
+        F.struct(
+            F.col("__url").alias("url"),
+            F.col("__ts").alias("ts"),
+            F.col("__dig").alias("dig"),
+        ),
+        F.when(
+            F.col("__ok"),
+            F.struct(F.col("__ts").alias("t"), F.col("__dig").alias("d")),
+        ),
+    )
+    agg = caps.groupBy("__surt").agg(
+        best.alias("__b"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.sum(F.col("__ok").cast("long")).alias("n_ok"),
+        F.collect_list(
+            F.when(F.col("__ok"), F.col("__dig"))
+        ).alias("__digs"),
+    )
+    return agg.filter(F.col("n_ok") > 0).select(
+        F.col("__surt").alias("surt"),
+        F.col("__b.url").alias("url"),
+        F.col("__b.ts").alias("ts"),
+        F.col("__b.dig").alias("digest"),
+        "n_captures",
+        "n_ok",
+        F.size(
+            F.filter(F.col("__digs"), lambda d: d == F.col("__b.dig"))
+        ).cast("long").alias("n_dup_digest"),
+    )

@@ -979,3 +979,77 @@ class TestUrlBitextCandidates:
         )
         # no partner -> no pairs, but the skeleton must be the join key
         assert marked.count() == 0
+
+
+class TestSurtKey:
+    def _k(self, spark, url):
+        from jsonl_dataingestion_pipeline_spark.functions.web import surt_key
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(url,)], "u string")
+        return df.select(surt_key(F.col("u")).alias("k")).collect()[0].k
+
+    def test_scheme_www_port_query_unify(self, spark):
+        a = self._k(spark, "https://www.News.Example.com/Page?b=2&a=1")
+        b = self._k(spark, "http://news.example.com:80/Page?a=1&b=2")
+        assert a == b == "com,example,news)/Page?a=1&b=2"
+
+    def test_host_reversed_for_sortability(self, spark):
+        assert self._k(spark, "https://a.b.example.org/x").startswith(
+            "org,example,b,a)"
+        )
+
+    def test_empty_path_normalizes(self, spark):
+        assert self._k(spark, "https://example.com") == "com,example)/"
+
+    def test_non_url_is_null(self, spark):
+        assert self._k(spark, "not a url") is None
+
+
+class TestCdxLatestCaptures:
+    def _run(self, spark, rows, **kw):
+        from jsonl_dataingestion_pipeline_spark.functions.web import (
+            cdx_latest_captures,
+        )
+
+        df = spark.createDataFrame(
+            rows, "url string, ts long, status string, mime string, digest string"
+        )
+        return {
+            r.surt: r
+            for r in cdx_latest_captures(
+                df, "url", "ts", "status", "mime", "digest", **kw
+            ).collect()
+        }
+
+    def test_latest_ok_capture_elected(self, spark):
+        rows = [
+            ("https://example.com/a", 100, "200", "text/html", "d1"),
+            ("https://example.com/a", 300, "404", "text/html", "d3"),
+            ("https://example.com/a", 200, "200", "text/html", "d2"),
+        ]
+        out = self._run(spark, rows)
+        r = out["com,example)/a"]
+        # ts=300 is newest but 404 — the newest OK capture wins
+        assert (r.ts, r.digest, r.n_captures, r.n_ok) == (200, "d2", 3, 2)
+
+    def test_key_with_no_ok_capture_dropped(self, spark):
+        rows = [("https://example.com/x", 100, "500", "text/html", "d")]
+        assert self._run(spark, rows) == {}
+
+    def test_revisit_digest_count(self, spark):
+        rows = [
+            ("https://example.com/a", 100, "200", "text/html", "same"),
+            ("http://example.com/a", 200, "200", "text/html", "same"),
+            ("https://example.com/a", 150, "200", "text/html", "other"),
+        ]
+        r = self._run(spark, rows)["com,example)/a"]
+        assert r.ts == 200 and r.n_dup_digest == 2
+
+    def test_mime_prefix_filter(self, spark):
+        rows = [
+            ("https://example.com/a", 100, "200", "application/pdf", "d1"),
+            ("https://example.com/a", 50, "200", "text/html; charset=utf-8", "d2"),
+        ]
+        r = self._run(spark, rows)["com,example)/a"]
+        assert r.digest == "d2" and r.n_ok == 1
