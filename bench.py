@@ -222,6 +222,7 @@ HEADLINE = [
     "q219_bucket_batches",
     "q220_budget_select",
     "q221_deletion_fuzzy_join",
+    "q222_cdx_captures",
 ]
 
 

@@ -1323,6 +1323,12 @@ def run_queries(spark, sf_dir: str, k: int, only: list[str] | None = None) -> di
         # (k-linear), so kernel work scales with candidates, never
         # candidates x pool
         "q212_rouge_dedup": entry.q212_rouge_dedup,
+        # domain rollup: codegen quality pass + domain-keyed aggregate
+        # + broadcast join back; rows = k * docs exactly
+        "q218_domain_quality": entry.q218_domain_quality,
+        # CDX selection: codegen SURT projection + one keyed max_by
+        # aggregate; pages (and rows) = k * docs exactly
+        "q222_cdx_captures": entry.q222_cdx_captures,
         "q173_mixture": q173_scaled,
         "q177_clf_train": q177_scaled,
         "q178_warc": q178_scaled,
