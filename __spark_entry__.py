@@ -16955,3 +16955,101 @@ _ORACLE_SHAPES["q222_cdx_captures"] = (
 _UNION_MERGES["q90_corpus_pipeline"].append(
     ("cdx_captures", "q222_cdx_captures")
 )
+
+
+def q223_packed_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-buffer loss-mask coordinates — the q189 x q143
+    composition an SFT dataloader actually consumes: rendered
+    conversations pack byte-wise into 4096-byte training buffers
+    (operators/packing.py::pack_sequences, two-phase prefix — never a
+    global ordered window) and every conversation's assistant spans
+    SHIFT by its buffer offset into global coordinates
+    (loss_mask_spans' documented downstream contract). Emits the
+    global offset, buffer span, and a checksum of the shifted span
+    list; the oracle replays the q189 closed-form block arithmetic
+    plus ONE naive global prefix window and re-derives every shifted
+    span."""
+    from jsonl_dataingestion_pipeline_spark.operators import (
+        conversations as cv,
+    )
+    from jsonl_dataingestion_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    base = _chat_frame(spark, sf_dir)
+    frame = base.select(
+        "doc_id",
+        cv.loss_mask_spans("__conv").alias("__spans"),
+        cv.render_bytes("__conv").alias("__rb"),
+    )
+    packed = pack_sequences(
+        frame, "__rb", "doc_id", seq_len=4096, keep=("__spans",)
+    )
+    shifted = F.transform(
+        F.col("__spans"),
+        lambda x: F.concat(
+            (x["s"] + F.col("tok_start")).cast("string"),
+            F.lit(":"),
+            (x["e"] + F.col("tok_start")).cast("string"),
+        ),
+    )
+    return packed.select(
+        F.col("doc_id").alias("pk_doc"),
+        F.col("tok_start").alias("pk_start"),
+        F.col("n_tokens").alias("pk_bytes"),
+        F.col("seq_first").alias("pk_seq_first"),
+        F.col("seq_last").alias("pk_seq_last"),
+        F.conv(
+            F.substring(F.md5(F.array_join(shifted, ",")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("pk_md5_u"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q223_packed_masks"] = q223_packed_masks
+
+# oracle: the q189 closed-form block CTEs + one naive global prefix
+# window + the shifted-span rebuild
+_ORACLE_DEDUP_SIM["q223_packed_masks"] = (
+    _ORACLE_DEDUP_SIM["q189_loss_mask_spans"].split("), spans AS (")[0]
+    + """), packed AS (
+        SELECT doc_id, l2, l3, l4, asst3, drop4, b1, b2, b3, b4,
+               CAST(b1 + b2 + b3 + b4 AS BIGINT) AS rb,
+               CAST(COALESCE(SUM(b1 + b2 + b3 + b4) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+        FROM blocks
+    ), shifted AS (
+        SELECT doc_id, off, rb,
+            CAST(off + b1 + 22 AS VARCHAR) || ':'
+                || CAST(off + b1 + 22 + l2 AS VARCHAR)
+            || CASE WHEN asst3 THEN ','
+                 || CAST(off + b1 + b2 + 22 AS VARCHAR) || ':'
+                 || CAST(off + b1 + b2 + 22 + l3 AS VARCHAR)
+                 ELSE '' END
+            || CASE WHEN drop4 THEN ''
+                 ELSE ',' || CAST(off + b1 + b2 + b3 + 22 AS VARCHAR)
+                 || ':' || CAST(off + b1 + b2 + b3 + 22 + l4 AS VARCHAR)
+                 END AS spans_str
+        FROM packed
+    )
+    SELECT doc_id AS pk_doc, off AS pk_start, rb AS pk_bytes,
+           off // 4096 AS pk_seq_first,
+           (off + rb - 1) // 4096 AS pk_seq_last,
+           CAST('0x' || substr(md5(spans_str), 1, 8) AS BIGINT)
+               AS pk_md5_u
+    FROM shifted
+"""
+)
+
+_ORACLE_SHAPES["q223_packed_masks"] = (
+    ("pk_doc", "BIGINT"), ("pk_start", "BIGINT"),
+    ("pk_bytes", "BIGINT"), ("pk_seq_first", "BIGINT"),
+    ("pk_seq_last", "BIGINT"), ("pk_md5_u", "BIGINT"),
+)
+
+_UNION_MERGES["q19_corpus_stats"].append(
+    ("packed_masks", "q223_packed_masks")
+)
