@@ -17053,3 +17053,85 @@ _ORACLE_SHAPES["q223_packed_masks"] = (
 _UNION_MERGES["q19_corpus_stats"].append(
     ("packed_masks", "q223_packed_masks")
 )
+
+
+def q224_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing (operators/multimodal.py::sniff_mime —
+    the modality-routing step crawl pipelines run because Content-Type
+    headers lie): documents synthesize binary payloads cycling through
+    nine container shapes (JPEG/PNG/GIF/PDF/ZIP/GZIP, RIFF-WEBP vs
+    RIFF-WAVE needing the byte-8 probe, ftyp-MP4 at offset 4) plus a
+    truncated 1-byte payload and an unknown blob. The REAL hex-prefix
+    sniffer runs on the binary; the oracle derives the expected mime
+    from the construction arithmetic — a wrong offset, RIFF probe, or
+    truncation guard is a row diff."""
+    from jsonl_dataingestion_pipeline_spark.operators.multimodal import (
+        sniff_mime,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    tail = F.substring(F.md5(F.col("text")), 1, 16)  # 8 payload bytes
+    shape = did % 11
+    hexpay = (
+        F.when(shape == 0, F.concat(F.lit("ffd8ff"), tail))
+        .when(shape == 1, F.concat(F.lit("89504e470d0a1a0a"), tail))
+        .when(shape == 2, F.concat(F.lit("474946383961"), tail))
+        .when(shape == 3, F.concat(F.lit("255044462d312e37"), tail))
+        .when(shape == 4, F.concat(F.lit("504b0304"), tail))
+        .when(shape == 5, F.concat(F.lit("1f8b08"), tail))
+        .when(
+            shape == 6,
+            F.concat(F.lit("52494646"), F.lit("11223344"), F.lit("57454250"), tail),
+        )
+        .when(
+            shape == 7,
+            F.concat(F.lit("52494646"), F.lit("11223344"), F.lit("57415645"), tail),
+        )
+        .when(
+            shape == 8,
+            F.concat(F.lit("00000018"), F.lit("66747970"), F.lit("69736f6d"), tail),
+        )
+        .when(shape == 9, F.lit("ff"))  # truncated: 1 byte
+        .otherwise(F.concat(F.lit("deadbeef"), tail))  # unknown
+    )
+    blobs = d.select("doc_id", F.unhex(hexpay).alias("payload"))
+    return blobs.select(
+        F.col("doc_id").alias("ms_doc"),
+        sniff_mime(F.col("payload")).alias("ms_mime"),
+        F.length("payload").cast("long").alias("ms_len"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q224_mime_sniff"] = q224_mime_sniff
+
+_ORACLE_DEDUP_SIM["q224_mime_sniff"] = """
+    SELECT doc_id AS ms_doc,
+           CASE doc_id % 11
+                WHEN 0 THEN 'image/jpeg'
+                WHEN 1 THEN 'image/png'
+                WHEN 2 THEN 'image/gif'
+                WHEN 3 THEN 'application/pdf'
+                WHEN 4 THEN 'application/zip'
+                WHEN 5 THEN 'application/gzip'
+                WHEN 6 THEN 'image/webp'
+                WHEN 7 THEN 'audio/wav'
+                WHEN 8 THEN 'video/mp4'
+                ELSE 'application/octet-stream'
+           END AS ms_mime,
+           CAST(CASE doc_id % 11
+                WHEN 0 THEN 11  WHEN 1 THEN 16  WHEN 2 THEN 14
+                WHEN 3 THEN 16  WHEN 4 THEN 12  WHEN 5 THEN 11
+                WHEN 6 THEN 20  WHEN 7 THEN 20  WHEN 8 THEN 20
+                WHEN 9 THEN 1   ELSE 12
+           END AS BIGINT) AS ms_len
+    FROM documents
+"""
+
+_ORACLE_SHAPES["q224_mime_sniff"] = (
+    ("ms_doc", "BIGINT"), ("ms_mime", "VARCHAR"), ("ms_len", "BIGINT"),
+)
+
+_UNION_MERGES["q90_corpus_pipeline"].append(
+    ("mime_sniff", "q224_mime_sniff")
+)
