@@ -223,6 +223,8 @@ HEADLINE = [
     "q220_budget_select",
     "q221_deletion_fuzzy_join",
     "q222_cdx_captures",
+    "q223_packed_masks",
+    "q224_mime_sniff",
 ]
 
 
