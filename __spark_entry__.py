@@ -17135,3 +17135,82 @@ _ORACLE_SHAPES["q224_mime_sniff"] = (
 _UNION_MERGES["q90_corpus_pipeline"].append(
     ("mime_sniff", "q224_mime_sniff")
 )
+
+
+def q225_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (functions/textstats.py::
+    readability_stats; the readability prior under FineWeb-Edu-style
+    educational filtering): words / sentence runs / vowel-group
+    syllables and the Flesch score as one exact cross-multiplied
+    integer division. A terminal '.' is planted on every 3rd doc so
+    sentence segmentation varies. The oracle replays the splits, the
+    per-word syllable heuristic (same min-1 guard), and the HUGEINT
+    floor division bit-for-bit."""
+    from jsonl_dataingestion_pipeline_spark.functions.textstats import (
+        readability_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("."))
+    ).otherwise(F.col("text"))
+    r = readability_stats(text)
+    return d.select(
+        F.col("doc_id").alias("fl_doc"),
+        r["n_words"].alias("fl_words"),
+        r["n_sentences"].alias("fl_sents"),
+        r["n_syllables"].alias("fl_syls"),
+        r["flesch_u"].alias("fl_flesch_u"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q225_readability"] = q225_readability
+
+_ORACLE_DEDUP_SIM["q225_readability"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || '.' ELSE text END
+                   AS tx
+        FROM documents
+    ), stats AS (
+        SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(tx), '\\s+'),
+                        w -> w <> '') AS words,
+            CAST(len(list_filter(regexp_split_to_array(tx, '[.!?]+'),
+                        s -> trim(s) <> '')) AS BIGINT) AS s
+        FROM t
+    ), counted AS (
+        SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS w,
+            s,
+            CAST(list_sum(list_transform(words, x ->
+                greatest(len(regexp_extract_all(x, '[aeiouy]+')),
+                         CASE WHEN regexp_matches(x, '[a-z]')
+                              THEN 1 ELSE 0 END))) AS BIGINT) AS y
+        FROM stats
+    ), fractions AS (
+        SELECT doc_id, w, s, COALESCE(y, 0) AS y,
+               CAST(206835 AS HUGEINT) * s * w * 1000000
+                 - CAST(1015 AS HUGEINT) * w * w * 1000000
+                 - CAST(84600 AS HUGEINT) * s * COALESCE(y, 0)
+                   * 1000000 AS num,
+               CAST(1000 AS HUGEINT) * s * w AS den
+        FROM counted
+    )
+    SELECT doc_id AS fl_doc, w AS fl_words, s AS fl_sents,
+           y AS fl_syls,
+           CASE WHEN w > 0 AND s > 0 THEN
+               CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+           END AS fl_flesch_u
+    FROM fractions
+"""
+
+_ORACLE_SHAPES["q225_readability"] = (
+    ("fl_doc", "BIGINT"), ("fl_words", "BIGINT"),
+    ("fl_sents", "BIGINT"), ("fl_syls", "BIGINT"),
+    ("fl_flesch_u", "BIGINT"),
+)
+
+_JOIN_MERGES["q20_doc_quality"][1].append(
+    ("q225_readability", {"fl_doc": "doc_id"})
+)

@@ -1094,3 +1094,69 @@ def tokenizer_fertility(
         ratio("__sb", "__st").alias("bytes_per_token_u"),
         ratio("__st", "__sw").alias("tokens_per_word_u"),
     )
+
+
+def readability_stats(
+    c: ColumnOrName,
+    *,
+    scale: int = 6,
+) -> Column:
+    """Flesch reading-ease statistics (Flesch 1948; the readability
+    prior under FineWeb-Edu-style educational-value filtering, and the
+    classic document-difficulty feature for curriculum ordering):
+    struct ``(n_words, n_sentences, n_syllables, flesch_u)``.
+
+    - sentences: maximal non-blank runs between ``[.!?]+``
+      terminators (a trailing fragment without terminal punctuation
+      counts as one sentence; empty text = 0);
+    - syllables: the standard vowel-GROUP heuristic per word — count
+      of maximal ``[aeiouy]+`` runs (lowercased), min 1 for any word
+      containing a letter; counting runs, not vowels, is the
+      published approximation every Flesch implementation uses;
+    - ``flesch_u`` = ``(206.835 - 1.015*(words/sentences)
+      - 84.6*(syllables/words)) * 10^scale`` as ONE exact integer
+      expression over the common denominator ``1000 * S * W``
+      (decimal(38,0) cross-multiplied numerator, single floor
+      division — the two ratios never materialize as floats); NULL
+      when words or sentences are 0. Unbounded both directions, as
+      published.
+
+    Zero-shuffle projection; every intermediate is an integer, so the
+    oracle replays it bit-for-bit.
+    """
+    u = 10 ** scale
+    t = _col(c)
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    n_sent = F.size(
+        F.filter(F.split(t, r"[.!?]+"), lambda s: F.trim(s) != "")
+    ).cast("long")
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+            ).cast("long"),
+            F.when(w.rlike("[a-z]"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+    )
+    # f*u = (206835*S*W - 1015*W^2 - 84600*S*Y) * u / (1000*S*W)
+    num = (
+        F.lit(206835).cast("decimal(38,0)") * n_sent * n_words * F.lit(u)
+        - F.lit(1015).cast("decimal(38,0)") * n_words * n_words * F.lit(u)
+        - F.lit(84600).cast("decimal(38,0)") * n_sent * syl * F.lit(u)
+    )
+    den = F.lit(1000).cast("decimal(38,0)") * n_sent * n_words
+    flesch = F.when(
+        (n_words > 0) & (n_sent > 0), F.floor(num / den).cast("long")
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        flesch.alias("flesch_u"),
+    )
