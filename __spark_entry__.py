@@ -17214,3 +17214,90 @@ _ORACLE_SHAPES["q225_readability"] = (
 _JOIN_MERGES["q20_doc_quality"][1].append(
     ("q225_readability", {"fl_doc": "doc_id"})
 )
+
+
+def q226_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 prototypicality pruning (Tirumala et al. 2023 — after
+    SemDeDup, cluster the embedding space and drop the most
+    PROTOTYPICAL fraction of each cluster, the items nearest their
+    centroid, because template-like redundancy concentrates there):
+    deterministic centroid seed + broadcast argmax assignment (the
+    q201 machinery), per-cell rank by (cosine DESC, id), and the
+    25% most-central items of every cell pruned via an exact integer
+    cut (floor(n_cell/4)). The oracle replays seed, cosine, argmax,
+    rank, and the cut."""
+    from jsonl_dataingestion_pipeline_spark.operators.similarity import (
+        assign_cells,
+        make_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cts = make_centroids(e, 8)
+    a = assign_cells(e, cts, with_sim=True)
+    wrank = Window.partitionBy("cell_id").orderBy(
+        F.col("cell_sim").desc(), F.col("vec_id").asc()
+    )
+    wcell = Window.partitionBy("cell_id")
+    ranked = a.select(
+        "vec_id",
+        "cell_id",
+        F.row_number().over(wrank).cast("long").alias("__rank"),
+        F.count(F.lit(1)).over(wcell).cast("long").alias("__n"),
+    )
+    n_drop = (
+        (F.col("__n") - F.pmod(F.col("__n"), F.lit(4))) / F.lit(4)
+    ).cast("long")
+    return ranked.select(
+        F.col("vec_id").alias("pp_vec"),
+        F.col("cell_id").cast("long").alias("pp_cell"),
+        F.col("__rank").alias("pp_rank"),
+        F.col("__n").alias("pp_ncell"),
+        n_drop.alias("pp_ndrop"),
+        (F.col("__rank") > n_drop).alias("pp_kept"),
+    )
+
+
+_DEDUP_SIM_QUERIES["q226_prototype_prune"] = q226_prototype_prune
+
+_ORACLE_DEDUP_SIM["q226_prototype_prune"] = """
+    WITH cts AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+               embedding AS ctv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id ASC LIMIT 8)
+    ), cellsim AS (
+        SELECT e.vec_id, t.cell_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(t.ctv AS DOUBLE[])), 9) AS sim
+        FROM embeddings e, cts t
+    ), assigned AS (
+        SELECT vec_id, cell_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
+            FROM cellsim
+        ) WHERE rk = 1
+    ), ranked AS (
+        SELECT vec_id, cell_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cell_id ORDER BY sim DESC, vec_id ASC
+               ) AS BIGINT) AS rank,
+               CAST(COUNT(*) OVER (PARTITION BY cell_id) AS BIGINT) AS n
+        FROM assigned
+    )
+    SELECT vec_id AS pp_vec, CAST(cell_id AS BIGINT) AS pp_cell,
+           rank AS pp_rank, n AS pp_ncell,
+           n // 4 AS pp_ndrop,
+           (rank > n // 4) AS pp_kept
+    FROM ranked
+"""
+
+_ORACLE_SHAPES["q226_prototype_prune"] = (
+    ("pp_vec", "BIGINT"), ("pp_cell", "BIGINT"),
+    ("pp_rank", "BIGINT"), ("pp_ncell", "BIGINT"),
+    ("pp_ndrop", "BIGINT"), ("pp_kept", "BOOLEAN"),
+)
+
+_UNION_MERGES["q28_ann_topk"].append(
+    ("prototype_prune", "q226_prototype_prune")
+)
