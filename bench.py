@@ -225,6 +225,8 @@ HEADLINE = [
     "q222_cdx_captures",
     "q223_packed_masks",
     "q224_mime_sniff",
+    "q225_readability",
+    "q226_prototype_prune",
 ]
 
 
