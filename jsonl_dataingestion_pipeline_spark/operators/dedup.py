@@ -1474,11 +1474,7 @@ def _selected_positions(
         raise ValueError("duplicate substring ops: k must be >= 2")
     if sample < 1:
         raise ValueError("duplicate substring ops: sample must be >= 1")
-    if fp_method == "rolling":
-        return _rolling_selected_positions(
-            df, id_col, text_col, k=k, sample=sample
-        )
-    if fp_method != "md5":
+    if fp_method not in ("md5", "rolling"):
         raise ValueError(
             f"duplicate substring ops: unknown fp_method {fp_method!r}"
         )
@@ -1486,21 +1482,48 @@ def _selected_positions(
         F.col(id_col).alias("__id"),
         F.col(text_col).cast("string").alias("__t"),
     ).filter(F.length("__t") >= k)
-    pos = base.select(
-        "__id",
-        "__t",
-        F.explode(
-            F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1))
-        ).alias("__p"),
-    )
-    fp = F.conv(
-        F.substring(F.md5(F.substring(F.col("__t"), F.col("__p"), k)), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return pos.select("__id", "__p", fp.alias("__fp")).filter(
-        F.col("__fp") % sample == 0
-    )
+    # Parallelism floor (optimization guide §2.5 input skew / §6): the
+    # fingerprint pass amplifies CPU ~k× over its input bytes, so it
+    # must never be pinned to a degenerate scan split count (one small
+    # single-row-group file = ONE task doing the whole corpus's
+    # hashing). Repartition ONLY when the input has fewer partitions
+    # than the cluster's defaultParallelism — a no-op on a real
+    # many-split 100 TB scan. (``.rdd`` on a scan-rooted plan is free;
+    # on a mid-pipeline AQE frame it materializes upstream stages once
+    # — same caveat as _cpu_floor_repartition.)
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    if fp_method == "rolling":
+        sel = _rolling_selected_positions(base, k=k, sample=sample)
+    else:
+        pos = base.select(
+            "__id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1))
+            ).alias("__p"),
+        )
+        fp = F.conv(
+            F.substring(
+                F.md5(F.substring(F.col("__t"), F.col("__p"), k)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        sel = pos.select("__id", "__p", fp.alias("__fp")).filter(
+            F.col("__fp") % sample == 0
+        )
+    # One fp-keyed exchange here makes every downstream consumer (the
+    # distinct-doc census, the dup-fp semi/equi join probe, the keeper
+    # election) hang off the SAME shuffle: Spark's exchange/stage reuse
+    # then executes the fingerprint pass ONCE per operator instead of
+    # once per consumer (guide §2.4 — the census + probe shape was
+    # measured re-running the whole Generate->md5 subtree 2-4x). At
+    # scale this shuffles the selected (id, p, fp) rows — ~24 bytes per
+    # kept window — once, in exchange for never re-hashing ~k× corpus
+    # bytes; the shuffle is the cheaper side by orders of magnitude.
+    return sel.repartition("__fp")
 
 
 #: odd base for the polynomial rolling hash (odd => invertible mod
@@ -1511,7 +1534,7 @@ _ROLL_BINV = pow(_ROLL_B, -1, 1 << 64)
 
 
 def _rolling_selected_positions(
-    df: DataFrame, id_col: str, text_col: str, *, k: int, sample: int
+    base: DataFrame, *, k: int, sample: int
 ) -> DataFrame:
     """Arrow-batched rolling-hash variant of the fingerprint pass:
     h(w_i) = sum_j c[i+j] * B^(k-1-j) mod 2^64, masked to 63 bits.
@@ -1535,7 +1558,7 @@ def _rolling_selected_positions(
     # output schema: (__id <input id type>, __p long, __fp long)
     out_schema = (
         StructType()
-        .add("__id", df.schema[id_col].dataType)
+        .add("__id", base.schema["__id"].dataType)
         .add("__p", LongType())
         .add("__fp", LongType())
     )
@@ -1584,10 +1607,6 @@ def _rolling_selected_positions(
                 {"__id": out_ids, "__p": out_ps, "__fp": out_fps}
             )
 
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).cast("string").alias("__t"),
-    ).filter(F.length("__t") >= k)
     return base.mapInPandas(kernel, schema=out_schema)
 
 
@@ -1607,15 +1626,33 @@ def _duplicate_positions(
     sel = _selected_positions(
         df, id_col, text_col, k=k, sample=sample, fp_method=fp_method
     )
+    # count_distinct(struct(__id)) == count over pre-distinct'd
+    # (__fp, __id) pairs (the struct keeps a NULL id countable) and,
+    # pre-partitioned by __fp, plans as a two-level aggregate with ZERO
+    # extra exchanges (the old distinct()+groupBy shape shuffled twice).
+    # max(__p) + the always-true "__pmax >= 1" conjunct (positions are
+    # 1-based in both fp paths) keep __p REFERENCED in this branch:
+    # column pruning would otherwise narrow this branch's copy of the
+    # fp exchange to (__fp, __id), making it canonically different from
+    # the probe branch's and defeating exchange/stage reuse — with both
+    # branches consuming (__id, __p, __fp) the exchanges are identical
+    # and the fingerprint pass executes once (guide §2.4).
     dup_fps = (
-        sel.select("__fp", "__id")
-        .distinct()
-        .groupBy("__fp")
-        .agg(F.count(F.lit(1)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
+        sel.groupBy("__fp")
+        .agg(
+            F.count_distinct(F.struct("__id")).alias("__nd"),
+            F.max("__p").alias("__pmax"),
+        )
+        .filter((F.col("__pmax") >= 1) & (F.col("__nd") >= min_docs))
         .select("__fp")
     )
-    return sel.join(dup_fps, on="__fp", how="leftsemi")
+    # INNER join, not leftsemi: dup_fps is one row per fp (groupBy), so
+    # the row sets are identical — but PushDownLeftSemiAntiJoin would
+    # push a semi join below the fp repartition _selected_positions
+    # emits, splitting the census and probe onto two copies of the
+    # fingerprint pass; an inner join stays put, both consumers share
+    # the one fp-keyed exchange, and the pass executes once.
+    return sel.join(dup_fps, on="__fp")
 
 
 def _position_islands(hits: DataFrame, k: int) -> DataFrame:
@@ -1945,11 +1982,18 @@ def incremental_substring_spans(
     sel = _selected_positions(
         batch, id_col, text_col, k=k, sample=sample, fp_method=fp_method
     )
+    # same column-set trick as _duplicate_positions (the always-true
+    # "__pmax >= 1" keeps __p referenced so this branch's fp exchange
+    # stays canonically identical to the probe branch's): the batch
+    # fingerprint pass executes once (guide §2.4).
     bcensus = (
-        sel.select("__fp", "__id")
-        .distinct()
-        .groupBy("__fp")
-        .agg(F.count(F.lit(1)).cast("long").alias("__bn"))
+        sel.groupBy("__fp")
+        .agg(
+            F.count_distinct(F.struct("__id")).cast("long").alias("__bn"),
+            F.max("__p").alias("__pmax"),
+        )
+        .filter(F.col("__pmax") >= 1)
+        .select("__fp", "__bn")
     )
     idx = index.select(
         F.col("fp").alias("__fp"), F.col("n_docs").alias("__in")
@@ -1962,7 +2006,10 @@ def incremental_substring_spans(
         )
         .select("__fp")
     )
-    hits = sel.join(dup_fps, on="__fp", how="leftsemi")
+    # inner join == leftsemi here (dup_fps is one row per fp) but does
+    # not get pushed below the shared fp exchange — see
+    # _duplicate_positions.
+    hits = sel.join(dup_fps.select("__fp"), on="__fp")
     return _position_islands(hits, k).select(
         F.col("__id").alias(id_col), "s", "e"
     )
@@ -2021,11 +2068,18 @@ def incremental_substring_removal(
     sel = _selected_positions(
         batch, id_col, text_col, k=k, sample=sample, fp_method=fp_method
     )
+    # same column-set trick as _duplicate_positions (the always-true
+    # "__pmax >= 1" keeps __p referenced so this branch's fp exchange
+    # stays canonically identical to the probe branch's): the batch
+    # fingerprint pass executes once (guide §2.4).
     bcensus = (
-        sel.select("__fp", "__id")
-        .distinct()
-        .groupBy("__fp")
-        .agg(F.count(F.lit(1)).cast("long").alias("__bn"))
+        sel.groupBy("__fp")
+        .agg(
+            F.count_distinct(F.struct("__id")).cast("long").alias("__bn"),
+            F.max("__p").alias("__pmax"),
+        )
+        .filter(F.col("__pmax") >= 1)
+        .select("__fp", "__bn")
     )
     idx = index.select(
         F.col("fp").alias("__fp"), F.col("n_docs").alias("__in")

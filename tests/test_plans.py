@@ -691,6 +691,30 @@ def test_q192_substring_spans_no_cartesian_streamed_generate(spark):
     assert "Generate" in tree, tree  # the stride-1 position explode
 
 
+def test_q192_census_and_probe_share_one_fp_exchange(spark):
+    """Round-10 optimization: the duplicate-fp census branch and the
+    probe branch must emit CANONICALLY IDENTICAL fp exchanges — same
+    (__id, __p, __fp) column set under hashpartitioning(__fp) — so
+    AQE stage reuse executes the per-position fingerprint pass once.
+    Column pruning narrowing the census copy to (__id, __fp) silently
+    doubles the md5 pass (dedup.py keeps __p alive with the
+    always-true __pmax >= 1 conjunct precisely to prevent that)."""
+    import re
+
+    df = em.q192_substring_dedup(spark, SF)
+    plan = _formatted(spark, df)
+    fp_exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[(\d+)\][^\n]*\n"
+        r"Arguments: hashpartitioning\(__fp",
+        plan,
+    )
+    assert len(fp_exchanges) >= 2, plan
+    assert all(n == "3" for n in fp_exchanges), (
+        "fp exchange branches diverged (column pruning broke "
+        f"exchange reuse): widths={fp_exchanges}"
+    )
+
+
 def test_q193_removal_no_cartesian(spark):
     """q193 (PLANS.md): fingerprint stage + three bounded-key windows +
     one id-keyed join back; never a nested loop or cartesian."""
