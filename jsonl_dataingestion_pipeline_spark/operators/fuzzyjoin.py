@@ -79,24 +79,42 @@ def deletion_neighborhood_join(
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         t = F.col(text_col)
-        return (
-            df.filter(F.length(t) <= max_len)
-            .select(
-                F.col(id_col).alias(f"{tag}_id"),
-                t.alias(f"{tag}_text"),
-                F.explode(_deletion_variants(t, k)).alias("__v"),
-            )
+        base = df.filter(F.length(t) <= max_len).select(
+            F.col(id_col).alias(f"{tag}_id"), t.alias(f"{tag}_text")
+        )
+        # Parallelism floor (optimization guide §2.5 input skew): the
+        # O(len^k) variant generation amplifies CPU well past its input
+        # bytes, so it must not stay pipelined into a degenerate
+        # few-split scan (one small single-row-group file = ONE task
+        # generating every variant). Repartition ONLY when the input
+        # has fewer partitions than defaultParallelism — a no-op on a
+        # real many-split scan. (.rdd is safe here: the inputs are
+        # scan-rooted projections, no AQE stages to trigger.)
+        sc = base.sparkSession.sparkContext
+        if base.rdd.getNumPartitions() < sc.defaultParallelism:
+            base = base.repartition(sc.defaultParallelism)
+        return base.select(
+            f"{tag}_id",
+            f"{tag}_text",
+            F.explode(_deletion_variants(F.col(f"{tag}_text"), k))
+            .alias("__v"),
         )
 
     l = side(left, "left")
     r = side(right, "right")
-    cand = (
+    # Verify BEFORE deduplicating (guide §2.3 shuffle fewer bytes): a
+    # pair sharing m variants re-verifies m times (m is tiny — codegen
+    # levenshtein on short strings), but the distinct then shuffles
+    # only the SURVIVING matches instead of every candidate pair with
+    # both text payloads attached. dist is a function of the pair, so
+    # carrying it through distinct leaves the row set unchanged.
+    dist = F.levenshtein(F.col("left_text"), F.col("right_text"))
+    return (
         l.join(r, "__v")
-        .select("left_id", "left_text", "right_id", "right_text")
+        .select(
+            "left_id", "right_id", "left_text", "right_text",
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
         .distinct()
     )
-    dist = F.levenshtein(F.col("left_text"), F.col("right_text"))
-    return cand.select(
-        "left_id", "right_id", "left_text", "right_text",
-        dist.cast("long").alias("dist"),
-    ).filter(F.col("dist") <= k)
