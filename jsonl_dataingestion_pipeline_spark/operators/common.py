@@ -43,6 +43,27 @@ def pipeline_break(df: DataFrame, reliable: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def parallelism_floor(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism floor (optimization guide §2.5 input skew:
+    "repartition immediately after the read").
+
+    A CPU-heavy projection pipelined into a scan inherits the scan's
+    split count; a small file count (or a single-row-group parquet, the
+    bench's sf0.1 layout) degenerates to ONE task doing all the work on
+    an idle cluster. Repartition to ``defaultParallelism`` ONLY when the
+    input has fewer partitions — strictly a no-op on a real many-split
+    100 TB scan, so nothing here is tuned to the local core count.
+
+    Only safe on scan-rooted frames: ``.rdd`` finalizes the plan, so a
+    frame with AQE shuffle stages would trigger partial execution.
+    Call it on projections of a read, before the expensive work.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def fast_sigmoid(z: Column) -> Column:
     """``0.5 + 0.5*z/(1+|z|)`` — a rational sigmoid surrogate.
 

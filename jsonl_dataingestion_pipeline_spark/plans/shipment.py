@@ -175,6 +175,15 @@ def transform_shipments(
     ``dedup_key='carr_eqp_uid'`` enables the legacy D8 dedup (one shuffle).
     """
     clock = _as_of_col(as_of)
+    # Parallelism floor (optimization guide §2.5): the D1-D7 + T1-T7
+    # derivation tree is a very CPU-heavy codegen projection (the T6/T7
+    # narrative assembly alone is ~400 Column nodes of string work per
+    # row); pipelined into a few-split scan it runs on that few tasks.
+    # Repartition to defaultParallelism only when the input has fewer
+    # partitions — a no-op on a real many-split scan.
+    from ..operators.common import parallelism_floor
+
+    df = parallelism_floor(df)
     out = clean_columns(df)
     if dedup_key:
         out = dedup_by_key(out, [dedup_key])
