@@ -83,24 +83,34 @@ def pagerank(
     e = _break(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     )
-    nodes = _break(
-        e.select(F.col("__src").alias("node_id"))
-        .union(e.select(F.col("__dst").alias("node_id")))
-        .distinct()
-    )
-    deg = _break(e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg")))
-    # dangling = nodes with no out-edges; their per-iteration rank mass
-    # is redistributed uniformly (checked once — two driver scalars, a
-    # count each, NOT per-row collects; the teleport term needs |V| as
-    # a literal anyway)
-    dangling = _break(
-        nodes.join(
-            deg.withColumnRenamed("__src", "node_id"), on="node_id",
-            how="left_anti",
+    # (node_id, __deg) in ONE exchange (optimization guide §2.4 "remove
+    # shuffles outright"): the old shape was distinct(nodes) + deg
+    # aggregate + left join + anti join — four exchanges and four
+    # materialization jobs for what one groupBy over the endpoint union
+    # computes directly. __deg = out-degree, NULL when the node has no
+    # out-edges (the left-join semantics the loop depends on), so the
+    # dangling set is exactly the __deg-IS-NULL slice — no separate
+    # dangling frame or per-iteration leftsemi join needed.
+    nodes_deg = _break(
+        e.select(F.col("__src").alias("node_id"), F.lit(1).alias("__o"))
+        .unionAll(e.select(F.col("__dst").alias("node_id"), F.lit(0)))
+        .groupBy("node_id")
+        .agg(F.sum("__o").cast("long").alias("__cnt"))
+        .select(
+            "node_id",
+            F.when(F.col("__cnt") > 0, F.col("__cnt")).alias("__deg"),
         )
     )
-    has_dangling = dangling.count() > 0
-    n = nodes.count()
+    nodes = nodes_deg.select("node_id")
+    # n and has_dangling from ONE 1-row aggregate (was: two counts)
+    _stats = nodes_deg.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("__deg").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__nd"),
+    ).first()
+    n = _stats["__n"]
+    has_dangling = (_stats["__nd"] or 0) > 0
     if n == 0:
         raise ValueError("pagerank: edge table is empty (no nodes)")
     if personalization is not None:
@@ -140,35 +150,50 @@ def pagerank(
         tele = F.lit((1.0 - damping) / n)
         init_rank = F.round(F.lit(1.0 / n), scale)
         dshare = F.lit(1.0 / float(n))
-    # static (node_id, __deg) stitched once so each iteration broadcasts
-    # ONE |V|-frame to the edges (rank+degree together), not two
-    nodes_deg = _break(
-        nodes.join(
-            deg.withColumnRenamed("__src", "node_id"), on="node_id",
-            how="left",
-        )
-    )
     ranks = nodes_deg.withColumn("rank", init_rank)
     rank_side = (
         (lambda d: F.broadcast(d)) if broadcast_ranks else (lambda d: d)
     )
     for i in range(iterations):
+        # One aggregate replaces the old aggregate + left-join stitch
+        # (guide §2.4 "two operations keyed the same way can share one
+        # exchange"): a 0.0-contribution row per node rides the same
+        # groupBy, so every node survives WITHOUT a second |V| x |V|
+        # broadcast join per iteration, and __deg rides on the zero row
+        # (max over one non-null). Adding 0.0 to a sum of non-negative
+        # doubles is bit-exact identity, so the per-node incoming mass
+        # — and therefore the oracle-matched rounded ranks — are
+        # unchanged.
         contribs = (
             e.join(rank_side(ranks), e["__src"] == ranks["node_id"])
             .select(
                 F.col("__dst").alias("node_id"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
+                F.lit(None).cast("long").alias("__d0"),
             )
         )
-        summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
-        incoming = F.coalesce(F.col("__in"), F.lit(0.0))
-        stitched = nodes_deg.join(rank_side(summed), on="node_id", how="left")
+        zeros = nodes_deg.select(
+            "node_id", F.lit(0.0).alias("__c"), F.col("__deg").alias("__d0")
+        )
+        stitched = (
+            contribs.unionAll(zeros)
+            .groupBy("node_id")
+            .agg(
+                F.sum("__c").alias("__in"),
+                F.max("__d0").alias("__deg"),
+            )
+        )
+        incoming = F.col("__in")
         if has_dangling:
             # 1-row dangling-mass frame, broadcast to every node. The
             # mass is re-rounded like the ranks so the summation-order
             # noise (module note) can't leak into the next iteration.
+            # Dangling nodes are exactly the __deg-IS-NULL rows the
+            # ranks frame already carries — a filter, not a join
+            # (guide §2.4; was a per-iteration leftsemi against a
+            # separate dangling frame).
             dmass = (
-                ranks.join(dangling, on="node_id", how="leftsemi")
+                ranks.filter(F.col("__deg").isNull())
                 .agg(
                     F.round(
                         F.coalesce(F.sum("rank"), F.lit(0.0)), scale
@@ -177,9 +202,6 @@ def pagerank(
             )
             stitched = stitched.crossJoin(F.broadcast(dmass))
             incoming = incoming + F.col("__dmass") * dshare
-        # the stitch join is |V| x |V|: same size class as the rank
-        # vector, so it rides the same broadcast knob. __deg rides along
-        # so the next iteration's edge join needs no second broadcast.
         ranks = stitched.select(
             "node_id",
             "__deg",
