@@ -11833,6 +11833,15 @@ def q177_classifier_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("__y"),
     )
+    # parallelism floor (optimization guide §2.5): the tokenize ->
+    # explode -> hash map side of BOTH the training and scoring legs
+    # otherwise pipelines into the single-row-group scan (one task);
+    # a no-op on many-split scans, results row-identical.
+    from jsonl_dataingestion_pipeline_spark.operators.common import (
+        parallelism_floor,
+    )
+
+    lab = parallelism_floor(lab)
     w_u = train_classifier(
         lab, "text", "doc_id", "__y",
         n_features=NF, iterations=IT, lr=LR, bias=0.0,

@@ -118,11 +118,20 @@ def kmeans(
     adversarially ordered data, still fully reproducible but not
     SQL-replayable — keep ``first_k`` for oracle-checked paths).
     """
+    from jsonl_dataingestion_pipeline_spark.operators.common import (
+        pipeline_break,
+    )
+
     pts = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.round(x, scale)).alias("__v"),
     )
+    # materialize the quantized points ONCE (optimization guide §5
+    # caching: reused every iteration, recompute = a full upstream
+    # re-scan per Lloyd round + the final assignment — the standard
+    # k-means input-caching discipline)
+    pts = pipeline_break(pts)
     if init == "kmeans||":
         seeds = kmeansll_init(pts, "__v", id_col, k=k, scale=scale)
         centroids = {cid: list(v) for cid, v in enumerate(seeds)}
@@ -139,7 +148,15 @@ def kmeans(
     else:
         raise ValueError(f"kmeans: unknown init {init!r}")
     if assign_via_join is None:
-        assign_via_join = k * d > AUTO_JOIN_KD
+        # join path also when iterating (optimization guide §1.2
+        # per-task work): the literal path bakes k*d doubles into the
+        # generated code, so EVERY iteration's new centroids force a
+        # fresh janino compile (measured ~2x the 3-iteration wall at
+        # k*d=512); the join path's expression tree is
+        # centroid-independent, so the codegen cache hits across
+        # iterations. Bit-equal results either way (same fold/round/
+        # tie-break — the q133 oracle replay proves it).
+        assign_via_join = iterations > 1 or k * d > AUTO_JOIN_KD
     spark = df.sparkSession
 
     def assign_literal(frame):

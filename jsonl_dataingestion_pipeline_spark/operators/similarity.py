@@ -558,16 +558,35 @@ def mmr_select(
     is k*d driver floats, never a shuffle), and the per-round argmax is
     a TakeOrdered (limit 1), not a sort. Total cost = k scans; k is
     small by use-case (tens), the pool is the big side."""
+    from jsonl_dataingestion_pipeline_spark.operators.common import (
+        parallelism_floor,
+    )
+
+    spark = candidates.sparkSession
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    base = candidates.select(
-        F.col(id_col).alias("sel_id"),
-        F.col(vec_col).alias("__v"),
-        cosine(F.col(vec_col), qlit, scale=scale).alias("relevance"),
+    # parallelism floor BEFORE the cache (guide §2.5): a few-split scan
+    # would otherwise cache the pool as one partition and run every
+    # round's cosine scan + TakeOrdered single-threaded; no-op on
+    # many-split scans
+    base = parallelism_floor(
+        candidates.select(
+            F.col(id_col).alias("sel_id"),
+            F.col(vec_col).alias("__v"),
+            cosine(F.col(vec_col), qlit, scale=scale).alias("relevance"),
+        )
     ).cache()
     lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
     selected: list[tuple] = []  # (id, vec, relevance, score)
     for rank in range(1, k + 1):
         if selected:
+            # selection state rides as k*d LITERALS in the codegen
+            # projection (the k-means literal-centroid pattern). A
+            # broadcast-one-row-frame variant (stable codegen source,
+            # compile-once) was measured in r10 and LOST: the
+            # per-round createDataFrame + broadcast-build job costs
+            # more than the per-round janino re-compile it saves
+            # (4.7s vs 3.3s over k=8 rounds at sf0.1) — state stays
+            # literal.
             sel_arr = F.array(
                 *[
                     F.array(*[F.lit(float(x)) for x in vec])

@@ -285,15 +285,24 @@ def test_q118_stage_checkpoints_prevent_recompute(spark):
 
 
 def test_q133_kmeans_assignment_is_scan_plus_project(spark):
-    """q133 (PLANS.md): at registry k (k*d <= AUTO_JOIN_KD) the final
-    assignment is ONE parquet scan into a pure codegen Project —
-    zero Exchange, zero join. A shuffle or join here would mean the
-    per-iteration assignment stopped being scan-speed."""
+    """q133 (PLANS.md): the final assignment is ONE scan of the
+    materialized quantized points (r10: pipeline_break'd once instead
+    of re-deriving from parquet every Lloyd round) glued to a ONE-ROW
+    broadcast centroid frame (r10: the iterating path now always uses
+    the join shape so the generated code is centroid-independent and
+    compiles once, not once per iteration) — zero Exchange, and the
+    only join is the broadcast nested-loop glue against the 1-row
+    centroid array. A shuffle (or a keyed shuffle join) here would
+    mean the per-iteration assignment stopped being scan-speed."""
     df = em.q133_kmeans(spark, SF)
     tree = _tree(_formatted(spark, df))
-    assert tree.count("Scan parquet") == 1, tree
-    assert "Exchange" not in tree, tree
-    assert "Join" not in tree, tree
+    # two ExistingRDD scans: the materialized points + the 1-row
+    # centroid frame under its BroadcastExchange
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert "Exchange" not in tree.replace("BroadcastExchange", ""), tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree, tree
 
 
 def test_q137_fuzzy_decontamination_benchmark_broadcast_only(spark):
