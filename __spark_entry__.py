@@ -33,6 +33,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _floor(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism floor for scan-rooted frames feeding
+    CPU-heavy projections (optimization guide §2.5 input skew) — see
+    operators/common.py::parallelism_floor. No-op on many-split scans,
+    row-identical always."""
+    from jsonl_dataingestion_pipeline_spark.operators.common import (
+        parallelism_floor,
+    )
+
+    return parallelism_floor(df)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read nanos as long and convert exactly (integer div —
@@ -5956,7 +5968,8 @@ def q111_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_buckets,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    # floor before the two tokenize+explode passes (guide §2.5)
+    d = _floor(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500))
     scores = bigram_logprob(d, "text", "doc_id")
     return perplexity_buckets(scores).select(
         "doc_id", "n_bigrams", "mean_nll", "bucket"
@@ -10043,19 +10056,40 @@ def q170_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "id",
         shingle_k=3, sample_hex_prefix="", threshold=_AUDIT_T,
         base=base,
-    ).select("id_l", "id_r").cache()
+    ).select("id_l", "id_r")
     approx = minhash_lsh_pairs(
         corpus, "text", "id",
         num_perm=32, bands=8, shingle_k=3, threshold=_AUDIT_T,
         base=base,
-    ).select("id_l", "id_r").cache()
-    try:
-        n_exact = exact.count()
-        n_approx = approx.count()
-        n_common = exact.join(approx, on=["id_l", "id_r"]).count()
-    finally:
-        exact.unpersist()
-        approx.unpersist()
+    ).select("id_l", "id_r")
+    # one full-outer join + one aggregate replaces the old
+    # cache + three sequential count jobs (optimization guide §2.4/
+    # §1.2): both pair sets are distinct by construction (band-dedup /
+    # verified candidates), so count of each marker over the full join
+    # equals each side's cardinality and the both-non-null count is
+    # the inner-join cardinality — same three numbers, one action.
+    stats = (
+        exact.withColumn("__e", F.lit(1))
+        .join(
+            approx.withColumn("__a", F.lit(1)),
+            on=["id_l", "id_r"],
+            how="full",
+        )
+        .agg(
+            F.count("__e").alias("__ne"),
+            F.count("__a").alias("__na"),
+            F.count(
+                F.when(
+                    F.col("__e").isNotNull() & F.col("__a").isNotNull(),
+                    F.lit(1),
+                )
+            ).alias("__nc"),
+        )
+        .first()
+    )
+    n_exact = int(stats["__ne"])
+    n_approx = int(stats["__na"])
+    n_common = int(stats["__nc"])
     row = [(
         int(n_exact), int(n_approx), int(n_common),
         n_common * 1000000 // n_approx if n_approx else 0,
@@ -15715,7 +15749,10 @@ def q210_sft_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         conversations as cv,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(
+    # floor BEFORE the filters so the split/size filter and the HOF
+    # sweep both run cluster-wide, not in the single scan task
+    # (guide §2.5)
+    d = _floor(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
         & (~F.col("text").contains("  "))
         & (F.col("text") == F.trim(F.col("text")))
@@ -16872,7 +16909,9 @@ def q222_cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdx_latest_captures,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # floor: the SURT canonicalizer is a regex-heavy projection over
+    # 3x|docs| generated captures (guide §2.5)
+    d = _floor(_t(spark, sf_dir, "documents").select("doc_id"))
     did = F.col("doc_id")
     site = (did % 25).cast("string")
     urla = F.concat(

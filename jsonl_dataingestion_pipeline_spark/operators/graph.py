@@ -432,7 +432,12 @@ def bfs_distances(
         )
         if new.count() == 0:
             break
-        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        # every constituent of dist is already an eagerly checkpointed
+        # frame, so the union needs NO re-materialization of the whole
+        # visited set per depth (guide §1.2 — one fewer job per round;
+        # the next round's anti-join scans <= max_depth materialized
+        # block sets, never recomputes)
+        dist = dist.unionAll(new)
         frontier = new.select("v")
     return dist.select(F.col("v").alias("node_id"), "dist")
 
