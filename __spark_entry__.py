@@ -6521,6 +6521,10 @@ def q118_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_web_corpus,
     )
 
+    # NOTE r10: a parallelism floor here was measured and REJECTED
+    # (2.28s -> 3.34s noop): the funnel's 5 checkpointed stages make
+    # stage-1 single-task strip_html a minor cost, and the extra
+    # full-text exchange dominates.
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     pages = _web_pages(d)
     _, stats = extract_web_corpus(
@@ -10297,7 +10301,9 @@ def q147_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") % 40 == 0)
-    corpus = e.filter(F.col("vec_id") % 40 != 0)
+    # floor: |anchors| x |corpus| cosines otherwise run in the single
+    # scan task (guide §2.5)
+    corpus = _floor(e.filter(F.col("vec_id") % 40 != 0))
     return hard_negative_mining(
         corpus, anchors, k=5, lo=0.2, hi=0.4, exact=True
     )
