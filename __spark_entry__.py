@@ -10066,28 +10066,32 @@ def q170_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=32, bands=8, shingle_k=3, threshold=_AUDIT_T,
         base=base,
     ).select("id_l", "id_r")
-    # one full-outer join + one aggregate replaces the old
-    # cache + three sequential count jobs (optimization guide §2.4/
-    # §1.2): both pair sets are distinct by construction (band-dedup /
-    # verified candidates), so count of each marker over the full join
-    # equals each side's cardinality and the both-non-null count is
-    # the inner-join cardinality — same three numbers, one action.
+    # union + one pair-keyed aggregate replaces the old cache + three
+    # sequential count jobs (optimization guide §2.4/§1.2): both pair
+    # sets are distinct by construction (band-dedup / verified
+    # candidates), so per pair each side contributes at most one row —
+    # max-markers then one global sum give the two cardinalities and
+    # the intersection in ONE action with ONE exchange. (A full-outer
+    # join variant was measured first and rejected: full outer cannot
+    # broadcast, so it paid two sort-merge exchanges for the same
+    # numbers.)
     stats = (
-        exact.withColumn("__e", F.lit(1))
-        .join(
-            approx.withColumn("__a", F.lit(1)),
-            on=["id_l", "id_r"],
-            how="full",
+        exact.select(
+            "id_l", "id_r",
+            F.lit(1).alias("__e"), F.lit(0).alias("__a"),
         )
+        .unionAll(
+            approx.select(
+                "id_l", "id_r",
+                F.lit(0).alias("__e"), F.lit(1).alias("__a"),
+            )
+        )
+        .groupBy("id_l", "id_r")
+        .agg(F.max("__e").alias("__em"), F.max("__a").alias("__am2"))
         .agg(
-            F.count("__e").alias("__ne"),
-            F.count("__a").alias("__na"),
-            F.count(
-                F.when(
-                    F.col("__e").isNotNull() & F.col("__a").isNotNull(),
-                    F.lit(1),
-                )
-            ).alias("__nc"),
+            F.sum("__em").alias("__ne"),
+            F.sum("__am2").alias("__na"),
+            F.sum(F.col("__em") * F.col("__am2")).alias("__nc"),
         )
         .first()
     )

@@ -169,21 +169,11 @@ def pagerank(
             .select(
                 F.col("__dst").alias("node_id"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
-                F.lit(None).cast("long").alias("__d0"),
             )
         )
-        zeros = nodes_deg.select(
-            "node_id", F.lit(0.0).alias("__c"), F.col("__deg").alias("__d0")
-        )
-        stitched = (
-            contribs.unionAll(zeros)
-            .groupBy("node_id")
-            .agg(
-                F.sum("__c").alias("__in"),
-                F.max("__d0").alias("__deg"),
-            )
-        )
-        incoming = F.col("__in")
+        summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
+        stitched = nodes_deg.join(rank_side(summed), on="node_id", how="left")
+        incoming = F.coalesce(F.col("__in"), F.lit(0.0))
         if has_dangling:
             # 1-row dangling-mass frame, broadcast to every node. The
             # mass is re-rounded like the ranks so the summation-order
