@@ -258,17 +258,23 @@ def test_pagerank_only_shuffles_are_partial_aggregates(spark):
 def test_q40_single_scan_single_exchange(spark):
     """q40 (PLANS.md): the whole shipment document pipeline — cleaning,
     derivations, T6 narrative, T7 content — is one Project pipeline over
-    ONE parquet scan; the only Exchange is the final document-numbering
-    window. A second scan or shuffle would mean the transform stopped
-    being a single codegen pass."""
+    ONE parquet scan. The only exchanges are the r10 adaptive
+    parallelism floor (RoundRobinPartitioning directly above the scan —
+    a no-op on a many-split 100 TB scan, OPTIMIZATION_r10.md §3) and
+    the final document-numbering window. A second scan, a keyed shuffle
+    beyond the window, or a join would mean the transform stopped being
+    a single codegen pass."""
     df = em.q40_shipment_pipeline_full(spark, SF)
-    tree = _tree(_formatted(spark, df))
+    plan = _formatted(spark, df)
+    tree = _tree(plan)
     assert tree.count("Scan parquet") == 1, tree
     exchanges = [
         l for l in tree.splitlines()
         if l.split("- ")[-1].startswith("Exchange ")
     ]
-    assert len(exchanges) <= 1, tree
+    assert len(exchanges) <= 2, tree
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
+    assert plan.count("hashpartitioning") <= 1, plan
     assert "Join" not in tree and "SortMergeJoin" not in tree, tree
 
 
