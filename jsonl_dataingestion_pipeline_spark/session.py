@@ -27,6 +27,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "256m",
     "spark.sql.session.timeZone": "UTC",
+    # PySpark's DataFrame-debugging origin capture costs 3 py4j round
+    # trips (conf.get + origin set/clear) plus a Python stack walk per
+    # DataFrame API call; across this engine's large Column trees that
+    # is pure driver-side overhead at ANY scale (measured: ~26s of a
+    # ~90s plan-construction pass over the full headline set,
+    # OPTIMIZATION_r10.md). Costs only error-message enrichment.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # One output file rarely needs >1M docs; keeps file sizes bounded for
     # the JSONL sink (reference caps files at 12 MB — see sinks.jsonl).
     "spark.sql.files.maxRecordsPerFile": "0",
