@@ -237,15 +237,31 @@ def dedup_by_key(
 # ---------------------------------------------------------------------------
 # Assembled derivation stage
 # ---------------------------------------------------------------------------
+_DERIVED_PROJECTION_CACHE: dict = {}
+
+
 def with_derived_columns(df: DataFrame, as_of: Column) -> DataFrame:
     """Apply D1-D7 over a cleaned, typed shipment DataFrame.
 
-    Single narrow projection; ordering mirrors the reference pipeline
+    Two narrow projections (the delay/status block references the
+    ``optimal_*`` columns by name, so it must sit above them; everything
+    inside that block reads only original or ``optimal_*`` columns, so it
+    is a single ``withColumns``). Ordering mirrors the reference pipeline
     (`src/transformer.py:74-104`).
+
+    The Column trees are a pure function of (columns, as_of expression),
+    so they are memoized per application — same pattern and reason as
+    ``plans.shipment.clean_columns``.
     """
-    c = F.col
-    df = df.withColumns(
-        {
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        tuple(df.columns),
+        str(as_of),
+    )
+    cached = _DERIVED_PROJECTION_CACHE.get(cache_key)
+    if cached is None:
+        c = F.col
+        optimal = {
             "optimal_ata_dp_date": optimal_ata_dp(
                 c("ata_dp_date"), c("derived_ata_dp_date"), as_of
             ),
@@ -253,24 +269,19 @@ def with_derived_columns(df: DataFrame, as_of: Column) -> DataFrame:
                 c("predictive_eta_fd_date"), c("revised_eta_fd_date"), c("eta_fd_date")
             ),
         }
-    )
-    dp_label, dp_days = dp_delay(c("optimal_ata_dp_date"), c("eta_dp_date"), as_of)
-    fd_label, fd_days = fd_delay(
-        c("optimal_eta_fd_date"),
-        c("delivery_to_consignee_date"),
-        c("empty_container_return_date"),
-        as_of,
-    )
-    group, tag = partition_tags(c("etd_lp_date"))
-    return df.withColumns(
-        {
+        dp_label, dp_days = dp_delay(c("optimal_ata_dp_date"), c("eta_dp_date"), as_of)
+        fd_label, fd_days = fd_delay(
+            c("optimal_eta_fd_date"),
+            c("delivery_to_consignee_date"),
+            c("empty_container_return_date"),
+            as_of,
+        )
+        group, tag = partition_tags(c("etd_lp_date"))
+        rest = {
             "delayed_dp": dp_label,
             "dp_delayed_dur": dp_days,
             "delayed_fd": fd_label,
             "fd_delayed_dur": fd_days,
-        }
-    ).withColumns(
-        {
             "shipment_status": shipment_status(
                 empty_return=c("empty_container_return_date"),
                 delivery=c("delivery_to_consignee_date"),
@@ -289,4 +300,9 @@ def with_derived_columns(df: DataFrame, as_of: Column) -> DataFrame:
             "source_group": group,
             "source_month_tag": tag,
         }
-    )
+        cached = (optimal, rest)
+        while len(_DERIVED_PROJECTION_CACHE) >= 8:  # bound: evict oldest
+            _DERIVED_PROJECTION_CACHE.pop(next(iter(_DERIVED_PROJECTION_CACHE)))
+        _DERIVED_PROJECTION_CACHE[cache_key] = cached
+    optimal, rest = cached
+    return df.withColumns(optimal).withColumns(rest)

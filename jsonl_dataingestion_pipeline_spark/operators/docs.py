@@ -24,6 +24,8 @@ from ..functions.cleaning import nonblank
 
 _METADATA_EXCLUDED = ("carr_eqp_uid", "consignee_raw", "combined_content")
 
+_DOC_PROJECTION_CACHE: dict = {}
+
 
 def normalize_documents(
     df: DataFrame,
@@ -41,7 +43,21 @@ def normalize_documents(
     ``"['0001234567']"``, `src/writer.py:244-247`). Downstream consumers
     that still parse the old repr format can set
     ``legacy_repr_consignee_code=True`` to get that exact string form.
+
+    The output projection (dominated by the ~100-field metadata struct)
+    is a pure function of (columns, flags) and memoized per application —
+    same pattern/reason as ``plans.shipment.clean_columns``.
     """
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        tuple(df.columns),
+        tuple(id_fallback_order) if id_fallback_order is not None else None,
+        with_doc_index_fallback,
+        legacy_repr_consignee_code,
+    )
+    cached = _DOC_PROJECTION_CACHE.get(cache_key)
+    if cached is not None:
+        return df.select(*cached)
     cols = set(df.columns)
 
     def opt(name: str):
@@ -83,7 +99,7 @@ def normalize_documents(
     ]
     metadata = F.struct(*metadata_fields, codes.alias("consignee_codes"))
 
-    out = df.select(
+    projection = [
         F.coalesce(*id_chain).alias("document_id"),
         content.alias("content"),
         metadata.alias("metadata"),
@@ -93,8 +109,11 @@ def normalize_documents(
             if "source_group" in cols
             else []
         ),
-    )
-    return out
+    ]
+    while len(_DOC_PROJECTION_CACHE) >= 8:  # bound: evict oldest entry
+        _DOC_PROJECTION_CACHE.pop(next(iter(_DOC_PROJECTION_CACHE)))
+    _DOC_PROJECTION_CACHE[cache_key] = projection
+    return df.select(*projection)
 
 
 def validate_documents(df: DataFrame) -> DataFrame:

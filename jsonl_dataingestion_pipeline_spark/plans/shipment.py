@@ -102,24 +102,47 @@ def clean_columns(df: DataFrame) -> DataFrame:
     return df.select(*projection)
 
 
+_CONSIGNEE_PROJECTION_CACHE: dict = {}
+
+
 def with_consignee(df: DataFrame) -> DataFrame:
-    """F7/F8 — consignee_name + consignee_codes list from consignee_raw."""
+    """F7/F8 — consignee_name + consignee_codes list from consignee_raw.
+
+    Column trees memoized per application (same pattern/reason as
+    ``clean_columns``).
+    """
     if "consignee_raw" not in df.columns:
         return df
-    src = F.col("consignee_raw")
-    return df.withColumns(
-        {
+    cache_key = df.sparkSession.sparkContext.applicationId
+    cols = _CONSIGNEE_PROJECTION_CACHE.get(cache_key)
+    if cols is None:
+        src = F.col("consignee_raw")
+        cols = {
             "consignee_name": extract_consignee_name(src),
             "consignee_codes": consignee_codes_list(src),
         }
-    )
+        while len(_CONSIGNEE_PROJECTION_CACHE) >= 8:  # bound: evict oldest
+            _CONSIGNEE_PROJECTION_CACHE.pop(next(iter(_CONSIGNEE_PROJECTION_CACHE)))
+        _CONSIGNEE_PROJECTION_CACHE[cache_key] = cols
+    return df.withColumns(cols)
+
+
+_SUMMARY_PROJECTION_CACHE: dict = {}
 
 
 def with_summaries(df: DataFrame, as_of: Column) -> DataFrame:
-    """T1-T5 summary columns."""
+    """T1-T5 summary columns.
+
+    Column trees memoized per (application, as_of expression) — they read
+    a fixed set of column names, so the input schema does not shape them.
+    Same pattern/reason as ``clean_columns``.
+    """
+    cache_key = (df.sparkSession.sparkContext.applicationId, str(as_of))
+    cols = _SUMMARY_PROJECTION_CACHE.get(cache_key)
+    if cols is not None:
+        return df.withColumns(cols)
     c = F.col
-    return df.withColumns(
-        {
+    cols = {
             "critical_dates_summary": critical_dates_summary(
                 place_of_receipt=c("place_of_receipt"),
                 load_port=c("load_port"),
@@ -159,8 +182,11 @@ def with_summaries(df: DataFrame, as_of: Column) -> DataFrame:
                 c("place_of_delivery"),
                 c("final_destination"),
             ),
-        }
-    )
+    }
+    while len(_SUMMARY_PROJECTION_CACHE) >= 8:  # bound: evict oldest
+        _SUMMARY_PROJECTION_CACHE.pop(next(iter(_SUMMARY_PROJECTION_CACHE)))
+    _SUMMARY_PROJECTION_CACHE[cache_key] = cols
+    return df.withColumns(cols)
 
 
 def transform_shipments(
