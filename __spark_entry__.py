@@ -7658,8 +7658,15 @@ _ORACLE_DEDUP_SIM["q134_quality_classifier"] = r"""
                    AS bucket
         FROM terms
     ), s AS (
+        -- ORDER-INDEPENDENT logit (r10 q20 post-mortem): weights lie on
+        -- the 1e-6 grid, so nano-unit conversion is exact and the sum
+        -- is an exact integer sum; mirror of classify()'s double ops:
+        -- cast -> /1e9 -> /n -> +bias -> round
         SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-               ROUND(-0.05 + SUM(w.weight) / COUNT(*), 6) AS logit
+               ROUND(-0.05
+                     + CAST(SUM(CAST(ROUND(w.weight * 1e9) AS BIGINT))
+                            AS DOUBLE)
+                       / 1e9 / CAST(COUNT(*) AS DOUBLE), 6) AS logit
         FROM f JOIN w USING (bucket) GROUP BY f.doc_id
     )
     SELECT d.doc_id,

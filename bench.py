@@ -517,8 +517,13 @@ def main() -> int:
     print("#detail " + json.dumps(detail), file=sys.stderr)
 
     # FINAL stdout line: compact. queries rounded to centiseconds, no
-    # first_run. Hard guard: if it still exceeds the tail budget, drop
-    # the queries dict entirely rather than emit an unparseable line.
+    # first_run. The per-query dict is part of the driver contract and
+    # is NEVER dropped (r10 post-mortem: a 1900-char budget silently
+    # dropped it at 117 queries, emptying the driver's whole per-query
+    # round-over-round table). At 117 entries the line is ~3.4 KB —
+    # the driver parses the full stdout line (its 2000-char "tail"
+    # field is a separate log excerpt, not the parse source). Guard:
+    # at absurd sizes reduce value precision before ever giving up.
     out = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
@@ -538,8 +543,8 @@ def main() -> int:
         ),
     }
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        out.pop("queries")
+    if len(line) > 100_000:  # ~3000 queries; precision before loss
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -265,18 +265,31 @@ def classify(
     zero terms get logit = bias: ``explode_outer`` keeps them as a
     NULL-bucket row, so no join-back is needed — the whole pass is one
     broadcast weight lookup + one per-document partial-aggregated sum
-    (the only shuffle)."""
+    (the only shuffle).
+
+    Order-independence contract (the r10 q20 post-mortem): ``weights``
+    must lie on a decimal grid no finer than 1e-9
+    (:func:`default_weight_table` rounds at 1e-6;
+    :func:`train_classifier` emits wu/1e9). Each weight then converts
+    EXACTLY to integer nano-units, the per-document sum is an exact
+    integer sum — identical under every partitioning/merge order — and
+    the only float arithmetic is one per-row division chain + round.
+    The previous shape summed DOUBLEs across rows, so any sibling plan
+    change that re-partitioned the input could flip a rounded 6th
+    decimal (exactly the r10 q20_doc_quality hash regression)."""
     feats = hashed_features(
         df, text_col, id_col,
         n_features=n_features, include_bigrams=include_bigrams,
         outer=True,
     )
+    # weight -> exact nano-units; decimal accumulator (no int64 wrap)
+    wu = F.round(F.col("weight") * F.lit(1e9)).cast("decimal(38,0)")
     scored = (
         feats.join(F.broadcast(weights), on="bucket", how="left")
         .groupBy(id_col)
         .agg(
             F.count("bucket").cast("long").alias("n_terms"),
-            F.sum("weight").alias("__sw"),
+            F.sum(wu).alias("__swu"),
         )
         .select(
             F.col(id_col),
@@ -285,7 +298,8 @@ def classify(
                 F.col("n_terms") > 0,
                 F.round(
                     F.lit(float(bias))
-                    + F.coalesce(F.col("__sw"), F.lit(0.0))
+                    + F.coalesce(F.col("__swu").cast("double"), F.lit(0.0))
+                    / F.lit(1e9)
                     / F.col("n_terms").cast("double"),
                     scale,
                 ),

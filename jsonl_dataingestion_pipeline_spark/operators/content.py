@@ -442,6 +442,6 @@ def combined_content(df: DataFrame, *, content_col: str = "combined_content") ->
     col = F.when(body == "", fallback).otherwise(body)
     while len(_CONTENT_CACHE) >= 8:  # bound: evict oldest entry (stopped
         # applications would otherwise leak their py4j Column graphs)
-        _CONTENT_CACHE.pop(next(iter(_CONTENT_CACHE)))
+        _CONTENT_CACHE.pop(next(iter(_CONTENT_CACHE), None), None)
     _CONTENT_CACHE[cache_key] = col
     return df.withColumn(content_col, col)

@@ -1074,7 +1074,7 @@ def fuzzy_decontaminate(
             # releases its benchmark frame (and JVM plan) while the
             # hot ones stay warm
             while len(_CAP_MEMO) >= 256:
-                _CAP_MEMO.pop(next(iter(_CAP_MEMO)))
+                _CAP_MEMO.pop(next(iter(_CAP_MEMO), None), None)
             _CAP_MEMO[key] = (n_hot, benchmark)
         else:
             # move-to-end on hit so eviction order is true LRU

@@ -252,6 +252,14 @@ def with_derived_columns(df: DataFrame, as_of: Column) -> DataFrame:
     The Column trees are a pure function of (columns, as_of expression),
     so they are memoized per application — same pattern and reason as
     ``plans.shipment.clean_columns``.
+
+    Cache-key caveat (ADVICE r10): the as_of fingerprint is
+    ``str(as_of)``, and classic PySpark Column repr is not injective
+    (``F.lit("x")`` and ``F.col("x")`` can both render ``Column<'x'>``).
+    Pass ``as_of`` as a self-describing literal expression —
+    ``F.lit("2024-01-01").cast("date")`` / ``F.current_date()`` — never
+    a bare single-name ``F.col(...)`` that could collide with a
+    same-named literal; all in-repo callers do.
     """
     cache_key = (
         df.sparkSession.sparkContext.applicationId,
@@ -302,7 +310,7 @@ def with_derived_columns(df: DataFrame, as_of: Column) -> DataFrame:
         }
         cached = (optimal, rest)
         while len(_DERIVED_PROJECTION_CACHE) >= 8:  # bound: evict oldest
-            _DERIVED_PROJECTION_CACHE.pop(next(iter(_DERIVED_PROJECTION_CACHE)))
+            _DERIVED_PROJECTION_CACHE.pop(next(iter(_DERIVED_PROJECTION_CACHE), None), None)
         _DERIVED_PROJECTION_CACHE[cache_key] = cached
     optimal, rest = cached
     return df.withColumns(optimal).withColumns(rest)

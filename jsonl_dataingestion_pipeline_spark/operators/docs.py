@@ -63,7 +63,9 @@ def normalize_documents(
     def opt(name: str):
         return nonblank(F.col(f"`{name}`")) if name in cols else F.lit(None).cast("string")
 
-    id_chain = [opt("carr_eqp_uid"), opt("job_no"), opt("container_number")]
+    if id_fallback_order is None:
+        id_fallback_order = ("carr_eqp_uid", "job_no", "container_number")
+    id_chain = [opt(name) for name in id_fallback_order]
     if with_doc_index_fallback:
         order_cols = [F.col(c) for c in ("container_number", "job_no") if c in cols]
         if not order_cols:
@@ -111,7 +113,9 @@ def normalize_documents(
         ),
     ]
     while len(_DOC_PROJECTION_CACHE) >= 8:  # bound: evict oldest entry
-        _DOC_PROJECTION_CACHE.pop(next(iter(_DOC_PROJECTION_CACHE)))
+        # race-tolerant (ADVICE r10): a concurrent evictor may have
+        # emptied the dict between len() and here
+        _DOC_PROJECTION_CACHE.pop(next(iter(_DOC_PROJECTION_CACHE), None), None)
     _DOC_PROJECTION_CACHE[cache_key] = projection
     return df.select(*projection)
 

@@ -155,15 +155,11 @@ def pagerank(
         (lambda d: F.broadcast(d)) if broadcast_ranks else (lambda d: d)
     )
     for i in range(iterations):
-        # One aggregate replaces the old aggregate + left-join stitch
-        # (guide §2.4 "two operations keyed the same way can share one
-        # exchange"): a 0.0-contribution row per node rides the same
-        # groupBy, so every node survives WITHOUT a second |V| x |V|
-        # broadcast join per iteration, and __deg rides on the zero row
-        # (max over one non-null). Adding 0.0 to a sum of non-negative
-        # doubles is bit-exact identity, so the per-node incoming mass
-        # — and therefore the oracle-matched rounded ranks — are
-        # unchanged.
+        # NOTE: fusing the stitch join into the contribution aggregate
+        # (zero-row-per-node union) was measured and REVERTED in r10 —
+        # the union defeated the broadcast reuse and regressed the
+        # bench (OPTIMIZATION_r10.md §4.3). Keep the aggregate + stitch
+        # left-join shape.
         contribs = (
             e.join(rank_side(ranks), e["__src"] == ranks["node_id"])
             .select(

@@ -431,6 +431,6 @@ def with_milestones(df: DataFrame, as_of: Column) -> DataFrame:
         cols = {name: F.col(f"`{name}`") for name in df.columns}
         col = milestones(cols, as_of)
         while len(_MILESTONES_CACHE) >= 8:  # bound: evict oldest entry
-            _MILESTONES_CACHE.pop(next(iter(_MILESTONES_CACHE)))
+            _MILESTONES_CACHE.pop(next(iter(_MILESTONES_CACHE), None), None)
         _MILESTONES_CACHE[cache_key] = col
     return df.withColumn("milestones", col)

@@ -97,7 +97,7 @@ def clean_columns(df: DataFrame) -> DataFrame:
             expr = clean_string(c)
         projection.append(expr.alias(name))
     while len(_CLEAN_PROJECTION_CACHE) >= 8:  # bound: evict oldest entry
-        _CLEAN_PROJECTION_CACHE.pop(next(iter(_CLEAN_PROJECTION_CACHE)))
+        _CLEAN_PROJECTION_CACHE.pop(next(iter(_CLEAN_PROJECTION_CACHE), None), None)
     _CLEAN_PROJECTION_CACHE[cache_key] = projection
     return df.select(*projection)
 
@@ -122,7 +122,7 @@ def with_consignee(df: DataFrame) -> DataFrame:
             "consignee_codes": consignee_codes_list(src),
         }
         while len(_CONSIGNEE_PROJECTION_CACHE) >= 8:  # bound: evict oldest
-            _CONSIGNEE_PROJECTION_CACHE.pop(next(iter(_CONSIGNEE_PROJECTION_CACHE)))
+            _CONSIGNEE_PROJECTION_CACHE.pop(next(iter(_CONSIGNEE_PROJECTION_CACHE), None), None)
         _CONSIGNEE_PROJECTION_CACHE[cache_key] = cols
     return df.withColumns(cols)
 
@@ -184,7 +184,7 @@ def with_summaries(df: DataFrame, as_of: Column) -> DataFrame:
             ),
     }
     while len(_SUMMARY_PROJECTION_CACHE) >= 8:  # bound: evict oldest
-        _SUMMARY_PROJECTION_CACHE.pop(next(iter(_SUMMARY_PROJECTION_CACHE)))
+        _SUMMARY_PROJECTION_CACHE.pop(next(iter(_SUMMARY_PROJECTION_CACHE), None), None)
     _SUMMARY_PROJECTION_CACHE[cache_key] = cols
     return df.withColumns(cols)
 

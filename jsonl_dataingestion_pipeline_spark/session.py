@@ -10,6 +10,14 @@ on ``local[*]``:
 - Arrow enabled for the few pandas_udf paths (simhash, multimodal stubs).
 - UTC session timezone so date semantics are reproducible and match the
   DuckDB correctness oracle.
+- PySpark DataFrame-debugging origin capture DISABLED
+  (``spark.python.sql.dataFrameDebugging.enabled=false``): it costs 3
+  py4j round trips + a Python stack walk per DataFrame API call, pure
+  driver overhead at any scale. The trade-off is that PySpark error
+  messages lose the enriched "origin" call-site context — for ALL
+  DataFrame code sharing the session, including the consumer's own.
+  Re-enable while debugging via
+  ``extra_conf={"spark.python.sql.dataFrameDebugging.enabled": "true"}``.
 """
 
 from __future__ import annotations

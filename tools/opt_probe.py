@@ -73,7 +73,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries_full()
-    plans_dir = os.path.join(REPO, "plans", "r10")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    )
     os.makedirs(plans_dir, exist_ok=True)
     tick_hz = float(os.sysconf("SC_CLK_TCK"))
 
