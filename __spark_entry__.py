@@ -7306,7 +7306,11 @@ def q129_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir).filter(F.col("user_id") < 30)
-    out = rolling_stats(e, "ts", "user_id", "value", window_seconds=3600)
+    # value lies on the 0.01 grid -> exact integer mean numerator
+    # (order-independent; r11 float-sum sweep)
+    out = rolling_stats(
+        e, "ts", "user_id", "value", window_seconds=3600, value_grid=2
+    )
     return out.select(
         "event_id", "user_id", "roll_n", "roll_mean", "roll_min", "roll_max"
     )
@@ -7317,7 +7321,12 @@ _DEDUP_SIM_QUERIES["q129_rolling_stats"] = q129_rolling_stats
 _ORACLE_DEDUP_SIM["q129_rolling_stats"] = r"""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
-           ROUND(AVG(value) OVER w, 6) AS roll_mean,
+           -- ORDER-INDEPENDENT mean (r11 float-sum sweep): value is on
+           -- the 0.01 grid; exact integer cent sum, then the same
+           -- float op chain as rolling_stats: cast -> /1e2 -> /n -> round
+           ROUND(CAST(SUM(CAST(ROUND(value * 1e2) AS BIGINT)) OVER w
+                      AS DOUBLE)
+                 / 1e2 / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS roll_mean,
            ROUND(MIN(value) OVER w, 6) AS roll_min,
            ROUND(MAX(value) OVER w, 6) AS roll_max
     FROM (
@@ -10264,8 +10273,12 @@ _ORACLE_DEDUP_SIM["q146_dsir_select"] = r"""
         LEFT JOIN cntT ct ON ct.bucket = b.b
         CROSS JOIN nR CROSS JOIN nT
     ), w AS (
+        -- ORDER-INDEPENDENT weight (r11 float-sum sweep): lr is on the
+        -- 1e-6 grid, so the sum runs in exact integer micro-units;
+        -- mirror of dsir_weights' double ops: cast -> /1e6 -> round
         SELECT fR.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-               ROUND(SUM(lr.lr), 6) AS wgt
+               ROUND(CAST(SUM(CAST(ROUND(lr.lr * 1e6) AS BIGINT))
+                          AS DOUBLE) / 1e6, 6) AS wgt
         FROM fR JOIN lr USING (bucket) GROUP BY fR.doc_id
     ), scored AS (
         SELECT d.doc_id,

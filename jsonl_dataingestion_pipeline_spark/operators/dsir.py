@@ -122,14 +122,27 @@ def dsir_weights(
     """One row per raw document: (``id_col``, n_feats BIGINT,
     weight DOUBLE) where weight = sum of the broadcast log-ratio over
     the document's hashed features (the DSIR log importance weight).
-    Zero-feature documents keep weight 0.0 via the left join-back."""
+    Zero-feature documents keep weight 0.0 via the left join-back.
+
+    Order-independence (r11 float-sum sweep): ``__lr`` is per-row
+    rounded to the 10^-scale grid, so each value converts EXACTLY to
+    integer grid units; the cross-row sum is an exact integer sum
+    (identical under any partitioning), and the only float arithmetic
+    is one division + round per row. The previous DOUBLE sum was
+    re-rounded onto the same grid (error would have to reach half a
+    grid step to flip — far from any realistic accumulation), but the
+    integer sum removes even that bound from the argument."""
+    g = float(10 ** scale)
+    lru = F.round(F.col("__lr") * F.lit(g)).cast("decimal(38,0)")
     per_doc = (
         _features(raw, text_col, id_col, n_features)
         .join(F.broadcast(ratio_table), on="__bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.round(F.sum("__lr"), scale).alias("weight"),
+            F.round(
+                F.sum(lru).cast("double") / F.lit(g), scale
+            ).alias("weight"),
         )
     )
     return (

@@ -193,6 +193,7 @@ def rolling_stats(
     *,
     window_seconds: int,
     scale: int = 6,
+    value_grid: "int | None" = None,
 ) -> DataFrame:
     """Trailing time-RANGE window per key: for every event, count/mean/
     min/max of ``value_col`` over the last ``window_seconds`` seconds
@@ -204,6 +205,17 @@ def rolling_stats(
     One key-partitioned range window over epoch seconds; scales per key
     like every window here.
 
+    ``value_grid`` (r11 float-sum sweep): when the values lie on a
+    10^-value_grid decimal grid (e.g. 2 for cent-priced amounts), pass
+    it so the mean's numerator is summed as EXACT integer grid units —
+    the frame's peer rows (equal timestamps) have no deterministic
+    order, so a DOUBLE sum's rounding error is partition-order-
+    dependent and a mean rounded off-grid at ``scale`` can flip its
+    last digit (the r10 q20 failure class). With ``value_grid`` the
+    only float arithmetic is one division chain + round per row.
+    ``roll_std`` keeps the float path (its consumers are audit-only) —
+    don't compare it cross-engine at full precision.
+
     Returns the input plus (roll_n, roll_mean, roll_min, roll_max,
     roll_std — sample stddev, NULL for single-row frames).
     """
@@ -214,11 +226,20 @@ def rolling_stats(
         .orderBy(F.col("__s").asc())
         .rangeBetween(-int(window_seconds), 0)
     )
+    if value_grid is not None:
+        g = float(10 ** value_grid)
+        vu = F.round(F.col(value_col) * F.lit(g)).cast("long")
+        mean = F.round(
+            F.sum(vu).over(w).cast("double")
+            / F.lit(g)
+            / F.count(F.lit(1)).over(w).cast("double"),
+            scale,
+        )
+    else:
+        mean = F.round(F.avg(value_col).over(w), scale)
     return (
         base.withColumn("roll_n", F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn(
-            "roll_mean", F.round(F.avg(value_col).over(w), scale)
-        )
+        .withColumn("roll_mean", mean)
         .withColumn("roll_min", F.round(F.min(value_col).over(w), scale))
         .withColumn("roll_max", F.round(F.max(value_col).over(w), scale))
         .withColumn(

@@ -91,6 +91,131 @@ def test_classify_partition_count_invariant(spark):
         assert label == ("keep" if logit >= 0.0 else "drop")
 
 
+def test_dsir_weights_partition_count_invariant(spark):
+    """dsir_weights sums per-row 1e-6-grid log-ratios; the sum now runs
+    in exact integer micro-units — identical under any partitioning."""
+    from jsonl_dataingestion_pipeline_spark.operators.dsir import (
+        dsir_log_ratio_table,
+        dsir_weights,
+    )
+
+    docs = _docs(80)
+    results = []
+    for p in _PARTITION_COUNTS:
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).repartition(p)
+        raw = df.filter(F.col("doc_id") % 2 == 0)
+        target = df.filter(F.col("doc_id") % 3 == 0)
+        rt = dsir_log_ratio_table(raw, target, "text", n_features=64)
+        rows = sorted(
+            (r[0], r[1], r[2])
+            for r in dsir_weights(
+                raw, rt, "text", "doc_id", n_features=64
+            ).collect()
+        )
+        results.append(rows)
+    assert results[0] == results[1] == results[2]
+
+
+def test_rolling_stats_grid_mean_partition_invariant(spark):
+    """rolling_stats(value_grid=2): cent-grid values with EQUAL
+    timestamps inside one frame (no deterministic peer order) must give
+    identical means under any partitioning."""
+    import datetime
+
+    from jsonl_dataingestion_pipeline_spark.operators.timeseries import (
+        rolling_stats,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(6):
+        for t in range(40):
+            # three events per instant -> peers with no total order
+            for j in range(3):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        k,
+                        base + datetime.timedelta(seconds=60 * (t % 7)),
+                        round(((eid * 37) % 1000) / 100.0, 2),
+                    )
+                )
+    results = []
+    for p in _PARTITION_COUNTS:
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).repartition(p)
+        out = sorted(
+            (r.event_id, r.roll_n, r.roll_mean, r.roll_min, r.roll_max)
+            for r in rolling_stats(
+                df, "ts", "user_id", "value",
+                window_seconds=120, value_grid=2,
+            ).collect()
+        )
+        results.append(out)
+    assert results[0] == results[1] == results[2]
+
+
+def test_pagerank_reround_partition_invariant(spark):
+    """Surviving float sum (documented order-safe): pagerank's
+    per-iteration contribution sum is re-rounded to the 1e-9 grid every
+    round — six orders of magnitude above the ~1e-16 summation noise —
+    so ranks must be identical under any input partitioning."""
+    from jsonl_dataingestion_pipeline_spark.operators.graph import pagerank
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(160)]
+    results = []
+    for p in _PARTITION_COUNTS:
+        df = spark.createDataFrame(
+            edges, "src string, dst string"
+        ).repartition(p)
+        ranks = sorted(
+            (r.node_id, r.rank)
+            for r in pagerank(df, iterations=4).collect()
+        )
+        results.append(ranks)
+    assert results[0] == results[1] == results[2]
+
+
+def test_event_value_sum_reround_partition_invariant(spark):
+    """Surviving float sum (documented order-safe): SUM over 0.01-grid
+    event values re-rounded AT the same 0.01 grid — the true sum is a
+    grid point, so flipping needs half a cent of accumulated fp error.
+    Fuzz partitioning over a skewed value set to pin the contract."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=i % 90),
+            f"t{i % 4}",
+            round(((i * 997) % 100000) / 100.0 + 0.01, 2),
+        )
+        for i in range(4000)
+    ]
+    results = []
+    for p in _PARTITION_COUNTS:
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        ).repartition(p)
+        out = sorted(
+            (r.event_type, r.n, r.total)
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .collect()
+        )
+        results.append(out)
+    assert results[0] == results[1] == results[2]
+
+
 def test_classify_sum_is_integer_typed(spark):
     """Guard the fix's mechanism: the aggregate feeding the logit must
     be a decimal (exact) sum, never a DOUBLE sum."""
