@@ -91,26 +91,42 @@ def pagerank(
     # out-edges (the left-join semantics the loop depends on), so the
     # dangling set is exactly the __deg-IS-NULL slice — no separate
     # dangling frame or per-iteration leftsemi join needed.
-    nodes_deg = _break(
+    nodes_deg_full = _break(
         e.select(F.col("__src").alias("node_id"), F.lit(1).alias("__o"))
         .unionAll(e.select(F.col("__dst").alias("node_id"), F.lit(0)))
         .groupBy("node_id")
-        .agg(F.sum("__o").cast("long").alias("__cnt"))
+        .agg(
+            F.sum("__o").cast("long").alias("__cnt"),
+            F.count(F.lit(1)).cast("long").alias("__tot"),
+        )
         .select(
             "node_id",
             F.when(F.col("__cnt") > 0, F.col("__cnt")).alias("__deg"),
+            "__cnt",
+            "__tot",
         )
     )
+    nodes_deg = nodes_deg_full.select("node_id", "__deg")
     nodes = nodes_deg.select("node_id")
-    # n and has_dangling from ONE 1-row aggregate (was: two counts)
-    _stats = nodes_deg.agg(
+    # n, has_dangling AND the zero-IN-degree census from ONE 1-row
+    # aggregate. A node whose every appearance is as __src (__tot ==
+    # __cnt) never receives contributions; when NO such node exists the
+    # per-iteration stitch can be an INNER join driven by the
+    # contribution aggregate (see loop note).
+    _stats = nodes_deg_full.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
             F.when(F.col("__deg").isNull(), F.lit(1)).otherwise(F.lit(0))
         ).alias("__nd"),
+        F.sum(
+            F.when(F.col("__tot") == F.col("__cnt"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("__nzi"),
     ).first()
     n = _stats["__n"]
     has_dangling = (_stats["__nd"] or 0) > 0
+    all_nodes_have_in_edges = (_stats["__nzi"] or 0) == 0
     if n == 0:
         raise ValueError("pagerank: edge table is empty (no nodes)")
     if personalization is not None:
@@ -154,12 +170,24 @@ def pagerank(
     rank_side = (
         (lambda d: F.broadcast(d)) if broadcast_ranks else (lambda d: d)
     )
+    # Stitch direction (r11, guide §2.4/§1.2): when EVERY node has at
+    # least one in-edge (checked once in the setup stats — always true
+    # for symmetrized graphs like q116/q161), the contribution
+    # aggregate already covers the full node set, so the stitch is an
+    # INNER join driven by `summed` with the STATIC nodes_deg on the
+    # broadcast side. One identical broadcast(nodes_deg) subtree per
+    # iteration -> ReuseExchange builds it ONCE per execution, halving
+    # the sequential broadcast-build jobs (2 -> ~1 per iteration):
+    # measured q116 noop 4.18 -> 3.70 s, output bit-identical (same
+    # per-row float ops; __in is never NULL under inner semantics).
+    # Rejected alternates, both measured: (a) fusing the stitch into
+    # the aggregate via a zero-row-per-node union — regressed, r10
+    # §4.3; (b) a co-partitioned persist() loop with shuffle-hash
+    # joins — only "wins" via cross-run CacheManager reuse (result
+    # caching); with caches dropped per run it is SLOWER (5.8 vs 4.2 s).
+    inner_stitch = all_nodes_have_in_edges and broadcast_ranks
+    ndb = F.broadcast(nodes_deg) if inner_stitch else None
     for i in range(iterations):
-        # NOTE: fusing the stitch join into the contribution aggregate
-        # (zero-row-per-node union) was measured and REVERTED in r10 —
-        # the union defeated the broadcast reuse and regressed the
-        # bench (OPTIMIZATION_r10.md §4.3). Keep the aggregate + stitch
-        # left-join shape.
         contribs = (
             e.join(rank_side(ranks), e["__src"] == ranks["node_id"])
             .select(
@@ -168,8 +196,14 @@ def pagerank(
             )
         )
         summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
-        stitched = nodes_deg.join(rank_side(summed), on="node_id", how="left")
-        incoming = F.coalesce(F.col("__in"), F.lit(0.0))
+        if inner_stitch:
+            stitched = summed.join(ndb, on="node_id")
+            incoming = F.col("__in")
+        else:
+            stitched = nodes_deg.join(
+                rank_side(summed), on="node_id", how="left"
+            )
+            incoming = F.coalesce(F.col("__in"), F.lit(0.0))
         if has_dangling:
             # 1-row dangling-mass frame, broadcast to every node. The
             # mass is re-rounded like the ranks so the summation-order
