@@ -1011,6 +1011,28 @@ def _planted_shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base
 
 
+def _planted_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-shingle candidate pairs of the planted corpus, computed
+    once per session: q25 (Jaccard) and q163 (containment) verify the
+    IDENTICAL candidate relation (same base, prefix "0", default cap),
+    so the explode+md5+group candidate pass runs once, like the shared
+    shingle base (guide §2.4)."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        sampled_shingle_candidates,
+    )
+
+    key = (id(spark), sf_dir + "#candidates")
+    if key in _PLANTED_CACHE:
+        return _PLANTED_CACHE[key]
+    cand = sampled_shingle_candidates(
+        _planted_shingle_base(spark, sf_dir),
+        sample_hex_prefix="0",
+        op_name="planted_candidate_pairs",
+    )
+    _PLANTED_CACHE[key] = cand
+    return cand
+
+
 def _audit_shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle sets of the id < 300 audit slice, computed once per
     session: q170's exact AND approximate legs plus q174's pair join
@@ -1052,6 +1074,7 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         corpus, "text", "id", shingle_k=3, sample_hex_prefix="0", threshold=0.5,
         base=_planted_shingle_base(spark, sf_dir),
+        candidates=_planted_candidate_pairs(spark, sf_dir),
     )
 
 
@@ -9472,6 +9495,7 @@ def q163_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "id",
         shingle_k=3, sample_hex_prefix="0", threshold=0.9,
         base=_planted_shingle_base(spark, sf_dir),
+        candidates=_planted_candidate_pairs(spark, sf_dir),
     )
     return out.select("id_l", "id_r", "cont_l_in_r", "cont_r_in_l")
 

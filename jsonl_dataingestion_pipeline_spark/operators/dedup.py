@@ -485,6 +485,59 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # N-gram Jaccard similarity join (exact, sampled candidate generation)
 # ---------------------------------------------------------------------------
+def sampled_shingle_candidates(
+    base: DataFrame,
+    *,
+    sample_hex_prefix: str = "0",
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    reliable: bool = False,
+    op_name: str = "sampled_shingle_candidates",
+) -> DataFrame:
+    """Materialized candidate pairs (id_l < id_r) sharing a sampled
+    shingle — the stage :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs` have in common. Exposed so pipelines
+    that verify SEVERAL similarity measures over one corpus (Jaccard +
+    containment is the classic pairing) build the candidate relation
+    ONCE and pass it to each verifier via their ``candidates``
+    parameter (guide §2.4 — share the exchange, don't re-run the
+    explode+hash+group pass per measure). The caller must hold
+    ``shingle_k``/``sample_hex_prefix``/``max_bucket`` fixed across
+    consumers — candidates are a pure function of those plus the base.
+
+    Candidate generation on EXPLODED rows: md5 + prefix filter run in
+    whole-stage codegen there, vs interpreted lambda eval inside a
+    higher-order transform(). __sh is already distinct per doc, so the
+    (id, hash) relation needs no dedup shuffle. The result is
+    materialized eagerly: leaving it lazy hands the optimizer one giant
+    (self-join ⋈ sh ⋈ sh) plan whose join order/strategy degrades badly
+    (measured 128s vs 12s at sf0.1 on local[32]); a pipeline break with
+    known sizes keeps the verify join a plain broadcast/hash join over
+    the real candidate count.
+    """
+    sampled = (
+        base.select("__id", F.explode("__sh").alias("s"))
+        .select("__id", F.md5("s").alias("shash"))
+        .filter(F.col("shash").startswith(sample_hex_prefix))
+    )
+    if max_bucket is not None:
+        # capped default: one groupBy-collect generates bucket pairs
+        # directly (no histogram, no self-join), cap-bounded expansion
+        return _pipeline_break(
+            _bucket_pairs(
+                sampled, ["shash"], "__id", max_bucket, reliable, op_name
+            ),
+            reliable,
+        )
+    return _pipeline_break(
+        sampled.alias("a")
+        .join(sampled.alias("b"), on="shash")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"]),
+        reliable,
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -494,6 +547,7 @@ def ngram_jaccard_pairs(
     sample_hex_prefix: str = "0",
     threshold: float = 0.5,
     base: Optional[DataFrame] = None,
+    candidates: Optional[DataFrame] = None,
     max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
     reliable: bool = False,
 ) -> DataFrame:
@@ -514,46 +568,27 @@ def ngram_jaccard_pairs(
     bucket/pair counts are logged — never silent). Pass ``None`` for the
     exact uncapped semantics the DuckDB oracle replays; output is
     identical whenever no bucket exceeds the cap.
+
+    ``candidates``: a pre-built :func:`sampled_shingle_candidates`
+    relation over the SAME base/prefix/cap — pass it when several
+    similarity measures verify the same corpus (e.g. together with
+    :func:`containment_pairs`) so candidate generation runs once.
     """
     if base is None:
         base = shingle_base(
             df, text_col, id_col, shingle_k=shingle_k, reliable=reliable
         )
-    # Candidate generation on EXPLODED rows: md5 + prefix filter run in
-    # whole-stage codegen there, vs interpreted lambda eval inside a
-    # higher-order transform(). __sh is already distinct per doc, so the
-    # (id, hash) relation needs no dedup shuffle.
-    sampled = (
-        base.select("__id", F.explode("__sh").alias("s"))
-        .select("__id", F.md5("s").alias("shash"))
-        .filter(F.col("shash").startswith(sample_hex_prefix))
+    cand = (
+        candidates
+        if candidates is not None
+        else sampled_shingle_candidates(
+            base,
+            sample_hex_prefix=sample_hex_prefix,
+            max_bucket=max_bucket,
+            reliable=reliable,
+            op_name="ngram_jaccard_pairs",
+        )
     )
-
-    # Candidates are materialized eagerly too: leaving this lazy hands the
-    # optimizer one giant (self-join ⋈ sh ⋈ sh) plan whose join
-    # order/strategy degrades badly (measured 128s vs 12s at sf0.1 on
-    # local[32]); a pipeline break with known sizes keeps the verify join
-    # a plain shuffled hash join over the real candidate count.
-    if max_bucket is not None:
-        # capped default: one groupBy-collect generates bucket pairs
-        # directly (no histogram, no self-join), cap-bounded expansion
-        cand = _pipeline_break(
-            _bucket_pairs(
-                sampled, ["shash"], "__id", max_bucket, reliable,
-                "ngram_jaccard_pairs",
-            ),
-            reliable,
-        )
-    else:
-        cand = _pipeline_break(
-            sampled.alias("a")
-            .join(sampled.alias("b"), on="shash")
-            .filter(F.col("a.__id") < F.col("b.__id"))
-            .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
-            .dropDuplicates(["id_l", "id_r"]),
-            reliable,
-        )
-
     sh = base.select(F.col("__id"), F.col("__sh"))
     joined = (
         _maybe_floor_candidates(cand, base)
@@ -577,6 +612,7 @@ def containment_pairs(
     sample_hex_prefix: str = "0",
     threshold: float = 0.8,
     base: Optional[DataFrame] = None,
+    candidates: Optional[DataFrame] = None,
     max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
     reliable: bool = False,
 ) -> DataFrame:
@@ -590,9 +626,10 @@ def containment_pairs(
 
     Same scale shape as :func:`ngram_jaccard_pairs` (shared sampled-
     shingle candidate generation, ``max_bucket`` cap, eager pipeline
-    breaks); verification computes containment in BOTH directions on
-    the pre-computed distinct-shingle arrays. A pair survives when
-    either direction reaches ``threshold``.
+    breaks, same ``candidates`` sharing hook); verification computes
+    containment in BOTH directions on the pre-computed distinct-shingle
+    arrays. A pair survives when either direction reaches
+    ``threshold``.
 
     Returns (id_l, id_r, cont_l_in_r, cont_r_in_l) with id_l < id_r,
     values rounded to 6.
@@ -601,28 +638,17 @@ def containment_pairs(
         base = shingle_base(
             df, text_col, id_col, shingle_k=shingle_k, reliable=reliable
         )
-    sampled = (
-        base.select("__id", F.explode("__sh").alias("s"))
-        .select("__id", F.md5("s").alias("shash"))
-        .filter(F.col("shash").startswith(sample_hex_prefix))
+    cand = (
+        candidates
+        if candidates is not None
+        else sampled_shingle_candidates(
+            base,
+            sample_hex_prefix=sample_hex_prefix,
+            max_bucket=max_bucket,
+            reliable=reliable,
+            op_name="containment_pairs",
+        )
     )
-    if max_bucket is not None:
-        cand = _pipeline_break(
-            _bucket_pairs(
-                sampled, ["shash"], "__id", max_bucket, reliable,
-                "containment_pairs",
-            ),
-            reliable,
-        )
-    else:
-        cand = _pipeline_break(
-            sampled.alias("a")
-            .join(sampled.alias("b"), on="shash")
-            .filter(F.col("a.__id") < F.col("b.__id"))
-            .select(F.col("a.__id").alias("id_l"), F.col("b.__id").alias("id_r"))
-            .dropDuplicates(["id_l", "id_r"]),
-            reliable,
-        )
     sh = base.select(F.col("__id"), F.col("__sh"))
     joined = (
         _maybe_floor_candidates(cand, base)

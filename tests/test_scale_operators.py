@@ -836,3 +836,42 @@ class TestBitextMining:
 
         with _pytest.raises(ValueError, match="method"):
             bitext_margin_pairs(df, df, method="ivf").collect()
+
+
+def test_shared_candidates_param_matches_default_path(spark):
+    """r11 §2.4 sharing hook: passing a pre-built
+    sampled_shingle_candidates relation must reproduce each operator's
+    default-path output exactly (q25/q163 build the relation once)."""
+    from jsonl_dataingestion_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        sampled_shingle_candidates,
+        shingle_base,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * 5 + j) % 23}" for j in range(14)))
+        for i in range(40)
+    ] + [(100 + i, " ".join(f"w{(i * 5 + j) % 23}" for j in range(12)))
+         for i in range(40)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    base = shingle_base(df, "text", "id", shingle_k=3)
+    cand = sampled_shingle_candidates(base, sample_hex_prefix="0")
+
+    for fn, kw in (
+        (ngram_jaccard_pairs, {"threshold": 0.3}),
+        (containment_pairs, {"threshold": 0.5}),
+    ):
+        default = sorted(
+            tuple(r) for r in fn(
+                df, "text", "id", shingle_k=3, sample_hex_prefix="0",
+                base=base, **kw,
+            ).collect()
+        )
+        shared = sorted(
+            tuple(r) for r in fn(
+                df, "text", "id", shingle_k=3, sample_hex_prefix="0",
+                base=base, candidates=cand, **kw,
+            ).collect()
+        )
+        assert default == shared and len(default) > 0
