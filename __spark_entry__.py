@@ -13500,6 +13500,31 @@ _Q192_BOILER = (
     "license to reproduce and distribute the Work."
 )
 
+# Rolling-hash oracle replay (fp_method="rolling", the default since
+# r11 — operators/dedup.py::_rolling_selected_positions). The kernel's
+# 63-bit window hash is h(p) = sum_j cp[p+j] * B^(k-1-j) mod 2^63
+# (the uint64 prefix-sum closed form reduces to exactly this), which
+# DuckDB replays as an exact HUGEINT sum over a PRECOMPUTED B-powers
+# table: every term is <= 2^21 * 2^64 = 2^85 and a k-term sum stays
+# far below the 127-bit HUGEINT range, so no modmul tricks are needed.
+# Validated bit-for-bit against the numpy kernel at sf0.01 (38381
+# selected windows, exact match).
+_ROLL_B_ENTRY = 0x100000001B3
+_Q192_K = 24
+_ROLL_POWERS_VALUES = ", ".join(
+    f"({j}, {pow(_ROLL_B_ENTRY, _Q192_K - 1 - j, 1 << 64)}::HUGEINT)"
+    for j in range(_Q192_K)
+)
+# drop-in for the old md5 `fps` CTE body: (doc_id, p, fp) per window
+_ROLL_FPS_SQL = f"""
+        SELECT doc_id, p,
+               CAST(SUM(CAST(unicode(substr(t, CAST(p + j AS INT), 1))
+                             AS HUGEINT) * pw)
+                    % 9223372036854775808::HUGEINT AS BIGINT) AS fp
+        FROM pos, (VALUES {_ROLL_POWERS_VALUES}) AS pwt(j, pw)
+        GROUP BY doc_id, p
+"""
+
 
 def q192_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-substring spans (operators/dedup.py::
@@ -13508,9 +13533,10 @@ def q192_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a single-machine suffix array). Every 7th document gets a
     license-boilerplate tail planted, so duplicate regions exist by
     construction; any NATURAL cross-doc duplicates in the corpus are
-    reported too — the oracle replays every stage (per-position md5
-    fingerprints, the fp %% 4 content-keyed selection, the >= 2
-    distinct-doc census, and the SQL-islands span merge) bit-for-bit.
+    reported too — the oracle replays every stage (per-position 63-bit
+    polynomial rolling-hash fingerprints as an exact HUGEINT sum, the
+    fp %% 4 content-keyed selection, the >= 2 distinct-doc census, and
+    the SQL-islands span merge) bit-for-bit.
     """
     from jsonl_dataingestion_pipeline_spark.operators.dedup import (
         duplicate_substring_spans,
@@ -13549,11 +13575,7 @@ _ORACLE_DEDUP_SIM["q192_substring_dedup"] = f"""
         SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
         FROM probe WHERE len(t) >= 24
     ), fps AS (
-        SELECT doc_id, p,
-               CAST('0x' || substr(
-                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
-               ) AS BIGINT) AS fp
-        FROM pos
+{_ROLL_FPS_SQL}
     ), sel AS (
         SELECT * FROM fps WHERE fp % 4 = 0
     ), dup AS (
@@ -13640,11 +13662,7 @@ _ORACLE_DEDUP_SIM["q193_substring_removal"] = f"""
         SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
         FROM probe WHERE len(t) >= 24
     ), fps AS (
-        SELECT doc_id, p,
-               CAST('0x' || substr(
-                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
-               ) AS BIGINT) AS fp
-        FROM pos
+{_ROLL_FPS_SQL}
     ), sel AS (
         SELECT * FROM fps WHERE fp % 4 = 0
     ), dup AS (
@@ -14191,18 +14209,13 @@ _ORACLE_DEDUP_SIM["q196_incremental_substring"] = f"""
                     THEN text || ' ' || '{_Q192_BOILER}'
                     ELSE text END AS t
         FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
+        FROM probe WHERE len(t) >= 24
+    ), allfp AS (
+{_ROLL_FPS_SQL}
     ), allsel AS (
-        SELECT doc_id, p,
-               CAST('0x' || substr(
-                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
-               ) AS BIGINT) AS fp
-        FROM (
-            SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
-            FROM probe WHERE len(t) >= 24
-        )
-        WHERE CAST('0x' || substr(
-            md5(substr(t, CAST(p AS INT), 24)), 1, 15) AS BIGINT)
-            % 4 = 0
+        SELECT * FROM allfp WHERE fp % 4 = 0
     ), idx AS (
         SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
             SELECT DISTINCT fp, doc_id FROM allsel WHERE doc_id % 3 <> 0
@@ -14305,18 +14318,13 @@ _ORACLE_DEDUP_SIM["q197_incremental_removal"] = f"""
                     THEN text || ' ' || '{_Q192_BOILER}'
                     ELSE text END AS t
         FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
+        FROM probe WHERE len(t) >= 24
+    ), allfp AS (
+{_ROLL_FPS_SQL}
     ), allsel AS (
-        SELECT doc_id, p,
-               CAST('0x' || substr(
-                   md5(substr(t, CAST(p AS INT), 24)), 1, 15
-               ) AS BIGINT) AS fp
-        FROM (
-            SELECT doc_id, t, unnest(range(1, len(t) - 22)) AS p
-            FROM probe WHERE len(t) >= 24
-        )
-        WHERE CAST('0x' || substr(
-            md5(substr(t, CAST(p AS INT), 24)), 1, 15) AS BIGINT)
-            % 4 = 0
+        SELECT * FROM allfp WHERE fp % 4 = 0
     ), idx AS (
         SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
             SELECT DISTINCT fp, doc_id FROM allsel WHERE doc_id % 3 <> 0

@@ -1397,7 +1397,7 @@ def duplicate_substring_spans(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """Cross-document duplicate SUBSTRING spans — the character-level
     dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
@@ -1473,28 +1473,30 @@ def _selected_positions(
     *,
     k: int,
     sample: int,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """The streamed fingerprint pass shared by ALL substring-dedup
     operators: ``(__id, __p, __fp)`` for every content-selected window
     (``fp % sample == 0``).
 
-    ``fp_method="md5"`` (default, oracle-replayable): one Generate +
-    codegen md5 projection — hashes k chars at EVERY position, i.e.
-    ~k× corpus bytes through md5; the honest cost at test scale, the
-    dominant cost at 100 TB. ``fp_method="rolling"``: an Arrow
-    ``mapInPandas`` polynomial rolling-hash kernel — O(1) amortized
-    multiply-adds per character instead of a k-char digest, same
-    output schema and the same content-keyed selection property (a
-    window's fingerprint depends only on its k chars, so a duplicated
-    substring still selects identically in every document). The two
-    methods choose DIFFERENT 1/sample subsets (different hash values),
-    so spans can differ within the documented per-content miss
-    probability; with ``sample=1`` they are exactly equal
-    (pytest-pinned). Rolling fingerprints are 63-bit polynomial hashes
-    (collision-weaker than md5's 60 truncated bits but ample for
-    dedup); md5 stays the default because the DuckDB oracle replays
-    it bit-for-bit.
+    ``fp_method="rolling"`` (default since r11, oracle-replayable): an
+    Arrow ``mapInPandas`` polynomial rolling-hash kernel — O(1)
+    amortized multiply-adds per character. ``fp_method="md5"``: one
+    Generate + codegen md5 projection — hashes k chars at EVERY
+    position, i.e. ~k× corpus bytes through md5, the dominant cost at
+    100 TB (measured on the x10 tier: spans pass 4.05 s md5 vs 1.91 s
+    rolling; equal at sf0.1). Both share the output schema and the
+    content-keyed selection property (a window's fingerprint depends
+    only on its k chars, so a duplicated substring still selects
+    identically in every document). The two methods choose DIFFERENT
+    1/sample subsets (different hash values), so spans can differ
+    within the documented per-content miss probability; with
+    ``sample=1`` they are exactly equal (pytest-pinned). Rolling
+    fingerprints are 63-bit polynomial hashes (collision-weaker than
+    md5's 60 truncated bits but ample for dedup); BOTH are replayed
+    bit-for-bit by the DuckDB oracles — the rolling hash is pure
+    integer arithmetic mod 2^63, so the replay is an exact HUGEINT
+    sum over a precomputed B-powers table.
     """
     if k < 2:
         raise ValueError("duplicate substring ops: k must be >= 2")
@@ -1595,42 +1597,64 @@ def _rolling_selected_positions(
 
     def kernel(batches):
         for pdf in batches:
-            out_ids, out_ps, out_fps = [], [], []
-            for _id, t in zip(pdf["__id"], pdf["__t"]):
-                if t is None:
-                    continue
-                t = str(t)
-                n = len(t)
-                if n < k:
-                    continue
-                c = np.frombuffer(
-                    t.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.uint64)
-                # powers: bpow[i] = B^i, ipow[i] = Binv^i (mod 2^64)
-                ipow = np.empty(n, dtype=np.uint64)
-                ipow[0] = 1
-                np.cumprod(np.full(n - 1, BINV, dtype=np.uint64),
-                           out=ipow[1:])
-                bpow = np.empty(n, dtype=np.uint64)
-                bpow[0] = 1
-                np.cumprod(np.full(n - 1, B, dtype=np.uint64),
-                           out=bpow[1:])
-                pref = np.cumsum(c * ipow, dtype=np.uint64)
-                # 0-based window start s in [0, n-k]:
-                # h_s = (pref[s+k-1] - pref[s-1]) * B^(s+k-1)
-                hi = pref[k - 1:]
-                lo = np.concatenate(
-                    ([np.uint64(0)], pref[: n - k])
-                )
-                h = ((hi - lo) * bpow[k - 1:]) & MASK63
-                sel = h % np.uint64(sample) == 0
-                ps = np.nonzero(sel)[0]
-                if len(ps):
-                    out_ids.extend([_id] * len(ps))
-                    out_ps.extend((ps + 1).tolist())
-                    out_fps.extend(h[sel].astype(np.int64).tolist())
+            # Vectorize ACROSS documents (r11): one concatenated
+            # codepoint array per Arrow batch instead of a per-doc
+            # Python loop (measured: per-doc numpy-call overhead was
+            # ~1 s over 15k short docs at sf0.1). The closed form works
+            # unchanged with GLOBAL indices — h_g = (T[g+k-1] -
+            # T[g-1]) * B^(g+k-1) telescopes to the same content-only
+            # window hash — so the only doc-awareness needed is
+            # dropping windows that straddle a document boundary.
+            texts = [
+                (i, str(t))
+                for i, t in enumerate(pdf["__t"])
+                if t is not None and len(str(t)) >= k
+            ]
+            if not texts:
+                yield pd.DataFrame(
+                    {"__id": [], "__p": [], "__fp": []}
+                ).astype({"__p": "int64", "__fp": "int64"})
+                continue
+            joined = "".join(t for _, t in texts)
+            c = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            n = len(c)
+            ipow = np.empty(n, dtype=np.uint64)
+            ipow[0] = 1
+            np.cumprod(np.full(n - 1, BINV, dtype=np.uint64),
+                       out=ipow[1:])
+            bpow = np.empty(n, dtype=np.uint64)
+            bpow[0] = 1
+            np.cumprod(np.full(n - 1, B, dtype=np.uint64),
+                       out=bpow[1:])
+            pref = np.cumsum(c * ipow, dtype=np.uint64)
+            # 0-based global window start g in [0, n-k]:
+            # h_g = (pref[g+k-1] - pref[g-1]) * B^(g+k-1)
+            hi = pref[k - 1:]
+            lo = np.concatenate(([np.uint64(0)], pref[: n - k]))
+            h = ((hi - lo) * bpow[k - 1:]) & MASK63
+            # document offsets: starts[d] = global start of doc d
+            lens = np.fromiter(
+                (len(t) for _, t in texts), dtype=np.int64, count=len(texts)
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            sel = h % np.uint64(sample) == 0
+            gs = np.nonzero(sel)[0]
+            # doc containing g, and in-doc window fit: g+k <= doc end
+            d = np.searchsorted(starts, gs, side="right") - 1
+            fit = gs + k <= starts[d + 1]
+            gs, d = gs[fit], d[fit]
+            orig_idx = np.fromiter(
+                (i for i, _ in texts), dtype=np.int64, count=len(texts)
+            )
+            ids = pdf["__id"].to_numpy()[orig_idx[d]]
             yield pd.DataFrame(
-                {"__id": out_ids, "__p": out_ps, "__fp": out_fps}
+                {
+                    "__id": ids,
+                    "__p": (gs - starts[d] + 1).astype("int64"),
+                    "__fp": h[gs].astype(np.int64),
+                }
             )
 
     return base.mapInPandas(kernel, schema=out_schema)
@@ -1644,7 +1668,7 @@ def _duplicate_positions(
     k: int,
     sample: int,
     min_docs: int,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """The shared fingerprint-match stage of the substring-dedup pair:
     ``(__id, __p, __fp)`` rows for every SELECTED window whose
@@ -1713,7 +1737,7 @@ def remove_duplicate_substrings(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """The TRANSFORM half of substring dedup: cut every duplicated
     region from every document EXCEPT one global keeper occurrence —
@@ -1901,7 +1925,7 @@ def substring_fp_index(
     *,
     k: int = 40,
     sample: int = 8,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """The STORED side of incremental substring dedup: the
     ``(fp, n_docs)`` census of a corpus's selected window fingerprints.
@@ -1941,7 +1965,7 @@ def merge_substring_fp_index(
     *,
     k: int = 40,
     sample: int = 8,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """Index MAINTENANCE after accepting a batch: the stored census
     plus the batch's census, summed per fingerprint — an aggregate,
@@ -1978,7 +2002,7 @@ def incremental_substring_spans(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """Duplicate-substring spans of a NEW batch against a stored
     :func:`substring_fp_index` — the base corpus is never rescanned.
@@ -2050,7 +2074,7 @@ def incremental_substring_removal(
     k: int = 40,
     sample: int = 8,
     min_docs: int = 2,
-    fp_method: str = "md5",
+    fp_method: str = "rolling",
 ) -> DataFrame:
     """The TRANSFORM half of incremental substring dedup — cleaned
     BATCH text against a stored :func:`substring_fp_index`, completing
