@@ -694,16 +694,19 @@ def test_q189_loss_mask_is_pure_projection(spark):
 
 
 def test_q192_substring_spans_no_cartesian_streamed_generate(spark):
-    """q192 (PLANS.md): the per-position fingerprint pass is a streamed
-    Generate (explode) feeding a codegen projection + the 1/sample
-    filter — no CartesianProduct anywhere, and the duplicate-census
-    join back onto the selected positions is a real join on the
-    fingerprint key (hash exchange), never a nested loop."""
+    """q192 (PLANS.md): the per-position fingerprint pass streams —
+    since r11 the default is the Arrow rolling-hash kernel (a
+    MapInPandas node; the md5 path's streamed Generate remains
+    available via fp_method) — no CartesianProduct anywhere, and the
+    duplicate-census join back onto the selected positions is a real
+    join on the fingerprint key (hash exchange), never a nested
+    loop."""
     df = em.q192_substring_dedup(spark, SF)
     tree = _tree(_formatted(spark, df))
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
-    assert "Generate" in tree, tree  # the stride-1 position explode
+    # the rolling fingerprint kernel (r11 default)
+    assert "MapInPandas" in tree, tree
 
 
 def test_q192_census_and_probe_share_one_fp_exchange(spark):
