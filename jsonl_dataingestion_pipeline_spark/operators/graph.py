@@ -91,42 +91,26 @@ def pagerank(
     # out-edges (the left-join semantics the loop depends on), so the
     # dangling set is exactly the __deg-IS-NULL slice — no separate
     # dangling frame or per-iteration leftsemi join needed.
-    nodes_deg_full = _break(
+    nodes_deg = _break(
         e.select(F.col("__src").alias("node_id"), F.lit(1).alias("__o"))
         .unionAll(e.select(F.col("__dst").alias("node_id"), F.lit(0)))
         .groupBy("node_id")
-        .agg(
-            F.sum("__o").cast("long").alias("__cnt"),
-            F.count(F.lit(1)).cast("long").alias("__tot"),
-        )
+        .agg(F.sum("__o").cast("long").alias("__cnt"))
         .select(
             "node_id",
             F.when(F.col("__cnt") > 0, F.col("__cnt")).alias("__deg"),
-            "__cnt",
-            "__tot",
         )
     )
-    nodes_deg = nodes_deg_full.select("node_id", "__deg")
     nodes = nodes_deg.select("node_id")
-    # n, has_dangling AND the zero-IN-degree census from ONE 1-row
-    # aggregate. A node whose every appearance is as __src (__tot ==
-    # __cnt) never receives contributions; when NO such node exists the
-    # per-iteration stitch can be an INNER join driven by the
-    # contribution aggregate (see loop note).
-    _stats = nodes_deg_full.agg(
+    # n and has_dangling from ONE 1-row aggregate (was: two counts)
+    _stats = nodes_deg.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
             F.when(F.col("__deg").isNull(), F.lit(1)).otherwise(F.lit(0))
         ).alias("__nd"),
-        F.sum(
-            F.when(F.col("__tot") == F.col("__cnt"), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        ).alias("__nzi"),
     ).first()
     n = _stats["__n"]
     has_dangling = (_stats["__nd"] or 0) > 0
-    all_nodes_have_in_edges = (_stats["__nzi"] or 0) == 0
     if n == 0:
         raise ValueError("pagerank: edge table is empty (no nodes)")
     if personalization is not None:
@@ -170,24 +154,22 @@ def pagerank(
     rank_side = (
         (lambda d: F.broadcast(d)) if broadcast_ranks else (lambda d: d)
     )
-    # Stitch direction (r11, guide §2.4/§1.2): when EVERY node has at
-    # least one in-edge (checked once in the setup stats — always true
-    # for symmetrized graphs like q116/q161), the contribution
-    # aggregate already covers the full node set, so the stitch is an
-    # INNER join driven by `summed` with the STATIC nodes_deg on the
-    # broadcast side. One identical broadcast(nodes_deg) subtree per
-    # iteration -> ReuseExchange builds it ONCE per execution, halving
-    # the sequential broadcast-build jobs (2 -> ~1 per iteration):
-    # measured q116 noop 4.18 -> 3.70 s, output bit-identical (same
-    # per-row float ops; __in is never NULL under inner semantics).
-    # Rejected alternates, both measured: (a) fusing the stitch into
-    # the aggregate via a zero-row-per-node union — regressed, r10
-    # §4.3; (b) a co-partitioned persist() loop with shuffle-hash
-    # joins — only "wins" via cross-run CacheManager reuse (result
-    # caching); with caches dropped per run it is SLOWER (5.8 vs 4.2 s).
-    inner_stitch = all_nodes_have_in_edges and broadcast_ranks
-    ndb = F.broadcast(nodes_deg) if inner_stitch else None
     for i in range(iterations):
+        # NOTE — measured and REJECTED loop variants, kept for the next
+        # optimizer (this left-join stitch is load-bearing):
+        # r10: fusing the stitch into the contribution aggregate via a
+        #   zero-row-per-node union — defeated broadcast reuse,
+        #   regressed the bench (OPTIMIZATION_r10.md §4.3).
+        # r11: INNER stitch driven by `summed` with broadcast(nodes_deg)
+        #   shared across iterations — faster under the noop sink
+        #   (q116 4.18 -> 3.76 s) but REGRESSED the count-path bench
+        #   (3.36 -> 3.75 / q161 2.10 -> 2.94, reproduced twice): the
+        #   left-outer stitch on the aggregate's unique key is
+        #   JOIN-ELIMINABLE when downstream prunes the rank columns,
+        #   and the inner form (which changes cardinality) is not.
+        # r11: co-partitioned persist() loop, zero broadcasts — only
+        #   "won" via cross-run CacheManager reuse (result caching);
+        #   honest per-run cost 5.8 vs 4.2 s (OPTIMIZATION_r11.md §4).
         contribs = (
             e.join(rank_side(ranks), e["__src"] == ranks["node_id"])
             .select(
@@ -196,14 +178,8 @@ def pagerank(
             )
         )
         summed = contribs.groupBy("node_id").agg(F.sum("__c").alias("__in"))
-        if inner_stitch:
-            stitched = summed.join(ndb, on="node_id")
-            incoming = F.col("__in")
-        else:
-            stitched = nodes_deg.join(
-                rank_side(summed), on="node_id", how="left"
-            )
-            incoming = F.coalesce(F.col("__in"), F.lit(0.0))
+        stitched = nodes_deg.join(rank_side(summed), on="node_id", how="left")
+        incoming = F.coalesce(F.col("__in"), F.lit(0.0))
         if has_dangling:
             # 1-row dangling-mass frame, broadcast to every node. The
             # mass is re-rounded like the ranks so the summation-order
